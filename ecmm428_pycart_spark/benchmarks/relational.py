@@ -1,0 +1,446 @@
+"""Relational operator queries (SURVEY.md §2.2 R4-R23 + window/set extras).
+
+Each entry maps a reference operator to an idiomatic Spark DataFrame plan
+on the driver's star schema, with a DuckDB oracle in ORACLES. Conventions
+for exact cross-engine hash parity:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (round(x, 2/4)) on both sides;
+- DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT);
+- timestamps are reduced to DATE / epoch micros before output;
+- every query with potential ties has a deterministic tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ecmm428_pycart_spark.operators.relational import (
+    anti_join,
+    argmax_per_group,
+    filter_isin,
+    running_fill_by,
+    semi_join,
+    to_int_col,
+)
+from ecmm428_pycart_spark.session import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (R16/R17 aggregates + filter).
+# Scale notes: single scan, map-side partial aggregation, 6-group output;
+# predicate and 7-column projection push into the parquet scan.
+# ---------------------------------------------------------------------------
+@q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+             F.round(F.sum(charge), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+# R6 — equality filter (main.py:102,282-283)
+@q("q02_filter_eq", """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+""")
+def q02_filter_eq(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 2).alias("acctbal")))
+
+
+# R5 — isin membership filter (main.py:57,68,248-249)
+@q("q03_filter_isin", """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_name NOT IN ('FRANCE', 'GERMANY', 'RUSSIA')
+""")
+def q03_filter_isin(spark, sf_dir):
+    return filter_isin(_t(spark, sf_dir, "nation"), "n_name",
+                       ["FRANCE", "GERMANY", "RUSSIA"], negate=True) \
+        .select("n_nationkey", "n_name", "n_regionkey")
+
+
+# R4/R22 — to_int thousands-separator cast (main.py:79-86,91)
+@q("q04_cast_clean", """
+SELECT doc_id,
+       format('{:,}', n_chars)                                   AS n_chars_str,
+       CAST(replace(format('{:,}', n_chars), ',', '') AS BIGINT) AS n_chars_rt
+FROM documents
+""")
+def q04_cast_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("n_chars_str", F.format_number(F.col("n_chars"), 0))
+            .withColumn("n_chars_rt", to_int_col(F.col("n_chars_str")))
+            .select("doc_id", "n_chars_str", "n_chars_rt"))
+
+
+# R7 — exclusive numeric range filter (pycart/cartogram.py:357)
+@q("q05_range_filter", """
+SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+FROM part WHERE p_retailprice > 920.0 AND p_retailprice < 960.0
+GROUP BY p_brand
+""")
+def q05_range_filter(spark, sf_dir):
+    return (_t(spark, sf_dir, "part")
+            .filter((F.col("p_retailprice") > 920.0)
+                    & (F.col("p_retailprice") < 960.0))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+# R8 — inner equi-joins over the dim hierarchy; dims are broadcast
+@q("q06_join_customer_nation_region", """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""")
+def q06_join_customer_nation_region(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name", "n_name")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+# R10 — semi-join (main.py:96-105 get_sub_pop)
+@q("q07_semi_join", """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY o_orderpriority
+""")
+def q07_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+         .select(F.col("c_custkey").alias("o_custkey")))
+    return (semi_join(o, c, "o_custkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_total")))
+
+
+# R15 — anti-join (border_util.py:31-39 island split): customers with no
+# order in the first model year.
+@q("q08_anti_join", """
+SELECT n_name, count(*) AS n_customers_without_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY n_name
+""")
+def q08_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+         .select(F.col("o_custkey").alias("c_custkey")))
+    n = _t(spark, sf_dir, "nation")
+    return (anti_join(c, o, "c_custkey")
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers_without_orders")))
+
+
+# R11 — union / concat (main.py:69; border_util.py:60,86)
+@q("q09_union", """
+SELECT c_mktsegment, count(*) AS n FROM (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000.0
+  UNION
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+) GROUP BY c_mktsegment
+""")
+def q09_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000.0).select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey", "c_mktsegment")
+    return (a.unionByName(b).distinct()
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+
+
+# R12 — per-group argmax dedup (main.py:251)
+@q("q10_argmax_per_group", """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn = 1
+""")
+def q10_argmax_per_group(spark, sf_dir):
+    return (argmax_per_group(_t(spark, sf_dir, "customer"),
+                             "c_nationkey", "c_acctbal", "c_custkey")
+            .select("c_nationkey", "c_custkey",
+                    F.round("c_acctbal", 2).alias("acctbal")))
+
+
+# R16/R17/R18 — sum / max / min aggregates (pycart/cartogram.py:324-341,364)
+@q("q11_agg_minmax", """
+SELECT c_nationkey,
+       count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer GROUP BY c_nationkey
+""")
+def q11_agg_minmax(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+
+# R21 — ordered running fill (main.py:264-271), partitioned variant
+@q("q12_running_fill", """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS last_click_value
+FROM events WHERE user_id % 7 = 0
+""")
+def q12_running_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    filled = running_fill_by(ev, "user_id", "event_id",
+                             F.col("event_type") == "click", "value",
+                             "last_click_value")
+    return filled.select("event_id", "user_id",
+                         F.round("last_click_value", 2).alias("last_click_value"))
+
+
+# R13 — distance-range join, 1-D analog: same-brand price neighbourhood.
+# The equi-key (brand) bounds the join; the range predicate filters after.
+@q("q13_price_range_join", """
+SELECT a.p_brand AS p_brand, count(*) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(a.p_retailprice - b.p_retailprice) < 1.0
+GROUP BY a.p_brand
+""")
+def q13_price_range_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .filter(F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) < 1.0)
+            .groupBy(F.col("a.p_brand").alias("p_brand"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+# R23 — static mapping table broadcast join (main.py:208-210 clean_country)
+@q("q14_mapping_join", """
+SELECT n_name, coalesce(m.code, 'XX') AS code
+FROM nation LEFT JOIN (
+  VALUES ('UNITED STATES', 'US'), ('UNITED KINGDOM', 'GB'), ('FRANCE', 'FR'),
+         ('GERMANY', 'DE'), ('CHINA', 'CN'), ('JAPAN', 'JP'), ('INDIA', 'IN'),
+         ('BRAZIL', 'BR'), ('CANADA', 'CA'), ('RUSSIA', 'RU')
+) AS m(name, code) ON n_name = m.name
+""")
+def q14_mapping_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    mapping = spark.createDataFrame(
+        [("UNITED STATES", "US"), ("UNITED KINGDOM", "GB"), ("FRANCE", "FR"),
+         ("GERMANY", "DE"), ("CHINA", "CN"), ("JAPAN", "JP"), ("INDIA", "IN"),
+         ("BRAZIL", "BR"), ("CANADA", "CA"), ("RUSSIA", "RU")],
+        ["name", "code"])
+    return (n.join(F.broadcast(mapping), n.n_name == mapping.name, "left")
+            .select("n_name", F.coalesce(F.col("code"), F.lit("XX")).alias("code")))
+
+
+# Window running sum (beyond-reference window op)
+@q("q15_window_running_sum", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey % 50 = 0
+""")
+def q15_window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+# Global top-k with deterministic tiebreak (TakeOrdered physical op)
+@q("q16_topk", """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def q16_topk(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+# Distinct aggregate
+@q("q17_distinct_agg", """
+SELECT c_nationkey,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+""")
+def q17_distinct_agg(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+            .agg(F.countDistinct("c_mktsegment").alias("n_segments"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+# Rollup (grouping-sets family; absent in reference, noted in SURVEY §2.2)
+@q("q18_rollup", """
+SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def q18_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .rollup("r_name", "n_name")
+             .agg(F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+                  F.count(F.lit(1)).alias("n")))
+
+
+# Time-bucketed event aggregation (batch form of the streaming pipeline)
+@q("q19_events_hourly", """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""")
+def q19_events_hourly(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.col("ts").cast("date").alias("event_date"),
+                     F.hour("ts").alias("event_hour"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# Gap-based sessionization via lag window (beyond-reference)
+@q("q20_sessionize", """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY user_id
+""")
+def q20_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = (F.col("prev_ts").isNull()
+               | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1800000000))
+    return (ev.withColumn("prev_ts", F.lag("ts").over(w))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(gap_new, 1).otherwise(0)).alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# JSON property extraction (events.props is a JSON object string)
+@q("q21_json_extract", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def q21_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("sum_k"),
+                 F.round(F.avg(k), 4).alias("avg_k")))
+
+
+# Multi-table fact join: revenue by nation (R8+R16 at fact-table scale).
+# lineitem⋈orders shuffles on orderkey; dims broadcast.
+@q("q22_revenue_by_nation", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q22_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lineitems")))

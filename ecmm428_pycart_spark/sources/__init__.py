@@ -1,0 +1,7 @@
+from ecmm428_pycart_spark.sources.geojson import read_geojson
+from ecmm428_pycart_spark.sources.csv import (
+    read_csv, read_pop_csv, read_world_pop_wide, read_wkt_csv,
+)
+
+__all__ = ["read_geojson", "read_csv", "read_pop_csv",
+           "read_world_pop_wide", "read_wkt_csv"]

@@ -1,0 +1,51 @@
+"""CSV sources (reference main.py:89-93,125-137; docs/quick.md:44-48 — S3-S5).
+
+All readers attach ``file_order`` (a per-file monotonic row id) because the
+reference exploits CSV row order for its running-fill scan (main.py:264-271)
+and Spark provides no implicit row order. For a single input file
+``monotonically_increasing_id`` is monotone in file order because the text
+source preserves intra-file ordering across split boundaries by offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecmm428_pycart_spark.operators.relational import to_int_col
+
+
+def read_csv(spark: SparkSession, path: str, with_order: bool = True) -> DataFrame:
+    df = (spark.read.option("header", "true").csv(path))
+    if with_order:
+        df = df.withColumn("file_order", F.monotonically_increasing_id())
+    return df
+
+
+def read_pop_csv(spark: SparkSession, path: str,
+                 pop_col: str = "Population") -> DataFrame:
+    """Population CSV: thousands-separated strings → long (main.py:89-93)."""
+    df = read_csv(spark, path)
+    return df.withColumn(pop_col, to_int_col(F.col(pop_col)))
+
+
+def read_world_pop_wide(spark: SparkSession, path: str,
+                        year: str = "2021") -> DataFrame:
+    """World-bank wide CSV → (Country, ISO, Population) (main.py:125-137).
+
+    Catalyst prunes the other ~60 year columns out of the scan.
+    """
+    df = spark.read.option("header", "true").csv(path)
+    return df.select(
+        F.col("Country Name").cast("string").alias("Country"),
+        F.col("Country Code").cast("string").alias("ISO"),
+        F.col(year).cast("double").alias("Population"),
+    )
+
+
+def read_wkt_csv(spark: SparkSession, path: str,
+                 geometry_col: str = "geometry") -> DataFrame:
+    """CSV with a WKT geometry column → WKB binary (docs/quick.md:44-48)."""
+    from ecmm428_pycart_spark.geometry.udfs import st_wkt_to_wkb
+    df = read_csv(spark, path)
+    return df.withColumn(geometry_col, st_wkt_to_wkb(F.col(geometry_col)))
