@@ -90,7 +90,11 @@ class Cartogram:
         region_idx, id, value, cx, cy, radius, perimeter.
         """
         v, i, g = self.value_field, self.id_field, self.geo_field
-        base = with_region_idx(self.df.select(v, i, g), i, self.idx_field)
+        cols = [v, i, g]
+        if self.idx_field is not None and self.idx_field not in cols:
+            cols.append(self.idx_field)
+        base = with_region_idx(self.df.select(*cols), i, self.idx_field)
+        base = base.select(v, i, g, "region_idx")
         borders, _islands = get_borders(base, i, g, idx_field="region_idx")
 
         regions = centroid_cols(base, geom_col=g, prefix="c")
@@ -120,6 +124,15 @@ class Cartogram:
             "radius", F.sqrt(F.col("_value") / math.pi) * F.lit(k))
         maxv = state.agg(F.max("radius").alias("m")).collect()[0]["m"]
         return state, borders, float(maxv)
+
+    def dorling_radii(self) -> DataFrame:
+        """The dorling radius calibration as a standalone DataFrame
+        (region_idx, id, value, radius) — pycart/cartogram.py:320-338
+        without the force loop. Oracle-checkable (SURVEY.md Q5: the k
+        coefficient sums run over the directed borders edge list)."""
+        state, _borders, _widest = self._dorling_setup()
+        return state.select("region_idx", F.col("_id").alias("id"),
+                            F.col("_value").alias("value"), "radius")
 
     def dorling(self, iterations: int = 100, ratio: float = 0.4,
                 friction: float = 0.5, stop: int | None = None,

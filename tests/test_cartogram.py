@@ -1,0 +1,146 @@
+"""Spark-side tests for borders / non_contiguous / dorling on the
+reference's 4-square fixture (FIXTURES.md F1/F2 goldens)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecmm428_pycart_spark import Cartogram, get_borders
+from ecmm428_pycart_spark.geometry import core
+from ecmm428_pycart_spark.plans import dorling_core
+
+W_TLBL = abs(-3.634135 - -3.569522)          # TL-BL shared horizontal edge
+H_TLTR = abs(50.486784 - 50.446137)          # TL-TR shared vertical edge
+H_BLBR = abs(50.446137 - 50.407205)          # BL-BR shared vertical edge
+W_TRBR = abs(-3.569522 - -3.504629)          # TR-BR shared horizontal edge
+# region_idx order: TL=0, BL=1, TR=2, BR=3
+
+
+def test_get_borders_squares(spark, squares_df):
+    borders, islands = get_borders(squares_df, "name", "geometry",
+                                   idx_field="region_idx")
+    rows = {(r["focal"], r["neighbor"]): r["weight"] for r in borders.collect()}
+    # 6 undirected pairs → 12 directed rows (SURVEY.md §5 golden)
+    assert len(rows) == 12
+    assert rows[(0, 1)] == pytest.approx(W_TLBL, abs=1e-9)
+    assert rows[(1, 0)] == pytest.approx(W_TLBL, abs=1e-9)
+    assert rows[(0, 2)] == pytest.approx(H_TLTR, abs=1e-9)
+    assert rows[(1, 3)] == pytest.approx(H_BLBR, abs=1e-9)
+    assert rows[(2, 3)] == pytest.approx(W_TRBR, abs=1e-9)
+    # diagonal corner contacts have zero-length intersection
+    assert rows[(0, 3)] == pytest.approx(0.0, abs=1e-12)
+    assert rows[(1, 2)] == pytest.approx(0.0, abs=1e-12)
+    assert islands.count() == 0
+
+
+def test_get_borders_islands(spark, squares_df):
+    far = spark.createDataFrame(
+        [(4, "XX", 10.0,
+          core.dumps(core.wkt_loads("POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")))],
+        squares_df.schema)
+    borders, islands = get_borders(squares_df.unionByName(far), "name",
+                                   "geometry", idx_field="region_idx")
+    assert borders.filter((F.col("focal") == 4) | (F.col("neighbor") == 4)).count() == 0
+    isl = islands.collect()
+    assert len(isl) == 1 and isl[0]["name"] == "XX"
+
+
+def test_non_contiguous_golden(spark, squares_df):
+    cart = Cartogram(squares_df, "Population", "name")
+    out = {r["name"]: r for r in cart.non_contiguous().collect()}
+    assert out["TR"]["scale"] == pytest.approx(1.0)
+    assert out["TL"]["scale"] == pytest.approx(0.50108, abs=2e-4)
+    assert out["BL"]["scale"] == pytest.approx(0.72408, abs=2e-4)
+    assert out["BR"]["scale"] == pytest.approx(0.62571, abs=2e-4)
+    # scaled geometry: area shrinks by scale², centroid preserved
+    tl = out["TL"]
+    g = core.loads(tl["geometry"])
+    orig = [r for r in squares_df.collect() if r["name"] == "TL"][0]
+    og = core.loads(orig["geometry"])
+    assert core.area(g) == pytest.approx(core.area(og) * tl["scale"] ** 2, rel=1e-9)
+    assert core.centroid(g) == pytest.approx(core.centroid(og), abs=1e-8)
+
+
+def test_non_contiguous_size_value(spark, squares_df):
+    cart = Cartogram(squares_df, "Population", "name")
+    out = {r["name"]: r["scale"] for r in cart.non_contiguous(size_value=2.0).collect()}
+    assert out["TR"] == pytest.approx(2.0)
+
+
+def _local_setup(squares_df):
+    """Replicate dorling setup locally from fixture data for comparison."""
+    rows = sorted(squares_df.collect(), key=lambda r: r["region_idx"])
+    geoms = [core.loads(r["geometry"]) for r in rows]
+    cents = [core.centroid(g) for g in geoms]
+    values = np.array([r["Population"] for r in rows])
+    perims = np.array([core.perimeter(g) for g in geoms])
+    edges = []
+    for i in range(4):
+        for j in range(4):
+            if i != j:
+                w = core.shared_boundary_length(geoms[i], geoms[j])
+                shares_vertex = len({tuple(p) for p in core.vertices(geoms[i])}
+                                    & {tuple(p) for p in core.vertices(geoms[j])}) > 0
+                if shares_vertex:
+                    edges.append((i, j, w))
+    D = sum(math.hypot(cents[j][0] - cents[i][0], cents[j][1] - cents[i][1])
+            for i, j, _ in edges)
+    R = sum(math.sqrt(values[i] / math.pi) + math.sqrt(values[j] / math.pi)
+            for i, j, _ in edges)
+    k = D / R
+    radii = np.sqrt(values / math.pi) * k
+    return rows, cents, values, perims, edges, k, radii
+
+
+def test_dorling_reference_matches_local_sweep(spark, squares_df):
+    """Engine mode='reference' must equal the local numpy Gauss-Seidel
+    sweep bit-for-bit (same arithmetic, same order)."""
+    rows, cents, values, perims, edges, k, radii = _local_setup(squares_df)
+    x = np.array([c[0] for c in cents])
+    y = np.array([c[1] for c in cents])
+    bf = np.array([e[0] for e in edges])
+    bn = np.array([e[1] for e in edges])
+    bw = np.array([e[2] for e in edges])
+    ex, ey = dorling_core.dorling_sweep(
+        x, y, radii, perims, bf, bn, bw, iterations=10)
+
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    out = {r["region_idx"]: r for r in cart.dorling(iterations=10).collect()}
+    for i in range(4):
+        assert out[i]["cx"] == pytest.approx(ex[i], abs=1e-9)
+        assert out[i]["cy"] == pytest.approx(ey[i], abs=1e-9)
+        assert out[i]["radius"] == pytest.approx(radii[i], rel=1e-9)
+        g = core.loads(out[i]["geometry"])
+        assert core.area(g) == pytest.approx(
+            0.5 * 32 * radii[i] ** 2 * math.sin(2 * math.pi / 32), rel=1e-6)
+
+
+def test_dorling_stop_param(spark, squares_df):
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    a = {r["region_idx"]: (r["cx"], r["cy"])
+         for r in cart.dorling(iterations=100, stop=3).collect()}
+    b = {r["region_idx"]: (r["cx"], r["cy"])
+         for r in cart.dorling(iterations=3).collect()}
+    for i in range(4):
+        assert a[i] == pytest.approx(b[i], abs=1e-12)
+
+
+def test_dorling_scalable_matches_local_jacobi(spark, squares_df):
+    """mode='scalable' must equal the local synchronous Jacobi oracle."""
+    rows, cents, values, perims, edges, k, radii = _local_setup(squares_df)
+    x = np.array([c[0] for c in cents])
+    y = np.array([c[1] for c in cents])
+    wmap = {(i, j): w for i, j, w in edges}
+    widest = radii.max()
+    for _ in range(3):
+        x, y = dorling_core.jacobi_step(x, y, radii, perims, wmap,
+                                        ratio=0.4, friction=0.5, widest=widest)
+
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    out = {r["region_idx"]: r
+           for r in cart.dorling(iterations=3, mode="scalable").collect()}
+    for i in range(4):
+        assert out[i]["cx"] == pytest.approx(x[i], abs=1e-9)
+        assert out[i]["cy"] == pytest.approx(y[i], abs=1e-9)
