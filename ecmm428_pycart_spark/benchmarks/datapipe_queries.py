@@ -1,0 +1,325 @@
+"""Data-pipeline queries (dedup / text analysis / similarity / multimodal)
+on the documents and embeddings tables, each with a DuckDB oracle where
+SQL-expressible.
+
+All hash-based operators use md5 so the oracle computes bit-identical
+values; repetitive SQL (minhash seeds, simhash bits, LSH bands) is
+code-generated below from the same constants the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecmm428_pycart_spark.datapipe import dedup, multimodal, similarity, text
+from ecmm428_pycart_spark.session import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@q("d01_dedup_exact", """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique_texts
+FROM documents GROUP BY source
+""")
+def d01_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique_texts")))
+
+
+_MINHASH_AGGS_SQL = ",\n       ".join(
+    f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(dedup.NUM_HASHES))
+
+_MINHASH_SQL = f"""
+SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS sh
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+@q("d05_minhash_signature", _MINHASH_SQL)
+def d05_minhash_signature(spark, sf_dir):
+    return dedup.minhash_signature(_t(spark, sf_dir, "documents"))
+
+
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
+    for b in range(dedup.NUM_BANDS))
+
+_LSH_JACCARD_SQL = f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands AS (
+{_BANDS_SQL}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+               / (len(sa.s) + len(sb.s)
+                  - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+         AS jaccard
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b
+) WHERE jaccard >= 0.5
+"""
+
+
+@q("d06_minhash_lsh_jaccard", _LSH_JACCARD_SQL)
+def d06_minhash_lsh_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+
+
+_SIMHASH_BIT_SUMS_SQL = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(dedup.SIMHASH_BITS))
+_SIMHASH_RECON_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(dedup.SIMHASH_BITS))
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+       {_SIMHASH_BIT_SUMS_SQL}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_RECON_SQL} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@q("d07_simhash", _SIMHASH_SQL)
+def d07_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {b*8}) & 255 AS band_val FROM sim"
+    for b in range(4))
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sim AS ({_SIMHASH_SQL}),
+bands AS (
+{_SIMHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@q("d08_simhash_neardup", _SIMHASH_PAIRS_SQL)
+def d08_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@q("d02_text_stats", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars2,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       round(length(replace(text, ' ', ''))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+""")
+def d02_text_stats(spark, sf_dir):
+    s = text.with_text_stats(_t(spark, sf_dir, "documents"))
+    return s.select("doc_id", "n_tokens", "n_chars2", "n_unique_tokens",
+                    F.round("avg_token_len", 4).alias("avg_token_len"))
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in text.STOPWORDS.items() for w in ws)
+
+@q("d03_lang_id", f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sw(cand_lang, tok) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM tok JOIN sw USING (tok) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang FROM hits
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY n_hits DESC, cand_lang ASC) = 1
+)
+SELECT d.doc_id, d.lang, coalesce(b.cand_lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b USING (doc_id)
+""")
+def d03_lang_id(spark, sf_dir):
+    out = text.lang_id(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "pred_lang")
+
+
+@q("d04_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       AS fp
+FROM documents
+""")
+def d04_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@q("d09_quality_score", """
+SELECT doc_id,
+       round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+             * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' '))), 4) AS quality
+FROM documents
+""")
+def d09_quality_score(spark, sf_dir):
+    s = text.quality_score(_t(spark, sf_dir, "documents"))
+    return s.select("doc_id", F.round("quality", 4).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  SELECT vec_id,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex)) * sqrt(sum(qx * qx))), 6) AS cos
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS ex, unnest(q)::DOUBLE AS qx
+        FROM embeddings, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0))
+  GROUP BY vec_id
+"""
+
+
+@q("s01_cosine_topk", f"""
+SELECT vec_id, cos FROM ({_COS_SQL})
+ORDER BY cos DESC, vec_id ASC LIMIT 20
+""")
+def s01_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, similarity.query_vector(emb, 0), k=20)
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(8))
+_QBUCKET_SQL = " + ".join(
+    f"CASE WHEN q[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(8))
+
+@q("s02_ann_sign_lsh", f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM embeddings
+),
+qv AS (
+  SELECT embedding AS q, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id, bucket,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex)) * sqrt(sum(qx * qx))), 6) AS cos
+  FROM (SELECT b.vec_id, b.bucket,
+               unnest(b.embedding)::DOUBLE AS ex, unnest(qv.q)::DOUBLE AS qx
+        FROM b JOIN qv USING (bucket))
+  GROUP BY vec_id, bucket
+)
+SELECT vec_id, bucket, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""")
+def s02_ann_sign_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_sign_lsh_topk(emb, similarity.query_vector(emb, 0), k=10)
+
+
+@q("s03_centroid_assign", """
+WITH cent AS (
+  SELECT label AS cand_label, pos, avg(val) AS avg_val
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+dists AS (
+  SELECT e.vec_id, e.label, c.cand_label,
+         round(sum((v.val - c.avg_val) * (v.val - c.avg_val)), 9) AS dist2
+  FROM (SELECT vec_id, label, unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings) v
+  JOIN embeddings e USING (vec_id)
+  JOIN cent c ON c.pos = v.pos
+  WHERE v.vec_id = e.vec_id AND v.label = e.label
+  GROUP BY e.vec_id, e.label, c.cand_label
+)
+SELECT vec_id, label, cand_label AS assigned_label, dist2
+FROM dists
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist2 ASC, cand_label ASC) = 1
+""")
+def s03_centroid_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    return similarity.assign_nearest_centroid(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@q("m01_multimodal_meta", """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+""")
+def m01_multimodal_meta(spark, sf_dir):
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.select("doc_id", F.col("meta.mime").alias("mime"),
+                     F.col("meta.byte_len").alias("byte_len"))
+
+
+_FEATURE_SQL = ", ".join(
+    f"ord(substr(text, {i + 1}, 1)) / 255.0" for i in range(multimodal.FEATURE_DIM))
+
+@q("m02_decode_features", f"""
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       [{_FEATURE_SQL}] AS feature
+FROM documents
+""")
+def m02_decode_features(spark, sf_dir):
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(mm)

@@ -1,0 +1,157 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hash math uses md5 (available and bit-identical in both Spark and
+DuckDB) so every stage is oracle-checkable. Everything is native column
+expressions — explode / groupBy / join — no Python UDFs:
+
+- exact:    md5(text) hash-groupBy — one shuffle on the 128-bit hash.
+- minhash:  shingle explode → per-doc min of k seeded hashes (map-side
+            partial min, one shuffle on doc id).
+- LSH:      band keys from the signature → self-join per band → distinct
+            candidate pairs. Shuffle keys are band hashes: collision
+            groups are the buckets, so join fan-out == true bucket sizes.
+- jaccard:  exact verify on candidates via set intersect/union.
+- simhash:  per-token 32-bit hash → per-bit ±1 sums → sign bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ecmm428_pycart_spark.datapipe.text import tokens
+
+NUM_HASHES = 8
+NUM_BANDS = 4          # bands of 2 hashes each
+SIMHASH_BITS = 32
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Group identical texts; canonical id = min id per group."""
+    return (df.select(id_col, F.md5(F.col(text_col)).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min(id_col).alias("canonical_id")))
+
+
+def shingle_set(col, n: int = 1) -> Column:
+    """Distinct word n-gram shingles of a text column (native exprs)."""
+    t = tokens(col)
+    if n == 1:
+        return F.array_distinct(t)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      num_hashes: int = NUM_HASHES,
+                      shingle_n: int = 1) -> DataFrame:
+    """k-permutation MinHash: mh_s = min over shingles of md5('s:'+shingle).
+
+    min() over md5 hex strings is a valid uniform permutation surrogate;
+    md5 keeps it cross-engine deterministic.
+    """
+    sh = (df.select(id_col,
+                    F.explode(shingle_set(F.col(text_col), shingle_n)).alias("sh")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id",
+                  num_bands: int = NUM_BANDS,
+                  num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id, band, band_key) — one row per band, key = md5 of the band's
+    concatenated signature slice."""
+    rows_per_band = num_hashes // num_bands
+    out = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out.append(sig.select(
+            F.col(id_col), F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_hashes: int = NUM_HASHES,
+                        num_bands: int = NUM_BANDS,
+                        shingle_n: int = 1) -> DataFrame:
+    """Unordered candidate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    bands = lsh_band_keys(sig, id_col, num_bands, num_hashes)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 1,
+                  threshold: float = 0.5, round_decimals: int = 4) -> DataFrame:
+    """Exact Jaccard verify over candidate pairs (doc_a, doc_b).
+
+    The similarity is rounded *before* thresholding so the boundary is
+    reproducible across engines/float orders."""
+    sets = df.select(F.col(id_col).alias("_sid"),
+                     shingle_set(F.col(text_col), shingle_n).alias("_sset"))
+    j = (pairs
+         .join(sets.withColumnRenamed("_sid", "doc_a")
+                   .withColumnRenamed("_sset", "set_a"), "doc_a")
+         .join(sets.withColumnRenamed("_sid", "doc_b")
+                   .withColumnRenamed("_sset", "set_b"), "doc_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (j.withColumn("jaccard", F.round(inter / union, round_decimals))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over token multiset: bit_i = [Σ_tokens (±1) > 0]."""
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    sums = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)])
+    acc = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    return sums.select(id_col, acc.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4-byte band blocking (pigeonhole — any
+    pair within hamming ≤3 of a 32-bit hash shares at least one of 4
+    bytes), then exact hamming via bit_count(xor)."""
+    sh = simhash(df, id_col, text_col)
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            F.col(id_col), F.col("simhash"), F.lit(b).alias("band"),
+            F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("doc_a"),
+                     F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = bands.select(F.col(id_col).alias("doc_b"),
+                     F.col("simhash").alias("sh_b"), "band", "band_val")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: F.zip_with + F.aggregate — stays JVM-side,
+  no UDF, linear scan; the correctness baseline.
+- sign-LSH ANN: 8-bit random-hyperplane surrogate (sign of the leading
+  dims) buckets the vectors; search only the query's bucket. The scale
+  path: bucket key is the shuffle/partition key, so a 100 TB table
+  becomes per-bucket partitions and the probe touches one of 256.
+- IVF-style coarse quantization: centroids from the label column (or any
+  k-means exterior loop), assign by argmin distance — the building block
+  for IVF partitioned vector search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2(a) -> Column:
+    return dot(a, a)
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def query_vector(df: DataFrame, vec_id: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """1-row DataFrame with the query vector, for broadcast cross-join —
+    keeps the whole top-k in one Catalyst DAG (no literal plumbing)."""
+    return (df.filter(F.col(id_col) == vec_id)
+            .select(F.col(vec_col).alias("q")))
+
+
+def cosine_topk(df: DataFrame, query: DataFrame, k: int = 20,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine vs the (broadcast) query vector.
+
+    Deterministic under float jitter: rank on the *rounded* cosine with
+    id tiebreak, so engine-vs-oracle agree at the k boundary.
+    """
+    scored = (df.crossJoin(F.broadcast(query))
+              .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("q")), 6)))
+    return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cos"))
+
+
+def sign_bucket(vec_col, bits: int = 8) -> Column:
+    """LSH bucket id: sign bits of the first `bits` dimensions."""
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = acc + F.when(F.element_at(F.col(vec_col) if isinstance(vec_col, str)
+                           else vec_col, i + 1) > 0,
+                           F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def ann_sign_lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      bits: int = 8) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's sign bucket."""
+    bucketed = df.withColumn("bucket", sign_bucket(vec_col, bits))
+    qb = query.withColumn("bucket", sign_bucket("q", bits)) \
+              .select("bucket", "q")
+    cand = bucketed.join(F.broadcast(qb), "bucket")
+    scored = cand.withColumn("cos", F.round(cosine(F.col(vec_col), F.col("q")), 6))
+    return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "bucket", "cos"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector via posexplode + groupBy — the coarse
+    quantizer codebook (IVF lists)."""
+    d = (df.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+         .groupBy(label_col, "pos")
+         .agg(F.avg(F.col("val").cast("double")).alias("avg_val")))
+    return (d.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val")))
+                 .alias("_s"))
+            .withColumn("centroid", F.transform("_s", lambda s: s["avg_val"]))
+            .select(label_col, "centroid"))
+
+
+def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label") -> DataFrame:
+    """Assign each vector to the nearest (squared-L2) centroid —
+    broadcast the codebook, argmin via row_number."""
+    from pyspark.sql import Window as W
+    cent = centroids.select(F.col(label_col).alias("cand_label"), "centroid")
+    joined = df.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(vec_col, "centroid",
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (joined.withColumn("_d2", F.round(d2, 9))
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("_d2").asc(),
+                                              F.col("cand_label").asc())))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col(label_col),
+                    F.col("cand_label").alias("assigned_label"),
+                    F.col("_d2").alias("dist2")))

@@ -1,0 +1,86 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as native
+Spark column expressions (JVM-side, whole-stage codegen; no Python UDFs),
+so they hold up on a 100 TB documents table: one scan, map-side work,
+and at most one shuffle for the lang-id argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# Small function-word lists per language for the n-gram/stopword heuristic.
+# Deliberately tiny and deterministic — the operator contract is "argmax of
+# stopword hits with lexicographic tiebreak", not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des"],
+    "es": ["el", "los", "las", "una", "y", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "nicht", "ist"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (single-space corpus)."""
+    return F.split(col, " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char count, unique-token ratio,
+    average token length — the quality-scoring raw features."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    return (df
+            .withColumn("n_tokens", n_tok)
+            .withColumn("n_chars2", F.length(text_col))
+            .withColumn("n_unique_tokens", F.size(F.array_distinct(t)))
+            .withColumn("avg_token_len",
+                        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+                        / n_tok))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]: length saturation × lexical
+    diversity. A stand-in for Gopher-style quality rules, fully native."""
+    s = with_text_stats(df, text_col)
+    return s.withColumn(
+        "quality",
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        * (F.col("n_unique_tokens") / F.col("n_tokens")))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, argmax
+    with (count desc, lang asc) tiebreak; no hits → 'und'.
+
+    Plan shape: explode tokens → broadcast join against the stopword
+    table → two-level aggregate. The explode is map-side; the only
+    shuffle is the per-doc aggregation, partitioned by doc id.
+    """
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        ["cand_lang", "tok"])
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    hits = (tok.join(F.broadcast(sw), "tok")
+            .groupBy(id_col, "cand_lang").agg(F.count(F.lit(1)).alias("n_hits")))
+    w = W.partitionBy(id_col).orderBy(F.col("n_hits").desc(),
+                                      F.col("cand_lang").asc())
+    best = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("cand_lang").alias("pred_lang")))
+    return (df.join(best, id_col, "left")
+            .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und"))))
+
+
+def fingerprint(col) -> Column:
+    """Order-insensitive bag fingerprint: md5 over the sorted distinct
+    token set. Identical content under token reordering → same print."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
