@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers each engine area: fact-table aggregation, the
+multi-join revenue query, range join, event windows, minhash + simhash
+dedup, cosine top-k, queen borders, and the dorling loop — weighted
+toward the operators that dominate a real 100 TB run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q12_running_fill",
+    "q13_price_range_join",
+    "q19_events_hourly",
+    "q22_revenue_by_nation",
+    "d05_minhash_signature",
+    "d06_minhash_lsh_jaccard",
+    "d07_simhash",
+    "s01_cosine_topk",
+    "g02_queen_borders",
+    "g04_dorling_positions",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from ecmm428_pycart_spark.benchmarks import get_queries
+    from ecmm428_pycart_spark.session import get_spark
+
+    spark = get_spark("pycart-spark-bench")
+    qs = get_queries()
+
+    # warm the JVM/session so per-query numbers measure the queries
+    qs["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()     # full execution, no driver collect
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,12 @@ _BANDS_SQL = "\n  UNION ALL\n".join(
 
 _LSH_JACCARD_SQL = f"""
 WITH sig AS ({_MINHASH_SQL}),
-bands AS (
+bands0 AS (
 {_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {dedup.MAX_BUCKET_SIZE}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

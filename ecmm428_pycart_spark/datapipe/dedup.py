@@ -78,14 +78,31 @@ def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id",
     return res
 
 
+MAX_BUCKET_SIZE = 64
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         num_hashes: int = NUM_HASHES,
                         num_bands: int = NUM_BANDS,
-                        shingle_n: int = 1) -> DataFrame:
-    """Unordered candidate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
+                        shingle_n: int = 1,
+                        max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+    """Unordered candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join: an over-full bucket means the band signature carries no
+    discriminative information (e.g. a tiny shared vocabulary), and its
+    pairs would blow up quadratically — the standard web-scale dedup
+    guard, and the skew protection that keeps the shuffle bounded. The
+    cap is applied identically in the DuckDB oracle.
+    """
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     bands = lsh_band_keys(sig, id_col, num_bands, num_hashes)
+    ok = (bands.groupBy("band", "band_key")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= max_bucket_size)
+          .select("band", "band_key"))
+    bands = bands.join(ok, ["band", "band_key"], "left_semi")
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
