@@ -1,0 +1,70 @@
+"""Structured Streaming variants of the event pipeline.
+
+The reference is batch-only (SURVEY.md §2.2: "no streaming of any
+kind"), so this is beyond-reference surface: the q19 hourly aggregation
+re-expressed as an incremental stream with watermarked event time, plus a
+custom stateful sessionizer — the streaming twin of q20.
+
+Batch-testable: ``read_events_stream`` uses the parquet *file* source
+over a testdata dir, and the tests drive it with trigger(availableNow)
+into a memory sink, which exercises the same incremental execution path
+a production kafka/file stream would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),        # raw nanos (see session.load_table)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a DIRECTORY of events parquet files (the
+    source requires a directory; new files appended to it become
+    micro-batches — availableNow drains the backlog). Nanos →
+    TimestampType like the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema(EVENT_SCHEMA)
+           .parquet(events_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def hourly_event_counts(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with late-data watermark —
+    the streaming twin of q19_events_hourly. State size is bounded by
+    (#open windows × #event types); the watermark closes windows."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user via session_window — the streaming
+    twin of q20_sessionize. applyInPandasWithState would be the fully
+    custom route; session_window is the built-in that covers this
+    semantics (keep the custom-state escape hatch for logic the built-in
+    can't express)."""
+    return (events
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"), "n_events",
+                    "sum_value"))
