@@ -64,18 +64,23 @@ def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id",
                   num_bands: int = NUM_BANDS,
                   num_hashes: int = NUM_HASHES) -> DataFrame:
     """(id, band, band_key) — one row per band, key = md5 of the band's
-    concatenated signature slice."""
+    concatenated signature slice.
+
+    Built as a single explode (NOT a union of per-band selects): one pass
+    over the signature, and the downstream self-join sees two identical
+    subplans, so Spark reuses the shuffle exchange instead of recomputing
+    the signature per band per side.
+    """
     rows_per_band = num_hashes // num_bands
-    out = []
+    entries = []
     for b in range(num_bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        out.append(sig.select(
-            F.col(id_col), F.lit(b).alias("band"),
+        entries.append(F.struct(
+            F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *cols)).alias("band_key")))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    return (sig.select(F.col(id_col), F.explode(F.array(*entries)).alias("_b"))
+            .select(id_col, F.col("_b.band").alias("band"),
+                    F.col("_b.band_key").alias("band_key")))
 
 
 MAX_BUCKET_SIZE = 64
@@ -155,12 +160,13 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     pair within hamming ≤3 of a 32-bit hash shares at least one of 4
     bytes), then exact hamming via bit_count(xor)."""
     sh = simhash(df, id_col, text_col)
-    bands = None
-    for b in range(4):
-        part = sh.select(
-            F.col(id_col), F.col("simhash"), F.lit(b).alias("band"),
-            F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"))
-        bands = part if bands is None else bands.unionByName(part)
+    entries = [F.struct(
+        F.lit(b).alias("band"),
+        F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"))
+        for b in range(4)]
+    bands = (sh.select(id_col, "simhash", F.explode(F.array(*entries)).alias("_b"))
+             .select(id_col, "simhash", F.col("_b.band").alias("band"),
+                     F.col("_b.band_val").alias("band_val")))
     a = bands.select(F.col(id_col).alias("doc_a"),
                      F.col("simhash").alias("sh_a"), "band", "band_val")
     b = bands.select(F.col(id_col).alias("doc_b"),

@@ -57,7 +57,7 @@ def read_geojson(spark: SparkSession, path: str,
     a top-level string column (like GeoDataFrame.from_features at
     main.py:54).
     """
-    raw = (spark.read.option("wholetext", "true").text(path)
+    raw = (spark.read.text(path, wholetext=True)
            .withColumn("_file", F.input_file_name()))
     df = raw.mapInPandas(_parse_files, schema=_FEATURE_SCHEMA)
     if property_cols:

@@ -1,0 +1,33 @@
+"""Table sinks (S6 — reference main.py:253 `to_csv`).
+
+Geometry columns (WKB binary) are serialized to WKT for CSV (text format);
+parquet keeps them binary. `coalesce(1)` is available for small exports;
+at scale, leave partitioning alone and let the writer emit one file per
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ecmm428_pycart_spark.geometry.udfs import st_wkb_to_wkt
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False,
+              mode: str = "overwrite") -> None:
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.BinaryType):
+            out = out.withColumn(field.name, st_wkb_to_wkt(out[field.name]))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

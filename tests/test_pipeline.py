@@ -1,0 +1,58 @@
+"""End-to-end ETL pipeline test mirroring the reference's main.py flow
+(SURVEY.md §3 E3): GeoJSON ingest → CSV pop ingest + to_int clean →
+running fill → semi/inner join → cartogram → sink."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ecmm428_pycart_spark import Cartogram
+from ecmm428_pycart_spark.geometry import core
+from ecmm428_pycart_spark.operators.relational import running_fill, semi_join
+from ecmm428_pycart_spark.sources import read_geojson, read_pop_csv
+from ecmm428_pycart_spark.sources.sinks import write_csv, write_parquet
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_etl_to_cartogram_pipeline(spark, tmp_path):
+    # S1/S2: GeoJSON → (name, geometry WKB) with positional index
+    geo = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    geo = geo.select("feature_index", "name", "geometry")
+
+    # S3 + R4: population CSV, thousands-separator clean
+    pop = read_pop_csv(spark, f"{FIX}/squares_pop.csv")
+
+    # R21: running fill of the most recent Region/Country name
+    pop = running_fill(pop, "file_order",
+                       F.col("Geography").isin("Region", "Country"),
+                       "name", "parent")
+
+    # R10 + R8: semi-join then inner merge (main.py:96-118)
+    sub = semi_join(pop, geo.select(F.col("name")), "name")
+    merged = geo.join(sub.select("name", "Population", "parent"), "name")
+    assert merged.count() == 4
+
+    # A2: non-contiguous cartogram on the joined table
+    cart = Cartogram(merged, "Population", "name", idx_field="feature_index")
+    out = cart.non_contiguous()
+    scales = {r["name"]: r["scale"] for r in out.collect()}
+    # BL's population is 1200 (cleaned from '1,200') → BL is the anchor
+    assert abs(scales["BL"] - 1.0) < 1e-9
+    assert scales["TR"] < 1.0 and scales["TL"] < scales["TR"]
+
+    # A3: dorling over the same inputs
+    circles = cart.dorling(iterations=2)
+    assert circles.count() == 4
+    g = core.loads(bytes(circles.collect()[0]["geometry"]))
+    assert g[0] == "Polygon"
+
+    # S6: sinks — CSV (WKB → WKT) and parquet round-trip
+    csv_path = str(tmp_path / "out_csv")
+    pq_path = str(tmp_path / "out_pq")
+    write_csv(out, csv_path, single_file=True)
+    write_parquet(out, pq_path)
+    back = spark.read.option("header", "true").csv(csv_path)
+    assert back.count() == 4
+    assert "POLYGON" in back.collect()[0]["geometry"]
+    assert spark.read.parquet(pq_path).count() == 4

@@ -1,0 +1,74 @@
+"""Source readers (S1-S5) and relational operator unit tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecmm428_pycart_spark.geometry import core
+from ecmm428_pycart_spark.operators.relational import (
+    argmax_per_group, map_country_codes, running_fill, to_int_col,
+)
+from ecmm428_pycart_spark.sources import read_geojson, read_pop_csv
+from ecmm428_pycart_spark.sources.geojson import feature_property_keys
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_read_geojson(spark):
+    df = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"TL", "BL", "TR", "BR"}
+    # feature_index preserves file order (the reference's positional key)
+    assert rows["TL"]["feature_index"] == 0
+    assert rows["BR"]["feature_index"] == 3
+    # mixed Polygon / MultiPolygon parse to valid WKB
+    g = core.loads(bytes(rows["BR"]["geometry"]))
+    assert g[0] == "MultiPolygon"
+    assert core.area(g) > 0
+    assert rows["TL"]["properties"]["shape"] == "Rectangle"
+
+
+def test_feature_property_keys(spark):
+    keys = feature_property_keys(spark, f"{FIX}/squares.geojson")
+    assert keys == ["shape", "name"]
+
+
+def test_read_pop_csv_to_int(spark):
+    df = read_pop_csv(spark, f"{FIX}/squares_pop.csv")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["BL"]["Population"] == 1200      # '1,200' cleaned
+    assert rows["TL"]["Population"] == 100
+    assert dict(df.dtypes)["Population"] == "bigint"
+
+
+def test_running_fill_unpartitioned(spark):
+    df = read_pop_csv(spark, f"{FIX}/squares_pop.csv")
+    filled = running_fill(
+        df, "file_order",
+        F.col("Geography").isin("Region", "Country"), "name", "fill")
+    got = {r["name"]: r["fill"] for r in filled.collect()}
+    # file order TL,BL,TR,BR: TL triggers (Region), BL carries TL,
+    # TR triggers (Country), BR carries TR — main.py:264-271 semantics
+    assert got == {"TL": "TL", "BL": "TL", "TR": "TR", "BR": "TR"}
+
+
+def test_to_int_col_passthrough(spark):
+    df = spark.createDataFrame([("67,081,234",), ("512",)], ["x"])
+    vals = [r["y"] for r in df.select(to_int_col(F.col("x")).alias("y")).collect()]
+    assert vals == [67081234, 512]
+
+
+def test_map_country_codes(spark):
+    df = spark.createDataFrame([("GBR",), ("USA",), ("XXX",)], ["ISO"])
+    got = {r["ISO"] for r in map_country_codes(df, "ISO").collect()}
+    assert got == {"GB", "US", "XXX"}  # unknown codes pass through
+
+
+def test_argmax_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0), ("b", 4, 5.0)],
+        ["g", "id", "v"])
+    got = {(r["g"], r["id"]) for r in
+           argmax_per_group(df, "g", "v", "id").collect()}
+    assert got == {("a", 2), ("b", 4)}  # tie broken by lowest id
