@@ -1,0 +1,80 @@
+"""Scalable-mode Dorling at a few hundred regions: invariants + exact
+match against the local Jacobi oracle (SURVEY.md §4.3.2 mode='scalable')."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ecmm428_pycart_spark import Cartogram
+from ecmm428_pycart_spark.geometry import core
+from ecmm428_pycart_spark.plans import dorling_core
+
+N_SIDE = 12  # 144 regions — the reference's demonstrated scale is ~370
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    rows = []
+    for k in range(N_SIDE * N_SIDE):
+        gx, gy = k % N_SIDE, k // N_SIDE
+        ring = np.asarray([(gx, gy), (gx + 1, gy), (gx + 1, gy + 1),
+                           (gx, gy + 1), (gx, gy)], dtype="f8")
+        rows.append((k, f"r{k}", float((k % 13) + 1),
+                     core.dumps(("Polygon", [ring]))))
+    return spark.createDataFrame(
+        rows, "region_idx long, name string, value double, geometry binary")
+
+
+def _local(grid_rows):
+    values = np.array([r["value"] for r in grid_rows])
+    n = len(values)
+    side = N_SIDE
+    cents = [(r["region_idx"] % side + 0.5, r["region_idx"] // side + 0.5)
+             for r in grid_rows]
+    perims = np.full(n, 4.0)
+    edges = []
+    for k in range(n):
+        gx, gy = k % side, k // side
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nx, ny = gx + dx, gy + dy
+                if 0 <= nx < side and 0 <= ny < side:
+                    j = ny * side + nx
+                    w = 1.0 if abs(dx) + abs(dy) == 1 else 0.0
+                    edges.append((k, j, w))
+    D = sum(math.hypot(cents[j][0] - cents[i][0], cents[j][1] - cents[i][1])
+            for i, j, _ in edges)
+    R = sum(math.sqrt(values[i] / math.pi) + math.sqrt(values[j] / math.pi)
+            for i, j, _ in edges)
+    k_coef = D / R
+    radii = np.sqrt(values / math.pi) * k_coef
+    return cents, values, perims, edges, radii
+
+
+def test_scalable_matches_jacobi_oracle_at_scale(spark, grid_df):
+    grid_rows = sorted(grid_df.collect(), key=lambda r: r["region_idx"])
+    cents, values, perims, edges, radii = _local(grid_rows)
+    x = np.array([c[0] for c in cents])
+    y = np.array([c[1] for c in cents])
+    wmap = {(i, j): w for i, j, w in edges}
+    widest = radii.max()
+    iters = 3
+    for _ in range(iters):
+        x, y = dorling_core.jacobi_step(x, y, radii, perims, wmap,
+                                        ratio=0.4, friction=0.5, widest=widest)
+
+    cart = Cartogram(grid_df, "value", "name", idx_field="region_idx")
+    out = {r["region_idx"]: r
+           for r in cart.dorling(iterations=iters, mode="scalable").collect()}
+    assert len(out) == N_SIDE * N_SIDE
+    ex = np.array([out[i]["cx"] for i in range(len(x))])
+    ey = np.array([out[i]["cy"] for i in range(len(y))])
+    np.testing.assert_allclose(ex, x, atol=1e-8)
+    np.testing.assert_allclose(ey, y, atol=1e-8)
+    # invariants: radii preserved exactly, no NaNs, bounded displacement
+    for i in range(len(x)):
+        assert out[i]["radius"] == pytest.approx(radii[i], rel=1e-9)
+        assert abs(out[i]["cx"] - cents[i][0]) < iters * widest
