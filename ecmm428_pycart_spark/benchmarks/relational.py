@@ -444,3 +444,119 @@ def q22_revenue_by_nation(spark, sf_dir):
               .groupBy("n_name")
               .agg(F.round(F.sum(rev), 2).alias("revenue"),
                    F.count(F.lit(1)).alias("n_lineitems")))
+
+
+# ---------------------------------------------------------------------------
+# Extended SQL surface (beyond the reference — SURVEY.md §2.2 closing note:
+# Spark built-ins cover these for free; exposed so the engine's coverage is
+# oracle-verified, not just claimed).
+# ---------------------------------------------------------------------------
+
+# Pivot (conditional aggregation — oracle uses portable CASE WHEN form)
+@q("q23_pivot", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+""")
+def q23_pivot(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum("l_quantity"), 2)))
+
+
+# Cube (full grouping-sets lattice)
+@q("q24_cube", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q24_cube(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+# Exact median + dispersion statistics
+@q("q25_stats", """
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS med_qty,
+       round(stddev_samp(l_discount), 6) AS sd_disc,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def q25_stats(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.median("l_quantity"), 4).alias("med_qty"),
+                 F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+                 F.round(F.corr("l_extendedprice", "l_quantity"), 6)
+                  .alias("corr_price_qty")))
+
+
+# Monthly time-series rollup over order dates
+@q("q26_orders_by_month", """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""")
+def q26_orders_by_month(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                     .alias("order_month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# String functions: LIKE filter, substring/concat/upper projection
+@q("q27_string_ops", """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 4)) AS name_head,
+       p_brand || '/' || p_type AS brand_type,
+       length(p_name) AS name_len
+FROM part WHERE p_name LIKE '%re%'
+""")
+def q27_string_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").like("%re%"))
+            .select("p_partkey",
+                    F.upper(F.substring("p_name", 1, 4)).alias("name_head"),
+                    F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+                    F.length("p_name").cast("long").alias("name_len")))
+
+
+# HAVING: post-aggregation filter
+@q("q28_having", """
+SELECT c_nationkey, count(*) AS n
+FROM customer GROUP BY c_nationkey HAVING count(*) > 60
+""")
+def q28_having(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 60))
+
+
+# Per-group top-k (two-level agg + rank window)
+@q("q29_topk_per_group", """
+SELECT event_type, user_id, total_value FROM (
+  SELECT event_type, user_id,
+         round(sum(value), 2) AS total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 2) DESC, user_id ASC)
+         AS rn
+  FROM events GROUP BY event_type, user_id
+) WHERE rn <= 3
+""")
+def q29_topk_per_group(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(F.round(F.sum("value"), 2).alias("total_value")))
+    w = W.partitionBy("event_type").orderBy(F.col("total_value").desc(),
+                                            F.col("user_id").asc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", "user_id", "total_value"))
