@@ -130,3 +130,18 @@ def g04_dorling_positions(spark, sf_dir):
 
 
 QUERIES["g04_dorling_positions"] = g04_dorling_positions
+
+
+def g05_dorling_scalable(spark, sf_dir):
+    """Distributed Jacobi dorling on the grid (rows-only check; the
+    Spark-vs-local-oracle equivalence is covered by tests/test_dorling_scale)."""
+    cart = Cartogram(_grid(spark, sf_dir), "value", "n_name",
+                     idx_field="region_idx")
+    out = cart.dorling(iterations=3, mode="scalable")
+    return out.select("n_name", F.round("cx", 4).alias("cx"),
+                      F.round("cy", 4).alias("cy"),
+                      F.round("radius", 4).alias("radius"))
+
+
+QUERIES["g05_dorling_scalable"] = g05_dorling_scalable
+ORACLES["g05_dorling_scalable"] = None

@@ -560,3 +560,36 @@ def q29_topk_per_group(spark, sf_dir):
     return (ev.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("event_type", "user_id", "total_value"))
+
+
+# lead/lag windows: per-user inter-event gap statistics
+@q("q30_lead_lag", """
+WITH x AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN next_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_before_error
+FROM x GROUP BY user_id
+""")
+def q30_lead_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"))
+    return (x.groupBy("user_id")
+            .agg(F.count("gap_us").alias("n_gaps"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 F.sum(F.when(F.col("next_type") == "error", 1).otherwise(0))
+                  .alias("n_before_error")))

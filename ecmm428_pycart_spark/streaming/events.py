@@ -53,6 +53,41 @@ def hourly_event_counts(events: DataFrame,
                     "n", "sum_value"))
 
 
+_USER_STATS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+_USER_STATS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.DoubleType()),
+    T.StructField("m", T.DoubleType()),
+])
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum, max) across micro-batches — the pattern for any
+    accumulator the built-in windowed aggs can't express. State is one
+    tiny tuple per user, so the store scales with |users|, not |events|."""
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(s, 2)], "max_value": [m]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, _USER_STATS_OUT, _USER_STATS_STATE,
+        "update", "NoTimeout"))
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user via session_window — the streaming
     twin of q20_sessionize. applyInPandasWithState would be the fully

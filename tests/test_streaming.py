@@ -61,3 +61,19 @@ def test_sessionize_stream_counts(spark, events_dir):
     for r in rows:
         stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
     assert stream_counts == batch
+
+
+def test_running_user_stats_stateful(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir)
+    sdf = se.running_user_stats(stream)
+    q = (sdf.writeStream.format("memory").queryName("ustats_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last update per user == full-history aggregate
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.table("ustats_t").collect()}
+    batch = (load_table(spark, SF_DIR, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("s")))
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
