@@ -327,3 +327,52 @@ FROM documents
 def m02_decode_features(spark, sf_dir):
     mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_features(mm)
+
+
+# Deterministic hash-based sampling (reproducible across engines/runs —
+# the scale-safe alternative to rand() sampling).
+@q("d10_hash_sample", """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0
+""")
+def d10_hash_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    return docs.filter(h % 10 == 0).select("doc_id", "source")
+
+
+# Corpus vocabulary: top-20 tokens by frequency (explode → agg → topk)
+@q("d11_vocab_topk", """
+SELECT tok, n FROM (
+  SELECT tok, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rn <= 20
+""")
+def d11_vocab_topk(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    return (counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+            .limit(20))
+
+
+# Word-bigram shingles (shingle_set n=2 — the real minhash input shape)
+@q("d12_bigram_stats", """
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+         generate_series(1, len(string_split(text, ' ')) - 1),
+         i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')
+       ))) AS INTEGER) AS n_distinct_bigrams
+FROM documents
+""")
+def d12_bigram_stats(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.dedup import shingle_set
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(shingle_set(F.col("text"), 2)).alias("n_distinct_bigrams"))

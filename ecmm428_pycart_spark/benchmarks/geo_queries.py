@@ -145,3 +145,30 @@ def g05_dorling_scalable(spark, sf_dir):
 
 QUERIES["g05_dorling_scalable"] = g05_dorling_scalable
 ORACLES["g05_dorling_scalable"] = None
+
+
+# R13 proper (2-D distance-range self-join) on grid centroids via the
+# grid-bucket join — oracle is the naive quadratic predicate join.
+@q("g06_distance_pairs", """
+WITH g AS (
+  SELECT n_nationkey AS k, n_nationkey % 5 + 0.5 AS cx,
+         n_nationkey // 5 + 0.5 AS cy
+  FROM nation
+)
+SELECT a.k AS focal, CAST(count(*) AS BIGINT) AS n_neighbors,
+       round(sum(sqrt((a.cx - b.cx)^2 + (a.cy - b.cy)^2)), 6) AS sum_dist
+FROM g a JOIN g b
+  ON a.k <> b.k
+ AND sqrt((a.cx - b.cx)^2 + (a.cy - b.cy)^2) <= 1.5
+GROUP BY a.k
+""")
+def g06_distance_pairs(spark, sf_dir):
+    from ecmm428_pycart_spark.operators.spatial_join import distance_range_self_join
+    pts = _grid(spark, sf_dir).select(
+        F.col("region_idx").alias("k"),
+        (F.col("region_idx") % 5 + 0.5).alias("cx"),
+        (F.floor(F.col("region_idx") / 5) + 0.5).alias("cy"))
+    pairs = distance_range_self_join(pts, "cx", "cy", max_dist=1.5, key="k")
+    return (pairs.groupBy(F.col("f_k").alias("focal"))
+            .agg(F.count(F.lit(1)).alias("n_neighbors"),
+                 F.round(F.sum("dist"), 6).alias("sum_dist")))

@@ -593,3 +593,57 @@ def q30_lead_lag(spark, sf_dir):
                  F.max("gap_us").alias("max_gap_us"),
                  F.sum(F.when(F.col("next_type") == "error", 1).otherwise(0))
                   .alias("n_before_error")))
+
+
+# As-of join (backward): for each click event, the most recent prior
+# error value of the same user. Spark composes it (operators/asof.py);
+# the oracle uses DuckDB's native ASOF JOIN — two independent
+# implementations of the same semantics.
+@q("q31_asof_join", """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, round(max(value), 2) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, e.err_value AS asof_err_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""")
+def q31_asof_join(spark, sf_dir):
+    from ecmm428_pycart_spark.operators.asof import asof_join_backward
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 2).alias("err_value")))
+    out = asof_join_backward(clicks, errors, "user_id", "ts", "ts",
+                             ["err_value"])
+    return out.select("event_id", "user_id", "asof_err_value")
+
+
+# Interval / range-bucket join: value → named band via broadcast
+# interval table + range predicate (BroadcastNestedLoop on a 4-row dim;
+# at scale the equivalent arithmetic bucketing is a map-side expression).
+@q("q32_range_bucket_join", """
+SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN (
+  VALUES ('low', 0.0, 5.0), ('mid', 5.0, 10.0),
+         ('high', 10.0, 15.0), ('top', 15.0, 1e9)
+) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""")
+def q32_range_bucket_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 10.0),
+         ("high", 10.0, 15.0), ("top", 15.0, 1e9)],
+        ["band", "lo", "hi"])
+    return (ev.join(F.broadcast(bands),
+                    (ev.value >= bands.lo) & (ev.value < bands.hi))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
