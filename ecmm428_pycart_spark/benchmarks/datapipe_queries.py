@@ -376,3 +376,84 @@ def d12_bigram_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.size(shingle_set(F.col("text"), 2)).alias("n_distinct_bigrams"))
+
+
+# Full IVF-style probe: assign the query to its nearest label-centroid,
+# then exact top-5 among vectors in that centroid's list only — the
+# two-stage ANN pattern (coarse quantize → fine scan) that partitions a
+# 100 TB vector table into per-list scans.
+@q("s04_ivf_probe", """
+WITH cent AS (
+  SELECT label AS cand_label, pos, avg(val) AS avg_val
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+qd AS (
+  SELECT c.cand_label, round(sum((v.val - c.avg_val) * (v.val - c.avg_val)), 9) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS val, unnest(range(1, 65)) AS pos
+        FROM embeddings WHERE vec_id = 0) v
+  JOIN cent c ON c.pos = v.pos
+  GROUP BY c.cand_label
+),
+qlist AS (
+  SELECT cand_label FROM qd ORDER BY d2 ASC, cand_label ASC LIMIT 1
+),
+scored AS (
+  SELECT vec_id,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex)) * sqrt(sum(qx * qx))), 6) AS cos
+  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS ex,
+               unnest(q.embedding)::DOUBLE AS qx
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.label = (SELECT cand_label FROM qlist))
+  GROUP BY vec_id
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 5
+""")
+def s04_ivf_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    # nearest list for the query vector
+    q_assigned = similarity.assign_nearest_centroid(
+        emb.filter(F.col("vec_id") == 0), cents)
+    qlist = q_assigned.select(F.col("assigned_label").alias("label"))
+    cand = emb.join(F.broadcast(qlist), "label")
+    return similarity.cosine_topk(cand, similarity.query_vector(emb, 0), k=5)
+
+
+# Embedding-cosine near-duplicate pairs: exact all-pairs at oracle scale
+# (the correctness baseline; the scale path blocks by sign-LSH bucket
+# first — s02 — before the exact verify).
+@q("s05_cosine_neardup", """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS val FROM embeddings)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(av * bv) AS dot
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS av,
+               unnest(range(1, 65)) AS pos FROM embeddings) a
+  JOIN (SELECT vec_id, unnest(embedding)::DOUBLE AS bv,
+               unnest(range(1, 65)) AS pos FROM embeddings) b
+    ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.55
+""")
+def s05_cosine_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
+    return (pairs.withColumn("cos", cos)
+            .filter(F.col("cos") >= 0.55)
+            .select("vec_a", "vec_b", "cos"))
