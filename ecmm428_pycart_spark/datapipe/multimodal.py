@@ -69,3 +69,57 @@ def decode_features(df: DataFrame) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch; at scale, repartition
     upstream so each task holds ~128 MB of payload."""
     return df.mapInPandas(_decode_batch, schema=_DECODED_SCHEMA)
+
+
+_RESIZED_SCHEMA = ("doc_id long, width int, height int, pixels binary")
+
+
+def resize_stub(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image-resize plumbing: payload → fixed (width×height) byte grid.
+
+    The real kernel would be PIL/torchvision inside the same batch
+    function; the stub deterministically tiles the payload bytes so the
+    Spark-side contract (binary in, fixed-size binary out, schema,
+    batching) is real and testable."""
+    npix = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                if REAL_DECODERS_AVAILABLE:
+                    raise NotImplementedError("real resize requires PIL")
+                tiled = (b * (npix // max(len(b), 1) + 1))[:npix]
+                out.append(tiled)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "width": width, "height": height,
+                                "pixels": out})
+
+    return df.mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = ("doc_id long, frame_index int, frame binary")
+
+
+def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64,
+                      frame_len: int = 16, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: payload → up to ``max_frames``
+    evenly spaced byte slices, one output row per frame (the
+    explode-shaped contract a real pyav sampler would have)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                if REAL_DECODERS_AVAILABLE:
+                    raise NotImplementedError("real sampling requires pyav")
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    start = i * every_n_bytes
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[start:start + frame_len])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs,
+                                "frame": frames})
+
+    return df.mapInPandas(run, schema=_FRAMES_SCHEMA)

@@ -56,3 +56,22 @@ def test_etl_to_cartogram_pipeline(spark, tmp_path):
     assert back.count() == 4
     assert "POLYGON" in back.collect()[0]["geometry"]
     assert spark.read.parquet(pq_path).count() == 4
+
+
+def test_multimodal_resize_and_frames(spark):
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        attach_binary_payload, frame_sample_stub, resize_stub)
+    from ecmm428_pycart_spark.session import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    mm = attach_binary_payload(docs)
+
+    resized = resize_stub(mm, width=8, height=8).collect()
+    assert len(resized) == 20
+    assert all(len(bytes(r["pixels"])) == 64 for r in resized)
+
+    frames = frame_sample_stub(mm).collect()
+    assert len(frames) >= 20
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())

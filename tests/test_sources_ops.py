@@ -72,3 +72,21 @@ def test_argmax_per_group(spark):
     got = {(r["g"], r["id"]) for r in
            argmax_per_group(df, "g", "v", "id").collect()}
     assert got == {("a", 2), ("b", 4)}  # tie broken by lowest id
+
+
+def test_read_world_pop_wide(spark):
+    from ecmm428_pycart_spark.sources import read_world_pop_wide
+    df = read_world_pop_wide(spark, f"{FIX}/world_pop_wide.csv")
+    assert df.columns == ["Country", "ISO", "Population"]
+    rows = {r["ISO"]: r for r in df.collect()}
+    assert rows["GBR"]["Population"] == pytest.approx(67326569.0)
+    assert rows["AND"]["Population"] is None  # empty 2021 cell → null
+
+
+def test_read_wkt_csv(spark):
+    from ecmm428_pycart_spark.sources import read_wkt_csv
+    df = read_wkt_csv(spark, f"{FIX}/squares_wkt.csv")
+    rows = {r["name"]: r for r in df.collect()}
+    g = core.loads(bytes(rows["TL"]["geometry"]))
+    assert g[0] == "Polygon"
+    assert core.area(g) > 0
