@@ -457,3 +457,19 @@ def s05_cosine_neardup(spark, sf_dir):
     return (pairs.withColumn("cos", cos)
             .filter(F.col("cos") >= 0.55)
             .select("vec_a", "vec_b", "cos"))
+
+
+def k01_kmeans_clusters(spark, sf_dir):
+    """Learned IVF codebook: k-means cluster sizes + inertia per cluster.
+    Iterative (driver loop + localCheckpoint) → rows-only check, like the
+    dorling loop; determinism is guaranteed by exact-aggregate means and
+    rounded-distance tie-breaks (tests/test_kmeans.py)."""
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cent = kmeans(emb, k=4, iterations=3)
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+QUERIES["k01_kmeans_clusters"] = k01_kmeans_clusters
+ORACLES["k01_kmeans_clusters"] = None

@@ -55,3 +55,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
     return spark.read.parquet(path)
+
+
+TESTDATA_TABLES = ["region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: list[str] | None = None) -> None:
+    """Register the testdata tables as temp views so the whole engine
+    surface is reachable from ``spark.sql`` as well as the DataFrame API
+    (Catalyst produces the same plans either way)."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -90,3 +90,16 @@ def test_read_wkt_csv(spark):
     g = core.loads(bytes(rows["TL"]["geometry"]))
     assert g[0] == "Polygon"
     assert core.area(g) > 0
+
+
+def test_register_views_sql_api(spark):
+    from ecmm428_pycart_spark.session import register_views
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql("""
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""").collect()
+    assert len(got) == 3 and got[0]["n"] > 0
+    # events view carries the repaired TimestampType through SQL too
+    t = spark.sql("SELECT max(ts) AS m FROM events").collect()[0]["m"]
+    assert t.year >= 2024
