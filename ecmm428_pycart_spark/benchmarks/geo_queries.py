@@ -71,9 +71,9 @@ WITH g AS (
   SELECT n_nationkey AS k, n_nationkey % 5 AS gx, n_nationkey // 5 AS gy
   FROM nation
 )
-SELECT a.k AS focal, b.k AS neighbor,
-       CASE WHEN abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
-            THEN 1.0 ELSE 0.0 END AS weight
+SELECT CAST(a.k AS BIGINT) AS focal, CAST(b.k AS BIGINT) AS neighbor,
+       CAST(CASE WHEN abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS weight
 FROM g a JOIN g b
   ON (a.k <> b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
 """)

@@ -647,3 +647,110 @@ def q32_range_bucket_join(spark, sf_dir):
             .groupBy("band")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# Full outer join: per-nation customer counts vs supplier counts
+@q("q33_outer_join", """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+           FROM customer GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def q33_outer_join(spark, sf_dir):
+    cust = (_t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n_cust")))
+    supp = (_t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk_s"))
+            .agg(F.count(F.lit(1)).alias("n_supp")))
+    j = cust.join(supp, cust.nk == supp.nk_s, "full_outer")
+    return j.select(
+        F.coalesce("nk", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+
+
+# Set operations: INTERSECT and EXCEPT (distinct semantics)
+@q("q34_set_ops", """
+SELECT 'both' AS side, n_nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9500.0
+  INTERSECT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'only_rich' AS side, n_nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9500.0
+  EXCEPT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""")
+def q34_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = (c.filter(F.col("c_acctbal") > 9500.0)
+            .select(F.col("c_nationkey").alias("n_nationkey")).distinct())
+    bld = (c.filter(F.col("c_mktsegment") == "BUILDING")
+           .select(F.col("c_nationkey").alias("n_nationkey")).distinct())
+    both = rich.intersect(bld).select(F.lit("both").alias("side"), "n_nationkey")
+    only = rich.exceptAll(bld).distinct() \
+        .select(F.lit("only_rich").alias("side"), "n_nationkey")
+    return both.unionAll(only)
+
+
+# Scalar subquery: customers above the global average balance
+@q("q35_scalar_subquery", """
+SELECT c_nationkey, count(*) AS n_above_avg
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_nationkey
+""")
+def q35_scalar_subquery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    avg1 = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (c.crossJoin(F.broadcast(avg1))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_above_avg")))
+
+
+# Null-handling expressions: nullif / coalesce / count ignoring nulls
+@q("q36_null_ops", """
+SELECT event_type,
+       count(*) AS n,
+       count(nullif(value, 0.0)) AS n_nonzero,
+       round(sum(coalesce(nullif(value, 0.0), -1.0)), 2) AS adjusted_sum
+FROM events GROUP BY event_type
+""")
+def q36_null_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(nz).alias("n_nonzero"),
+                 F.round(F.sum(F.coalesce(nz, F.lit(-1.0))), 2)
+                  .alias("adjusted_sum")))
+
+
+# Ranking-function family with deterministic ordering
+@q("q37_rank_family", """
+SELECT c_custkey, c_nationkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       CAST(ntile(4)  OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS prank
+FROM customer
+WHERE c_nationkey < 3
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY round(c_acctbal, 2) DESC, c_custkey ASC)
+""")
+def q37_rank_family(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3)
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 2).desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"))

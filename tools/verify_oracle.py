@@ -44,6 +44,33 @@ def norm_cell(v):
     return v
 
 
+def _norm_spark_type(t: str) -> str:
+    t = t.lower()
+    if t in ("int", "integer"):
+        return "int32"
+    if t == "bigint":
+        return "int64"
+    if t == "float":
+        return "float32"
+    if t in ("double",):
+        return "float64"
+    if t.startswith("array"):
+        return "list"
+    return t
+
+
+def _norm_duck_type(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]"):
+        return "list"
+    m = {"BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int32",
+         "TINYINT": "int32", "DOUBLE": "float64", "FLOAT": "float32",
+         "VARCHAR": "string", "DATE": "date", "TIMESTAMP": "timestamp",
+         "TIMESTAMP_NS": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+         "BLOB": "binary", "BOOLEAN": "boolean"}
+    return m.get(t, t.lower())
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -88,9 +115,10 @@ def main():
             n_weak += 1
             continue
         try:
-            res = con.execute(sql)
-            du_cols = [d[0] for d in res.description]
-            du_rows = res.fetchall()
+            rel = con.sql(sql)
+            du_cols = list(rel.columns)
+            du_types = [str(t) for t in rel.types]
+            du_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -100,6 +128,14 @@ def main():
             problems.append(f"rowcount spark={len(sp_rows)} duck={len(du_rows)}")
         if sorted(sp_cols) != sorted(du_cols):
             problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}")
+        else:
+            # normalized type compare (int widths matter, driver may check)
+            spt = {f.name: _norm_spark_type(f.dataType.simpleString())
+                   for f in df.schema.fields}
+            dut = dict(zip(du_cols, [_norm_duck_type(t) for t in du_types]))
+            for c in sp_cols:
+                if spt[c] != dut.get(c) and dut.get(c) != "any":
+                    problems.append(f"type[{c}] spark={spt[c]} duck={dut.get(c)}")
         if not problems:
             cs = canon(sp_rows, sp_cols)
             cd = canon(du_rows, du_cols)
