@@ -31,6 +31,7 @@ HEADLINE = [
     "d07_simhash",
     "s01_cosine_topk",
     "g02_queen_borders",
+    "g07_queen_borders_large",
     "g04_dorling_positions",
 ]
 

@@ -172,3 +172,38 @@ def g06_distance_pairs(spark, sf_dir):
     return (pairs.groupBy(F.col("f_k").alias("focal"))
             .agg(F.count(F.lit(1)).alias("n_neighbors"),
                  F.round(F.sum("dist"), 6).alias("sum_dist")))
+
+
+# A4 at scale: queen borders over a customer-derived grid whose size
+# grows with the scale factor (1.5k regions at sf0.01, 15k at sf0.1) —
+# the vertex-equality join's shuffle is the scaling dimension.
+@q("g07_queen_borders_large", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+)
+SELECT CAST(a.k AS BIGINT) AS focal, CAST(b.k AS BIGINT) AS neighbor,
+       CAST(CASE WHEN abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS weight
+FROM g a JOIN g b
+  ON (a.k <> b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+""")
+def g07_queen_borders_large(spark, sf_dir):
+    import math
+    from ecmm428_pycart_spark.operators.borders import get_borders
+    c = _t(spark, sf_dir, "customer")
+    side = int(math.ceil(math.sqrt(c.count())))
+    gx = (F.col("c_custkey") % side).cast("long")
+    gy = F.floor(F.col("c_custkey") / side).cast("long")
+    wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        gx, gy, gx + 1, gy, gx + 1, gy + 1, gx, gy + 1, gx, gy)
+    grid = c.select(F.col("c_custkey").alias("region_idx"),
+                    st_wkt_to_wkb(wkt).alias("geometry"))
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    return borders.select("focal", "neighbor",
+                          F.round("weight", 6).alias("weight"))
