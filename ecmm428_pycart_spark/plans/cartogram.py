@@ -47,6 +47,15 @@ class Cartogram:
 
     def __init__(self, df: DataFrame, value_field: str, id_field: str,
                  geometry_field: str = "geometry", idx_field: str | None = None):
+        missing = [c for c in (value_field, id_field, geometry_field)
+                   if c not in df.columns]
+        if idx_field is not None and idx_field not in df.columns:
+            missing.append(idx_field)
+        if missing:
+            raise ValueError(
+                f"Cartogram: column(s) {missing} not in DataFrame "
+                f"(has {df.columns}). The reference fails late with a "
+                f"KeyError here (SURVEY.md §1.4); we fail fast.")
         self.df = df
         self.value_field = value_field
         self.id_field = id_field

@@ -75,3 +75,32 @@ def test_multimodal_resize_and_frames(spark):
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
     assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+
+
+def test_geojson_fixup_removal_union(spark):
+    """main.py:56-69 E3 parity: drop removal codes from the base layer,
+    then union replacement features from a v2 layer."""
+    from ecmm428_pycart_spark.operators.relational import filter_isin
+
+    base = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    base = base.select("name", "geometry")
+    removal = ["BL"]
+    kept = filter_isin(base, "name", removal, negate=True)
+    assert kept.count() == 3
+
+    # v2 layer: re-use TR's geometry under the removed name (stand-in for
+    # the Dec-2021 LAD replacement layer)
+    v2 = (read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+          .filter(F.col("name") == "TR")
+          .select(F.lit("BL2").alias("name"), "geometry"))
+    fixed = kept.unionByName(v2)
+    assert fixed.count() == 4
+    assert {r["name"] for r in fixed.collect()} == {"TL", "TR", "BR", "BL2"}
+
+
+def test_cartogram_validates_columns(spark, squares_df=None):
+    import pytest as _pytest
+    from ecmm428_pycart_spark import Cartogram
+    df = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        Cartogram(df, "Population", "name")  # no Population column here
