@@ -473,3 +473,26 @@ def k01_kmeans_clusters(spark, sf_dir):
 
 QUERIES["k01_kmeans_clusters"] = k01_kmeans_clusters
 ORACLES["k01_kmeans_clusters"] = None
+
+
+# BPE-ish token counting: class-run segmentation (letter runs / digit
+# runs / other-symbol runs), the regex-level approximation of byte-pair
+# pre-tokenization. Pattern uses only simple classes so Java regex
+# (Spark) and RE2 (DuckDB) agree exactly.
+_BPEISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@q("d13_bpeish_token_count", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPEISH}')) AS INTEGER)
+         AS n_bpeish_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+FROM documents
+""")
+def d13_bpeish_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0))
+         .alias("n_bpeish_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"))
