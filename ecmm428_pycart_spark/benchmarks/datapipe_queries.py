@@ -496,3 +496,105 @@ def d13_bpeish_token_count(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0))
          .alias("n_bpeish_tokens"),
         F.size(F.split("text", " ")).alias("n_ws_tokens"))
+
+
+# TF-IDF: classic corpus weighting, fully native (explode + two aggs +
+# join), log parity is exact IEEE on both engines. Top-3 terms per doc
+# for a bounded id range keeps the compare set small but meaningful.
+@q("d14_tfidf_top_terms", """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (tok), n
+)
+SELECT doc_id, tok, tfidf FROM scored
+WHERE doc_id < 50
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, tok ASC) <= 3
+""")
+def d14_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from ecmm428_pycart_spark.datapipe.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "tok").crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log((F.col("n_docs") + 1.0)
+                                          / (F.col("df") + 1.0)), 6)))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                        F.col("tok").asc())
+    return (scored.filter(F.col("doc_id") < 50)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .select("doc_id", "tok", "tfidf"))
+
+
+# Connected components over the minhash-LSH near-dup pair graph — turns
+# pairs into dedup clusters (component id = min doc id). The engine runs
+# distributed min-label propagation (datapipe/components.py); the oracle
+# computes the same fixpoint with a recursive CTE. Component membership
+# is order-independent, so both converge to identical labels.
+@q("d15_dup_clusters", f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+           AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+FROM reach GROUP BY a
+""")
+def d15_dup_clusters(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.components import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"), "component")
