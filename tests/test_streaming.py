@@ -77,3 +77,81 @@ def test_running_user_stats_stateful(spark, events_dir):
                   F.round(F.sum("value"), 2).alias("s")))
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
+    """Streaming → parquet via foreachBatch (the production sink shape:
+    per-batch exactly-once writes keyed by batch id)."""
+    out_dir = str(tmp_path / "hourly_parquet")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    stream = se.read_events_stream(spark, events_dir)
+    q = (se.hourly_event_counts(stream).writeStream
+         .outputMode("complete").foreachBatch(write_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    want = (load_table(spark, SF_DIR, "events")
+            .groupBy(F.date_trunc("hour", "ts"), "event_type").count().count())
+    assert back.count() == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark far ahead; batch 2's stale rows fall behind it and are
+    dropped from the append-mode windowed aggregation."""
+    import pandas as pd
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    fresh = pd.DataFrame({
+        "event_id": [1, 2], "ts": pd.to_datetime(
+            ["2024-06-01 10:00:00", "2024-06-01 23:00:00"]),
+        "user_id": [1, 1], "event_type": ["click", "click"],
+        "value": [1.0, 1.0], "props": ["{}", "{}"],
+    })
+    # a middle batch so the 10:00 window is evicted+emitted (watermark
+    # passes its end during batch 1) BEFORE the late row arrives —
+    # eviction happens within the batch that first sees the advanced
+    # watermark, so a row late by only one batch still merges
+    mid = pd.DataFrame({
+        "event_id": [4], "ts": pd.to_datetime(["2024-06-01 23:30:00"]),
+        "user_id": [1], "event_type": ["click"], "value": [1.0],
+        "props": ["{}"],
+    })
+    late = pd.DataFrame({
+        "event_id": [3], "ts": pd.to_datetime(["2024-06-01 10:30:00"]),
+        "user_id": [1], "event_type": ["click"], "value": [1.0],
+        "props": ["{}"],
+    })
+    # ns timestamps to mirror the real events table layout; the file
+    # source orders batches by modification time, so pin mtimes to make
+    # the fresh file micro-batch 1 and the late file micro-batch 2
+    import time as _time
+    now = _time.time()
+    for name, pdf, mtime in [("a_fresh.parquet", fresh, now - 1000),
+                             ("b_mid.parquet", mid, now - 500),
+                             ("c_late.parquet", late, now)]:
+        p = d / name
+        pdf.assign(ts=pdf["ts"].astype("datetime64[ns]")).to_parquet(
+            p, index=False)
+        os.utime(p, (mtime, mtime))
+
+    stream = (spark.readStream.schema(se.EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(d))
+              .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+    agg = se.hourly_event_counts(stream, watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("late_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("late_t").collect()
+    # the 10:00 window was emitted+evicted during batch 1 (watermark
+    # 21:00 > window end); batch 2's 10:30 straggler is behind the
+    # watermark with no live state → dropped, count stays 1 and the
+    # window is not re-emitted
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r["window_start"].hour, []).append(r["n"])
+    assert by_start.get(10) == [1]
