@@ -103,7 +103,11 @@ class Cartogram:
         if self.idx_field is not None and self.idx_field not in cols:
             cols.append(self.idx_field)
         base = with_region_idx(self.df.select(*cols), i, self.idx_field)
-        base = base.select(v, i, g, "region_idx")
+        # setup fans out into 4+ branches (vertex join, weight join,
+        # centroid/perimeter, calibration aggregates) that would each
+        # re-execute the upstream plan (often ingest UDFs) — materialize
+        # once so every branch reads the checkpointed partitions
+        base = base.select(v, i, g, "region_idx").localCheckpoint(eager=True)
         borders, _islands = get_borders(base, i, g, idx_field="region_idx")
 
         regions = centroid_cols(base, geom_col=g, prefix="c")

@@ -144,3 +144,21 @@ def test_dorling_scalable_matches_local_jacobi(spark, squares_df):
     for i in range(4):
         assert out[i]["cx"] == pytest.approx(x[i], abs=1e-9)
         assert out[i]["cy"] == pytest.approx(y[i], abs=1e-9)
+
+
+def test_dorling_reference_100_iterations(spark, squares_df):
+    """Full reference-default run (iterations=100) stays bit-equal to the
+    local sweep — numerical stability over the whole loop, not just the
+    first few iterations."""
+    rows, cents, values, perims, edges, k, radii = _local_setup(squares_df)
+    x = np.array([c[0] for c in cents])
+    y = np.array([c[1] for c in cents])
+    ex, ey = dorling_core.dorling_sweep(
+        x, y, radii, perims,
+        np.array([e[0] for e in edges]), np.array([e[1] for e in edges]),
+        np.array([e[2] for e in edges]), iterations=100)
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    out = {r["region_idx"]: r for r in cart.dorling(iterations=100).collect()}
+    for i in range(4):
+        assert out[i]["cx"] == pytest.approx(ex[i], abs=1e-9)
+        assert out[i]["cy"] == pytest.approx(ey[i], abs=1e-9)
