@@ -754,3 +754,18 @@ def q37_rank_family(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"))
+
+
+def q38_sketches(spark, sf_dir):
+    """Approximate sketches (HLL++ distinct, t-digest-ish percentile) —
+    engine-specific estimators, so no cross-engine oracle (rows-only);
+    Spark's implementations are deterministic for fixed input."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.round(F.percentile_approx("l_extendedprice", 0.5), 2)
+                  .alias("approx_median_price")))
+
+
+QUERIES["q38_sketches"] = q38_sketches
+ORACLES["q38_sketches"] = None

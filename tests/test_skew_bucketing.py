@@ -59,3 +59,19 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned parquet layout: a date filter becomes a
+    PartitionFilter (directory pruning), not a data filter."""
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.col("ts").cast("date"))
+    out = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_date") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    n = back.count()
+    want = ev.filter(F.col("event_date") == "2024-01-02").count()
+    assert n == want > 0

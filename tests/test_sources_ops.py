@@ -103,3 +103,20 @@ def test_register_views_sql_api(spark):
     # events view carries the repaired TimestampType through SQL too
     t = spark.sql("SELECT max(ts) AS m FROM events").collect()[0]["m"]
     assert t.year >= 2024
+
+
+def test_registry_contract():
+    """Driver-contract guard: every oracle key has a query, names are
+    unique across modules, and rows-only entries are intentional."""
+    import __spark_entry__ as ent
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"g04_dorling_positions", "g05_dorling_scalable",
+                         "k01_kmeans_clusters", "q38_sketches"}
+    assert len(qs) >= 65
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
