@@ -131,6 +131,14 @@ class Cartogram:
             F.sum(F.sqrt(F.col("_fv") / math.pi)
                   + F.sqrt(F.col("_nv") / math.pi)).alias("total_radius"),
         ).collect()[0]
+        if sums["total_radius"] is None or float(sums["total_radius"]) == 0.0:
+            # no Queen edges at all (single region / all islands): the
+            # reference divides by zero here (cartogram.py:335); fail fast
+            # with a diagnosable message instead
+            raise ValueError(
+                "dorling: no contiguity edges — every region is an island, "
+                "radius calibration k = D/R is undefined (reference would "
+                "raise ZeroDivisionError)")
         k = float(sums["total_distance"]) / float(sums["total_radius"])
 
         state = regions.withColumn(

@@ -162,3 +162,15 @@ def test_dorling_reference_100_iterations(spark, squares_df):
     for i in range(4):
         assert out[i]["cx"] == pytest.approx(ex[i], abs=1e-9)
         assert out[i]["cy"] == pytest.approx(ey[i], abs=1e-9)
+
+
+def test_dorling_all_islands_fails_fast(spark):
+    far = [(i, f"i{i}", 10.0,
+            core.dumps(core.wkt_loads(
+                f"POLYGON (({10*i} 0, {10*i+1} 0, {10*i+1} 1, {10*i} 1, {10*i} 0))")))
+           for i in range(3)]
+    df = spark.createDataFrame(
+        far, "region_idx long, name string, Population double, geometry binary")
+    cart = Cartogram(df, "Population", "name", idx_field="region_idx")
+    with pytest.raises(ValueError, match="island"):
+        cart.dorling(iterations=1)

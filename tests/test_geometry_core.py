@@ -140,3 +140,22 @@ def test_fixture_noncontiguous_scales():
     assert scales["TL"] == pytest.approx(0.50108, abs=2e-4)
     assert scales["BL"] == pytest.approx(0.72408, abs=2e-4)
     assert scales["BR"] == pytest.approx(0.62571, abs=2e-4)
+
+
+def test_multipolygon_with_hole_full_pipeline():
+    """MultiPolygon where one part has a hole: area/centroid/perimeter
+    consistency through WKB and WKT roundtrips."""
+    outer = np.asarray([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype="f8")
+    hole = np.asarray([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)], dtype="f8")
+    island = np.asarray([(10, 10), (12, 10), (12, 12), (10, 12), (10, 10)],
+                        dtype="f8")
+    mp = ("MultiPolygon", [[outer, hole], [island]])
+    assert core.area(mp) == pytest.approx(16.0 - 4.0 + 4.0)
+    assert core.perimeter(mp) == pytest.approx(16.0 + 8.0 + 8.0)
+    # centroid: ring-hole donut is symmetric at (2,2), island at (11,11)
+    cx, cy = core.centroid(mp)
+    want_x = (12.0 * 2.0 + 4.0 * 11.0) / 16.0
+    assert (cx, cy) == pytest.approx((want_x, want_x))
+    for rt in (core.loads(core.dumps(mp)), core.wkt_loads(core.wkt_dumps(mp))):
+        assert core.area(rt) == pytest.approx(core.area(mp), rel=1e-6)
+        assert core.centroid(rt) == pytest.approx((cx, cy), rel=1e-6)
