@@ -4,6 +4,7 @@ running fill → semi/inner join → cartogram → sink."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from ecmm428_pycart_spark import Cartogram
@@ -104,3 +105,40 @@ def test_cartogram_validates_columns(spark, squares_df=None):
     df = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
     with _pytest.raises(ValueError, match="not in DataFrame"):
         Cartogram(df, "Population", "name")  # no Population column here
+
+
+def test_world_pipeline_full_chain(spark):
+    """E3 world branch (main.py:125-251 shape): wide CSV → ISO3→ISO2
+    mapping → join to geo with duplicate-ISO rows → per-ISO argmax dedup
+    → non_contiguous cartogram."""
+    from ecmm428_pycart_spark.operators.relational import (
+        argmax_per_group, map_country_codes)
+    from ecmm428_pycart_spark.sources import read_world_pop_wide
+    from ecmm428_pycart_spark.geometry import core as gcore
+
+    pop = read_world_pop_wide(spark, f"{FIX}/world_pop_wide.csv")
+    pop = map_country_codes(pop, "ISO")  # GBR→GB, FRA→FR; WLD passthrough
+
+    def sq(x0, y0, s):
+        return gcore.dumps(gcore.wkt_loads(
+            f"POLYGON (({x0} {y0}, {x0+s} {y0}, {x0+s} {y0+s}, "
+            f"{x0} {y0+s}, {x0} {y0}))"))
+
+    # geo with a duplicate ISO (two GB polygons, differing SHAPE_Area)
+    geo = spark.createDataFrame(
+        [("United Kingdom", "GB", 4.0, sq(0, 0, 2)),
+         ("United Kingdom", "GB", 1.0, sq(5, 0, 1)),
+         ("France", "FR", 9.0, sq(10, 0, 3))],
+        "COUNTRY string, ISO string, SHAPE_Area double, geometry binary")
+
+    merged = pop.join(geo, "ISO")  # inner join drops WLD/AND
+    assert merged.count() == 3
+    deduped = argmax_per_group(merged, "ISO", "SHAPE_Area")
+    assert deduped.count() == 2
+
+    cart = Cartogram(deduped, "Population", "ISO")
+    out = {r["ISO"]: r for r in cart.non_contiguous().collect()}
+    # FR: 67.5M over area 9 (7.5M/unit); GB: 67.3M over area 4
+    # (16.8M/unit) → GB is the denser anchor
+    assert out["GB"]["scale"] == pytest.approx(1.0)
+    assert out["FR"]["scale"] < 1.0
