@@ -29,6 +29,8 @@ HEADLINE = [
     "d05_minhash_signature",
     "d06_minhash_lsh_jaccard",
     "d07_simhash",
+    "d14_tfidf_top_terms",
+    "d15_dup_clusters",
     "s01_cosine_topk",
     "g02_queen_borders",
     "g07_queen_borders_large",

@@ -21,10 +21,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                          max_iter: int = 20) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
     id reachable. Stops early when a round changes no label."""
+    # materialize the edge list once — it is re-joined every round, and
+    # upstream it is typically an expensive pipeline (minhash LSH +
+    # jaccard verify) that must not re-execute per iteration
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
@@ -33,10 +37,20 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         nb_min = (sym.join(labels, sym["b"] == labels["node"])
                   .groupBy(F.col("a").alias("node2"))
                   .agg(F.min("label").alias("nb_label")))
-        new = (labels.join(nb_min, labels["node"] == nb_min["node2"], "left")
+        stepped = (labels.join(nb_min, labels["node"] == nb_min["node2"], "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce("nb_label", F.col("label")))
+                           .alias("label")))
+        # pointer jumping: also adopt label(label(node)) — collapses
+        # chains in O(log n) rounds instead of O(diameter)
+        parent = stepped.select(F.col("node").alias("p_node"),
+                                F.col("label").alias("p_label"))
+        new = (stepped.join(parent,
+                            stepped["label"] == parent["p_node"], "left")
                .select("node",
                        F.least(F.col("label"),
-                               F.coalesce("nb_label", F.col("label")))
+                               F.coalesce("p_label", F.col("label")))
                        .alias("label"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
