@@ -769,3 +769,41 @@ def q38_sketches(spark, sf_dir):
 
 QUERIES["q38_sketches"] = q38_sketches
 ORACLES["q38_sketches"] = None
+
+
+# Ordered funnel analysis: users progressing view → click → purchase in
+# timestamp order (conditional min-timestamps per stage, then ordering
+# predicates — the set-based funnel formulation that scales as one agg).
+@q("q39_funnel", """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stage
+""")
+def q39_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"))
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"))
