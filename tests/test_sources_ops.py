@@ -120,3 +120,13 @@ def test_registry_contract():
         assert callable(fn), name
     for name, sql in oracles.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_exact_dup_groups(spark):
+    from ecmm428_pycart_spark.datapipe.dedup import exact_dup_groups
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    rows = {r["canonical_id"]: r["n_copies"]
+            for r in exact_dup_groups(df).collect()}
+    assert rows == {1: 2, 3: 1}
