@@ -155,3 +155,23 @@ def test_watermark_drops_late_data(spark, tmp_path):
     for r in rows:
         by_start.setdefault(r["window_start"].hour, []).append(r["n"])
     assert by_start.get(10) == [1]
+
+
+def test_stream_static_join(spark, events_dir):
+    """Stream-static join: enrich the event stream with a static dim
+    table (broadcast per micro-batch) — the standard streaming-enrichment
+    pattern."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        ["event_type", "category"])
+    stream = se.read_events_stream(spark, events_dir)
+    joined = (stream.join(F.broadcast(dim), "event_type")
+              .groupBy("category")
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (joined.writeStream.format("memory").queryName("enrich_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["category"]: r["n"] for r in spark.table("enrich_t").collect()}
+    assert sum(got.values()) == load_table(spark, SF_DIR, "events").count()
+    assert set(got) <= {"engagement", "revenue", "growth", "ops"}
