@@ -15,18 +15,10 @@ def _collect():
 
 
 def _modules():
-    mods = [relational]
-    try:
-        from ecmm428_pycart_spark.benchmarks import datapipe_queries
-        mods.append(datapipe_queries)
-    except ImportError:
-        pass
-    try:
-        from ecmm428_pycart_spark.benchmarks import geo_queries
-        mods.append(geo_queries)
-    except ImportError:
-        pass
-    return mods
+    # hard imports: a failure here must propagate — silently dropping a
+    # module would remove entire query families from the correctness gate
+    from ecmm428_pycart_spark.benchmarks import datapipe_queries, geo_queries
+    return [relational, datapipe_queries, geo_queries]
 
 
 def get_queries():
