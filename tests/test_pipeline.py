@@ -142,3 +142,22 @@ def test_world_pipeline_full_chain(spark):
     # (16.8M/unit) → GB is the denser anchor
     assert out["GB"]["scale"] == pytest.approx(1.0)
     assert out["FR"]["scale"] < 1.0
+
+
+def test_svg_figure_sink(spark, tmp_path):
+    """S7 parity: render non_contiguous + dorling outputs to SVG."""
+    from ecmm428_pycart_spark.viz import to_svg
+    geo = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    pop = read_pop_csv(spark, f"{FIX}/squares_pop.csv")
+    merged = geo.select("feature_index", "name", "geometry") \
+        .join(pop.select("name", "Population"), "name")
+    cart = Cartogram(merged, "Population", "name", idx_field="feature_index")
+
+    svg1 = to_svg(cart.non_contiguous(), str(tmp_path / "noncon.svg"),
+                  label_col="name")
+    assert svg1.count("<path") == 4 and "TL" in svg1
+
+    svg2 = to_svg(cart.dorling(iterations=3), str(tmp_path / "dorling.svg"),
+                  label_col="name")
+    assert svg2.count("<path") == 4
+    assert (tmp_path / "dorling.svg").exists()
