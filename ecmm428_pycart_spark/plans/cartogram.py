@@ -225,6 +225,12 @@ class Cartogram:
         native columns (CASE WHEN, whole-stage codegen) → one shuffle on
         groupBy(focal) → position update join. localCheckpoint truncates
         lineage so plan size stays O(1) across iterations.
+
+        Checkpoint cadence is every iteration deliberately: measured
+        every-3rd-iteration checkpointing is ~30-50% slower here because
+        the un-truncated plan replays the grid join chain 3× deep —
+        materializing the (small) state each step is the cheaper side of
+        the trade at every scale tested (144-1600 regions).
         """
         bw = borders.select(
             F.col("focal").alias("f_region_idx"),
