@@ -174,3 +174,37 @@ def test_dorling_all_islands_fails_fast(spark):
     cart = Cartogram(df, "Population", "name", idx_field="region_idx")
     with pytest.raises(ValueError, match="island"):
         cart.dorling(iterations=1)
+
+
+def test_dorling_friction_scales_first_step(spark, squares_df):
+    """velocity = friction × total force (pycart/cartogram.py:397):
+    from identical start positions, one iteration's displacement is
+    EXACTLY proportional to friction for the first-moved region (later
+    regions see Gauss–Seidel feedback, so only region 0 is exact)."""
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    lo = {r["region_idx"]: (r["cx"], r["cy"])
+          for r in cart.dorling(iterations=1, friction=0.1).collect()}
+    hi = {r["region_idx"]: (r["cx"], r["cy"])
+          for r in cart.dorling(iterations=1, friction=0.5).collect()}
+    # recover start positions from the geometry fixture
+    starts = {r["region_idx"]: core.centroid(core.loads(r["geometry"]))
+              for r in squares_df.collect()}
+    dx_lo = lo[0][0] - starts[0][0]
+    dx_hi = hi[0][0] - starts[0][0]
+    dy_lo = lo[0][1] - starts[0][1]
+    dy_hi = hi[0][1] - starts[0][1]
+    assert dx_hi == pytest.approx(5.0 * dx_lo, rel=1e-9)
+    assert dy_hi == pytest.approx(5.0 * dy_lo, rel=1e-9)
+
+
+def test_dorling_param_envelope_runs(spark, squares_df):
+    """The reference's exercised parameter envelope (BASELINE.md row 10):
+    friction ∈ {0.1, 0.5, 0.75}, ratio ∈ {0.5, 0.6, 0.9} — all finite."""
+    import itertools
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    for friction, ratio in itertools.product((0.1, 0.75), (0.5, 0.9)):
+        rows = cart.dorling(iterations=2, friction=friction,
+                            ratio=ratio).collect()
+        assert len(rows) == 4
+        assert all(np.isfinite(r["cx"]) and np.isfinite(r["cy"])
+                   for r in rows)
