@@ -53,6 +53,16 @@ def hourly_event_counts(events: DataFrame,
                     "n", "sum_value"))
 
 
+def dedupe_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on event_id: dropDuplicates over a
+    watermarked stream keeps per-key state only until the watermark
+    passes — the streaming twin of datapipe.dedup.exact_dup_groups,
+    bounded state at any throughput."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["event_id"]))
+
+
 _USER_STATS_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),

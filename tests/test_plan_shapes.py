@@ -1,0 +1,38 @@
+"""Plan-shape regression guards: the physical properties the 100 TB
+story depends on must not silently regress (PLANS.md records them;
+these tests enforce them)."""
+
+from ecmm428_pycart_spark.benchmarks import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name, mode="formatted"):
+    df = get_queries()[name](spark, SF)
+    m = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(m)
+
+
+def test_q01_filter_and_projection_pushdown(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan          # predicate pushed
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
+    # partial aggregation before the shuffle (map-side combine)
+    assert "HashAggregate" in plan
+
+
+def test_q22_broadcasts_dims(spark):
+    plan = _plan(spark, "q22_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # nation scan reads only the join key + name (column pruning)
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "n_name" in head:
+            assert "n_regionkey" not in head
+
+
+def test_s01_query_vector_is_broadcast(spark):
+    plan = _plan(spark, "s01_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the embeddings scan prunes the label column
+    assert "label" not in plan.split("ReadSchema:")[1].split("\n")[0]

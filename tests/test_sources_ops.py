@@ -130,3 +130,19 @@ def test_exact_dup_groups(spark):
     rows = {r["canonical_id"]: r["n_copies"]
             for r in exact_dup_groups(df).collect()}
     assert rows == {1: 2, 3: 1}
+
+
+def test_read_geojson_empty_collection(spark, tmp_path):
+    p = tmp_path / "empty.geojson"
+    p.write_text('{"type": "FeatureCollection", "features": []}')
+    df = read_geojson(spark, str(p))
+    assert df.count() == 0
+
+
+def test_geo_udfs_null_safe(spark):
+    from ecmm428_pycart_spark import functions as EF
+    df = spark.createDataFrame([(1, None)], "id long, geometry binary")
+    row = df.select(EF.st_area("geometry").alias("a"),
+                    EF.st_perimeter("geometry").alias("p"),
+                    EF.st_wkb_to_wkt("geometry").alias("w")).collect()[0]
+    assert row["a"] is None and row["p"] is None and row["w"] is None

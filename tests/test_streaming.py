@@ -175,3 +175,19 @@ def test_stream_static_join(spark, events_dir):
     got = {r["category"]: r["n"] for r in spark.table("enrich_t").collect()}
     assert sum(got.values()) == load_table(spark, SF_DIR, "events").count()
     assert set(got) <= {"engagement", "revenue", "growth", "ops"}
+
+
+def test_dedupe_stream(spark, events_dir, tmp_path):
+    """Streaming dedup: feed the same events file twice (two batches) —
+    duplicates across batches are dropped by keyed state."""
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    os.symlink(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    os.symlink(f"{SF_DIR}/events.parquet", d / "b.parquet")
+    stream = se.read_events_stream(spark, str(d))
+    q = (se.dedupe_stream(stream).writeStream.format("memory")
+         .queryName("dedupe_t").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.table("dedupe_t").count()
+    assert n == load_table(spark, SF_DIR, "events").count()
