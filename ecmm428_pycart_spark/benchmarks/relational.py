@@ -807,3 +807,35 @@ def q39_funnel(spark, sf_dir):
         F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
         F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
         F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"))
+
+
+# IQR outlier detection: exact interpolated quartiles (both engines use
+# linear interpolation), then a self-join-free two-pass filter.
+@q("q40_iqr_outliers", """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_outliers,
+       round(min(e.value), 2) AS min_outlier,
+       round(max(e.value), 2) AS max_outlier
+FROM events e JOIN b USING (event_type)
+WHERE e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+   OR e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+GROUP BY e.event_type
+""")
+def q40_iqr_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    j = ev.join(F.broadcast(b), "event_type")
+    return (j.filter((F.col("value") > F.col("q3") + 1.5 * iqr)
+                     | (F.col("value") < F.col("q1") - 1.5 * iqr))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_outliers"),
+                 F.round(F.min("value"), 2).alias("min_outlier"),
+                 F.round(F.max("value"), 2).alias("max_outlier")))
