@@ -28,7 +28,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # distinguish -0.0 from 0.0: the driver's value-hash may hash
+        # string forms where they differ even though == treats them equal
+        r = round(v, 9)
+        return repr(r)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
