@@ -36,3 +36,21 @@ def test_s01_query_vector_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the embeddings scan prunes the label column
     assert "label" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_results_invariant_to_shuffle_partitions(spark):
+    """Tie-sensitive queries (argmax, top-k) must return identical rows
+    under different parallelism — the determinism contract that makes
+    the oracle gate meaningful on any cluster size."""
+    qs = get_queries()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a10 = sorted(map(tuple, qs["q10_argmax_per_group"](spark, SF).collect()))
+        a16 = sorted(map(tuple, qs["q16_topk"](spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b10 = sorted(map(tuple, qs["q10_argmax_per_group"](spark, SF).collect()))
+        b16 = sorted(map(tuple, qs["q16_topk"](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a10 == b10 and a16 == b16

@@ -191,3 +191,40 @@ def test_dedupe_stream(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     n = spark.table("dedupe_t").count()
     assert n == load_table(spark, SF_DIR, "events").count()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Stream-stream inner join with an event-time interval constraint:
+    click events joined to error events of the same user within the
+    following hour. Both sides watermarked so join state is bounded."""
+    s1 = (se.read_events_stream(spark, events_dir)
+          .filter(F.col("event_type") == "click")
+          .select(F.col("user_id"), F.col("ts").alias("click_ts"),
+                  F.col("event_id").alias("click_id"))
+          .withWatermark("click_ts", "2 hours"))
+    s2 = (se.read_events_stream(spark, events_dir)
+          .filter(F.col("event_type") == "error")
+          .select(F.col("user_id").alias("user_id2"),
+                  F.col("ts").alias("error_ts"),
+                  F.col("event_id").alias("error_id"))
+          .withWatermark("error_ts", "2 hours"))
+    joined = s1.join(
+        s2,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+    q = (joined.writeStream.format("memory").queryName("ssj_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("ssj_t").count()
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click") \
+          .select("user_id", F.col("ts").alias("click_ts"))
+    e = ev.filter(F.col("event_type") == "error") \
+          .select(F.col("user_id").alias("user_id2"),
+                  F.col("ts").alias("error_ts"))
+    want = c.join(e, (F.col("user_id") == F.col("user_id2"))
+                  & (F.col("error_ts") >= F.col("click_ts"))
+                  & (F.col("error_ts") <= F.col("click_ts")
+                     + F.expr("INTERVAL 1 HOUR"))).count()
+    assert got == want > 0
