@@ -228,3 +228,43 @@ def test_stream_stream_interval_join(spark, events_dir):
                   & (F.col("error_ts") <= F.col("click_ts")
                      + F.expr("INTERVAL 1 HOUR"))).count()
     assert got == want > 0
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental processing: a restarted query with the
+    same checkpointLocation skips data already committed and processes
+    only newly arrived files."""
+    import pandas as pd
+    src = tmp_path / "inc_src"
+    sink = tmp_path / "inc_sink"
+    ckpt = tmp_path / "inc_ckpt"
+    src.mkdir()
+
+    def write_file(name, ids):
+        pdf = pd.DataFrame({
+            "event_id": ids,
+            "ts": pd.to_datetime(["2024-06-01 10:00:00"] * len(ids)),
+            "user_id": [1] * len(ids), "event_type": ["click"] * len(ids),
+            "value": [1.0] * len(ids), "props": ["{}"] * len(ids),
+        })
+        pdf.assign(ts=pdf["ts"].astype("datetime64[ns]")).to_parquet(
+            src / name, index=False)
+
+    def run_once():
+        stream = (spark.readStream.schema(se.EVENT_SCHEMA).parquet(str(src))
+                  .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_file("f1.parquet", [1, 2, 3])
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 3
+
+    write_file("f2.parquet", [4, 5])
+    run_once()
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 5                      # no reprocessing of f1
+    assert out.select("event_id").distinct().count() == 5
