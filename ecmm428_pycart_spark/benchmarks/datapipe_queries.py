@@ -598,3 +598,25 @@ def d15_dup_clusters(spark, sf_dir):
     edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
     cc = connected_components(edges)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# Deterministic stratified sampling: top-N per language by hash order —
+# the balanced per-stratum selection used for training-mix construction;
+# hash ordering makes it reproducible across engines, runs, and cluster
+# sizes (no rand()).
+@q("d16_stratified_sample", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""")
+def d16_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("doc_id", "lang"))
