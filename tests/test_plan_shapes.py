@@ -54,3 +54,19 @@ def test_results_invariant_to_shuffle_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a10 == b10 and a16 == b16
+
+
+def test_concurrent_query_execution(spark):
+    """Multiple queries on one session from worker threads (the shape a
+    multi-tenant driver produces) — results identical to serial runs."""
+    import concurrent.futures as cf
+    qs = get_queries()
+    names = ["q01_pricing_summary", "q11_agg_minmax",
+             "d02_text_stats", "s01_cosine_topk"]
+    serial = {n: sorted(map(tuple, qs[n](spark, SF).collect()))
+              for n in names}
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        futs = {n: ex.submit(lambda n=n: sorted(
+            map(tuple, qs[n](spark, SF).collect()))) for n in names}
+        parallel = {n: f.result(timeout=120) for n, f in futs.items()}
+    assert parallel == serial
