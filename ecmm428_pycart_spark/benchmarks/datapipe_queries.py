@@ -620,3 +620,25 @@ def d16_stratified_sample(spark, sf_dir):
     return (docs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10)
             .select("doc_id", "lang"))
+
+
+# Array-function surface over the vector column: slicing, element
+# access, aggregation inside arrays — all native higher-order functions.
+@q("s06_array_ops", """
+SELECT vec_id,
+       list_transform(embedding[1:3], x -> round(x::DOUBLE, 4)) AS head3,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_dim,
+       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) AS min_dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+""")
+def s06_array_ops(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 3),
+                    lambda x: F.round(x.cast("double"), 4)).alias("head3"),
+        F.round(F.array_max(dbl), 4).alias("max_dim"),
+        F.round(F.array_min(dbl), 4).alias("min_dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"))
