@@ -624,11 +624,14 @@ def d16_stratified_sample(spark, sf_dir):
 
 # Array-function surface over the vector column: slicing, element
 # access, aggregation inside arrays — all native higher-order functions.
+# NOTE the `+ 0` after every round that can hit a negative-near-zero
+# value: DuckDB's round keeps IEEE -0.0 while Spark's BigDecimal-based
+# round returns +0.0; adding positive zero normalizes both to +0.0.
 @q("s06_array_ops", """
 SELECT vec_id,
-       list_transform(embedding[1:3], x -> round(x::DOUBLE, 4)) AS head3,
-       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_dim,
-       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) AS min_dim,
+       list_transform(embedding[1:3], x -> round(x::DOUBLE, 4) + 0) AS head3,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) + 0 AS max_dim,
+       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) + 0 AS min_dim,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
 FROM embeddings
 """)
@@ -638,7 +641,8 @@ def s06_array_ops(spark, sf_dir):
     return emb.select(
         "vec_id",
         F.transform(F.slice("embedding", 1, 3),
-                    lambda x: F.round(x.cast("double"), 4)).alias("head3"),
-        F.round(F.array_max(dbl), 4).alias("max_dim"),
-        F.round(F.array_min(dbl), 4).alias("min_dim"),
+                    lambda x: F.round(x.cast("double"), 4) + F.lit(0.0))
+         .alias("head3"),
+        (F.round(F.array_max(dbl), 4) + F.lit(0.0)).alias("max_dim"),
+        (F.round(F.array_min(dbl), 4) + F.lit(0.0)).alias("min_dim"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"))

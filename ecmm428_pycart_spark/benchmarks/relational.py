@@ -483,8 +483,8 @@ def q24_cube(spark, sf_dir):
 @q("q25_stats", """
 SELECT l_returnflag,
        round(median(l_quantity), 4) AS med_qty,
-       round(stddev_samp(l_discount), 6) AS sd_disc,
-       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+       round(stddev_samp(l_discount), 6) + 0 AS sd_disc,
+       round(corr(l_extendedprice, l_quantity), 6) + 0 AS corr_price_qty
 FROM lineitem GROUP BY l_returnflag
 """)
 def q25_stats(spark, sf_dir):
@@ -719,7 +719,7 @@ def q35_scalar_subquery(spark, sf_dir):
 SELECT event_type,
        count(*) AS n,
        count(nullif(value, 0.0)) AS n_nonzero,
-       round(sum(coalesce(nullif(value, 0.0), -1.0)), 2) AS adjusted_sum
+       round(sum(coalesce(nullif(value, 0.0), -1.0)), 2) + 0 AS adjusted_sum
 FROM events GROUP BY event_type
 """)
 def q36_null_ops(spark, sf_dir):
