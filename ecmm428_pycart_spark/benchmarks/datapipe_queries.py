@@ -422,41 +422,33 @@ def s04_ivf_probe(spark, sf_dir):
     return similarity.cosine_topk(cand, similarity.query_vector(emb, 0), k=5)
 
 
-# Embedding-cosine near-duplicate pairs: exact all-pairs at oracle scale
-# (the correctness baseline; the scale path blocks by sign-LSH bucket
-# first — s02 — before the exact verify).
-@q("s05_cosine_neardup", """
-WITH norms AS (
-  SELECT vec_id, sqrt(sum(val * val)) AS nrm
-  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS val FROM embeddings)
-  GROUP BY vec_id
+# Embedding-cosine near-duplicate pairs, LSH-blocked: candidates = pairs
+# sharing an 8-bit sign bucket (hash join on the bucket key), exact cosine
+# verified on candidates only. n²/256 pairs instead of an all-pairs
+# cartesian — the 100 TB shape. Threshold 0.30 on the rounded cosine gives
+# non-empty output at every sf (17 / 24 / 284 pairs at sf0.001/0.01/0.1).
+@q("s05_cosine_neardup", f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM embeddings
 ),
-dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(av * bv) AS dot
-  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS av,
-               unnest(range(1, 65)) AS pos FROM embeddings) a
-  JOIN (SELECT vec_id, unnest(embedding)::DOUBLE AS bv,
-               unnest(range(1, 65)) AS pos FROM embeddings) b
-    ON a.pos = b.pos AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+cand AS (
+  SELECT a.vec_id AS vec_a, a.embedding AS ea,
+         b2.vec_id AS vec_b, b2.embedding AS eb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         round(sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))), 6) AS cos
+  FROM (SELECT vec_a, vec_b, unnest(ea)::DOUBLE AS av, unnest(eb)::DOUBLE AS bv
+        FROM cand)
+  GROUP BY vec_a, vec_b
 )
-SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-FROM dots
-JOIN norms na ON na.vec_id = vec_a
-JOIN norms nb ON nb.vec_id = vec_b
-WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.55
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.30
 """)
 def s05_cosine_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
-    return (pairs.withColumn("cos", cos)
-            .filter(F.col("cos") >= 0.55)
-            .select("vec_a", "vec_b", "cos"))
+    return similarity.cosine_neardup_pairs(emb, threshold=0.30)
 
 
 def k01_kmeans_clusters(spark, sf_dir):

@@ -76,6 +76,36 @@ def ann_sign_lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .select(id_col, "bucket", "cos"))
 
 
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.30,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         bits: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-blocked.
+
+    Candidates = pairs sharing the same sign-LSH bucket (random-hyperplane
+    surrogate: sign bits of the leading `bits` dims); exact cosine is then
+    verified on candidates only. The bucket key is the shuffle key, so the
+    join is a hash join over ~n²/2^bits pairs instead of an all-pairs
+    BroadcastNestedLoopJoin — the shape that survives 100 TB. Threshold is
+    applied to the *rounded* cosine (oracle-parity convention).
+
+    High-cosine pairs agree on most coordinate signs, so same-bucket
+    blocking has high recall at meaningful thresholds (multi-probe /
+    banded variants trade recall for cost; see dedup.minhash_lsh for the
+    banded pattern).
+    """
+    bucketed = df.select(F.col(id_col), F.col(vec_col),
+                         sign_bucket(vec_col, bits).alias("bucket"))
+    a = bucketed.select(F.col(id_col).alias("vec_a"),
+                        F.col(vec_col).alias("ea"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("vec_b"),
+                        F.col(vec_col).alias("eb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (cand.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
+
+
 def label_centroids(df: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector via posexplode + groupBy — the coarse

@@ -69,7 +69,17 @@ def _read_geom(mv, off):
     endian = "<" if byte_order == 1 else ">"
     (wtype,) = struct.unpack_from(endian + "I", mv, off + 1)
     off += 5
-    wtype = wtype & 0xFF  # ignore SRID/Z flags from other writers
+    # EWKB flag bits (PostGIS writers): Z=0x80000000, M=0x40000000,
+    # SRID=0x20000000. 2-D only — reject Z/M explicitly rather than
+    # misparse; skip the 4 SRID bytes when the SRID flag is set.
+    if wtype & 0xC0000000:
+        raise ValueError(f"unsupported WKB: Z/M coordinates (type 0x{wtype:08x})")
+    if wtype & 0x20000000:
+        off += 4  # embedded SRID, not used
+        wtype &= ~0x20000000
+    # ISO WKB encodes Z/M/ZM as type+1000/2000/3000 — also 2-D only
+    if wtype >= 1000:
+        raise ValueError(f"unsupported WKB: ISO Z/M type {wtype}")
     if wtype == _WKB_POINT:
         x, y = struct.unpack_from(endian + "dd", mv, off)
         return ("Point", (x, y)), off + 16

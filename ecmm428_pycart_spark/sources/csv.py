@@ -2,12 +2,19 @@
 
 All readers attach ``file_order`` (a per-file monotonic row id) because the
 reference exploits CSV row order for its running-fill scan (main.py:264-271)
-and Spark provides no implicit row order. For a single input file
-``monotonically_increasing_id`` is monotone in file order because the text
-source preserves intra-file ordering across split boundaries by offset.
+and Spark provides no implicit row order. For a SINGLE input file
+``monotonically_increasing_id`` is monotone in file order: splits of one
+file are enumerated in offset order, partition index follows split order,
+and the id is monotone in (partition, position). For MULTI-file input Spark
+packs splits sorted by size, so that guarantee breaks — ``read_csv``
+therefore enforces the single-file restriction with an explicit check
+rather than silently corrupting downstream running-fill (R21) results.
 """
 
 from __future__ import annotations
+
+import glob as _glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,7 +22,26 @@ from pyspark.sql import functions as F
 from ecmm428_pycart_spark.operators.relational import to_int_col
 
 
+def _assert_single_file(path: str) -> None:
+    """file_order is only well-defined for one input file (see module doc)."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if any(ch in p for ch in "*?["):
+        matches = _glob.glob(p)
+    elif os.path.isdir(p):
+        matches = [f for f in _glob.glob(os.path.join(p, "*"))
+                   if not os.path.basename(f).startswith(("_", "."))]
+    else:
+        matches = [p]
+    if len(matches) != 1:
+        raise ValueError(
+            f"read_csv(with_order=True) requires exactly one input file for "
+            f"a well-defined file_order; {path!r} matches {len(matches)} — "
+            f"read files separately and union, or pass with_order=False")
+
+
 def read_csv(spark: SparkSession, path: str, with_order: bool = True) -> DataFrame:
+    if with_order:
+        _assert_single_file(path)
     df = (spark.read.option("header", "true").csv(path))
     if with_order:
         df = df.withColumn("file_order", F.monotonically_increasing_id())

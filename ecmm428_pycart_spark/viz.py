@@ -35,8 +35,12 @@ def to_svg(df: DataFrame, path: str, geometry_col: str = "geometry",
     file; returns the SVG text. Flips y (SVG y grows downward)."""
     rows = df.select(*( [geometry_col] + ([label_col] if label_col else []) )) \
              .collect()
-    geoms = [core.loads(bytes(r[geometry_col])) for r in rows
+    # filter geometry and row together so labels/colors stay aligned when
+    # some rows carry null geometry
+    pairs = [(core.loads(bytes(r[geometry_col])), r) for r in rows
              if r[geometry_col] is not None]
+    geoms = [g for g, _ in pairs]
+    rows = [r for _, r in pairs]
     if not geoms:
         raise ValueError("to_svg: no geometries to render")
     bxs = [core.bounds(g) for g in geoms]

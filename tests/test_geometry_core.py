@@ -159,3 +159,24 @@ def test_multipolygon_with_hole_full_pipeline():
     for rt in (core.loads(core.dumps(mp)), core.wkt_loads(core.wkt_dumps(mp))):
         assert core.area(rt) == pytest.approx(core.area(mp), rel=1e-6)
         assert core.centroid(rt) == pytest.approx((cx, cy), rel=1e-6)
+
+
+def test_ewkb_srid_flag_skipped():
+    # EWKB point with SRID flag (PostGIS style): type | 0x20000000, then SRID
+    import struct
+    buf = (b"\x01" + struct.pack("<I", 1 | 0x20000000)
+           + struct.pack("<I", 4326) + struct.pack("<dd", 3.0, 4.0))
+    assert core.loads(buf) == ("Point", (3.0, 4.0))
+
+
+def test_ewkb_z_rejected_explicitly():
+    import struct
+    # EWKB Z flag
+    buf = (b"\x01" + struct.pack("<I", 1 | 0x80000000)
+           + struct.pack("<ddd", 1.0, 2.0, 3.0))
+    with pytest.raises(ValueError, match="Z/M"):
+        core.loads(buf)
+    # ISO Z point (type 1001)
+    buf = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 3.0)
+    with pytest.raises(ValueError, match="Z/M"):
+        core.loads(buf)

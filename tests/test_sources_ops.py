@@ -146,3 +146,59 @@ def test_geo_udfs_null_safe(spark):
                     EF.st_perimeter("geometry").alias("p"),
                     EF.st_wkb_to_wkt("geometry").alias("w")).collect()[0]
     assert row["a"] is None and row["p"] is None and row["w"] is None
+
+
+def test_read_csv_multi_file_order_rejected(spark, tmp_path):
+    """file_order is only defined for a single input file — multi-file
+    input must fail loudly, not silently corrupt running-fill order."""
+    import pytest as _pytest
+    from ecmm428_pycart_spark.sources.csv import read_csv
+    for i in (1, 2):
+        (tmp_path / f"part{i}.csv").write_text("a,b\n1,2\n")
+    with _pytest.raises(ValueError, match="exactly one input file"):
+        read_csv(spark, str(tmp_path))
+    with _pytest.raises(ValueError, match="exactly one input file"):
+        read_csv(spark, str(tmp_path / "part*.csv"))
+    # single file still fine, with_order=False bypasses the check
+    assert read_csv(spark, str(tmp_path / "part1.csv")).count() == 1
+    assert read_csv(spark, str(tmp_path), with_order=False).count() == 2
+
+
+def test_to_svg_null_geometry_keeps_labels_aligned(spark, tmp_path):
+    """Null geometry rows must not shift later labels onto wrong shapes."""
+    from ecmm428_pycart_spark.geometry import core as gcore
+    from ecmm428_pycart_spark.viz import to_svg
+    import numpy as np
+    sq = lambda dx: gcore.dumps(("Polygon", [np.asarray(
+        [(dx, 0.0), (dx + 1, 0.0), (dx + 1, 1.0), (dx, 1.0), (dx, 0.0)])]))
+    df = spark.createDataFrame(
+        [("first", bytearray(sq(0.0))), ("hole", None),
+         ("third", bytearray(sq(5.0)))],
+        "name string, geometry binary")
+    svg = to_svg(df, str(tmp_path / "t.svg"), label_col="name")
+    assert "<title>first</title>" in svg and "<title>third</title>" in svg
+    assert "<title>hole</title>" not in svg
+
+
+def test_iso3166_covers_reference_world_csv():
+    """Every country code in the reference world-pop CSV either maps via
+    the full ISO 3166 table or is a documented World Bank aggregate row
+    (reference main.py:208-210 mapped countries via dataprep
+    clean_country; aggregates stayed unmapped there too)."""
+    import csv as _csv
+    from ecmm428_pycart_spark.operators.relational import (
+        ISO3_TO_ISO2, WORLD_BANK_AGGREGATES)
+    path = ("/root/reference/data/World/"
+            "API_SP.POP.TOTL_DS2_en_csv_v2_5358404.csv")
+    if not os.path.exists(path):
+        import pytest as _pytest
+        _pytest.skip("reference data not present")
+    with open(path, encoding="utf-8-sig") as f:
+        codes = {r[1] for r in list(_csv.reader(f))[1:] if len(r) > 1}
+    unaccounted = codes - set(ISO3_TO_ISO2) - WORLD_BANK_AGGREGATES
+    assert not unaccounted, f"unmapped, undocumented codes: {sorted(unaccounted)}"
+    # sanity on table size and previously-missing codes ADVICE flagged
+    assert len(ISO3_TO_ISO2) == 250  # 249 ISO 3166-1 + XKX
+    for c in ("PRK", "ERI", "FJI", "GUY", "PSE", "HKG"):
+        assert c in ISO3_TO_ISO2
+    assert not (set(ISO3_TO_ISO2) & WORLD_BANK_AGGREGATES)
