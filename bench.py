@@ -35,6 +35,7 @@ HEADLINE = [
     "g02_queen_borders",
     "g07_queen_borders_large",
     "g04_dorling_positions",
+    "g08_dorling_scalable_large",
 ]
 
 

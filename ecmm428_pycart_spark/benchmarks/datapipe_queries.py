@@ -451,20 +451,37 @@ def s05_cosine_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(emb, threshold=0.30)
 
 
+# k-means is iterative (driver loop + localCheckpoint) but deterministic:
+# exact-aggregate means, rounded-distance tie-breaks (tests/test_kmeans.py).
+# The oracle is a golden VALUES table per testdata scale, dispatched on a
+# fingerprint of the embeddings table (count + rounded sum of the leading
+# dim) because the embeddings differ per sf. Regenerate with
+# tools/gen_goldens.py after any intentional kmeans change.
+@q("k01_kmeans_clusters", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+golden AS (
+  SELECT * FROM (VALUES
+    (500, -1.464, 0, 96), (500, -1.464, 1, 139),
+    (500, -1.464, 2, 140), (500, -1.464, 3, 125),
+    (500, 1.0824, 0, 120), (500, 1.0824, 1, 112),
+    (500, 1.0824, 2, 147), (500, 1.0824, 3, 121),
+    (2000, 1.5308, 0, 499), (2000, 1.5308, 1, 486),
+    (2000, 1.5308, 2, 530), (2000, 1.5308, 3, 485)
+  ) AS g(n, s, cluster, n_vectors)
+)
+SELECT cluster::INTEGER AS cluster, n_vectors::BIGINT AS n_vectors
+FROM golden JOIN fp ON golden.n = fp.n AND golden.s::DOUBLE = fp.s
+""")
 def k01_kmeans_clusters(spark, sf_dir):
-    """Learned IVF codebook: k-means cluster sizes + inertia per cluster.
-    Iterative (driver loop + localCheckpoint) → rows-only check, like the
-    dorling loop; determinism is guaranteed by exact-aggregate means and
-    rounded-distance tie-breaks (tests/test_kmeans.py)."""
+    """Learned IVF codebook: k-means cluster sizes (golden-checked)."""
     from ecmm428_pycart_spark.datapipe.kmeans import kmeans
     emb = _t(spark, sf_dir, "embeddings")
     assigned, _cent = kmeans(emb, k=4, iterations=3)
     return (assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vectors")))
-
-
-QUERIES["k01_kmeans_clusters"] = k01_kmeans_clusters
-ORACLES["k01_kmeans_clusters"] = None
 
 
 # BPE-ish token counting: class-run segmentation (letter runs / digit

@@ -45,6 +45,10 @@ class Cartogram:
     """Binds a dataset + column names; no computation until an algorithm
     is called (pycart/cartogram.py:142-170, A1)."""
 
+    # Below this many regions the per-iteration borders/forces joins are
+    # broadcast (≤ ~60 MB build side); above it they stay shuffle joins.
+    _BROADCAST_REGIONS = 1_000_000
+
     def __init__(self, df: DataFrame, value_field: str, id_field: str,
                  geometry_field: str = "geometry", idx_field: str | None = None):
         missing = [c for c in (value_field, id_field, geometry_field)
@@ -106,9 +110,15 @@ class Cartogram:
         # setup fans out into 4+ branches (vertex join, weight join,
         # centroid/perimeter, calibration aggregates) that would each
         # re-execute the upstream plan (often ingest UDFs) — materialize
-        # once so every branch reads the checkpointed partitions
-        base = base.select(v, i, g, "region_idx").localCheckpoint(eager=True)
+        # once so every branch reads the checkpointed partitions.
+        # dict.fromkeys dedupes when id_field == idx_field == "region_idx".
+        base = (base.select(*dict.fromkeys([v, i, g, "region_idx"]))
+                .localCheckpoint(eager=True))
         borders, _islands = get_borders(base, i, g, idx_field="region_idx")
+        # borders (vertex join + weight UDF) is consumed by the calibration
+        # aggregates below AND re-joined by both dorling modes — materialize
+        # once instead of recomputing the pipeline per consumer
+        borders = borders.localCheckpoint(eager=True)
 
         regions = centroid_cols(base, geom_col=g, prefix="c")
         regions = regions.withColumn("perimeter", st_perimeter(F.col(g)))
@@ -143,8 +153,10 @@ class Cartogram:
 
         state = regions.withColumn(
             "radius", F.sqrt(F.col("_value") / math.pi) * F.lit(k))
-        maxv = state.agg(F.max("radius").alias("m")).collect()[0]["m"]
-        return state, borders, float(maxv)
+        stats = state.agg(F.max("radius").alias("m"),
+                          F.count(F.lit(1)).alias("n")).collect()[0]
+        self._n_regions = int(stats["n"])
+        return state, borders, float(stats["m"])
 
     def dorling_radii(self) -> DataFrame:
         """The dorling radius calibration as a standalone DataFrame
@@ -231,11 +243,19 @@ class Cartogram:
         the un-truncated plan replays the grid join chain 3× deep —
         materializing the (small) state each step is the cheaper side of
         the trade at every scale tested (144-1600 regions).
+
+        The borders join and the force→position join are per-region-sized
+        sides; below _BROADCAST_REGIONS they are broadcast (measured 4×
+        faster at 15k regions: shuffle-stage overhead dominates tiny
+        data), above it they stay shuffle hash joins on region_idx.
         """
         bw = borders.select(
             F.col("focal").alias("f_region_idx"),
             F.col("neighbor").alias("n_region_idx"),
             "weight")
+        small = getattr(self, "_n_regions", None) is not None \
+            and self._n_regions <= self._BROADCAST_REGIONS
+        hint = F.broadcast if small else (lambda df: df)
         cur = state.localCheckpoint(eager=True)
         n_iter = iterations if stop is None else min(iterations, stop)
         for _ in range(n_iter):
@@ -245,7 +265,7 @@ class Cartogram:
             cand = cand.filter(
                 (F.col("dist") > 0)
                 & (F.col("dist") < F.lit(widest) + F.col("f_radius")))
-            pair = cand.join(bw, ["f_region_idx", "n_region_idx"], "left")
+            pair = cand.join(hint(bw), ["f_region_idx", "n_region_idx"], "left")
             ov = (F.col("n_radius") + F.col("f_radius")) - F.col("dist")
             dxu = (F.col("n_cx") - F.col("f_cx")) / F.col("dist")
             dyu = (F.col("n_cy") - F.col("f_cy")) / F.col("dist")
@@ -265,7 +285,7 @@ class Cartogram:
                 F.sum("_xa").alias("xattract"), F.sum("_ya").alias("yattract"),
                 F.min("dist").alias("_mind"),
             )
-            j = cur.join(forces,
+            j = cur.join(hint(forces),
                          cur["region_idx"] == forces["f_region_idx"], "left")
             closest = F.when(F.col("_mind").isNull() | (F.col("_mind") > widest),
                              F.lit(widest)).otherwise(F.col("_mind"))

@@ -208,3 +208,36 @@ def test_dorling_param_envelope_runs(spark, squares_df):
         assert len(rows) == 4
         assert all(np.isfinite(r["cx"]) and np.isfinite(r["cy"])
                    for r in rows)
+
+
+def test_dorling_reference_370_regions_golden(spark):
+    """Reference-replay parity at the reference's real workload scale
+    (~370 regions ≈ UK local-authority districts, main.py:47-69), 100
+    iterations, frozen as an in-repo golden so exact-parity survives
+    future refactors without needing the reference environment
+    (SURVEY.md §5.2 / VERDICT r1 next-6). Golden generated by this exact
+    construction; regenerate only on *intentional* dorling-arithmetic
+    changes and say so in the commit."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.geometry.udfs import st_wkt_to_wkb
+
+    n = 370
+    rows = [(k, f"R{k}", float((k % 13) + 1 + (k % 7))) for k in range(n)]
+    df = spark.createDataFrame(rows, "region_idx long, name string, value double")
+    gx = (F.col("region_idx") % 20).cast("long")
+    gy = F.floor(F.col("region_idx") / 20).cast("long")
+    wkt = F.format_string("POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+                          gx, gy, gx + 1, gy, gx + 1, gy + 1, gx, gy + 1, gx, gy)
+    cart = Cartogram(df.withColumn("geometry", st_wkt_to_wkb(wkt)),
+                     "value", "name", idx_field="region_idx")
+    out = cart.dorling(iterations=100, mode="reference").collect()
+    got = {str(r["region_idx"]): [round(r["cx"], 9), round(r["cy"], 9),
+                                  round(r["radius"], 9)] for r in out}
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "dorling370_golden.json")) as f:
+        golden = json.load(f)
+    assert got == golden

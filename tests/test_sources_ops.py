@@ -113,8 +113,10 @@ def test_registry_contract():
     oracles = ent.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"g04_dorling_positions", "g05_dorling_scalable",
-                         "k01_kmeans_clusters", "q38_sketches"}
+    # g04/g05/k01 were upgraded to golden VALUES oracles in round 2; the
+    # remaining rows-only entries are q38 (sketch values engine-specific
+    # by design) and g08 (iterative loop, sf-dependent checksum)
+    assert rows_only == {"q38_sketches", "g08_dorling_scalable_large"}
     assert len(qs) >= 65
     for name, fn in qs.items():
         assert callable(fn), name

@@ -1,0 +1,67 @@
+"""Regenerate the golden VALUES oracles for the deterministic iterative
+queries (g04_dorling_positions, g05_dorling_scalable, k01_kmeans_clusters).
+
+These queries run driver loops (Gauss–Seidel / Jacobi / k-means) that SQL
+cannot express, but their outputs are deterministic: fixed nation-derived
+grid (identical at every sf), exact aggregates, documented tie-breaks.
+So the oracle is a literal golden table produced by the query itself.
+
+g04/g05 derive from `nation` (25 rows, byte-identical across sf) — one
+golden serves every sf. k01 derives from `embeddings`, which differ per
+sf, so its golden carries a per-sf fingerprint (count + rounded sum of
+the leading dimension) that the oracle SQL joins on.
+
+Usage: python tools/gen_goldens.py   # prints golden blocks to paste into
+ecmm428_pycart_spark/benchmarks/{geo_queries,datapipe_queries}.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ("0.001", "0.01", "0.1")
+BASE = "/root/testdata/sf"
+
+
+def fmt(v):
+    return repr(v) if not isinstance(v, str) else f"'{v}'"
+
+
+def main():
+    import duckdb
+
+    from ecmm428_pycart_spark.benchmarks import get_queries
+    from ecmm428_pycart_spark.session import get_spark
+
+    spark = get_spark("gen-goldens")
+    qs = get_queries()
+
+    for name in ("g04_dorling_positions", "g05_dorling_scalable"):
+        per_sf = {sf: sorted(map(tuple, qs[name](spark, BASE + sf).collect()))
+                  for sf in SFS[:2]}
+        assert per_sf["0.001"] == per_sf["0.01"], \
+            f"{name} is not sf-independent — golden oracle invalid"
+        rows = per_sf["0.001"]
+        print(f"# {name} golden ({len(rows)} rows):")
+        print(",\n".join(
+            "(" + ",".join(fmt(v) for v in r) + ")" for r in rows))
+        print()
+
+    print("# k01_kmeans_clusters golden (n, s, cluster, n_vectors):")
+    for sf in SFS:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{BASE}{sf}/embeddings.parquet'")
+        n, s = con.execute(
+            "SELECT count(*), round(sum(embedding[1])::DOUBLE, 4) "
+            "FROM embeddings").fetchone()
+        rows = sorted(map(tuple, qs["k01_kmeans_clusters"](
+            spark, BASE + sf).collect()))
+        print(",\n".join(f"({n}, {s!r}, {c}, {nv})" for c, nv in rows) + ",")
+
+
+if __name__ == "__main__":
+    main()
