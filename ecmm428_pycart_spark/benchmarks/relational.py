@@ -378,6 +378,48 @@ def q19_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+# q19's streaming twin, EXECUTED through Structured Streaming: file-source
+# stream over the events parquet → watermarked tumbling-window agg →
+# availableNow trigger draining into a memory sink — the same incremental
+# path a kafka/file production stream runs, oracle-checked against the
+# batch SQL (streaming/batch equivalence as a driver-gated property, not
+# just a pytest one). Complete output mode so the final table includes
+# windows newer than the last watermark.
+@q("st01_stream_hourly", """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""")
+def st01_stream_hourly(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        hourly_event_counts, read_events_stream)
+
+    d = tempfile.mkdtemp(prefix="st01_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    name = f"st01_{uuid.uuid4().hex[:8]}"
+    q_ = (hourly_event_counts(stream).writeStream
+          .format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    out = spark.table(name)
+    return (out.select(F.col("window_start").cast("date").alias("event_date"),
+                       F.hour("window_start").alias("event_hour"),
+                       "event_type", "n", "sum_value")
+            .groupBy("event_date", "event_hour", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum("sum_value"), 2).alias("sum_value")))
+
+
 # Gap-based sessionization via lag window (beyond-reference)
 @q("q20_sessionize", """
 WITH x AS (
