@@ -32,6 +32,8 @@ HEADLINE = [
     "d14_tfidf_top_terms",
     "d15_dup_clusters",
     "s01_cosine_topk",
+    "s05_cosine_neardup",
+    "q41_e3_pipeline",
     "g02_queen_borders",
     "g07_queen_borders_large",
     "g04_dorling_positions",

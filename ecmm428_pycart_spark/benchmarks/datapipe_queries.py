@@ -329,6 +329,48 @@ def m02_decode_features(spark, sf_dir):
     return multimodal.decode_features(mm)
 
 
+# REAL container-format decode (PNG IHDR parse — stdlib, no PIL): the
+# payload is synthesized per doc with doc_id-derived dimensions, so the
+# oracle recomputes the expected metadata with plain arithmetic — an
+# independent end-to-end check that the byte-level parser is correct.
+@q("m03_image_meta", """
+SELECT doc_id, 'png' AS fmt,
+       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 32 + 1 AS INTEGER) AS height
+FROM documents
+""")
+def m03_image_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn("payload",
+                              multimodal.synth_png_payload(F.col("doc_id")))
+    meta = payload.withColumn("m", multimodal.parse_image_meta(F.col("payload")))
+    return meta.select("doc_id", F.col("m.fmt").alias("fmt"),
+                       F.col("m.width").alias("width"),
+                       F.col("m.height").alias("height"))
+
+
+# REAL WAV metadata decode (RIFF chunk walk): duration arithmetic is
+# recomputed by the oracle from doc_id.
+@q("m04_wav_meta", """
+SELECT doc_id,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+       CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples,
+       round((doc_id % 500 + 100) * 1000.0 / (8000 * (doc_id % 3 + 1)), 3)
+         AS duration_ms
+FROM documents
+""")
+def m04_wav_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn("payload",
+                              multimodal.synth_wav_payload(F.col("doc_id")))
+    meta = payload.withColumn("m", multimodal.parse_wav_meta(F.col("payload")))
+    return meta.select("doc_id", F.col("m.channels").alias("channels"),
+                       F.col("m.sample_rate").alias("sample_rate"),
+                       F.col("m.n_samples").alias("n_samples"),
+                       F.round(F.col("m.duration_ms"), 3).alias("duration_ms"))
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """
@@ -607,6 +649,111 @@ def d15_dup_clusters(spark, sf_dir):
     edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
     cc = connected_components(edges)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# PII scrubbing — the redaction pass every training corpus runs before
+# tokenization. The synthetic docs carry no PII, so deterministic
+# doc_id-derived contact strings are injected first (making the oracle
+# non-vacuous), then masked with the same regexes on both engines.
+# Native regexp_replace/regexp_count — JVM-side, no UDF.
+@q("d17_pii_scrub", r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR ||
+         '@example.com or +1-555-' || (doc_id % 10000)::VARCHAR AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+1-555-[0-9]+')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                                         '<EMAIL>', 'g'),
+                          '\+1-555-[0-9]+', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+""")
+def d17_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+                 (F.col("doc_id") % 10000).cast("string"))
+    email, phone = r"[a-z0-9]+@[a-z]+\.[a-z]+", r"\+1-555-[0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(phone)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+# End-to-end near-dup REMOVAL: pairs → jaccard edges → connected
+# components → keep exactly one doc per duplicate cluster (the min
+# doc_id canonical) plus every unclustered doc — the actual corpus
+# filter a dedup pipeline ships, composed from d06/d15's machinery.
+@q("d18_dedup_canonical", f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+           AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.component
+""")
+def d18_dedup_canonical(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.components import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+    cc = connected_components(edges)
+    keep = cc.filter(F.col("node") == F.col("component")) \
+             .select(F.col("node").alias("doc_id"))
+    clustered = cc.select(F.col("node").alias("doc_id"))
+    survivors = (docs.join(clustered, "doc_id", "left_anti")
+                 .select("doc_id", "source")
+                 .unionByName(docs.join(keep, "doc_id", "left_semi")
+                              .select("doc_id", "source")))
+    return survivors
 
 
 # Deterministic stratified sampling: top-N per language by hash order —

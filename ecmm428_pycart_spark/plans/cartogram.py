@@ -94,13 +94,18 @@ class Cartogram:
     # ------------------------------------------------------------------
     # Dorling (A3)
     # ------------------------------------------------------------------
-    def _dorling_setup(self):
+    def _dorling_setup(self, materialize_borders: bool = False):
         """Shared setup (pycart/cartogram.py:308-341): borders, perimeters,
         centroids, radius calibration k = ΣD/ΣR over the directed edge
         list (SURVEY.md Q5), radii, widest.
 
         Returns (state_df, borders_df, widest). state has columns
         region_idx, id, value, cx, cy, radius, perimeter.
+
+        ``materialize_borders`` checkpoints the borders pipeline (vertex
+        join + weight UDF) eagerly — pass True when borders will be
+        re-consumed per iteration (scalable mode); the extra action is a
+        net loss for the one-shot consumers (radii, reference cogroup).
         """
         v, i, g = self.value_field, self.id_field, self.geo_field
         cols = [v, i, g]
@@ -115,10 +120,8 @@ class Cartogram:
         base = (base.select(*dict.fromkeys([v, i, g, "region_idx"]))
                 .localCheckpoint(eager=True))
         borders, _islands = get_borders(base, i, g, idx_field="region_idx")
-        # borders (vertex join + weight UDF) is consumed by the calibration
-        # aggregates below AND re-joined by both dorling modes — materialize
-        # once instead of recomputing the pipeline per consumer
-        borders = borders.localCheckpoint(eager=True)
+        if materialize_borders:
+            borders = borders.localCheckpoint(eager=True)
 
         regions = centroid_cols(base, geom_col=g, prefix="c")
         regions = regions.withColumn("perimeter", st_perimeter(F.col(g)))
@@ -177,7 +180,8 @@ class Cartogram:
         and keeps only the last (Q2); we buffer once after the loop —
         identical result, O(n²·iters) fewer buffer calls.
         """
-        state, borders, widest = self._dorling_setup()
+        state, borders, widest = self._dorling_setup(
+            materialize_borders=(mode == "scalable"))
         if mode == "reference":
             moved = self._dorling_reference(state, borders, widest,
                                             iterations, ratio, friction, stop)

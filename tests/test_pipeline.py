@@ -161,3 +161,30 @@ def test_svg_figure_sink(spark, tmp_path):
                   label_col="name")
     assert svg2.count("<path") == 4
     assert (tmp_path / "dorling.svg").exists()
+
+
+def test_real_container_format_decoders(spark):
+    """PNG/JPEG/GIF/WAV header parsers are REAL decoders (stdlib only):
+    parse handcrafted bytes of each format and assert exact metadata."""
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    assert mm._image_meta_one(mm.png_bytes(17, 9)) == ("png", 17, 9)
+    assert mm._image_meta_one(mm.jpeg_bytes(640, 480)) == ("jpeg", 640, 480)
+    import struct as _s
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert mm._image_meta_one(gif) == ("gif", 320, 200)
+    assert mm._image_meta_one(b"\x00garbage") == (None, None, None)
+
+    ch, rate, n, dur = mm._wav_meta_one(mm.wav_bytes(2, 16000, 101))
+    assert (ch, rate, n) == (2, 16000, 101)
+    assert abs(dur - 6.3125) < 1e-12
+    assert mm._wav_meta_one(b"RIFFxxxxJUNK") == (None, None, None, None)
+
+    # and through the Spark UDF path
+    from pyspark.sql import functions as F
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    out = (df.withColumn("p", mm.synth_png_payload(F.col("doc_id")))
+           .withColumn("m", mm.parse_image_meta(F.col("p")))
+           .select("doc_id", "m.width", "m.height").collect())
+    assert {(r["doc_id"], r["width"], r["height"]) for r in out} == \
+        {(0, 1, 1), (1, 2, 2), (2, 3, 3)}
