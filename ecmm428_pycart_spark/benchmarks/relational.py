@@ -420,6 +420,76 @@ def st01_stream_hourly(spark, sf_dir):
                  F.round(F.sum("sum_value"), 2).alias("sum_value")))
 
 
+# Streaming sessionization EXECUTED through session_window +
+# availableNow, oracle-checked against the lag-based batch definition of
+# gap sessions: session_window merges events < 30 min apart, so session
+# start = min(ts), end = max(ts) + gap, per (user, session). Timestamps
+# reduce to epoch micros for cross-engine compare.
+@q("st02_stream_sessions", """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def st02_stream_sessions(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, sessionize_stream)
+
+    d = tempfile.mkdtemp(prefix="st02_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    name = f"st02_{uuid.uuid4().hex[:8]}"
+    q_ = (sessionize_stream(stream).writeStream
+          .format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_micros("session_start").alias("session_start_us"),
+                    F.unix_micros("session_end").alias("session_end_us"),
+                    "n_events", "sum_value"))
+
+
+# Skew-safe two-level salted aggregation over the hot event_type keys —
+# result is identical to the plain groupBy (algebraic aggregate), which
+# IS the oracle; the salted plan spreads each hot key over N reducers.
+@q("q42_salted_agg", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""")
+def q42_salted_agg(spark, sf_dir):
+    from ecmm428_pycart_spark.operators.skew import salted_sum
+    ev = _t(spark, sf_dir, "events")
+    sums = salted_sum(ev, ["event_type"], "value", "_sv")
+    counts = salted_sum(ev.withColumn("_one", F.lit(1)),
+                        ["event_type"], "_one", "n")
+    return (sums.join(counts, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    F.round("_sv", 2).alias("sum_value")))
+
+
 # Gap-based sessionization via lag window (beyond-reference)
 @q("q20_sessionize", """
 WITH x AS (
