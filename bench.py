@@ -31,8 +31,13 @@ HEADLINE = [
     "d07_simhash",
     "d14_tfidf_top_terms",
     "d15_dup_clusters",
+    "d17_pii_scrub",
     "s01_cosine_topk",
     "s05_cosine_neardup",
+    "s07_ann_multiprobe",
+    "m03_image_meta",
+    "st01_stream_hourly",
+    "q42_salted_agg",
     "q41_e3_pipeline",
     "g02_queen_borders",
     "g07_queen_borders_large",

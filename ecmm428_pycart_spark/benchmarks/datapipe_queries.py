@@ -300,6 +300,55 @@ def s03_centroid_assign(spark, sf_dir):
     return similarity.assign_nearest_centroid(emb, cents)
 
 
+# Multi-probe sign-LSH: query bucket + all 8 Hamming-1 buckets — the
+# recall/cost knob; probes 9/256 buckets, plan = one broadcast hash join.
+@q("s07_ann_multiprobe", f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+  FROM embeddings
+),
+qv AS (
+  SELECT embedding AS q, CAST({_BUCKET_SQL} AS INTEGER) AS qb
+  FROM embeddings WHERE vec_id = 0
+),
+probes AS (
+  SELECT q, xor(qb, flip) AS bucket
+  FROM qv, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip)
+),
+scored AS (
+  SELECT vec_id, bucket,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex)) * sqrt(sum(qx * qx))), 6) AS cos
+  FROM (SELECT b.vec_id, b.bucket,
+               unnest(b.embedding)::DOUBLE AS ex, unnest(p.q)::DOUBLE AS qx
+        FROM b JOIN probes p USING (bucket))
+  GROUP BY vec_id, bucket
+)
+SELECT vec_id, bucket, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""")
+def s07_ann_multiprobe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_multiprobe_topk(emb, similarity.query_vector(emb, 0),
+                                          k=10)
+
+
+# Symmetric per-vector int8 quantization (4x storage shrink before
+# indexing); compared as the full quantized array + scale.
+@q("s08_int8_quantize", """
+SELECT vec_id,
+       round(mx / 127.0, 9) AS scale,
+       CASE WHEN mx > 0
+            THEN list_transform(embedding,
+                                x -> CAST(round(x::DOUBLE * 127.0 / mx, 0) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS qvec
+FROM (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+      FROM embeddings)
+""")
+def s08_int8_quantize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -76,6 +76,45 @@ def ann_sign_lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .select(id_col, "bucket", "cos"))
 
 
+def ann_multiprobe_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bits: int = 8) -> DataFrame:
+    """Multi-probe sign-LSH: probe the query's bucket plus every
+    Hamming-distance-1 bucket (flip one sign bit) — 9 of 256 buckets for
+    8 bits. The standard recall/cost knob for LSH at scale: recall rises
+    sharply (near neighbours differ in few sign bits) while the scan
+    still touches a constant fraction of the table; the probe list is a
+    broadcast, so the plan is one hash join on the bucket key."""
+    bucketed = df.withColumn("bucket", sign_bucket(vec_col, bits))
+    qb = query.withColumn("qb", sign_bucket("q", bits))
+    probes = qb.select(
+        "q", F.explode(F.array(
+            F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i))
+                           for i in range(bits)])).alias("bucket"))
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    scored = cand.withColumn("cos", F.round(cosine(F.col(vec_col), F.col("q")), 6))
+    return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "bucket", "cos"))
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) ∈ [-127, 127] — the 4× storage shrink every
+    100 TB vector corpus applies before indexing. All higher-order
+    array functions, JVM-side."""
+    mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    quant = F.transform(
+        vec_col,
+        lambda x: F.when(F.lit(True) & (mx > 0),
+                         F.round(x.cast("double") * 127.0 / mx, 0).cast("int")
+                         ).otherwise(F.lit(0)))
+    return df.select(F.col(id_col),
+                     F.round(mx / 127.0, 9).alias("scale"),
+                     quant.alias("qvec"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.30,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          bits: int = 8) -> DataFrame:
