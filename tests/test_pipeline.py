@@ -188,3 +188,63 @@ def test_real_container_format_decoders(spark):
            .select("doc_id", "m.width", "m.height").collect())
     assert {(r["doc_id"], r["width"], r["height"]) for r in out} == \
         {(0, 1, 1), (1, 2, 2), (2, 3, 3)}
+
+
+def test_int8_quantization_error_bound(spark):
+    """Dequantized values must be within scale/2 of the original (the
+    defining property of symmetric round-to-nearest quantization)."""
+    from ecmm428_pycart_spark.datapipe.similarity import quantize_int8
+    from ecmm428_pycart_spark.session import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").collect()
+    for r in joined:
+        for orig, qi in zip(r["embedding"], r["qvec"]):
+            assert abs(float(orig) - qi * r["scale"]) <= r["scale"] / 2 + 1e-12
+            assert -127 <= qi <= 127
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe candidates are a superset of the single bucket, so its
+    top-k cosine floor must be >= single-probe's."""
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.session import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = sim.query_vector(emb, 0)
+    single = [r["cos"] for r in sim.ann_sign_lsh_topk(emb, qv, k=5).collect()]
+    multi = [r["cos"] for r in sim.ann_multiprobe_topk(emb, qv, k=5).collect()]
+    assert min(multi) >= min(single)
+    assert max(multi) >= max(single)
+
+
+def test_container_parser_edge_cases():
+    """JPEG restart markers skipped, WAV odd-size chunks word-aligned,
+    truncated input safe."""
+    import struct as _s
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    # JPEG with RST + DHT segments before SOF0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dht = b"\x00" * 5
+    sof0 = _s.pack(">BHHB", 8, 33, 44, 1) + b"\x01\x11\x00"
+    jpg = (b"\xff\xd8" + b"\xff\xd0"          # RST marker, no length
+           + b"\xff\xe0" + _s.pack(">H", len(app0) + 2) + app0
+           + b"\xff\xc4" + _s.pack(">H", len(dht) + 2) + dht   # DHT: not SOF
+           + b"\xff\xc0" + _s.pack(">H", len(sof0) + 2) + sof0 + b"\xff\xd9")
+    assert mm._image_meta_one(jpg) == ("jpeg", 44, 33)
+
+    # WAV with an odd-sized LIST chunk before fmt/data (word alignment)
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"\x00\x00" * 10
+    body = (b"WAVE"
+            + b"LIST" + _s.pack("<I", 3) + b"abc\x00"   # 3 bytes + pad
+            + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    ch, rate, n, _dur = mm._wav_meta_one(wav)
+    assert (ch, rate, n) == (1, 8000, 10)
+
+    # truncated inputs return None tuples, never raise
+    assert mm._image_meta_one(b"\x89PNG\r\n\x1a")[0] is None
+    assert mm._wav_meta_one(b"RI") == (None, None, None, None)

@@ -70,3 +70,37 @@ def test_concurrent_query_execution(spark):
             map(tuple, qs[n](spark, SF).collect()))) for n in names}
         parallel = {n: f.result(timeout=120) for n, f in futs.items()}
     assert parallel == serial
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned parquet layout + a date filter must hit only the
+    matching partition directories (PartitionFilters in the scan) — the
+    layout/pruning contract a 100 TB events table depends on."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .withColumn("event_date", F.col("ts").cast("date"))
+    path = str(tmp_path / "events_parted")
+    ev.write.partitionBy("event_date").parquet(path)
+
+    dates = [r["event_date"] for r in
+             ev.select("event_date").distinct().limit(2).collect()]
+    back = spark.read.parquet(path).filter(F.col("event_date") == dates[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # row parity against an unpartitioned filter
+    want = ev.filter(F.col("event_date") == dates[0]).count()
+    assert back.count() == want and want > 0
+
+
+def test_s05_no_nested_loop_join(spark):
+    """The near-dup pair query must stay an equi-join on the LSH bucket —
+    regression guard against the all-pairs cartesian shape."""
+    from ecmm428_pycart_spark.benchmarks import get_queries
+
+    df = get_queries()["s05_cosine_neardup"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
