@@ -471,6 +471,34 @@ def st02_stream_sessions(spark, sf_dir):
                     "n_events", "sum_value"))
 
 
+# Streaming exact-dedup through dropDuplicates over a watermarked
+# stream (bounded per-key state) — projected to the key columns so the
+# result is the distinct key set, deterministic and oracle-checkable.
+@q("st03_stream_dedup", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def st03_stream_dedup(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="st03_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = (read_events_stream(spark, d)
+              .select("user_id", "event_type", "ts")
+              .withWatermark("ts", "2 hours")
+              .dropDuplicates(["user_id", "event_type"])
+              .select("user_id", "event_type"))
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    q_ = (stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.table(name)
+
+
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.

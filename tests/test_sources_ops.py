@@ -204,3 +204,42 @@ def test_iso3166_covers_reference_world_csv():
     for c in ("PRK", "ERI", "FJI", "GUY", "PSE", "HKG"):
         assert c in ISO3_TO_ISO2
     assert not (set(ISO3_TO_ISO2) & WORLD_BANK_AGGREGATES)
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    """documents → JSONL → back with explicit schema: content-identical
+    (the LLM-corpus interchange path); inference is refused."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources import (
+        DOCUMENT_SCHEMA, read_jsonl, write_jsonl)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, DOCUMENT_SCHEMA)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, docs.collect()))
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, path, "")
+
+
+def test_sketch_queries_error_bounds(spark):
+    """q38's approx sketches are engine-specific (rows-only in the gate),
+    but their values must stay within documented error of exact answers."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    r = ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(r["approx_users"] - r["exact_users"]) \
+        <= 0.05 * r["exact_users"]  # HLL++ default rsd 5%
+    assert abs(r["p50_approx"] - r["p50_exact"]) \
+        <= 0.01 * max(abs(r["p50_exact"]), 1.0)
