@@ -499,6 +499,45 @@ def st03_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+# Custom stateful operator EXECUTED through applyInPandasWithState:
+# per-user running (count, sum, max) accumulated in the state store
+# across micro-batches, drained with availableNow. The final update per
+# user equals the full-history aggregate, which IS the oracle. State is
+# one tuple per user (bounded by |users|, not |events|). Robust to any
+# micro-batch split: updates are monotone in n_events, so max(struct)
+# picks each user's last update regardless of sink row order.
+@q("st04_stream_user_stats", """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value, max(value) AS max_value
+FROM events GROUP BY user_id
+""")
+def st04_stream_user_stats(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, running_user_stats)
+
+    d = tempfile.mkdtemp(prefix="st04_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    name = f"st04_{uuid.uuid4().hex[:8]}"
+    q_ = (running_user_stats(stream).writeStream
+          .format("memory").queryName(name)
+          .outputMode("update").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    last = (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sum_value", "max_value"))
+                 .alias("s")))
+    return last.select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.round("s.sum_value", 2).alias("sum_value"),
+        F.col("s.max_value").alias("max_value"))
+
+
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.

@@ -90,8 +90,10 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             if len(pdf):
                 m = max(m, float(pdf["value"].max()))
         state.update((n, s, m))
+        # raw sum — rounding happens downstream with F.round (HALF_UP);
+        # Python round() is banker's and diverges from SQL engines
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "sum_value": [round(s, 2)], "max_value": [m]})
+                            "sum_value": [s], "max_value": [m]})
 
     return (events.groupBy("user_id").applyInPandasWithState(
         update, _USER_STATS_OUT, _USER_STATS_STATE,

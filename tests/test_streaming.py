@@ -69,9 +69,13 @@ def test_running_user_stats_stateful(spark, events_dir):
     q = (sdf.writeStream.format("memory").queryName("ustats_t")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    # last update per user == full-history aggregate
+    # last update per user == full-history aggregate (sum emitted raw,
+    # rounded here with F.round — HALF_UP on both sides)
     got = {r["user_id"]: (r["n_events"], r["sum_value"])
-           for r in spark.table("ustats_t").collect()}
+           for r in spark.table("ustats_t")
+               .select("user_id", "n_events",
+                       F.round("sum_value", 2).alias("sum_value"))
+               .collect()}
     batch = (load_table(spark, SF_DIR, "events").groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.sum("value"), 2).alias("s")))
