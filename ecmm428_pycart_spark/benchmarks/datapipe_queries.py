@@ -851,3 +851,125 @@ def s06_array_ops(spark, sf_dir):
         (F.round(F.array_max(dbl), 4) + F.lit(0.0)).alias("max_dim"),
         (F.round(F.array_min(dbl), 4) + F.lit(0.0)).alias("min_dim"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"))
+
+
+# ---------------------------------------------------------------------------
+# E2E corpus-cleaning macro
+# ---------------------------------------------------------------------------
+
+# The whole pre-training corpus filter as ONE hash-checked chain —
+# quality gate -> language gate -> exact dedup (min-doc_id canonical) ->
+# minhash-LSH near-dup removal -> surviving corpus. The datapipe
+# analogue of q41: proves the dedup/text operators COMPOSE, which is
+# what a real pipeline runs. Every stage reuses the machinery already
+# verified piecewise (d03/d09/d18), applied to the shrinking survivor
+# set — at 100 TB that order matters (cheap native filters first, the
+# LSH shuffle only over what survives them).
+_D19_DEDUP_BLOCK = f"""sig AS ({_MINHASH_SQL}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+           AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+  FROM reach GROUP BY a
+)""".replace("FROM documents", "FROM filtered")
+
+@q("d19_corpus_clean", f"""
+WITH scored AS (
+  SELECT doc_id, text, source,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))), 4) AS quality
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sw(cand_lang, tok) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM tok JOIN sw USING (tok) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang FROM hits
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY n_hits DESC, cand_lang ASC) = 1
+),
+gated AS (
+  SELECT s.doc_id, s.text, s.source, s.quality
+  FROM scored s LEFT JOIN best b USING (doc_id)
+  WHERE s.quality >= 0.15 AND coalesce(b.cand_lang, 'und') <> 'und'
+),
+filtered AS (
+  SELECT doc_id, text, source, quality FROM gated
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+{_D19_DEDUP_BLOCK}
+SELECT d.doc_id, d.source, d.quality
+FROM filtered d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.component
+""")
+def d19_corpus_clean(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    # stage 1+2: native-column quality gate, broadcast-join language gate
+    # (threshold compares ROUNDED values on both engines — convention)
+    gated = (text.lang_id(text.quality_score(docs))
+             .withColumn("quality", F.round("quality", 4))
+             .filter((F.col("quality") >= 0.15)
+                     & (F.col("pred_lang") != "und"))
+             .select("doc_id", "text", "source", "quality"))
+    # stage 3: exact dedup, min-doc_id canonical per identical text
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (gated.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    # stage 4: near-dup removal over the survivors only
+    cand = dedup.lsh_candidate_pairs(exact)
+    edges = dedup.jaccard_pairs(exact, cand, threshold=0.5)
+    cc = connected_components(edges)
+    keep = (cc.filter(F.col("node") == F.col("component"))
+            .select(F.col("node").alias("doc_id")))
+    clustered = cc.select(F.col("node").alias("doc_id"))
+    return (exact.join(clustered, "doc_id", "left_anti")
+            .select("doc_id", "source", "quality")
+            .unionByName(exact.join(keep, "doc_id", "left_semi")
+                         .select("doc_id", "source", "quality")))
