@@ -973,3 +973,39 @@ def d19_corpus_clean(spark, sf_dir):
             .select("doc_id", "source", "quality")
             .unionByName(exact.join(keep, "doc_id", "left_semi")
                          .select("doc_id", "source", "quality")))
+
+
+# Batch k-NN join: exact top-5 neighbours for a 10-query batch in one
+# pass over the corpus (broadcast queries, two-phase distributed top-k —
+# see similarity.knn_join for the shuffle analysis). The oracle is the
+# naive quadratic rank, identical by construction at this scale.
+@q("s09_knn_join", """
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> x::DOUBLE) AS qe
+  FROM embeddings WHERE vec_id < 10
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ee
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(ee, qe)
+               / (sqrt(list_dot_product(ee, ee))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+         AS rank
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, vec_id ASC) <= 5
+""")
+def s09_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q")))
+    return similarity.knn_join(emb, queries, k=5)

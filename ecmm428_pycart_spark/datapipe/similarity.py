@@ -145,6 +145,42 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.30,
             .select("vec_a", "vec_b", "cos"))
 
 
+def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q") -> DataFrame:
+    """Batch k-NN join: exact top-k corpus neighbours for EVERY query in
+    a (small) query batch — the bulk-retrieval primitive behind
+    retrieval-augmented dataset construction.
+
+    Scale shape: the query batch is broadcast, so scoring is map-side —
+    one pass over the corpus, the big table never shuffles for the join.
+    Top-k then runs in TWO phases: a partial top-k inside each scan
+    partition (window keyed by (query, partition id) — spread over the
+    whole cluster), then the global top-k over the k·n_partitions
+    survivors. A single-phase window would funnel every scored row onto
+    |queries| reducers — the classic few-groups skew; the two-phase plan
+    carries O(k·parts) rows per query into the final shuffle instead of
+    the whole corpus. Approximate variants (sign-LSH buckets, IVF lists)
+    bound the *scored* set the same way s02/s04 do.
+    """
+    from pyspark.sql import Window as W
+    scored = (df.crossJoin(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col(q_id_col))
+              .withColumn("cos", F.round(
+                  cosine(F.col(vec_col), F.col(q_vec_col)), 6))
+              .select(q_id_col, id_col, "cos"))
+    part = scored.withColumn("_p", F.spark_partition_id())
+    w1 = W.partitionBy(q_id_col, "_p").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    partial = (part.withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= k))
+    w2 = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                         F.col(id_col).asc())
+    return (partial.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
 def label_centroids(df: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector via posexplode + groupBy — the coarse
