@@ -1018,3 +1018,45 @@ def q40_iqr_outliers(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_outliers"),
                  F.round(F.min("value"), 2).alias("min_outlier"),
                  F.round(F.max("value"), 2).alias("max_outlier")))
+
+
+# Time-series gap-fill: regularize the per-type hourly series onto a
+# dense hour grid (the rollup/continuous-aggregate shape time-series
+# stores ship). The grid is generated IN-PLAN per key — sequence() over
+# the key's own [min,max] hour span, exploded — so grid construction is
+# distributed and proportional to the output, no driver loop, no
+# cross-join against a global calendar. ~40 of 720 hours per type are
+# genuinely absent in the testdata, so the fill path is exercised.
+@q("q43_gapfill", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.event_type, epoch_us(g.h) AS hour_us,
+       coalesce(hh.v, 0.0) AS v,
+       CAST(hh.v IS NULL AS INTEGER) AS was_missing
+FROM grid g LEFT JOIN hourly hh
+  ON g.event_type = hh.event_type AND g.h = hh.h
+""")
+def q43_gapfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.round(F.sum("value"), 2).alias("v")))
+    bounds = hourly.groupBy("event_type").agg(F.min("h").alias("h0"),
+                                              F.max("h").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    return (grid.join(hourly, ["event_type", "h"], "left")
+            .select("event_type", F.unix_micros("h").alias("hour_us"),
+                    F.coalesce("v", F.lit(0.0)).alias("v"),
+                    F.col("v").isNull().cast("int").alias("was_missing")))

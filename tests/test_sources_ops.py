@@ -243,3 +243,21 @@ def test_sketch_queries_error_bounds(spark):
         <= 0.05 * r["exact_users"]  # HLL++ default rsd 5%
     assert abs(r["p50_approx"] - r["p50_exact"]) \
         <= 0.01 * max(abs(r["p50_exact"]), 1.0)
+
+
+def test_orc_roundtrip_partitioned_pruned(spark, tmp_path):
+    """documents → ORC partitioned by lang → read back content-identical;
+    a lang-filtered scan prunes to that partition (PartitionFilters)."""
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.sinks import read_orc, write_orc
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path).select(*docs.columns)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, docs.collect()))
+    pruned = read_orc(spark, path).filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
