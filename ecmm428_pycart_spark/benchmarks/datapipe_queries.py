@@ -1009,3 +1009,58 @@ def s09_knn_join(spark, sf_dir):
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q")))
     return similarity.knn_join(emb, queries, k=5)
+
+
+# Sliding-window token chunking (window 50, stride 40): the long-doc
+# split before tokenization. Pure map-side explode — no shuffle; see
+# text.chunk_documents.
+@q("d20_doc_chunks", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, greatest(n - 1, 0), 40)) AS chunk_start
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_start / 40 AS INTEGER) AS chunk_idx,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 50)) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 50),
+                           ' ')) AS chunk_md5
+FROM starts WHERE chunk_start < n
+""")
+def d20_doc_chunks(spark, sf_dir):
+    return text.chunk_documents(_t(spark, sf_dir, "documents"),
+                                window=50, stride=40)
+
+
+# Deterministic sequence packing into 2048-token training bins,
+# hash-sharded so every running-sum window stays partition-local (a
+# global packing order would be an unpartitioned window — one reducer;
+# see text.pack_sequences for the scale analysis).
+@q("d21_seq_packing", """
+WITH base AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+         len(string_split(text, ' ')) AS n,
+         ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 16 AS shard
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shard, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS running
+  FROM base
+)
+SELECT doc_id, shard,
+       CAST(floor((running - n) / 2048) AS BIGINT) AS pack_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(running - n AS BIGINT) AS pack_offset
+FROM r
+""")
+def d21_seq_packing(spark, sf_dir):
+    return text.pack_sequences(_t(spark, sf_dir, "documents"),
+                               budget=2048, shards=16)

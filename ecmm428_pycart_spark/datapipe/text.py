@@ -84,3 +84,57 @@ def fingerprint(col) -> Column:
     """Order-insensitive bag fingerprint: md5 over the sorted distinct
     token set. Identical content under token reordering → same print."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def chunk_documents(df: DataFrame, window: int = 50, stride: int = 40,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking — the pre-tokenization split every
+    training pipeline applies to long documents (overlap = window-stride
+    tokens preserves cross-boundary context).
+
+    In-plan and map-side only: chunk starts come from sequence() over
+    each doc's own token count, exploded; no shuffle at all — a 100 TB
+    corpus chunks in a single scan, output proportional to input.
+    """
+    toks = tokens(F.col(text_col))
+    chunked = (df.select(id_col, toks.alias("_toks"),
+                         F.size(toks).alias("_n"))
+               .withColumn("chunk_start", F.explode(F.sequence(
+                   F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)),
+                   F.lit(stride))))
+               .filter(F.col("chunk_start") < F.col("_n")))
+    chunk = F.slice("_toks", F.col("chunk_start") + 1, window)
+    return chunked.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-token-
+    budget training bins. Docs are hash-sharded, hash-ordered within the
+    shard, and binned by the running token offset — contiguous greedy
+    packing *per shard*.
+
+    Scale shape: real pipelines pack per output shard/file, never
+    globally — a single global running sum is an unpartitioned window
+    (one reducer sees everything). Sharding by a hash byte keeps every
+    window partition-local and the whole plan one shuffle on shard;
+    determinism comes from the md5 ordering, not rand().
+    """
+    from pyspark.sql import Window as W
+    h = F.md5(F.col(id_col).cast("string"))
+    n = F.size(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), h.alias("_h"), n.alias("_n"),
+                     (F.ascii(F.substring(h, 1, 1)) % shards).alias("shard"))
+    w = (W.partitionBy("shard").orderBy("_h", id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    running = F.sum("_n").over(w)
+    return base.select(
+        id_col, "shard",
+        F.floor((running - F.col("_n")) / budget).alias("pack_id"),
+        F.col("_n").alias("n_tokens"),
+        (running - F.col("_n")).alias("pack_offset"))
