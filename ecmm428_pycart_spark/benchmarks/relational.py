@@ -1060,3 +1060,52 @@ def q43_gapfill(spark, sf_dir):
             .select("event_type", F.unix_micros("h").alias("hour_us"),
                     F.coalesce("v", F.lit(0.0)).alias("v"),
                     F.col("v").isNull().cast("int").alias("was_missing")))
+
+
+# Trailing time-RANGE window: for every event, the 24h-lookback sum and
+# count within its type — the sliding-horizon feature every monitoring /
+# feature-engineering pipeline computes. RANGE frame over event-time
+# (epoch micros on both engines so frame bounds are identical); ties in
+# ts are frame-inclusive by RANGE semantics on both engines, so the
+# result is deterministic per event_id.
+@q("q44_trailing_window", """
+SELECT event_id,
+       round(sum(value) OVER w, 2) AS trail_sum_24h,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n_24h
+FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""")
+def q44_trailing_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (W.partitionBy("event_type").orderBy("ts_us")
+         .rangeBetween(-86400000000, 0))
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trail_sum_24h"),
+        F.count(F.lit(1)).over(w).alias("trail_n_24h"))
+
+
+# GROUPING SETS with grouping_id — the generalized multi-level aggregate
+# (rollup/cube are its special cases; q18/q24 cover those). Expressed
+# through spark.sql: the declarative route IS the engine's API surface.
+@q("q45_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+         AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+""")
+def q45_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q45_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        FROM q45_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+    """)
