@@ -32,9 +32,15 @@ HEADLINE = [
     "d14_tfidf_top_terms",
     "d15_dup_clusters",
     "d17_pii_scrub",
+    "d19_corpus_clean",
+    "d20_doc_chunks",
+    "d21_seq_packing",
+    "q43_gapfill",
+    "q44_trailing_window",
     "s01_cosine_topk",
     "s05_cosine_neardup",
     "s07_ann_multiprobe",
+    "s09_knn_join",
     "m03_image_meta",
     "st01_stream_hourly",
     "q42_salted_agg",

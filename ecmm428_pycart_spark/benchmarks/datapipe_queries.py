@@ -962,6 +962,10 @@ def d19_corpus_clean(spark, sf_dir):
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     exact = (gated.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1).drop("_rn"))
+    # `exact` feeds 4+ plan branches (LSH bands, jaccard doc sides, the
+    # two survivor joins) — materialize once so the lang-id explode-join
+    # and the dedup window don't re-execute per consumer
+    exact = exact.localCheckpoint(eager=True)
     # stage 4: near-dup removal over the survivors only
     cand = dedup.lsh_candidate_pairs(exact)
     edges = dedup.jaccard_pairs(exact, cand, threshold=0.5)
