@@ -1068,3 +1068,48 @@ FROM r
 def d21_seq_packing(spark, sf_dir):
     return text.pack_sequences(_t(spark, sf_dir, "documents"),
                                budget=2048, shards=16)
+
+
+# Blocked fuzzy matching: Levenshtein edit distance on document prefixes
+# within (lang, length-bucket) blocks — the string-similarity dedup
+# family (complements token-set jaccard d06 and bitwise simhash d08).
+# Blocking bounds the quadratic exactly like the LSH band cap: pairs
+# only form inside a block, and blocks above 256 docs are dropped (no
+# discriminative power, same rationale as dedup.MAX_BUCKET_SIZE).
+# levenshtein() is JVM-native on Spark and intrinsic in DuckDB.
+@q("d22_fuzzy_pairs", """
+WITH b0 AS (
+  SELECT doc_id, lang, n_chars // 20 AS len_bucket,
+         substr(text, 1, 24) AS prefix
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, len_bucket, prefix FROM b0
+  QUALIFY count(*) OVER (PARTITION BY lang, len_bucket) <= 256
+)
+SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, x.prefix) AS INTEGER) AS edit_dist
+FROM b a JOIN b x
+  ON a.lang = x.lang AND a.len_bucket = x.len_bucket
+ AND a.doc_id < x.doc_id
+WHERE levenshtein(a.prefix, x.prefix) <= 12
+""")
+def d22_fuzzy_pairs(spark, sf_dir):
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 20).alias("len_bucket"),
+        F.substring("text", 1, 24).alias("prefix"))
+    b = (b0.withColumn("_bn", F.count(F.lit(1)).over(
+            W.partitionBy("lang", "len_bucket")))
+         .filter(F.col("_bn") <= 256).drop("_bn"))
+    a = b.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket",
+                 F.col("prefix").alias("pa"))
+    x = b.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket",
+                 F.col("prefix").alias("px"))
+    return (a.join(x, ["lang", "len_bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("edit_dist", F.levenshtein("pa", "px"))
+            .filter(F.col("edit_dist") <= 12)
+            .select("doc_a", "doc_b", "edit_dist"))

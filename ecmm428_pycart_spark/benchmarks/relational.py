@@ -1109,3 +1109,29 @@ def q45_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus))
     """)
+
+
+# Exact equi-depth histogram via ntile: 10 equal-count bins per type
+# with bin boundaries — the exact twin of the approximate percentile
+# sketches in q38 (at 100 TB you ship q38's approx_percentile; this is
+# the exact variant for dims / verification). Tie-break on event_id
+# makes bin assignment deterministic on both engines.
+@q("q46_equidepth_hist", """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM ranked GROUP BY event_type, bin
+""")
+def q46_equidepth_hist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.withColumn("bin", F.ntile(10).over(w).cast("long"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 2).alias("lo"),
+                 F.round(F.max("value"), 2).alias("hi")))
