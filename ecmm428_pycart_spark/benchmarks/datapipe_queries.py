@@ -1113,3 +1113,36 @@ def d22_fuzzy_pairs(spark, sf_dir):
             .withColumn("edit_dist", F.levenshtein("pa", "px"))
             .filter(F.col("edit_dist") <= 12)
             .select("doc_a", "doc_b", "edit_dist"))
+
+
+# Frame sampling over binary payloads (mapInPandas explode-shaped
+# contract a real pyav sampler would have): up to 4 evenly spaced
+# 16-byte frames per payload. Payload = utf-8 text bytes (ASCII in the
+# testdata), so the oracle recomputes each frame as a substring slice
+# and compares md5s — end-to-end check of the Arrow plumbing, offsets
+# and clamping.
+@q("m05_frame_sample", """
+WITH t AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS bl FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, least(4, greatest(bl // 64, 1)) - 1))
+           AS frame_index
+  FROM t
+)
+SELECT doc_id, CAST(frame_index AS INTEGER) AS frame_index,
+       CAST(octet_length(encode(substr(text, frame_index * 64 + 1, 16)))
+            AS INTEGER) AS frame_bytes,
+       md5(substr(text, frame_index * 64 + 1, 16)) AS frame_md5
+FROM f
+""")
+def m05_frame_sample(spark, sf_dir):
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample_stub(mm.select("doc_id", "payload"),
+                                          every_n_bytes=64, frame_len=16,
+                                          max_frames=4)
+    return frames.select(
+        "doc_id", "frame_index",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"))
