@@ -261,3 +261,70 @@ def test_orc_roundtrip_partitioned_pruned(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunk coverage invariant: with stride < window every token index
+    of every doc falls inside >= 1 chunk, chunk 0 starts at 0, and no
+    chunk starts at/after the token count (short docs get exactly one)."""
+    from ecmm428_pycart_spark.datapipe.text import chunk_documents
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunk_documents(docs, window=50, stride=40).collect()
+    n_toks = {r["doc_id"]: len(r["text"].split(" "))
+              for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, rows in by_doc.items():
+        n = n_toks[doc_id]
+        starts = sorted(r["chunk_start"] for r in rows)
+        assert starts[0] == 0 and all(s < n for s in starts)
+        covered = set()
+        for r in rows:
+            covered.update(range(r["chunk_start"],
+                                 min(r["chunk_start"] + 50, n)))
+        assert covered == set(range(n))
+        for r in rows:
+            assert r["n_chunk_tokens"] == min(50, n - r["chunk_start"])
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Packing invariants: offsets are a per-shard running sum in hash
+    order, pack_id = offset // budget, and every shard's docs tile the
+    token stream contiguously (no gaps, no overlap)."""
+    from ecmm428_pycart_spark.datapipe.text import pack_sequences
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pack_sequences(docs, budget=2048, shards=16).collect()
+    import hashlib
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == docs.count()
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (hashlib.md5(
+            str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        expect_off = 0
+        for r in rows:
+            assert r["pack_offset"] == expect_off
+            assert r["pack_id"] == r["pack_offset"] // 2048
+            expect_off += r["n_tokens"]
+
+
+def test_knn_join_partition_invariant(spark):
+    """knn_join result is independent of input partitioning (the
+    two-phase top-k must not leak partition boundaries into results)."""
+    from ecmm428_pycart_spark.datapipe.similarity import knn_join
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q")))
+    a = knn_join(emb, queries, k=3).collect()
+    b = knn_join(emb.repartition(7, "vec_id"), queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 15
