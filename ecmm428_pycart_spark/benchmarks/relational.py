@@ -1135,3 +1135,54 @@ def q46_equidepth_hist(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("value"), 2).alias("lo"),
                  F.round(F.max("value"), 2).alias("hi")))
+
+
+# Stream-stream event-time interval join EXECUTED through Structured
+# Streaming: clicks joined to same-user errors in the following hour,
+# both sides watermarked (bounded join state — the state store holds
+# only rows inside the watermark horizon). Inner-join matches emit as
+# found under availableNow, so the drained result equals the batch
+# join, which IS the oracle.
+@q("st05_stream_interval_join", """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       epoch_us(c.ts) AS click_us, epoch_us(e.ts) AS error_us
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def st05_stream_interval_join(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="st05_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    clicks = (read_events_stream(spark, d)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", "2 hours"))
+    errors = (read_events_stream(spark, d)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("user_id2"),
+                      F.col("ts").alias("error_ts"),
+                      F.col("event_id").alias("error_id"))
+              .withWatermark("error_ts", "2 hours"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 1 HOUR")))
+    name = f"st05_{uuid.uuid4().hex[:8]}"
+    q_ = (joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.table(name)
+            .select("click_id", "error_id",
+                    F.unix_micros("click_ts").alias("click_us"),
+                    F.unix_micros("error_ts").alias("error_us")))
