@@ -1146,3 +1146,35 @@ def m05_frame_sample(spark, sf_dir):
         "doc_id", "frame_index",
         F.octet_length("frame").alias("frame_bytes"),
         F.md5("frame").alias("frame_md5"))
+
+
+# Per-language token-distribution entropy + vocabulary size — the
+# corpus-diversity diagnostic run before training-mix decisions. Two
+# aggregations (term counts, then per-lang entropy); the per-lang total
+# joins back broadcast, so the only wide shuffle is on (lang, token).
+@q("d23_token_entropy", """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (
+  SELECT lang, tok, count(*) AS c FROM tok GROUP BY lang, tok
+),
+tot AS (
+  SELECT lang, sum(c) AS t FROM cnt GROUP BY lang
+)
+SELECT c.lang,
+       round(-sum((c.c::DOUBLE / t.t) * ln(c.c::DOUBLE / t.t)), 6) AS entropy,
+       CAST(count(*) AS BIGINT) AS vocab
+FROM cnt c JOIN tot t ON c.lang = t.lang
+GROUP BY c.lang
+""")
+def d23_token_entropy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (cnt.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+                 F.count(F.lit(1)).alias("vocab")))
