@@ -61,6 +61,14 @@ def main():
         rows = sorted(map(tuple, qs["k01_kmeans_clusters"](
             spark, BASE + sf).collect()))
         print(",\n".join(f"({n}, {s!r}, {c}, {nv})" for c, nv in rows) + ",")
+    print()
+
+    print("# g08_dorling_scalable_large golden "
+          "(n, cx_chk, cy_chk, radius_chk):")
+    for sf in SFS:
+        (n, cx, cy, r), = qs["g08_dorling_scalable_large"](
+            spark, BASE + sf).collect()
+        print(f"({n}, {cx}, {cy}, {r}),")
 
 
 if __name__ == "__main__":
