@@ -950,6 +950,51 @@ QUERIES["q38_sketches"] = q38_sketches
 ORACLES["q38_sketches"] = None
 
 
+# Deterministic distinct-count sketch: KMV (bottom-k minimum values).
+# Unlike HLL (q38, engine-specific registers), KMV is exactly
+# reproducible across engines: hash = first 8 md5 hex chars as a uint32,
+# keep the k smallest distinct hashes, estimate = (k-1)·2^32 / h_k.
+# Spark's distinct→orderBy→limit(k) compiles to TakeOrderedAndProject
+# (per-partition bottom-k, merged once — no full sort shuffle), which is
+# exactly how a 1000-executor KMV would run; the sketch itself is
+# mergeable by unioning bottom-k sets. Estimate lands within ~6% of the
+# true distinct count at k=256, asserted via rel_err in the output.
+@q("q47_kmv_sketch", """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM lineitem
+),
+bottomk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+kth AS (SELECT CAST(max(hv) AS BIGINT) AS h_k,
+               CAST(count(*) AS BIGINT) AS k
+        FROM bottomk),
+exact AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+          FROM lineitem)
+SELECT k, h_k,
+       round((k - 1) * 4294967296.0 / h_k, 2) AS est_distinct,
+       n_exact,
+       round(abs((k - 1) * 4294967296.0 / h_k - n_exact) / n_exact, 4)
+         AS rel_err
+FROM kth, exact
+""")
+def q47_kmv_sketch(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    hv = F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8),
+                16, 10).cast("long")
+    bottomk = (li.select(hv.alias("hv")).distinct()
+               .orderBy("hv").limit(256))
+    kth = bottomk.agg(F.max("hv").alias("h_k"),
+                      F.count(F.lit(1)).alias("k"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+    est = (F.col("k") - 1) * F.lit(4294967296.0) / F.col("h_k")
+    return (kth.crossJoin(F.broadcast(exact))
+            .select("k", "h_k",
+                    F.round(est, 2).alias("est_distinct"),
+                    "n_exact",
+                    F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4)
+                     .alias("rel_err")))
+
+
 # Ordered funnel analysis: users progressing view → click → purchase in
 # timestamp order (conditional min-timestamps per stage, then ordering
 # predicates — the set-based funnel formulation that scales as one agg).
