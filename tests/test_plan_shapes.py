@@ -95,6 +95,49 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == want and want > 0
 
 
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every one is a crossJoin(broadcast(<1-row aggregate or tiny literal
+# table>)) — anchor maxima, scalar fingerprints, IDF doc counts, query
+# vectors, codebooks, bucket edges. The build side is O(1) rows by
+# construction, so the "nested loop" is a constant-time map-side append,
+# not a quadratic join.
+_BNLJ_OK = {
+    "d14_tfidf_top_terms",      # 1-row corpus doc-count for IDF
+    "g01_noncontiguous_scale",  # 1-row anchor max
+    "g07_queen_borders_large",  # 1-row grid side length
+    "g09_noncontiguous_large",  # 1-row grid side + anchor
+    "k01_kmeans_clusters",      # sf fingerprint / centroid broadcast
+    "q32_range_bucket_join",    # literal bucket-edge table
+    "q35_scalar_subquery",      # 1-row scalar aggregate
+    "q47_kmv_sketch",           # 1-row exact-count side
+    "s01_cosine_topk",          # broadcast query vector
+    "s03_centroid_assign",      # broadcast codebook
+    "s04_ivf_probe",            # broadcast codebook
+    "s09_knn_join",             # broadcast query batch
+}
+
+
+def test_registry_wide_plan_guards(spark):
+    """Every registered batch query's physical plan is free of the two
+    unconditional scale-killers — CartesianProduct (unbounded pair
+    blowup) and BatchEvalPython (row-at-a-time Python in the hot path) —
+    and BroadcastNestedLoopJoin appears only for documented O(1)-row
+    build sides (_BNLJ_OK). Streaming (st*) queries execute rather than
+    plan lazily and are guarded by their own tests."""
+    qs = get_queries()
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith("st"):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        bad = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale anti-patterns found: {offenders}"
+
+
 def test_s05_no_nested_loop_join(spark):
     """The near-dup pair query must stay an equi-join on the LSH bucket —
     regression guard against the all-pairs cartesian shape."""

@@ -114,9 +114,10 @@ def test_registry_contract():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     # g04/g05/k01 were upgraded to golden VALUES oracles in round 2; the
-    # remaining rows-only entries are q38 (sketch values engine-specific
-    # by design) and g08 (iterative loop, sf-dependent checksum)
-    assert rows_only == {"q38_sketches", "g08_dorling_scalable_large"}
+    # the only remaining rows-only entry is q38 (sketch values
+    # engine-specific by design; its deterministic counterpart q47 is
+    # hash-checked). g08 graduated to a per-sf golden checksum oracle.
+    assert rows_only == {"q38_sketches"}
     assert len(qs) >= 65
     for name, fn in qs.items():
         assert callable(fn), name
