@@ -1178,3 +1178,36 @@ def d23_token_entropy(spark, sf_dir):
             .groupBy("lang")
             .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
                  F.count(F.lit(1)).alias("vocab")))
+
+
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006): each
+# doc draws key u^(1/w) from a hash-derived uniform u and the global
+# top-50 keys are the sample — longer (higher-weight) docs are
+# proportionally likelier, and the whole draw is deterministic and
+# engine-independent (md5 uniforms, no rand()). Spark compiles the
+# top-k to TakeOrderedAndProject (per-partition bottom-k, one merge) —
+# the exact shape a 100 TB weighted corpus draw needs: no global sort,
+# no driver-side weighing. Keys are rounded before ranking with doc_id
+# as the tie-break so the cut is reproducible across engines even at a
+# pow() last-ulp divergence.
+@q("d24_weighted_sample", """
+WITH k AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(pow(
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0,
+           1.0 / len(string_split(text, ' '))), 9) AS es_key
+  FROM documents
+)
+SELECT doc_id, n_tokens, es_key
+FROM k ORDER BY es_key DESC, doc_id LIMIT 50
+""")
+def d24_weighted_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " ")).cast("bigint")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long") + 0.5) / F.lit(4294967296.0))
+    k = docs.select("doc_id", w.alias("n_tokens"),
+                    F.round(F.pow(u, 1.0 / w), 9).alias("es_key"))
+    return k.orderBy(F.col("es_key").desc(), "doc_id").limit(50)

@@ -541,6 +541,30 @@ def st04_stream_user_stats(spark, sf_dir):
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.
+# Join-side skew safety: the replicated (salted) join — big side gets a
+# deterministic salt, the dim side is exploded num_salts× and the join
+# runs on (key, salt), spreading a hot key over N tasks where AQE's
+# sort-merge skew split can't help (broadcast-ineligible medium dims).
+# The gate checks the property that makes it usable at all: the result
+# is IDENTICAL to the plain inner join, which is the oracle.
+@q("q48_replicated_skew_join", """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q48_replicated_skew_join(spark, sf_dir):
+    from ecmm428_pycart_spark.operators.skew import replicate_join_skewed
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("k"), "l_extendedprice"))
+    dim = (_t(spark, sf_dir, "part")
+           .select(F.col("p_partkey").alias("k"), "p_brand"))
+    joined = replicate_join_skewed(li, dim, "k", num_salts=8)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
 @q("q42_salted_agg", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
