@@ -541,6 +541,62 @@ def st04_stream_user_stats(spark, sf_dir):
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.
+# Data-quality constraint report (the Deequ-shaped validation layer a
+# pipeline runs before a training job): one row per declared constraint
+# with its violation count. Per-table checks collapse into ONE scan per
+# table (conditional aggregates); the FK check is a left-anti join. The
+# set deliberately mixes structurally-zero constraints (integrity holds)
+# with distributional ones that fire (non-vacuous value comparison).
+@q("q49_constraint_report", """
+SELECT * FROM (
+  SELECT 'orders_custkey_fk' AS constraint_name, CAST(count(*) AS BIGINT) AS violations
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'customer_pk_unique', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'lineitem_qty_le45', CAST(count(*) FILTER (l_quantity > 45) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'orders_totalprice_le400k', CAST(count(*) FILTER (o_totalprice > 400000) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'events_value_nonnull', CAST(count(*) FILTER (value IS NULL) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'events_value_le99', CAST(count(*) FILTER (value > 99) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'documents_text_ge100chars', CAST(count(*) FILTER (length(text) < 100) AS BIGINT) FROM documents
+)
+""")
+def q49_constraint_report(spark, sf_dir):
+    def row(name, df):
+        return df.select(F.lit(name).alias("constraint_name"),
+                         F.col("violations").cast("long"))
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    cnt = lambda cond: F.count(F.when(cond, 1)).alias("violations")
+
+    fk = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"],
+                      "left_anti")
+          .agg(F.count(F.lit(1)).alias("violations")))
+    pk = cust.agg((F.count(F.lit(1))
+                   - F.countDistinct("c_custkey")).alias("violations"))
+    qty = li.agg(cnt(F.col("l_quantity") > 45))
+    tot = orders.agg(cnt(F.col("o_totalprice") > 400000))
+    evn = ev.agg(cnt(F.col("value").isNull()))
+    evb = ev.agg(cnt(F.col("value") > 99))
+    short = docs.agg(cnt(F.length("text") < 100))
+
+    return (row("orders_custkey_fk", fk)
+            .unionByName(row("customer_pk_unique", pk))
+            .unionByName(row("lineitem_qty_le45", qty))
+            .unionByName(row("orders_totalprice_le400k", tot))
+            .unionByName(row("events_value_nonnull", evn))
+            .unionByName(row("events_value_le99", evb))
+            .unionByName(row("documents_text_ge100chars", short)))
+
+
 # Join-side skew safety: the replicated (salted) join — big side gets a
 # deterministic salt, the dim side is exploded num_salts× and the join
 # runs on (key, salt), spreading a hot key over N tasks where AQE's

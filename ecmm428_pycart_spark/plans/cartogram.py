@@ -138,13 +138,23 @@ class Cartogram:
                        F.col("cx").alias("_nx"), F.col("cy").alias("_ny"),
                        F.col("_value").alias("_nv"))
         edge = borders.join(f, "focal").join(n, "neighbor")
+        # ONE driver round trip for all loop-control scalars: the edge
+        # calibration sums and the region stats are independent 1-row
+        # aggregates, crossJoined and collected together. widest is
+        # derived as k·max(unit radius) — bit-identical to
+        # max(unit radius·k) because multiplying by a positive scalar is
+        # monotone under IEEE rounding.
         sums = edge.agg(
             F.sum(F.hypot(F.col("_nx") - F.col("_fx"),
                           F.col("_ny") - F.col("_fy"))).alias("total_distance"),
             F.sum(F.sqrt(F.col("_fv") / math.pi)
                   + F.sqrt(F.col("_nv") / math.pi)).alias("total_radius"),
-        ).collect()[0]
-        if sums["total_radius"] is None or float(sums["total_radius"]) == 0.0:
+        )
+        stats = regions.agg(
+            F.max(F.sqrt(F.col("_value") / math.pi)).alias("_maxur"),
+            F.count(F.lit(1)).alias("_n"))
+        row = sums.crossJoin(stats).collect()[0]
+        if row["total_radius"] is None or float(row["total_radius"]) == 0.0:
             # no Queen edges at all (single region / all islands): the
             # reference divides by zero here (cartogram.py:335); fail fast
             # with a diagnosable message instead
@@ -152,14 +162,12 @@ class Cartogram:
                 "dorling: no contiguity edges — every region is an island, "
                 "radius calibration k = D/R is undefined (reference would "
                 "raise ZeroDivisionError)")
-        k = float(sums["total_distance"]) / float(sums["total_radius"])
+        k = float(row["total_distance"]) / float(row["total_radius"])
 
         state = regions.withColumn(
             "radius", F.sqrt(F.col("_value") / math.pi) * F.lit(k))
-        stats = state.agg(F.max("radius").alias("m"),
-                          F.count(F.lit(1)).alias("n")).collect()[0]
-        self._n_regions = int(stats["n"])
-        return state, borders, float(stats["m"])
+        self._n_regions = int(row["_n"])
+        return state, borders, float(row["_maxur"]) * k
 
     def dorling_radii(self) -> DataFrame:
         """The dorling radius calibration as a standalone DataFrame
