@@ -49,6 +49,11 @@ HEADLINE = [
     "g07_queen_borders_large",
     "g04_dorling_positions",
     "g08_dorling_scalable_large",
+    "g10_pagerank_borders",
+    "q47_kmv_sketch",
+    "q48_replicated_skew_join",
+    "q49_constraint_report",
+    "d24_weighted_sample",
 ]
 
 
