@@ -1211,3 +1211,33 @@ def d24_weighted_sample(spark, sf_dir):
     k = docs.select("doc_id", w.alias("n_tokens"),
                     F.round(F.pow(u, 1.0 / w), 9).alias("es_key"))
     return k.orderBy(F.col("es_key").desc(), "doc_id").limit(50)
+
+
+# Train/eval decontamination: flag training docs sharing any word
+# 3-gram with a held-out eval slice (docs with doc_id % 50 == 0 stand
+# in for the benchmark set). The eval side's distinct shingles are
+# broadcast — at 100 TB the train corpus never shuffles on the shingle
+# key: map-side hash join against the (small) eval set, then one
+# aggregation on doc_id. Shingles reuse the minhash machinery's native
+# n-gram expression (no UDF).
+@q("d25_decontamination", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS g
+       FROM toks, unnest(range(1, len(t) - 1)) AS i(i)),
+eval AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM train JOIN eval USING (g)
+GROUP BY doc_id
+""")
+def d25_decontamination(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.dedup import shingle_set
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(shingle_set(F.col("text"), 3)).alias("g"))
+    eval_g = (sh.filter(F.col("doc_id") % 50 == 0)
+              .select("g").distinct())
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (train.join(F.broadcast(eval_g), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
