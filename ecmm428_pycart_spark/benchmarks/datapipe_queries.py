@@ -1241,3 +1241,32 @@ def d25_decontamination(spark, sf_dir):
     return (train.join(F.broadcast(eval_g), "g")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+# Intra-document repetition (the Gopher-rules quality signal): fraction
+# of duplicate word 3-grams within each doc. Entirely map-side native
+# array expressions — per-row work, zero shuffle, so it composes into
+# any quality gate for free at any corpus size.
+@q("d26_repetition_ratio", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS gs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       round(1.0 - len(list_distinct(gs))::DOUBLE / len(gs), 6)
+         AS dup_gram_frac
+FROM sh WHERE len(gs) > 0
+""")
+def d26_repetition_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0)))
+    gs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
+    out = docs.select(
+        "doc_id", F.size(gs).cast("long").alias("n_grams"),
+        F.round(1.0 - F.size(F.array_distinct(gs))
+                / F.size(gs).cast("double"), 6).alias("dup_gram_frac"))
+    return out.filter(F.col("n_grams") > 0)
