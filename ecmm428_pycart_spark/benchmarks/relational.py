@@ -541,7 +541,36 @@ def st04_stream_user_stats(spark, sf_dir):
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.
-# Data-quality constraint report (the Deequ-shaped validation layer a
+# Sink→source round trip EXECUTED in the gate: orders written as
+# ORC partitioned by order month, read back with a partition filter,
+# aggregated — proving the columnar sink, the hive-style partition
+# layout, and source-level partition pruning end-to-end. The oracle
+# computes the same aggregate straight from the parquet table, so any
+# row lost/duplicated/retyped by the round trip hash-mismatches.
+@q("q50_orc_roundtrip", """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE date_trunc('month', o_orderdate) >= DATE '1997-01-01'
+GROUP BY 1, 2
+""")
+def q50_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.sinks import read_orc, write_orc
+
+    orders = (_t(spark, sf_dir, "orders")
+              .withColumn("order_month",
+                          F.trunc("o_orderdate", "month")))
+    path = tempfile.mkdtemp(prefix="q50_orc_")
+    write_orc(orders, path, partition_by=["order_month"])
+    back = read_orc(spark, path).filter(
+        F.col("order_month") >= F.lit("1997-01-01").cast("date"))
+    return (back.groupBy("order_month", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
 # pipeline runs before a training job): one row per declared constraint
 # with its violation count. Per-table checks collapse into ONE scan per
 # table (conditional aggregates); the FK check is a left-anti join. The
