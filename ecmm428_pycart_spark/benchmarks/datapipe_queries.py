@@ -979,6 +979,43 @@ def d19_corpus_clean(spark, sf_dir):
                          .select("doc_id", "source", "quality")))
 
 
+# Per-source corpus card — the training-mix report a data team reads
+# before setting sampling weights: doc/token volume, mean quality,
+# and exact-dup rate per source. One scan + one shuffle on source
+# (20 groups here; at 100 TB the group count is still tiny, so the
+# aggregation is broadcast-cheap and partial-aggregated map-side).
+@q("d27_source_mix", """
+WITH base AS (
+  SELECT source, doc_id, text,
+         len(string_split(text, ' ')) AS n_tok,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))), 4) AS quality,
+         md5(text) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(avg(quality), 6) AS mean_quality,
+       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM base GROUP BY source
+""")
+def d27_source_mix(spark, sf_dir):
+    docs = text.quality_score(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.round("quality", 4).alias("quality"),
+        F.md5("text").alias("h"))
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.round(F.avg("quality"), 6).alias("mean_quality"),
+                 (F.count(F.lit(1))
+                  - F.countDistinct("h")).alias("n_exact_dups")))
+
+
 # Batch k-NN join: exact top-5 neighbours for a 10-query batch in one
 # pass over the corpus (broadcast queries, two-phase distributed top-k —
 # see similarity.knn_join for the shuffle analysis). The oracle is the
