@@ -241,3 +241,45 @@ def test_dorling_reference_370_regions_golden(spark):
                            "dorling370_golden.json")) as f:
         golden = json.load(f)
     assert got == golden
+
+
+def test_queen_neighbors_matches_bruteforce(spark):
+    """The aggregation formulation of queen contiguity (collect_set per
+    vertex + pair explode) must produce exactly the pairs a brute-force
+    shared-rounded-vertex scan finds — on an irregular layout mixing
+    edge contact, corner-only contact, islands, and varied cell sizes."""
+    import random
+
+    from ecmm428_pycart_spark.geometry.core import dumps
+    from ecmm428_pycart_spark.operators.borders import (
+        _VERTEX_DECIMALS, queen_neighbors)
+
+    rng = random.Random(428)
+    # 18 axis-aligned boxes: a ragged grid patch, two corner-touchers,
+    # and two distant islands; sizes 1×1 or 2×1 so some vertices are
+    # shared by up to 4 regions and some edges touch mid-side (which
+    # queen contiguity must NOT count unless a vertex coincides)
+    boxes = []
+    for i in range(14):
+        x = rng.randint(0, 4)
+        y = rng.randint(0, 4)
+        w = rng.choice((1, 2))
+        boxes.append((x, y, w, 1))
+    boxes += [(6, 6, 1, 1), (7, 7, 1, 1),          # corner contact pair
+              (20, 20, 1, 1), (30, 30, 1, 1)]      # islands
+    rows = []
+    verts = {}
+    for idx, (x, y, w, h) in enumerate(boxes):
+        ring = [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]
+        rows.append((idx, dumps(("Polygon", [ring]))))
+        verts[idx] = {(round(float(vx), _VERTEX_DECIMALS),
+                       round(float(vy), _VERTEX_DECIMALS))
+                      for vx, vy in ring}
+
+    expect = {(a, b) for a in verts for b in verts
+              if a != b and verts[a] & verts[b]}
+
+    df = spark.createDataFrame(rows, "region_idx long, geometry binary")
+    got = {(r["focal"], r["neighbor"])
+           for r in queen_neighbors(df).collect()}
+    assert got == expect and expect, f"diff={got ^ expect}"
