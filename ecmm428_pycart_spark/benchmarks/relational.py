@@ -1340,3 +1340,41 @@ def st05_stream_interval_join(spark, sf_dir):
             .select("click_id", "error_id",
                     F.unix_micros("click_ts").alias("click_us"),
                     F.unix_micros("error_ts").alias("error_us")))
+
+
+# Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+# key's state only until the watermark passes its event time (st03's
+# plain dropDuplicates holds state forever — correct but unbounded).
+# The events table spans less than the 30-day delay, so every duplicate
+# is inside one retention horizon and the drained availableNow result
+# equals batch DISTINCT, which is the oracle; on an unbounded stream
+# this operator's state store stays O(keys-per-horizon) instead of
+# growing without bound.
+@q("st06_stream_dedup_bounded", """
+SELECT user_id, event_type FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def st06_stream_dedup_bounded(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="st06_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = (read_events_stream(spark, d)
+              .select("user_id", "event_type", "ts")
+              .withWatermark("ts", "30 days")
+              .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+              .select("user_id", "event_type"))
+    name = f"st06_{uuid.uuid4().hex[:8]}"
+    q_ = (stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.table(name)
