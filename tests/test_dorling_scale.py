@@ -78,3 +78,26 @@ def test_scalable_matches_jacobi_oracle_at_scale(spark, grid_df):
     for i in range(len(x)):
         assert out[i]["radius"] == pytest.approx(radii[i], rel=1e-9)
         assert abs(out[i]["cx"] - cents[i][0]) < iters * widest
+
+
+def test_scalable_dorling_shuffle_join_fallback_matches_broadcast(
+        spark, monkeypatch):
+    """Above _BROADCAST_REGIONS the per-iteration borders/forces joins
+    fall back from broadcast to shuffle hash joins — the path a real
+    100 TB run takes, which the default tests never exercise. Forcing
+    the threshold to 0 must reproduce the broadcast path's positions
+    bit-for-bit (synchronous Jacobi is partitioning-independent)."""
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _grid
+    from ecmm428_pycart_spark.plans.cartogram import Cartogram
+
+    def run():
+        cart = Cartogram(_grid(spark, "/root/testdata/sf0.001"),
+                         "value", "n_name", idx_field="region_idx")
+        out = cart.dorling(iterations=3, mode="scalable")
+        return sorted(
+            (r["n_name"], r["cx"], r["cy"], r["radius"])
+            for r in out.select("n_name", "cx", "cy", "radius").collect())
+
+    base = run()
+    monkeypatch.setattr(Cartogram, "_BROADCAST_REGIONS", 0)
+    assert run() == base

@@ -148,3 +148,25 @@ def test_s05_no_nested_loop_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_results_invariant_to_aqe(spark):
+    """AQE rewrites plans at runtime (coalescing, skew splits, join
+    strategy switches); results must not depend on it — the engine's
+    determinism contract has to hold on clusters with either setting."""
+    qs = get_queries()
+    names = ["q10_argmax_per_group", "d06_minhash_lsh_jaccard",
+             "g05_dorling_scalable"]
+
+    def run_all():
+        return {n: sorted(map(tuple, qs[n](spark, SF).collect()))
+                for n in names}
+
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    on = run_all()
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = run_all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+    assert on == off
