@@ -170,6 +170,21 @@ def from_geojson(gtype: str, coordinates):
     raise ValueError(f"unsupported GeoJSON type: {gtype}")
 
 
+def to_geojson(geom) -> dict:
+    """Internal geom → GeoJSON geometry dict (inverse of from_geojson)."""
+    gtype, data = geom
+    if gtype == "Point":
+        return {"type": "Point", "coordinates": [float(data[0]), float(data[1])]}
+    if gtype == "Polygon":
+        return {"type": "Polygon",
+                "coordinates": [np.asarray(r, dtype="f8").tolist() for r in data]}
+    if gtype == "MultiPolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[np.asarray(r, dtype="f8").tolist() for r in poly]
+                                for poly in data]}
+    raise ValueError(f"unsupported geometry type: {gtype}")
+
+
 # ---------------------------------------------------------------------------
 # Ring primitives
 # ---------------------------------------------------------------------------

@@ -66,6 +66,44 @@ def read_geojson(spark: SparkSession, path: str,
     return df
 
 
+def write_geojson(df: DataFrame, path: str, geo_col: str = "geometry",
+                  single_file: bool = False) -> None:
+    """GeoJSON FeatureCollection sink (write side of S1/S2).
+
+    Every column except ``geo_col`` becomes a feature property; WKB
+    geometry converts back through :func:`core.to_geojson`. Each
+    partition emits ONE complete FeatureCollection document as a single
+    text row, so the output directory is a set of valid GeoJSON files —
+    exactly the layout :func:`read_geojson` parallelizes over, making
+    write→read a lossless round trip at any partition count.
+    ``single_file=True`` coalesces to one document first (small outputs
+    / interop with single-file consumers).
+    """
+    props = [c for c in df.columns if c != geo_col]
+    if single_file:
+        df = df.coalesce(1)
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feats = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                geo = row[geo_col]
+                feats.append(json.dumps({
+                    "type": "Feature",
+                    "properties": {k: (None if pd.isna(row[k]) else row[k])
+                                   for k in props},
+                    "geometry": (None if geo is None
+                                 else core.to_geojson(core.loads(bytes(geo)))),
+                }, default=str))
+        if feats:
+            doc = ('{"type": "FeatureCollection", "features": ['
+                   + ", ".join(feats) + "]}")
+            yield pd.DataFrame({"value": [doc]})
+
+    (df.mapInPandas(_render, schema="value string")
+     .write.mode("overwrite").text(path))
+
+
 def feature_property_keys(spark: SparkSession, path: str) -> list[str]:
     """Property key names from the first feature (main.py:20 `keys`)."""
     row = (read_geojson(spark, path)
