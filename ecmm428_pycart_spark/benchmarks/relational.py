@@ -1047,12 +1047,27 @@ def q37_rank_family(spark, sf_dir):
 def q38_sketches(spark, sf_dir):
     """Approximate sketches (HLL++ distinct, t-digest-ish percentile) —
     engine-specific estimators, so no cross-engine oracle (rows-only);
-    Spark's implementations are deterministic for fixed input."""
+    Spark's implementations are deterministic for fixed input. The
+    output is self-validating: each row carries the exact answers and
+    relative errors, so the rows-only check still shows the sketches
+    land inside their documented bounds (HLL++ rsd 5%;
+    test_sketch_queries_error_bounds asserts them too)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.round(F.percentile_approx("l_extendedprice", 0.5), 2)
-                  .alias("approx_median_price")))
+    out = (li.groupBy("l_returnflag")
+           .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                F.countDistinct("l_partkey").alias("exact_parts"),
+                F.round(F.percentile_approx("l_extendedprice", 0.5), 2)
+                 .alias("approx_median_price"),
+                F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2)
+                 .alias("exact_median_price")))
+    rel = lambda a, e: F.round(F.abs(F.col(a) - F.col(e))
+                               / F.col(e).cast("double"), 4)
+    return out.select(
+        "l_returnflag", "approx_parts", "exact_parts",
+        rel("approx_parts", "exact_parts").alias("distinct_rel_err"),
+        "approx_median_price", "exact_median_price",
+        rel("approx_median_price", "exact_median_price")
+         .alias("median_rel_err"))
 
 
 QUERIES["q38_sketches"] = q38_sketches
