@@ -541,6 +541,30 @@ def st04_stream_user_stats(spark, sf_dir):
 # Skew-safe two-level salted aggregation over the hot event_type keys —
 # result is identical to the plain groupBy (algebraic aggregate), which
 # IS the oracle; the salted plan spreads each hot key over N reducers.
+# TPC-H Q6 shape: the forecast-revenue scan-aggregate whose entire
+# predicate (date range + discount band + quantity cap) pushes to the
+# parquet scan — at 100 TB this query IS its I/O, so the plan must show
+# all three ranges in PushedFilters and a 3-column ReadSchema
+# (test_q51_all_predicates_pushed pins that).
+@q("q51_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q51_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+
 # Sink→source round trip EXECUTED in the gate: orders written as
 # ORC partitioned by order month, read back with a partition filter,
 # aggregated — proving the columnar sink, the hive-style partition

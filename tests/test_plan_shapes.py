@@ -170,3 +170,14 @@ def test_results_invariant_to_aqe(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", orig)
     assert on == off
+
+
+def test_q51_all_predicates_pushed(spark):
+    """Q6-shaped scan-agg: all three range predicates reach the parquet
+    scan and only the four referenced columns are read."""
+    plan = _plan(spark, "q51_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
