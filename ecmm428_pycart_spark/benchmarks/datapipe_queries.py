@@ -420,6 +420,36 @@ def m04_wav_meta(spark, sf_dir):
                        F.round(F.col("m.duration_ms"), 3).alias("duration_ms"))
 
 
+# REAL pixel-level PNG decode (stdlib zlib inflate + numpy filter
+# reconstruction — no PIL): each doc gets a gradient PNG pixel(x,y) =
+# base + x + y with the filter type cycling 0..4 by row, so the decode
+# exercises Sub/Up/Average/Paeth. Mean and std then have closed forms
+# (x, y independent discrete uniforms), which the oracle computes with
+# plain arithmetic — an end-to-end, filter-sensitive check: any
+# unfiltering bug shifts the mean/std and reddens the hash.
+@q("m06_png_pixels", """
+SELECT doc_id,
+       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 32 + 1 AS INTEGER) AS height,
+       round(doc_id % 128 + (doc_id % 64) / 2.0 + (doc_id % 32) / 2.0, 4)
+         AS pixel_mean,
+       round(sqrt(((doc_id % 64 + 1) * (doc_id % 64 + 1) - 1) / 12.0
+                + ((doc_id % 32 + 1) * (doc_id % 32 + 1) - 1) / 12.0), 4)
+         AS pixel_std
+FROM documents
+""")
+def m06_png_pixels(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png_gradient_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.png_pixel_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.round("s.pixel_mean", 4).alias("pixel_mean"),
+        F.round("s.pixel_std", 4).alias("pixel_std"))
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """
@@ -1087,7 +1117,7 @@ def d20_doc_chunks(spark, sf_dir):
 WITH base AS (
   SELECT doc_id, md5(doc_id::VARCHAR) AS h,
          len(string_split(text, ' ')) AS n,
-         ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 16 AS shard
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 16 AS shard
   FROM documents
 ),
 r AS (
@@ -1300,7 +1330,12 @@ FROM sh WHERE len(gs) > 0
 def d26_repetition_ratio(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0)))
+    # guard docs with <3 tokens: sequence(1, 0) auto-steps DOWN in Spark
+    # ([1, 0]), and slice(t, 0, 3) then raises — emit an empty gram
+    # array instead (DuckDB's range(1, len-1) is empty for the same doc)
+    idx = F.when(F.size(t) >= 3,
+                 F.sequence(F.lit(1), F.size(t) - 2)
+                 ).otherwise(F.array().cast("array<int>"))
     gs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
     out = docs.select(
         "doc_id", F.size(gs).cast("long").alias("n_grams"),

@@ -595,6 +595,9 @@ def q50_orc_roundtrip(spark, sf_dir):
     return (back.groupBy("order_month", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+# Data-quality constraint report (the Deequ-style gate a corpus
 # pipeline runs before a training job): one row per declared constraint
 # with its violation count. Per-table checks collapse into ONE scan per
 # table (conditional aggregates); the FK check is a left-anti join. The
@@ -1096,6 +1099,38 @@ def q38_sketches(spark, sf_dir):
 
 QUERIES["q38_sketches"] = q38_sketches
 ORACLES["q38_sketches"] = None
+
+
+# Hash-checkable face of q38: the exact answers ARE cross-engine
+# comparable, and the sketch estimates reduce to within-bound booleans
+# (measured worst error across sf0.001..sf0.1: distinct 2.7%, median
+# 0.08%; bounds 10% / 1% leave generous margin, and a drifting sketch
+# flips a boolean and reddens the row). The raw estimates stay in
+# q38_sketches, outside the gate, per the engine-specific-estimator
+# rationale documented there.
+@q("q38_sketch_accuracy", """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)      AS exact_parts,
+       round(quantile_cont(l_extendedprice, 0.5), 2)  AS exact_median_price,
+       TRUE                                           AS distinct_within_bound,
+       TRUE                                           AS median_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q38_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.approx_count_distinct("l_partkey").alias("_ap"),
+                F.countDistinct("l_partkey").alias("exact_parts"),
+                F.percentile_approx("l_extendedprice", 0.5).alias("_am"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("_em")))
+    rel = lambda a, e: (F.abs(F.col(a) - F.col(e))
+                        / F.abs(F.col(e)).cast("double"))
+    return agg.select(
+        "l_returnflag", "exact_parts",
+        F.round("_em", 2).alias("exact_median_price"),
+        (rel("_ap", "exact_parts") <= 0.10).alias("distinct_within_bound"),
+        (rel("_am", "_em") <= 0.01).alias("median_within_bound"))
 
 
 # Deterministic distinct-count sketch: KMV (bottom-k minimum values).

@@ -128,8 +128,13 @@ def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
     from pyspark.sql import Window as W
     h = F.md5(F.col(id_col).cast("string"))
     n = F.size(tokens(F.col(text_col)))
+    # shard from a real hash byte (first two hex chars → 0..255), NOT
+    # ascii(first char) % shards: hex digits 0-9/a-f have ascii codes
+    # 48-57/97-102, which mod 16 collapse onto 0-9 and 1-6 — shards
+    # 10-15 would always be empty and 1-6 doubly loaded
+    byte0 = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     base = df.select(F.col(id_col), h.alias("_h"), n.alias("_n"),
-                     (F.ascii(F.substring(h, 1, 1)) % shards).alias("shard"))
+                     (byte0 % shards).alias("shard"))
     w = (W.partitionBy("shard").orderBy("_h", id_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     running = F.sum("_n").over(w)

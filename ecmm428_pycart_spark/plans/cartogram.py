@@ -46,8 +46,12 @@ class Cartogram:
     is called (pycart/cartogram.py:142-170, A1)."""
 
     # Below this many regions the per-iteration borders/forces joins are
-    # broadcast (≤ ~60 MB build side); above it they stay shuffle joins.
-    _BROADCAST_REGIONS = 1_000_000
+    # broadcast; above it they stay shuffle joins. The broadcast build
+    # side is the DIRECTED borders edge list, ~8 edges/region × ~40 B ≈
+    # 32 MB at 100k regions — comfortably under executor/driver limits.
+    # 1M regions would push it past 300 MB (repeated every iteration),
+    # so the ceiling sits at 100k; raise only with a measured edge count.
+    _BROADCAST_REGIONS = 100_000
 
     def __init__(self, df: DataFrame, value_field: str, id_field: str,
                  geometry_field: str = "geometry", idx_field: str | None = None):

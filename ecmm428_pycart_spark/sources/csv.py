@@ -23,7 +23,15 @@ from ecmm428_pycart_spark.operators.relational import to_int_col
 
 
 def _assert_single_file(path: str) -> None:
-    """file_order is only well-defined for one input file (see module doc)."""
+    """file_order is only well-defined for one input file (see module doc).
+
+    Only local paths are validated: on a remote filesystem (hdfs://,
+    s3a://, ...) the driver-local glob below would match nothing and
+    reject a perfectly valid single file, so non-local schemes pass
+    through — the guarantee then rests on the caller, as documented."""
+    scheme, _, rest = path.partition("://")
+    if rest and scheme not in ("file", "local"):
+        return
     p = path[len("file:"):] if path.startswith("file:") else path
     if any(ch in p for ch in "*?["):
         matches = _glob.glob(p)

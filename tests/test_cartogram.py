@@ -117,6 +117,93 @@ def test_dorling_reference_matches_local_sweep(spark, squares_df):
             0.5 * 32 * radii[i] ** 2 * math.sin(2 * math.pi / 32), rel=1e-6)
 
 
+# Literal golden: 2 Gauss-Seidel sweeps on the 4-square fixture,
+# derived INDEPENDENTLY of dorling_core (and of the engine) by
+# transcribing the reference algorithm (pycart/cartogram.py:343-402)
+# into plain math at test-authoring time — every earlier parity test
+# compares the engine against dorling_core, which is itself the
+# builder's transcription, so this breaks that self-referentiality.
+# Derivation trace (independent calculator, full precision):
+#   calibration k = Σ directed centroid dists / Σ (r_f + r_n unscaled)
+#     = 0.0037832644010761998            [cartogram.py:319-336]
+#   radii = sqrt(value/π)·k = [0.021344783668942328, 0.030186082550537993,
+#                              0.042689567337884655, 0.02614191432950006]
+#   widest = 0.042689567337884655 (TR)
+#   iter0 idx0 (TL): only BL overlaps (dist 0.0397895 < r0+r1 is false —
+#     overlap = 0.0515309-0.0397895 > 0 → repel up); TR at dx=0.064753
+#     is outside widest+r0=0.0640343 → no force; closest=0.0397895;
+#     repel=(0, 0.01174136622) → y += 0.5·0.6·0.01174136622
+#   iter0 idx1 (BL): sees TL already MOVED (Gauss-Seidel): dist
+#     0.0433124 > r0+r1 → non-neighbour attract Q3 keeps sign; BR at
+#     dx 0.0647441 in range (widest+r1=0.0728756), overlap<0, border
+#     weight 0 via corner pair (1,3)? no — (1,3) shares edge HB →
+#     w=0.038932 scaled by perim → att x=+0.001583863158
+#   (remaining region/iteration terms follow the same pattern; the
+#    full trace is reproducible from the constants above)
+_DORLING_2IT_GOLDEN = {
+    0: (-3.601828598007651, 50.47170889067518),
+    1: (-3.6018245462479292, 50.422997054374115),
+    2: (-3.5370764292877657, 50.47944220747509),
+    3: (-3.5370852537822297, 50.41758370331388),
+}
+_DORLING_1IT_GOLDEN = {
+    0: (-3.6018285, 50.46998290986584),
+    1: (-3.601825900576697, 50.42420531309391),
+    2: (-3.53707640940421, 50.47517314396965),
+    3: (-3.5370818269484907, 50.42057195341045),
+}
+
+
+def test_dorling_hand_computed_golden(spark, squares_df):
+    """Engine reference mode vs the independently derived literal
+    coordinates above — NOT vs dorling_core.
+
+    Tolerance 1e-9, not machine epsilon: the literals start from exact
+    rectangle midpoints, while the engine starts from shoelace-formula
+    centroids, which differ by ~1e-12 in the last bits (e.g. a pure
+    vertical repel picks up a ~7e-12 x-component). Any ALGORITHMIC
+    deviation — wrong border weight, clamp, ratio/friction, or
+    Gauss-Seidel order — moves coordinates by ≥1e-5 on this fixture,
+    six orders of magnitude above the tolerance."""
+    cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
+    for iters, golden in ((1, _DORLING_1IT_GOLDEN),
+                          (2, _DORLING_2IT_GOLDEN)):
+        out = {r["region_idx"]: r
+               for r in cart.dorling(iterations=iters).collect()}
+        for i, (gx, gy) in golden.items():
+            assert out[i]["cx"] == pytest.approx(gx, abs=1e-9), (iters, i)
+            assert out[i]["cy"] == pytest.approx(gy, abs=1e-9), (iters, i)
+
+
+def test_dorling_core_matches_hand_computed_golden():
+    """dorling_core itself vs the independent literals (no Spark):
+    pins the numpy transcription to the reference arithmetic."""
+    W = abs(-3.634135 - -3.569522)
+    W2 = abs(-3.569522 - -3.504629)
+    HT = abs(50.486784 - 50.446137)
+    HB = abs(50.446137 - 50.407205)
+    cx = [(-3.634135 + -3.569522) / 2] * 2 + [(-3.569522 + -3.504629) / 2] * 2
+    cy = [(50.446137 + 50.486784) / 2, (50.407205 + 50.446137) / 2] * 2
+    val = np.array([100.0, 200.0, 400.0, 150.0])
+    perim = np.array([2 * (W + HT), 2 * (W + HB), 2 * (W2 + HT), 2 * (W2 + HB)])
+    wpairs = {(0, 1): W, (1, 0): W, (0, 2): HT, (2, 0): HT,
+              (1, 3): HB, (3, 1): HB, (2, 3): W2, (3, 2): W2,
+              (0, 3): 0.0, (3, 0): 0.0, (1, 2): 0.0, (2, 1): 0.0}
+    D = sum(math.hypot(cx[j] - cx[i], cy[j] - cy[i]) for (i, j) in wpairs)
+    R = sum(math.sqrt(val[i] / math.pi) + math.sqrt(val[j] / math.pi)
+            for (i, j) in wpairs)
+    radii = np.sqrt(val / math.pi) * (D / R)
+    assert D / R == pytest.approx(0.0037832644010761998, abs=1e-18)
+    bf = np.array([p[0] for p in wpairs])
+    bn = np.array([p[1] for p in wpairs])
+    bw = np.array([wpairs[p] for p in wpairs])
+    ex, ey = dorling_core.dorling_sweep(
+        np.array(cx), np.array(cy), radii, perim, bf, bn, bw, iterations=2)
+    for i, (gx, gy) in _DORLING_2IT_GOLDEN.items():
+        assert ex[i] == pytest.approx(gx, abs=1e-13)
+        assert ey[i] == pytest.approx(gy, abs=1e-13)
+
+
 def test_dorling_stop_param(spark, squares_df):
     cart = Cartogram(squares_df, "Population", "name", idx_field="region_idx")
     a = {r["region_idx"]: (r["cx"], r["cy"])
