@@ -54,6 +54,17 @@ HEADLINE = [
     "q48_replicated_skew_join",
     "q49_constraint_report",
     "d24_weighted_sample",
+    # round-3 additions: the families added since the r2 HEADLINE froze
+    "q50_orc_roundtrip",
+    "q51_forecast_revenue",
+    "d25_decontamination",
+    "d26_repetition_ratio",
+    "d27_source_mix",
+    "g09_noncontiguous_large",
+    "st05_stream_interval_join",
+    "st06_stream_dedup_bounded",
+    "m06_png_pixels",
+    "s10_neardup_banded",
 ]
 
 

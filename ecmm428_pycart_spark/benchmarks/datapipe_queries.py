@@ -572,6 +572,55 @@ def s05_cosine_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(emb, threshold=0.30)
 
 
+def _band_sql(offset: int, bits: int = 8) -> str:
+    return " + ".join(
+        f"CASE WHEN embedding[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits))
+
+
+# Banded (multi-table) sign-LSH near-dup: two 8-bit bands over DISJOINT
+# dimension slices, candidate = agreement on ANY band — the recall
+# upgrade over s05's single bucket, mirroring d06's banded
+# OR-construction. Supersets s05's pairs by construction (band 0 IS
+# s05's bucket). The per-band bucket width scales with corpus size via
+# similarity.auto_bits (tests pin the knob at two settings).
+@q("s10_neardup_banded", f"""
+WITH b AS (
+  SELECT vec_id,
+         CAST({_band_sql(0)} AS INTEGER) AS b0,
+         CAST({_band_sql(8)} AS INTEGER) AS b1
+  FROM embeddings
+),
+kb AS (
+  SELECT vec_id, 0 AS band, b0 AS bucket FROM b
+  UNION ALL
+  SELECT vec_id, 1 AS band, b1 AS bucket FROM b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
+  FROM kb a JOIN kb x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.vec_id < x.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         round(sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))), 6)
+           AS cos
+  FROM (SELECT c.vec_a, c.vec_b,
+               unnest(ea.embedding)::DOUBLE AS av,
+               unnest(eb.embedding)::DOUBLE AS bv
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b)
+  GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.30
+""")
+def s10_neardup_banded(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs_banded(
+        emb, threshold=0.30, bands=2, bits_per_band=8)
+
+
 # k-means is iterative (driver loop + localCheckpoint) but deterministic:
 # exact-aggregate means, rounded-distance tie-breaks (tests/test_kmeans.py).
 # The oracle is a golden VALUES table per testdata scale, dispatched on a

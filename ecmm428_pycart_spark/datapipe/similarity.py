@@ -52,12 +52,36 @@ def cosine_topk(df: DataFrame, query: DataFrame, k: int = 20,
             .select(id_col, "cos"))
 
 
-def sign_bucket(vec_col, bits: int = 8) -> Column:
-    """LSH bucket id: sign bits of the first `bits` dimensions."""
+def auto_bits(n_vectors: int, target_occupancy: int = 1024,
+              min_bits: int = 4, max_bits: int = 24) -> int:
+    """Scale the sign-LSH bucket width to the corpus.
+
+    A fixed 8-bit key means 256 buckets forever: per-bucket pair volume
+    in the near-dup join grows as (n/256)², which stops being a
+    blocking scheme long before 100 TB. Choosing bits ≈ log2(n /
+    target_occupancy) keeps expected bucket size ~constant, so the
+    verify-join cost stays ~n·occupancy regardless of corpus size
+    (e.g. 1e9 vectors @ occupancy 1024 → 20 bits → ~1M buckets).
+    Callers pass a known/estimated count — at ingest this is a metastore
+    row count, not a Spark action.
+    """
+    import math
+    if n_vectors <= target_occupancy:
+        return min_bits
+    return max(min_bits, min(max_bits,
+                             math.ceil(math.log2(n_vectors / target_occupancy))))
+
+
+def sign_bucket(vec_col, bits: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id: sign bits of dimensions [offset, offset+bits).
+
+    ``offset`` selects a disjoint dimension band, which makes the
+    multi-table (banded OR) construction possible — same role as the
+    row bands in dedup.minhash_lsh."""
     acc = F.lit(0)
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     for i in range(bits):
-        acc = acc + F.when(F.element_at(F.col(vec_col) if isinstance(vec_col, str)
-                           else vec_col, i + 1) > 0,
+        acc = acc + F.when(F.element_at(col, offset + i + 1) > 0,
                            F.lit(1 << i)).otherwise(F.lit(0))
     return acc.cast("int")
 
@@ -142,6 +166,40 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.30,
     cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
     return (cand.withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
+
+
+def cosine_neardup_pairs_banded(df: DataFrame, threshold: float = 0.30,
+                                bands: int = 2, bits_per_band: int = 8,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Multi-table (banded) sign-LSH near-dup pairs — the recall upgrade
+    over single-bucket blocking, mirroring dedup.minhash_lsh's banded
+    OR-construction: each band hashes a DISJOINT slice of dimensions,
+    and a pair becomes a candidate if it agrees on ANY band (vs ALL
+    bits of the single table). Recall for a pair with per-dim sign
+    agreement p rises from p^b to 1-(1-p^k)^bands.
+
+    Plan shape: posexplode to (band, bucket) rows → self-join on the
+    compound (band, bucket) key (shuffle key, hash join) → distinct id
+    pairs → join embeddings back by id → exact cosine verify. The
+    distinct runs on bare id pairs (no arrays), and the verify joins
+    are id-equi-joins, so every stage shuffles narrow rows only."""
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            sign_bucket(vec_col, bits_per_band, offset=b * bits_per_band)
+            for b in range(bands)])).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("vec_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("vec_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    ea = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    scored = (cand.join(ea, "vec_a").join(eb, "vec_b")
+              .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6)))
+    return (scored.filter(F.col("cos") >= threshold)
             .select("vec_a", "vec_b", "cos"))
 
 

@@ -217,6 +217,87 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert max(multi) >= max(single)
 
 
+def test_auto_bits_tracks_corpus_size():
+    """The sign-LSH width knob: constant expected bucket occupancy, so
+    the per-bucket pair volume stays bounded as the corpus grows."""
+    from ecmm428_pycart_spark.datapipe.similarity import auto_bits
+    assert auto_bits(500) == 4                    # floor at min_bits
+    assert auto_bits(1_000_000) == 10             # 2^10 buckets ≈ 1k occ
+    assert auto_bits(1_000_000_000) == 20
+    assert auto_bits(10**15) == 24                # ceiling at max_bits
+    assert auto_bits(1_000_000, target_occupancy=128) == 13
+
+
+def test_neardup_bits_knob_two_settings(spark):
+    """cosine_neardup_pairs with the width knob at two settings: every
+    reported pair is a true above-threshold pair (verify step is exact),
+    and widening the key (more bits) can only DROP pairs (candidates are
+    same-bucket pairs; more bits → finer buckets → fewer candidates)."""
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.session import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    narrow = sim.cosine_neardup_pairs(emb, threshold=0.30,
+                                      bits=sim.auto_bits(n))          # 4
+    wide = sim.cosine_neardup_pairs(emb, threshold=0.30,
+                                    bits=sim.auto_bits(1_000_000))    # 10
+    np_pairs = {(r["vec_a"], r["vec_b"], r["cos"]) for r in narrow.collect()}
+    wd_pairs = {(r["vec_a"], r["vec_b"], r["cos"]) for r in wide.collect()}
+    assert wd_pairs <= np_pairs
+    assert len(np_pairs) > 0
+    for _, _, cos in np_pairs:
+        assert cos >= 0.30
+
+
+def test_banded_neardup_supersets_single_bucket(spark):
+    """The banded OR-construction's pairs must superset s05's single
+    8-bit bucket (band 0 IS that bucket), with identical cosines on the
+    shared pairs — the d06-style recall upgrade, verified."""
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.session import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    single = {(r["vec_a"], r["vec_b"]): r["cos"]
+              for r in sim.cosine_neardup_pairs(emb, 0.30).collect()}
+    banded = {(r["vec_a"], r["vec_b"]): r["cos"]
+              for r in sim.cosine_neardup_pairs_banded(emb, 0.30).collect()}
+    assert set(single) <= set(banded)
+    for pair, cos in single.items():
+        assert banded[pair] == cos
+
+
+def test_png_decoder_hand_filtered_stream():
+    """decode_png_pixels vs a HAND-ASSEMBLED filtered scanline stream —
+    independent of png_bytes_gradient, so a complementary encode/decode
+    bug cannot hide. Filtered bytes derived by hand from the PNG spec:
+      row0 Sub:   pixels [10,20,30]  → f = [10, 20-10, 30-20] = [10,10,10]
+      row1 Paeth: pixels [15,25,200] → preds are all 'up' (pb smallest):
+                  f = [15-10, 25-20, 200-30] = [5, 5, 170]
+      row2 Avg:   pixels [40,41,42]  → preds (0+15)//2, (40+25)//2,
+                  (41+200)//2 = 7, 32, 120 → f = [33, 9, 42-120 mod 256]
+    """
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import decode_png_pixels
+
+    def chunk(tag, data):
+        return (_s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = (b"\x01\x0a\x0a\x0a"        # filter 1 (Sub)
+           + b"\x04\x05\x05\xaa"      # filter 4 (Paeth), 0xaa = 170
+           + b"\x03\x21\x09\xb2")     # filter 3 (Average), 0xb2 = 178
+    ihdr = _s.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    px = decode_png_pixels(png)
+    assert px.shape == (3, 3, 1)
+    expected = np.array([[10, 20, 30], [15, 25, 200], [40, 41, 42]])
+    assert (px[:, :, 0] == expected).all()
+
+
 def test_container_parser_edge_cases():
     """JPEG restart markers skipped, WAV odd-size chunks word-aligned,
     truncated input safe."""
