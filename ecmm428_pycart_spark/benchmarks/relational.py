@@ -565,6 +565,102 @@ def q51_forecast_revenue(spark, sf_dir):
              F.count(F.lit(1)).alias("n")))
 
 
+# TPC-H Q3-shaped shipping-priority query (o_orderpriority stands in
+# for the generator's missing o_shippriority): the canonical
+# fact-to-fact join. Scale shape: both fact scans carry their date
+# predicate into parquet; lineitem⋈orders shuffles on orderkey (SMJ at
+# real scale, AQE may broadcast at toy scale); the filtered customer
+# dim is broadcast. Top-10 is TakeOrderedAndProject — no global sort.
+@q("q52_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+LIMIT 10
+""")
+def q52_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.col("o_orderdate").cast("date").alias("order_date"),
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("order_date").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+# TPC-H Q5-shaped local-supplier volume: the 6-table star+fact join
+# with the extra c_nationkey = s_nationkey equi-condition. Scale shape:
+# region→nation→customer collapses into broadcast dims; lineitem⋈orders
+# is the only fact-fact shuffle; supplier (dim) broadcasts and the
+# nation-match condition rides the join, not a post-filter.
+@q("q53_local_supplier_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q53_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = (_t(spark, sf_dir, "nation")
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(supp),
+               (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 # Sink→source round trip EXECUTED in the gate: orders written as
 # ORC partitioned by order month, read back with a partition filter,
 # aggregated — proving the columnar sink, the hive-style partition

@@ -172,6 +172,35 @@ def test_results_invariant_to_aqe(spark):
     assert on == off
 
 
+def test_q52_tpch_q3_shape(spark):
+    """Shipping-priority: date predicates pushed into BOTH fact scans,
+    top-10 via TakeOrderedAndProject (no global sort), lineitem scan
+    pruned to 3 columns."""
+    plan = _plan(spark, "q52_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "l_extendedprice" in head:
+            assert "l_quantity" not in head and "l_partkey" not in head
+
+
+def test_q53_tpch_q5_single_fact_shuffle(spark):
+    """Local-supplier volume: every dim side is broadcast — the only
+    allowed shuffle joins are on the lineitem⋈orders fact keys. At toy
+    scale AQE broadcasts everything; force-disable broadcast thresholds
+    would be artificial, so assert the broadcast count instead: at
+    least 3 BroadcastHashJoins and no cartesian/BNLJ."""
+    plan = _plan(spark, "q53_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # orders scan carries both date bounds
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
 def test_q51_all_predicates_pushed(spark):
     """Q6-shaped scan-agg: all three range predicates reach the parquet
     scan and only the four referenced columns are read."""
