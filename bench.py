@@ -64,7 +64,10 @@ HEADLINE = [
     "st05_stream_interval_join",
     "st06_stream_dedup_bounded",
     "m06_png_pixels",
+    "m07_wav_samples",
     "s10_neardup_banded",
+    "q52_shipping_priority",
+    "q53_local_supplier_volume",
 ]
 
 

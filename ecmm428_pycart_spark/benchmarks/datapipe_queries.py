@@ -450,6 +450,32 @@ def m06_png_pixels(spark, sf_dir):
         F.round("s.pixel_std", 4).alias("pixel_std"))
 
 
+# REAL sample-level WAV decode (numpy frombuffer over the PCM data
+# chunk): each doc gets a mono square wave with doc_id-derived
+# amplitude/length, so RMS/peak/DC have exact closed forms the oracle
+# recomputes arithmetically. Together with m06 this narrows the
+# "no real decode" stub to JPEG/video (the formats that genuinely
+# need PIL/pyav).
+@q("m07_wav_samples", """
+SELECT doc_id,
+       CAST(2 * (doc_id % 250 + 50) AS BIGINT) AS n_samples,
+       round(CAST(doc_id % 1000 + 1 AS DOUBLE), 4) AS rms,
+       CAST(doc_id % 1000 + 1 AS INTEGER) AS peak,
+       CAST(0.0 AS DOUBLE) AS dc_mean
+FROM documents
+""")
+def m07_wav_samples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_tone_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.wav_sample_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.n_samples").alias("n_samples"),
+        F.round("s.rms", 4).alias("rms"),
+        F.col("s.peak").alias("peak"),
+        F.round("s.dc_mean", 4).alias("dc_mean"))
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """

@@ -1204,17 +1204,46 @@ ORACLES["q38_sketches"] = None
 # flips a boolean and reddens the row). The raw estimates stay in
 # q38_sketches, outside the gate, per the engine-specific-estimator
 # rationale documented there.
+# The exact median is the DISCRETE (lower) median — the data value at
+# rank (n+1)//2 — not the interpolated one: interpolation midpoints
+# are computed with different float expressions in Spark's
+# percentile() vs DuckDB's quantile_cont(), and at sf0.001 the 'R'
+# group midpoint lands a cent apart after round(..,2). A rank-selected
+# element is bit-identical in any engine.
 @q("q38_sketch_accuracy", """
-SELECT l_returnflag,
-       CAST(count(DISTINCT l_partkey) AS BIGINT)      AS exact_parts,
-       round(quantile_cont(l_extendedprice, 0.5), 2)  AS exact_median_price,
-       TRUE                                           AS distinct_within_bound,
-       TRUE                                           AS median_within_bound
-FROM lineitem
-GROUP BY l_returnflag
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, round(max(l_extendedprice), 2) AS exact_median_price
+  FROM ranked WHERE rn = (n + 1) // 2
+  GROUP BY l_returnflag
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag, exact_parts, exact_median_price,
+       TRUE AS distinct_within_bound,
+       TRUE AS median_within_bound
+FROM agg a JOIN med m ON a.l_returnflag = m.l_returnflag
 """)
 def q38_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    ranked = (li.select("l_returnflag", "l_extendedprice")
+              .withColumn("_rn", F.row_number().over(
+                  W.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  W.partitionBy("l_returnflag"))))
+    med = (ranked.filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+           .groupBy("l_returnflag")
+           .agg(F.round(F.max("l_extendedprice"), 2)
+                .alias("exact_median_price")))
     agg = (li.groupBy("l_returnflag")
            .agg(F.approx_count_distinct("l_partkey").alias("_ap"),
                 F.countDistinct("l_partkey").alias("exact_parts"),
@@ -1222,11 +1251,12 @@ def q38_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(l_extendedprice, 0.5)").alias("_em")))
     rel = lambda a, e: (F.abs(F.col(a) - F.col(e))
                         / F.abs(F.col(e)).cast("double"))
-    return agg.select(
-        "l_returnflag", "exact_parts",
-        F.round("_em", 2).alias("exact_median_price"),
-        (rel("_ap", "exact_parts") <= 0.10).alias("distinct_within_bound"),
-        (rel("_am", "_em") <= 0.01).alias("median_within_bound"))
+    return (agg.join(med, "l_returnflag")
+            .select(
+                "l_returnflag", "exact_parts", "exact_median_price",
+                (rel("_ap", "exact_parts") <= 0.10)
+                .alias("distinct_within_bound"),
+                (rel("_am", "_em") <= 0.01).alias("median_within_bound")))
 
 
 # Deterministic distinct-count sketch: KMV (bottom-k minimum values).

@@ -426,6 +426,78 @@ def synth_png_gradient_payload(doc_id: pd.Series) -> pd.Series:
         int(i) % 64 + 1, int(i) % 32 + 1, int(i) % 128))
 
 
+# ---------------------------------------------------------------------------
+# REAL WAV sample decode — 16-bit PCM is raw little-endian int16, so
+# numpy.frombuffer IS the decoder; no torchaudio needed. With the PNG
+# pixel path above, the "no real decode" stub now covers JPEG/video only.
+# ---------------------------------------------------------------------------
+
+def decode_wav_samples(b: bytes) -> np.ndarray:
+    """Decode a 16-bit PCM WAV to an int16 array of shape
+    (n_samples, channels). Walks RIFF chunks like _wav_meta_one and
+    reinterprets the data chunk; raises on non-PCM/non-16-bit."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i, fmt_code, channels, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        (size,) = struct.unpack("<I", b[i + 4:i + 8])
+        if tag == b"fmt ":
+            fmt_code, channels = struct.unpack("<HH", b[i + 8:i + 12])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif tag == b"data":
+            data = b[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+    if data is None or channels is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (fmt={fmt_code}, bits={bits})")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, channels)
+
+
+_WAV_STATS = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("dc_mean", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_WAV_STATS)
+def wav_sample_stats(payload: pd.Series) -> pd.DataFrame:
+    """REAL sample-level audio decode: PCM frames → (n_samples, RMS,
+    peak |amplitude|, DC mean) across all channels."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        s = decode_wav_samples(bytes(buf)).astype(np.float64)
+        rows.append((s.shape[0], float(np.sqrt((s * s).mean())),
+                     int(np.abs(s).max()) if s.size else 0,
+                     float(s.mean())))
+    return pd.DataFrame(rows, columns=["n_samples", "rms", "peak", "dc_mean"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_tone_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic square-wave WAV per doc: mono 16-bit PCM,
+    amplitude A = id%1000+1, alternating +A/-A over n = 2*(id%250+50)
+    samples — closed forms the oracle recomputes with arithmetic:
+    rms = A exactly, peak = A, dc_mean = 0 (even sample count)."""
+    def gen(i: int) -> bytes:
+        amp = i % 1000 + 1
+        n = 2 * (i % 250 + 50)
+        data = struct.pack("<2h", amp, -amp) * (n // 2)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    return doc_id.map(lambda i: gen(int(i)))
+
+
 @F.pandas_udf(T.BinaryType())
 def synth_png_payload(doc_id: pd.Series) -> pd.Series:
     """Deterministic PNG payload per doc: width = id%64+1, height =

@@ -298,6 +298,37 @@ def test_png_decoder_hand_filtered_stream():
     assert (px[:, :, 0] == expected).all()
 
 
+def test_wav_sample_decoder():
+    """decode_wav_samples on hand-assembled PCM: stereo interleaving,
+    odd-size chunk word alignment, and non-PCM rejection."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_wav_samples, wav_bytes)
+
+    # stereo: L=[1,3], R=[2,4] interleaved little-endian
+    data = _s.pack("<4h", 1, 2, 3, 4)
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    s = decode_wav_samples(wav)
+    assert s.shape == (2, 2)
+    assert (s == np.array([[1, 2], [3, 4]])).all()
+    # the synth helper's silent output decodes to zeros
+    z = decode_wav_samples(wav_bytes(1, 8000, 5))
+    assert z.shape == (5, 1) and (z == 0).all()
+    # non-PCM format code rejected
+    badfmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (b"WAVEfmt " + _s.pack("<I", len(badfmt)) + badfmt
+            + b"data" + _s.pack("<I", 0))
+    with _pt.raises(NotImplementedError):
+        decode_wav_samples(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
 def test_container_parser_edge_cases():
     """JPEG restart markers skipped, WAV odd-size chunks word-aligned,
     truncated input safe."""
