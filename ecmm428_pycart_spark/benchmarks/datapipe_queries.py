@@ -647,6 +647,56 @@ def s10_neardup_banded(spark, sf_dir):
         emb, threshold=0.30, bands=2, bits_per_band=8)
 
 
+# Exact word-3-gram Jaccard near-dup with DETERMINISTIC length blocking
+# — the n-gram-Jaccard dedup flavor as its own first-class query:
+# d06 reaches exact Jaccard through probabilistic MinHash-band
+# candidates (recall < 1 by design); here candidates are every pair in
+# the same (lang, n_chars//100) block, so within-block recall is exact.
+# Same quadratic guard as d22: blocks over 256 docs are dropped. At
+# 100 TB the block key is the shuffle key and the 3-gram sets are built
+# per row map-side (native exprs, no UDF).
+@q("d28_ngram_jaccard", """
+WITH b0 AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, len(t) - 1)]) AS gs
+  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+b AS (
+  SELECT * FROM b0
+  QUALIFY count(*) OVER (PARTITION BY lang, len_bucket) <= 256
+)
+SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+       round(len(list_intersect(a.gs, x.gs))::DOUBLE
+             / len(list_distinct(list_concat(a.gs, x.gs))), 4) AS jaccard
+FROM b a JOIN b x
+  ON a.lang = x.lang AND a.len_bucket = x.len_bucket
+ AND a.doc_id < x.doc_id
+WHERE round(len(list_intersect(a.gs, x.gs))::DOUBLE
+            / len(list_distinct(list_concat(a.gs, x.gs))), 4) >= 0.2
+""")
+def d28_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    blocked = (docs
+               .filter(F.size(F.split("text", " ")) >= 3)
+               .select("doc_id", "lang",
+                       (F.col("n_chars") / 100).cast("long")
+                       .alias("len_bucket")))
+    ok = (blocked.groupBy("lang", "len_bucket")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= 256).select("lang", "len_bucket"))
+    blocked = blocked.join(ok, ["lang", "len_bucket"], "left_semi")
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
+    x = blocked.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
+    pairs = (a.join(x, ["lang", "len_bucket"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+    return (dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.2)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 # k-means is iterative (driver loop + localCheckpoint) but deterministic:
 # exact-aggregate means, rounded-distance tie-breaks (tests/test_kmeans.py).
 # The oracle is a golden VALUES table per testdata scale, dispatched on a

@@ -39,7 +39,11 @@ def shingle_set(col, n: int = 1) -> Column:
     t = tokens(col)
     if n == 1:
         return F.array_distinct(t)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    # docs with < n tokens must yield an EMPTY set: sequence(1, 0)
+    # auto-steps DOWN in Spark ([1, 0]) and slice(t, 0, n) then raises
+    idx = F.when(F.size(t) >= n,
+                 F.sequence(F.lit(1), F.size(t) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))))
 

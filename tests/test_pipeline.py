@@ -298,6 +298,25 @@ def test_png_decoder_hand_filtered_stream():
     assert (px[:, :, 0] == expected).all()
 
 
+def test_shingle_set_short_docs(spark):
+    """Docs with fewer tokens than the shingle width must yield an EMPTY
+    set, not an error: Spark's 2-arg sequence(1, 0) descends ([1, 0])
+    and slice(t, 0, n) raises — the guard in shingle_set prevents it
+    (same latent bug class review flagged for d26)."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.dedup import shingle_set
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id",
+                      shingle_set(F.col("text"), 3).alias("sh")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c"]
+    assert rows[4] == ["a b c", "b c d"]
+
+
 def test_wav_sample_decoder():
     """decode_wav_samples on hand-assembled PCM: stereo interleaving,
     odd-size chunk word alignment, and non-PCM rejection."""
