@@ -201,6 +201,81 @@ def test_q53_tpch_q5_single_fact_shuffle(spark):
     assert "LessThan(o_orderdate" in plan
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Star-join DPP: a month-partitioned fact joined to a calendar dim
+    filtered on an attribute must scan ONLY the partitions the dim
+    filter selects — the runtime analog of static partition pruning and
+    the single biggest scan-saver for a date-partitioned 100 TB fact.
+    Evidence: a dynamicpruningexpression in the fact scan's partition
+    filters, plus row parity with the unpartitioned plan."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    ev = (load_table(spark, SF, "orders")
+          .withColumn("om", F.date_trunc("month", "o_orderdate").cast("date")))
+    fact_path = str(tmp_path / "orders_p")
+    dim_path = str(tmp_path / "dim_months")
+    ev.write.partitionBy("om").parquet(fact_path)
+    (ev.select("om").distinct()
+       .withColumn("quarter", F.quarter("om"))
+       .withColumn("year", F.year("om"))
+       .write.parquet(dim_path))
+
+    fact = spark.read.parquet(fact_path)
+    dim = (spark.read.parquet(dim_path)
+           .filter((F.col("year") == 1997) & (F.col("quarter") == 1)))
+    j = fact.join(dim, "om").groupBy("om").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery not inserted"
+    got = {(r["om"], r["n"]) for r in j.collect()}
+    want = {(r["om"], r["n"]) for r in
+            (ev.filter((F.year("om") == 1997) & (F.quarter("om") == 1))
+             .groupBy("om").agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert got == want and len(got) == 3
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """Runtime bloom-filter injection on a shuffle join: the selective
+    dim side builds a bloom filter that pre-filters the fact scan
+    before the shuffle — at 100 TB this is what keeps a selective
+    fact⋈dim SMJ from shuffling the whole fact table. Thresholds are
+    lowered to make it fire at toy scale; result parity asserted."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem") \
+        .select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders") \
+        .filter(F.col("o_totalprice") > 400000) \
+        .select("o_orderkey")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        # creation side must be SMALL (<= threshold), application side
+        # LARGE (> threshold) — raise one, zero the other
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    orig = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+              .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"),
+                   F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+        got = j.collect()[0]
+    finally:
+        for k, v in orig.items():
+            spark.conf.set(k, v)
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+             .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"),
+                  F.count(F.lit(1)).alias("n")).collect()[0]
+    assert (got["s"], got["n"]) == (want["s"], want["n"]) and got["n"] > 0
+
+
 def test_q51_all_predicates_pushed(spark):
     """Q6-shaped scan-agg: all three range predicates reach the parquet
     scan and only the four referenced columns are read."""
