@@ -40,21 +40,24 @@ def get_spark(app_name: str = "ecmm428_pycart_spark",
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; read it as raw nanos
-    (legacy.parquet.nanosAsLong) and rebuild a proper TimestampType via
-    integer micros (the generator emits micro-precision values, so the
-    DIV 1000 is lossless and matches DuckDB's TIMESTAMP_NS views).
+    The generator's timestamp physical type has varied across rounds:
+    INT64 TIMESTAMP(NANOS) (round 2) and TIMESTAMP(MICROS) without the
+    isAdjustedToUTC flag (round 3), which Spark 4 reads as TIMESTAMP_NTZ.
+    Normalize both to plain TimestampType: the session timezone is pinned
+    to UTC, so NTZ->LTZ reinterprets the same wall-clock as the same
+    instant, matching DuckDB's naive-timestamp view of the same file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    from pyspark.sql import functions as F
     if name == "events":
-        from pyspark.sql import functions as F
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif name == "events" and col == "ts" and dtype == "bigint":
+            df = df.withColumn(col, F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 TESTDATA_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -17,9 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Fixture layout for tests that synthesize their own event files with
+# pandas datetime64[ns] (read as raw nanos under legacy.parquet.nanosAsLong).
+# The testdata reader below does NOT assume this: it adapts to whatever
+# physical type the generator used.
 EVENT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),        # raw nanos (see session.load_table)
+    T.StructField("ts", T.LongType()),        # raw nanos
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -30,13 +34,25 @@ EVENT_SCHEMA = T.StructType([
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a DIRECTORY of events parquet files (the
     source requires a directory; new files appended to it become
-    micro-batches — availableNow drains the backlog). Nanos →
-    TimestampType like the batch path."""
+    micro-batches — availableNow drains the backlog).
+
+    The file source needs an explicit schema, and the testdata
+    generator's timestamp physical type has varied across rounds (INT64
+    nanos vs TIMESTAMP(MICROS) NTZ — see session.load_table), so take
+    the schema from a batch read of the same directory (one footer read
+    on the driver) and apply the same ts normalization as the batch path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     raw = (spark.readStream
-           .schema(EVENT_SCHEMA)
+           .schema(schema)
            .parquet(events_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_counts(events: DataFrame,
