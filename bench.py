@@ -68,6 +68,9 @@ HEADLINE = [
     "s10_neardup_banded",
     "q52_shipping_priority",
     "q53_local_supplier_volume",
+    "d28_ngram_jaccard",
+    "d29_segment_dup_rate",
+    "m08_video_meta",
 ]
 
 

@@ -476,6 +476,50 @@ def m07_wav_samples(spark, sf_dir):
         F.round("s.dc_mean", 4).alias("dc_mean"))
 
 
+# REAL MP4/ISO-BMFF container-metadata decode (stdlib struct box walk:
+# ftyp/moov/mvhd/trak/tkhd/mdia/minf/stbl/stsz): the routing pass a
+# video ingest runs before any codec work. Payloads are synthesized
+# with doc_id-derived parameters, so the oracle recomputes every field
+# arithmetically — sample-byte totals via an uncorrelated range join
+# (sum over k < n of 100+((doc_id+k)%50)).
+@q("m08_video_meta", """
+WITH vid AS (
+  SELECT d.doc_id,
+         CAST(sum(100 + ((d.doc_id + t.k) % 50)) AS BIGINT) AS video_bytes
+  FROM documents d JOIN range(0, 35) t(k) ON t.k < d.doc_id % 30 + 5
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, 'isom' AS brand, CAST(600 AS BIGINT) AS timescale,
+       round(CAST(d.doc_id % 120 + 1 AS DOUBLE), 4) AS duration_s,
+       CAST(16 * (d.doc_id % 61 + 8) AS INTEGER) AS width,
+       CAST(16 * (d.doc_id % 41 + 6) AS INTEGER) AS height,
+       CAST(CASE WHEN d.doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_tracks,
+       CAST((d.doc_id % 30 + 5)
+            + CASE WHEN d.doc_id % 2 = 1
+                   THEN (d.doc_id % 30 + 5) // 2 ELSE 0 END AS BIGINT)
+         AS n_samples,
+       CAST(v.video_bytes
+            + CASE WHEN d.doc_id % 2 = 1
+                   THEN 64 * ((d.doc_id % 30 + 5) // 2) ELSE 0 END AS BIGINT)
+         AS media_bytes
+FROM documents d JOIN vid v USING (doc_id)
+""")
+def m08_video_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn("payload",
+                              multimodal.synth_mp4_payload(F.col("doc_id")))
+    meta = payload.withColumn("m", multimodal.parse_mp4_meta(F.col("payload")))
+    return meta.select(
+        "doc_id", F.col("m.brand").alias("brand"),
+        F.col("m.timescale").alias("timescale"),
+        F.round("m.duration_s", 4).alias("duration_s"),
+        F.col("m.width").alias("width"), F.col("m.height").alias("height"),
+        F.col("m.n_tracks").alias("n_tracks"),
+        F.col("m.n_samples").alias("n_samples"),
+        F.col("m.media_bytes").alias("media_bytes"))
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """
@@ -695,6 +739,65 @@ def d28_ngram_jaccard(spark, sf_dir):
              .select("doc_a", "doc_b"))
     return (dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.2)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+# Segment-level duplication rate (the RefinedWeb/Gopher-style "document
+# is mostly copied" signal): split each doc into disjoint 16-token
+# segments, count each segment hash's occurrences across the whole
+# corpus with ONE window shuffle on the hash, then score each doc by
+# the fraction of its segments seen more than once. At 100 TB the
+# segment hash is the only wide shuffle key; everything per-doc is
+# map-side array math, and the per-source rollup is tiny.
+@q("d29_segment_dup_rate", """
+WITH segs AS (
+  SELECT doc_id, source,
+         unnest([md5(array_to_string(t[(s-1)*16+1:(s-1)*16+16], ' '))
+                 FOR s IN range(1, len(t)//16 + 1)]) AS seg_hash
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 16
+),
+cnt AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY seg_hash) AS c
+  FROM segs
+),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source, count(*) AS n_segs,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_segs
+  FROM cnt GROUP BY doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dup_segs::DOUBLE / n_segs), 4) AS avg_dup_rate,
+       CAST(sum(CASE WHEN dup_segs::DOUBLE / n_segs >= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc GROUP BY source
+""")
+def d29_segment_dup_rate(spark, sf_dir):
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    base = (docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+            .withColumn("n_seg", (F.size("t") / 16).cast("long"))
+            .filter(F.col("n_seg") >= 1))
+    segs = (base
+            .select("doc_id", "source", "t",
+                    F.explode(F.sequence(F.lit(0), F.col("n_seg") - 1))
+                    .alias("s"))
+            .select("doc_id", "source",
+                    F.md5(F.concat_ws(" ", F.expr("slice(t, s*16+1, 16)")))
+                    .alias("seg_hash")))
+    c = F.count(F.lit(1)).over(Window.partitionBy("seg_hash"))
+    per_doc = (segs.withColumn("c", c)
+               .groupBy("doc_id")
+               .agg(F.any_value("source").alias("source"),
+                    F.count(F.lit(1)).alias("n_segs"),
+                    F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                    .alias("dup_segs")))
+    rate = F.col("dup_segs").cast("double") / F.col("n_segs")
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(rate), 4).alias("avg_dup_rate"),
+                 F.sum(F.when(rate >= 0.5, 1).otherwise(0))
+                 .alias("n_flagged")))
 
 
 # k-means is iterative (driver loop + localCheckpoint) but deterministic:

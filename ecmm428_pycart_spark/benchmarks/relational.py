@@ -661,6 +661,91 @@ def q53_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue")))
 
 
+# TPC-H Q10-shaped returned-item reporting, with the scale-honest plan
+# REVERSED from the textbook join order: revenue is aggregated per
+# custkey straight off the lineitem⋈orders fact join, the top-20 is
+# taken THEN (TakeOrderedAndProject on 20 rows), and only those 20
+# keys join back to customer/nation — so the wide customer table is
+# never shuffled and the name/nation attach is a broadcast of 20 rows.
+# custkey is the grouping key's primary key, so this is semantically
+# identical to Q10's group-by-everything form (the oracle states it in
+# that canonical form).
+@q("q54_returned_items", """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q54_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("rev")))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-07-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    top = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+           .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+           .limit(20))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "n_name"))
+    return (cust.join(F.broadcast(top),
+                      F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "n_name", "revenue"))
+
+
+# TPC-H Q4-shaped order-priority check: how many orders per priority
+# had at least one line shipped >60 days after ordering. The EXISTS is
+# a LEFT SEMI join whose condition mixes the orderkey equi-key with a
+# cross-table range predicate (l_shipdate > o_orderdate + 60d) — the
+# semi-join dedups order-side rows before the aggregate, so a multi-late
+# order still counts once. Scale shape: both scans push their column
+# prunes; the semi-join shuffles on orderkey only (no payload columns).
+@q("q55_late_shipment_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def q55_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-07-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_late_orders")))
+
+
 # Sink→source round trip EXECUTED in the gate: orders written as
 # ORC partitioned by order month, read back with a partition filter,
 # aggregated — proving the columnar sink, the hive-style partition

@@ -512,3 +512,152 @@ def synth_wav_payload(doc_id: pd.Series) -> pd.Series:
     8000*(id%3+1), samples = id%500+100."""
     return doc_id.map(lambda i: wav_bytes(
         int(i) % 2 + 1, 8000 * (int(i) % 3 + 1), int(i) % 500 + 100))
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 / ISO-BMFF container parse — stdlib struct box walk.
+# The reference has no video path at all; this is the beyond-reference
+# multimodal surface (SURVEY.md §2.6): the metadata/routing pass a
+# 100 TB video ingest runs before any codec work (duration accounting,
+# resolution routing, sample-table sizing). Frame PIXEL decode needs a
+# codec (pyav, absent) and stays stubbed; the container walk is real.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+_MP4_META = T.StructType([
+    T.StructField("brand", T.StringType()),
+    T.StructField("timescale", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("media_bytes", T.LongType()),
+])
+
+
+def _mp4_walk(b: bytes, start: int, end: int, out: dict) -> None:
+    """Iterative-recursive ISO-BMFF box walk over b[start:end]."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", b[i + 8:i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing box
+            size = end - i
+        if size < 8 or i + size > end:
+            return  # truncated/corrupt box: stop at this level
+        if tag == b"ftyp":
+            out["brand"] = b[body:body + 4].decode("ascii", "replace")
+        elif tag == b"mvhd":
+            ver = b[body]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", b[body + 20:body + 32])
+            else:
+                ts, dur = struct.unpack(">II", b[body + 12:body + 20])
+            out["timescale"], out["duration"] = ts, dur
+        elif tag == b"tkhd":
+            out["n_tracks"] = out.get("n_tracks", 0) + 1
+            ver = b[body]
+            # width/height are the LAST 8 bytes of the box (16.16 fixed),
+            # same offset-from-end for v0 and v1
+            w, h = struct.unpack(">II", b[i + size - 8:i + size])
+            if w and h and "width" not in out:  # first visual track wins
+                out["width"], out["height"] = w >> 16, h >> 16
+        elif tag == b"stsz":
+            cnt_off = body + 8
+            sample_size, count = struct.unpack(">II", b[body + 4:body + 12])
+            out["n_samples"] = out.get("n_samples", 0) + count
+            if sample_size:
+                total = sample_size * count
+            else:
+                sizes = np.frombuffer(
+                    b, dtype=">u4", count=count, offset=cnt_off + 4)
+                total = int(sizes.sum())
+            out["media_bytes"] = out.get("media_bytes", 0) + total
+        elif tag in _MP4_CONTAINERS:
+            _mp4_walk(b, body, i + size, out)
+        i += size
+
+
+def _mp4_meta_one(b: bytes):
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return (None,) * 8
+    out: dict = {}
+    _mp4_walk(b, 0, len(b), out)
+    ts = out.get("timescale")
+    dur = out.get("duration")
+    return (out.get("brand"), ts,
+            (dur / ts) if ts and dur is not None else None,
+            out.get("width"), out.get("height"),
+            out.get("n_tracks", 0), out.get("n_samples", 0),
+            out.get("media_bytes", 0))
+
+
+@F.pandas_udf(_MP4_META)
+def parse_mp4_meta(payload: pd.Series) -> pd.DataFrame:
+    """REAL MP4 metadata decode: ISO-BMFF box walk (ftyp/moov/mvhd/
+    trak/tkhd/mdia/minf/stbl/stsz) → brand, timescale, duration,
+    first-visual-track resolution, track count, sample count, media
+    byte total."""
+    rows = [_mp4_meta_one(bytes(b)) if b is not None else (None,) * 8
+            for b in payload]
+    return pd.DataFrame(rows, columns=[f.name for f in _MP4_META])
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def mp4_bytes(timescale: int, duration: int, width: int, height: int,
+              sample_sizes: list[int], with_audio_track: bool) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, minf(stbl(stsz))))[, audio trak]). Enough structure that
+    a real demuxer's metadata pass and ours agree on every field."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mvhd = _box(b"mvhd", struct.pack(
+        ">B3xIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+
+    def trak(track_id: int, w: int, h: int, sizes: list[int]) -> bytes:
+        tkhd = _box(b"tkhd", struct.pack(
+            ">B3xIII4xI8xHHHH", 0, 0, 0, track_id, duration, 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16))
+        mdhd = _box(b"mdhd", struct.pack(
+            ">B3xIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0))
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, len(sizes))
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+        stbl = _box(b"stbl", stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    traks = trak(1, width, height, sample_sizes)
+    if with_audio_track:
+        traks += trak(2, 0, 0, [64] * max(1, len(sample_sizes) // 2))
+    return ftyp + _box(b"moov", mvhd + traks)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_mp4_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic MP4 per doc, every field doc_id-derived so the
+    oracle recomputes expected metadata with plain arithmetic:
+    timescale 600, duration_s = id%120+1, width = 16*(id%61+8),
+    height = 16*(id%41+6), n video samples = id%30+5 with sizes
+    100+((id+k)%50), audio track iff id is odd."""
+    def gen(i: int) -> bytes:
+        n = i % 30 + 5
+        return mp4_bytes(
+            timescale=600, duration=600 * (i % 120 + 1),
+            width=16 * (i % 61 + 8), height=16 * (i % 41 + 6),
+            sample_sizes=[100 + ((i + k) % 50) for k in range(n)],
+            with_audio_track=bool(i % 2))
+    return doc_id.map(lambda i: gen(int(i)))

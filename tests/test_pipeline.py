@@ -190,6 +190,50 @@ def test_real_container_format_decoders(spark):
         {(0, 1, 1), (1, 2, 2), (2, 3, 3)}
 
 
+def test_real_mp4_box_walk():
+    """MP4/ISO-BMFF metadata parser is a REAL box walk (stdlib struct):
+    round-trip handcrafted containers and assert every field, including
+    the fixed-point tkhd resolution, multi-track sample totals, the
+    64-bit largesize path, and truncation safety."""
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+    import struct as _s
+
+    b = mm.mp4_bytes(timescale=600, duration=600 * 7, width=1280, height=720,
+                     sample_sizes=[100, 150, 200], with_audio_track=False)
+    brand, ts, dur, w, h, n_tracks, n_samples, media = mm._mp4_meta_one(b)
+    assert (brand, ts, dur) == ("isom", 600, 7.0)
+    assert (w, h, n_tracks) == (1280, 720, 1)
+    assert (n_samples, media) == (3, 450)
+
+    # audio track: zero-resolution tkhd must not override the visual one;
+    # its stsz contributes to totals (len//2 samples of 64 bytes)
+    b2 = mm.mp4_bytes(600, 1200, 640, 360, [10, 20, 30, 40],
+                      with_audio_track=True)
+    meta2 = mm._mp4_meta_one(b2)
+    assert meta2[3:] == (640, 360, 2, 4 + 2, 100 + 2 * 64)
+
+    # 64-bit largesize box header around moov parses identically
+    i = b.index(b"moov") - 4
+    (size32,) = _s.unpack(">I", b[i:i + 4])
+    big = b[:i] + _s.pack(">I", 1) + b"moov" + _s.pack(">Q", size32 + 8) \
+        + b[i + 8:]
+    assert mm._mp4_meta_one(big) == (brand, ts, dur, w, h,
+                                     n_tracks, n_samples, media)
+
+    # mvhd version 1 (64-bit duration) takes the v1 offsets
+    v1 = _s.pack(">B3xQQIQ", 1, 0, 0, 90000, 90000 * 3)
+    v1 += b"\x00" * (108 - 8 - len(v1))
+    moov = _s.pack(">I", 8 + len(v1) + 8) + b"moov" \
+        + _s.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+    ftyp = _s.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    meta3 = mm._mp4_meta_one(ftyp + moov)
+    assert (meta3[1], meta3[2]) == (90000, 3.0)
+
+    # garbage and truncation return nulls / partial without raising
+    assert mm._mp4_meta_one(b"\x00" * 4 + b"junk") == (None,) * 8
+    assert mm._mp4_meta_one(b[:40])[0] == "isom"
+
+
 def test_int8_quantization_error_bound(spark):
     """Dequantized values must be within scale/2 of the original (the
     defining property of symmetric round-to-nearest quantization)."""

@@ -201,6 +201,38 @@ def test_q53_tpch_q5_single_fact_shuffle(spark):
     assert "LessThan(o_orderdate" in plan
 
 
+def test_q54_topk_before_dim_attach(spark):
+    """Returned-items: the revenue top-20 must be computed BEFORE the
+    customer/nation attach (TakeOrderedAndProject below the final
+    joins), and the 20-row side must broadcast — so the wide customer
+    table is never shuffled. l_returnflag is pushed into the lineitem
+    scan."""
+    plan = _plan(spark, "q54_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # customer scan reads only the 3 attach columns
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "c_name" in head:
+            assert "c_acctbal" not in head and "c_mktsegment" not in head
+
+
+def test_q55_semi_join_mixed_condition(spark):
+    """Late-shipment priority: the EXISTS compiles to a LeftSemi join
+    keyed on orderkey with the cross-table range predicate riding the
+    join (not a post-filter over a full inner join), and the lineitem
+    scan is pruned to the 2 columns the predicate needs."""
+    plan = _plan(spark, "q55_late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "l_shipdate" in head:
+            assert "l_extendedprice" not in head and "l_quantity" not in head
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """Star-join DPP: a month-partitioned fact joined to a calendar dim
     filtered on an attribute must scan ONLY the partitions the dim
