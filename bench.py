@@ -71,6 +71,10 @@ HEADLINE = [
     "d28_ngram_jaccard",
     "d29_segment_dup_rate",
     "m08_video_meta",
+    "q54_returned_items",
+    "q56_large_volume_customers",
+    "q57_order_count_distribution",
+    "g11_triangle_count",
 ]
 
 

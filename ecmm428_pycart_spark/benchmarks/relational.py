@@ -746,6 +746,108 @@ def q55_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_late_orders")))
 
 
+# TPC-H Q18-shaped large-volume customers: the aggregate-then-semi
+# pattern. The HAVING filter runs on the lineitem aggregate ALONE
+# (one shuffle on orderkey, map-side partial sums), producing a tiny
+# qualifying-keys set that broadcasts into orders and customer — the
+# canonical "reduce before you join" shape; at 100 TB the only wide
+# shuffle is the per-orderkey partial-aggregated quantity sum.
+@q("q56_large_volume_customers", """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       round(o_totalprice, 2) AS total_price,
+       round(big.qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 175) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q56_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 175))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (orders.join(F.broadcast(big),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("order_date"),
+                    F.round("o_totalprice", 2).alias("total_price"),
+                    F.round("qty", 2).alias("total_qty")))
+
+
+# TPC-H Q13-shaped customer order-count distribution: LEFT OUTER join
+# so zero-order customers survive with count 0, then a SECOND
+# aggregation over the first's output (the "distribution of a
+# distribution" double-shuffle shape). count(o_orderkey) — not
+# count(*) — is what turns the null-padded rows into zeros. The first
+# shuffle is on custkey (wide), the second groups ~dozens of distinct
+# counts — map-side partials collapse it to almost nothing.
+@q("q57_order_count_distribution", """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) per_cust
+GROUP BY c_count
+""")
+def q57_order_count_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# TPC-H Q22-shaped dormant high-balance customers (adapted: the
+# driver's schema has no c_phone, so the cohort key is the nation
+# rather than the phone country code, and "dormant" means no order
+# since 2000-01-01 rather than never — same plan shape, but the anti
+# join has survivors at every sf). Three pieces: a scalar subquery
+# (global average balance → 1-row broadcast into the filter, q35's
+# pattern, no driver collect), an ANTI join against the date-filtered
+# orders, and a per-nation rollup. The anti join shuffles only
+# custkeys; the date predicate pushes into the orders scan.
+@q("q58_dormant_high_balance", """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+""")
+def q58_dormant_high_balance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+            .drop("_avg_bal"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    dormant = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                        "left_anti")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (dormant.join(F.broadcast(nation),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
 # Sink→source round trip EXECUTED in the gate: orders written as
 # ORC partitioned by order month, read back with a partition filter,
 # aggregated — proving the columnar sink, the hive-style partition

@@ -111,6 +111,7 @@ _BNLJ_OK = {
     "q32_range_bucket_join",    # literal bucket-edge table
     "q35_scalar_subquery",      # 1-row scalar aggregate
     "q47_kmv_sketch",           # 1-row exact-count side
+    "q58_dormant_high_balance",  # 1-row average-balance scalar
     "s01_cosine_topk",          # broadcast query vector
     "s03_centroid_assign",      # broadcast codebook
     "s04_ivf_probe",            # broadcast codebook
@@ -231,6 +232,54 @@ def test_q55_semi_join_mixed_condition(spark):
         head = read.split("\n")[0]
         if "l_shipdate" in head:
             assert "l_extendedprice" not in head and "l_quantity" not in head
+
+
+def test_q56_aggregate_before_joins(spark):
+    """Large-volume customers: the HAVING-filtered quantity sum must be
+    computed on lineitem ALONE (aggregate below every join — the
+    'reduce before you join' shape), then broadcast into orders; the
+    lineitem scan reads only the 2 aggregate columns."""
+    plan = _plan(spark, "q56_large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the qty aggregate's HashAggregate must appear under a
+    # BroadcastExchange (tiny qualifying set is the build side)
+    assert "BroadcastExchange" in plan
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "l_quantity" in head:
+            assert "l_extendedprice" not in head and "l_shipdate" not in head
+
+
+def test_q57_left_outer_preserves_zero_counts(spark):
+    """Order-count distribution: the left outer join must survive into
+    the physical plan (an optimizer rewrite to inner would silently
+    drop zero-order customers), and both scans prune to key columns."""
+    plan = _plan(spark, "q57_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "o_custkey" in head:
+            assert "o_totalprice" not in head
+        if "c_custkey" in head:
+            assert "c_acctbal" not in head and "c_name" not in head
+
+
+def test_q58_anti_join_and_scalar_broadcast(spark):
+    """Dormant high-balance: NOT EXISTS compiles to LeftAnti; the
+    1-row average broadcasts (no shuffle for the scalar); the dormancy
+    date predicate pushes into the orders scan, which reads only the
+    custkey + the filter column."""
+    plan = _plan(spark, "q58_dormant_high_balance")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    for read in plan.split("ReadSchema:")[1:]:
+        head = read.split("\n")[0]
+        if "o_custkey" in head:
+            assert "o_totalprice" not in head and "o_orderstatus" not in head
 
 
 def test_dynamic_partition_pruning(spark, tmp_path):
