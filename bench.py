@@ -75,6 +75,7 @@ HEADLINE = [
     "q56_large_volume_customers",
     "q57_order_count_distribution",
     "g11_triangle_count",
+    "q59_zorder_skipping",
 ]
 
 

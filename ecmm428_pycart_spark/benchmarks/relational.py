@@ -848,6 +848,53 @@ def q58_dormant_high_balance(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
 
 
+# Z-order layout + manifest data skipping EXECUTED in the gate: the
+# lakehouse data-skipping pattern (sources/zorder.py) end-to-end.
+# lineitem is rewritten as 32 parquet files z-ordered on
+# (ship day, partkey), a per-file min/max manifest is built in one
+# pass, and the read path consults ONLY the manifest to decide which
+# files can contain rows in the 2-D predicate box — the multi-column
+# analog of partition pruning and the biggest scan-saver for a
+# 100 TB fact with box predicates. Skipping is an optimization, never
+# a filter: the row-level predicate still applies, so any wrongly
+# skipped file would hash-mismatch against the straight-scan oracle.
+# (tests/test_sources_ops.py asserts files_read << files_total.)
+@q("q59_zorder_skipping", """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-08-31 00:00:00'
+  AND l_partkey <= 100
+GROUP BY l_returnflag
+""")
+def q59_zorder_skipping(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.zorder import (
+        build_manifest, read_skipping, zorder_write)
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("ship_day",
+                      F.datediff(F.col("l_shipdate"),
+                                 F.lit("1995-01-01").cast("date"))))
+    path = tempfile.mkdtemp(prefix="q59_zorder_")
+    zorder_write(li, path, "ship_day", "l_partkey", n_files=32)
+    build_manifest(spark, path, ["ship_day", "l_partkey"])
+    from datetime import date
+    epoch = date(1995, 1, 1)
+    lo_d = (date(1996, 6, 1) - epoch).days
+    hi_d = (date(1996, 8, 31) - epoch).days
+    back, _, _ = read_skipping(
+        spark, path, {"ship_day": (lo_d, hi_d), "l_partkey": (None, 100)})
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 # Sink→source round trip EXECUTED in the gate: orders written as
 # ORC partitioned by order month, read back with a partition filter,
 # aggregated — proving the columnar sink, the hive-style partition

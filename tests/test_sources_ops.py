@@ -350,3 +350,37 @@ def test_geojson_write_read_roundtrip(spark, squares_df, tmp_path):
     pops = {r["properties"]["name"]: r["properties"]["Population"]
             for r in back.collect()}
     assert pops == {r["name"]: str(r["Population"]) for r in src.collect()}
+
+
+def test_zorder_skipping_reads_fraction_of_files(spark, tmp_path):
+    """Z-order + manifest skipping: a 2-D predicate box over ~4% × ~5%
+    of the value space must plan a read of a small fraction of the 32
+    z-ordered files (the whole point of the layout), and the skipped
+    read must return exactly the rows a full scan returns. Also pins
+    the corner cases: an out-of-range box selects zero files but still
+    yields a valid empty frame; an unbounded side works."""
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.zorder import (
+        build_manifest, read_skipping, zorder_write)
+
+    li = (load_table(spark, "/root/testdata/sf0.001", "lineitem")
+          .withColumn("ship_day",
+                      F.datediff(F.col("l_shipdate"),
+                                 F.lit("1995-01-01").cast("date"))))
+    path = str(tmp_path / "zli")
+    zorder_write(li, path, "ship_day", "l_partkey", n_files=32)
+    build_manifest(spark, path, ["ship_day", "l_partkey"])
+
+    box = {"ship_day": (517, 608), "l_partkey": (None, 100)}
+    df, n_sel, n_total = read_skipping(spark, path, box)
+    assert n_total == 32
+    assert n_sel <= n_total // 2, (
+        f"z-order layout failed to localize the box: {n_sel}/{n_total}")
+
+    full = li.filter((F.col("ship_day") >= 517) & (F.col("ship_day") <= 608)
+                     & (F.col("l_partkey") <= 100))
+    assert (sorted(map(tuple, df.select(*full.columns).collect()))
+            == sorted(map(tuple, full.collect())))
+
+    empty, n0, _ = read_skipping(spark, path, {"ship_day": (99999, None)})
+    assert n0 == 0 and empty.count() == 0
