@@ -702,7 +702,8 @@ def s10_neardup_banded(spark, sf_dir):
 @q("d28_ngram_jaccard", """
 WITH b0 AS (
   SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-         list_distinct([array_to_string(t[i:i+2], ' ')
+         list_distinct([('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                                        1, 15))::BIGINT
                         FOR i IN range(1, len(t) - 1)]) AS gs
   FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t
         FROM documents)
@@ -737,7 +738,8 @@ def d28_ngram_jaccard(spark, sf_dir):
     pairs = (a.join(x, ["lang", "len_bucket"])
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b"))
-    return (dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.2)
+    return (dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.2,
+                                hash_shingles=True)
             .select("doc_a", "doc_b", "jaccard"))
 
 

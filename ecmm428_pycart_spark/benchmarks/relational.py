@@ -1812,3 +1812,47 @@ def st06_stream_dedup_bounded(spark, sf_dir):
           .outputMode("append").trigger(availableNow=True).start())
     q_.awaitTermination()
     return spark.table(name)
+
+
+# foreachBatch incremental-upsert sink EXECUTED through Structured
+# Streaming: the events table is re-laid-out as 4 time-ranged files,
+# replayed one file per micro-batch (maxFilesPerTrigger=1 — a real
+# multi-batch incremental run, not one availableNow gulp), aggregated
+# in UPDATE mode, and upserted into an append-only parquet sink via
+# the batch-id-stamped idempotent pattern (streaming/events.py:
+# foreach_batch_upsert_writer). The final answer is the argmax-merged
+# sink state, which must equal the plain batch aggregate — proving the
+# sink converges to the batch answer across micro-batch boundaries.
+# The watermark is set beyond the replayed history's span so no
+# historical row is late-dropped during replay (in production the
+# horizon is the real late-data bound).
+@q("st07_stream_foreach_upsert", """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def st07_stream_foreach_upsert(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.streaming.events import (
+        daily_type_totals, foreach_batch_upsert_writer, read_events_stream,
+        read_upsert_state)
+
+    src = tempfile.mkdtemp(prefix="st07_src_")
+    (_t(spark, sf_dir, "events")
+     .repartitionByRange(4, "ts")
+     .write.mode("overwrite").parquet(src))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = tempfile.mkdtemp(prefix="st07_sink_")
+    ckpt = tempfile.mkdtemp(prefix="st07_ckpt_")
+    q_ = (daily_type_totals(stream, watermark="36500 days")
+          .writeStream.foreachBatch(foreach_batch_upsert_writer(sink))
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (read_upsert_state(spark, sink)
+            .select("event_date", "event_type", "n",
+                    F.round("sum_value", 2).alias("sum_value")))

@@ -121,13 +121,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 1,
-                  threshold: float = 0.5, round_decimals: int = 4) -> DataFrame:
+                  threshold: float = 0.5, round_decimals: int = 4,
+                  hash_shingles: bool = False) -> DataFrame:
     """Exact Jaccard verify over candidate pairs (doc_a, doc_b).
 
     The similarity is rounded *before* thresholding so the boundary is
-    reproducible across engines/float orders."""
-    sets = df.select(F.col(id_col).alias("_sid"),
-                     shingle_set(F.col(text_col), shingle_n).alias("_sset"))
+    reproducible across engines/float orders.
+
+    ``hash_shingles`` replaces each shingle string with a 60-bit
+    md5-prefix integer before the set ops — array_intersect over longs
+    instead of multi-word strings, a large constant-factor win when
+    shingle sets are big (the standard hashed-shingle formulation of
+    Jaccard; Broder's original uses hashed shingles throughout). The
+    hash is engine-reproducible (DuckDB: ('0x' || substr(md5(s), 1,
+    15))::BIGINT), so oracles stay hash-checkable."""
+    sset = shingle_set(F.col(text_col), shingle_n)
+    if hash_shingles:
+        sset = F.transform(
+            sset,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long"))
+    sets = df.select(F.col(id_col).alias("_sid"), sset.alias("_sset"))
     j = (pairs
          .join(sets.withColumnRenamed("_sid", "doc_a")
                    .withColumnRenamed("_sset", "set_a"), "doc_a")

@@ -31,7 +31,8 @@ EVENT_SCHEMA = T.StructType([
 ])
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over a DIRECTORY of events parquet files (the
     source requires a directory; new files appended to it become
     micro-batches — availableNow drains the backlog).
@@ -44,9 +45,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
-    raw = (spark.readStream
-           .schema(schema)
-           .parquet(events_dir))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -131,3 +133,47 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .select("user_id", F.col("win.start").alias("session_start"),
                     F.col("win.end").alias("session_end"), "n_events",
                     "sum_value"))
+
+
+def daily_type_totals(events: DataFrame,
+                      watermark: str = "2 days") -> DataFrame:
+    """Daily per-type totals in UPDATE mode — each micro-batch emits
+    only the (day, type) rows it changed, the shape a foreachBatch
+    upsert sink consumes. Watermark bounds the aggregation state to the
+    late-data horizon."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").cast("date").alias("event_date"),
+                    "event_type", "n", "sum_value"))
+
+
+def foreach_batch_upsert_writer(path: str):
+    """foreachBatch sink implementing the idempotent-upsert pattern on
+    plain parquet (what MERGE INTO does on a lakehouse table): each
+    micro-batch's changed rows are appended stamped with the batch id;
+    readers reconstruct current state by taking each key's row from the
+    LATEST batch (argmax merge, see read_upsert_state). A retried batch
+    re-appends identical (key, batch_id) rows, which the argmax
+    collapses — giving effectively-once results over an append-only
+    sink with no table format required."""
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(path))
+    return write
+
+
+def read_upsert_state(spark: SparkSession, path: str) -> DataFrame:
+    """Current state of a foreach_batch_upsert_writer sink: per
+    (event_date, event_type) the row with the highest batch id — one
+    shuffle on the key, exactly the merge a lakehouse MERGE INTO
+    performs at read-optimization time."""
+    from pyspark.sql import Window as W
+    df = spark.read.parquet(path)
+    w = W.partitionBy("event_date", "event_type").orderBy(
+        F.col("_batch_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_batch_id"))

@@ -272,3 +272,36 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(str(sink))
     assert out.count() == 5                      # no reprocessing of f1
     assert out.select("event_id").distinct().count() == 5
+
+
+def test_foreach_batch_upsert_idempotent_retry(spark, tmp_path):
+    """The batch-id-stamped upsert sink must collapse a retried
+    micro-batch (same rows re-appended with the same batch id) and
+    resolve each key to its LATEST batch's row — the effectively-once
+    contract foreachBatch requires from its sink."""
+    import pandas as pd
+
+    from ecmm428_pycart_spark.streaming.events import (
+        foreach_batch_upsert_writer, read_upsert_state)
+
+    sink = str(tmp_path / "upsert")
+    write = foreach_batch_upsert_writer(sink)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_date", "event_type",
+                                        "n", "sum_value"]))
+
+    b0 = batch([("2024-01-01", "click", 3, 1.5),
+                ("2024-01-01", "error", 1, 9.0)])
+    b1 = batch([("2024-01-01", "click", 7, 4.5),   # click updated
+                ("2024-01-02", "click", 2, 2.0)])  # new key
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # retried micro-batch: same rows, same batch id
+
+    state = {(r["event_date"], r["event_type"]): (r["n"], r["sum_value"])
+             for r in read_upsert_state(spark, sink).collect()}
+    assert state == {("2024-01-01", "click"): (7, 4.5),
+                     ("2024-01-01", "error"): (1, 9.0),
+                     ("2024-01-02", "click"): (2, 2.0)}
