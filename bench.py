@@ -76,6 +76,8 @@ HEADLINE = [
     "q57_order_count_distribution",
     "g11_triangle_count",
     "q59_zorder_skipping",
+    "m09_jpeg_pixels",
+    "st07_stream_foreach_upsert",
 ]
 
 

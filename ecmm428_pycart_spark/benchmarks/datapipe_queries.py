@@ -520,6 +520,46 @@ def m08_video_meta(spark, sf_dir):
         F.col("m.media_bytes").alias("media_bytes"))
 
 
+# REAL JPEG pixel decode (multimodal.py decode_jpeg_gray: stdlib
+# marker/DHT/DQT parse, byte-unstuffed huffman entropy decode with DC
+# prediction, dequant, numpy IDCT). Payloads are grayscale JPEGs of
+# solid 8x8 blocks with doc_id-derived values, so the DCT round trip
+# is exact and every statistic has a closed form the oracle recomputes
+# arithmetically (block values via an uncorrelated range join, same
+# pattern as m08). Pixel-population std == block-value-population std
+# because all blocks have equal pixel counts.
+@q("m09_jpeg_pixels", """
+WITH blk AS (
+  SELECT d.doc_id, d.doc_id % 3 + 1 AS k,
+         16 + ((d.doc_id * 7 + t.b * 29) % 224) AS v
+  FROM documents d JOIN range(0, 9) t(b)
+    ON t.b < (d.doc_id % 3 + 1) * (d.doc_id % 3 + 1)
+)
+SELECT doc_id,
+       CAST(8 * any_value(k) AS INTEGER) AS width,
+       CAST(8 * any_value(k) AS INTEGER) AS height,
+       CAST(any_value(k) * any_value(k) AS INTEGER) AS n_blocks,
+       round(avg(v), 4) AS pixel_mean,
+       round(coalesce(stddev_pop(v), 0.0), 4) AS pixel_std,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM blk GROUP BY doc_id
+""")
+def m09_jpeg_pixels(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_jpeg_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.jpeg_pixel_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.col("s.n_blocks").alias("n_blocks"),
+        F.round("s.pixel_mean", 4).alias("pixel_mean"),
+        F.round("s.pixel_std", 4).alias("pixel_std"),
+        F.col("s.pixel_min").alias("pixel_min"),
+        F.col("s.pixel_max").alias("pixel_max"))
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """

@@ -1,17 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio decode libraries are not present in this container
-(BASELINE.json instruction), so the JPEG/video pixel kernels are stubs —
-but the Spark-side contract is real and tested: BinaryType payload
-columns, a metadata struct, Arrow-batched mapInPandas with a declared
-output schema, and partition-size-aware batching. Swapping the stub for
-a real decoder (PIL / torchaudio / pyav) changes only `_decode_batch`.
+(BASELINE.json instruction), so the COLOR-JPEG/video pixel kernels are
+stubs — but the Spark-side contract is real and tested: BinaryType
+payload columns, a metadata struct, Arrow-batched mapInPandas with a
+declared output schema, and partition-size-aware batching. Swapping the
+stub for a real decoder (PIL / torchaudio / pyav) changes only
+`_decode_batch`.
 
-PNG pixel decode, however, IS real: `decode_png_pixels` inflates the
-IDAT stream with stdlib zlib and undoes the scanline filters
-(None/Sub/Up/Average/Paeth) in numpy — no PIL needed. m06 verifies it
-end-to-end against a closed-form mean/std oracle on synthesized
-gradient PNGs that exercise every filter type.
+Pixel/sample decode for PNG, grayscale baseline JPEG, and WAV PCM IS
+real, stdlib + numpy only:
+- `decode_png_pixels` inflates IDAT with zlib and undoes the scanline
+  filters (None/Sub/Up/Average/Paeth) in numpy (m06);
+- `decode_jpeg_gray` is a full baseline JPEG decoder — marker walk,
+  DHT/DQT read from the file, byte-unstuffed canonical-huffman entropy
+  decode with DC prediction and EOB/ZRL runs, dequant, IDCT (m09);
+- `wav_sample_stats` reads PCM frames with numpy (m07).
+Each is verified end-to-end against closed-form oracles on synthesized
+payloads.
 
 Container-FORMAT parsing, however, needs no external library, so those
 decoders are REAL: `parse_image_meta` reads PNG IHDR / JPEG SOFn / GIF
@@ -33,8 +39,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-# JPEG/video pixel decode needs PIL/pyav (absent from this container).
-# PNG pixel decode does NOT — see decode_png_pixels below (stdlib zlib).
+# Color-JPEG (chroma upsampling) and video-codec pixel decode need
+# PIL/pyav (absent from this container). PNG, grayscale baseline JPEG,
+# and WAV PCM decode do NOT — decode_png_pixels / decode_jpeg_gray /
+# wav_sample_stats below are real stdlib+numpy implementations.
 REAL_DECODERS_AVAILABLE = False
 
 FEATURE_DIM = 4
@@ -660,4 +668,363 @@ def synth_mp4_payload(doc_id: pd.Series) -> pd.Series:
             width=16 * (i % 61 + 8), height=16 * (i % 41 + 6),
             sample_sizes=[100 + ((i + k) % 50) for k in range(n)],
             with_audio_track=bool(i % 2))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (grayscale) pixel decode — stdlib + numpy only.
+# Marker/segment walk, DQT + DHT parsed FROM THE FILE (the decoder
+# hardcodes no tables), byte-unstuffed bit reader, canonical-huffman
+# entropy decode with DC prediction, EOB/ZRL AC run-lengths, dequant,
+# inverse zigzag, separable IDCT (8x8 DCT-III as two matrix products),
+# level shift + clamp. Color JPEG (chroma subsampling / YCbCr upsample)
+# and progressive scans stay out of scope; together with m06 (PNG) and
+# m07 (WAV) this narrows the "needs external libs" stub to color JPEG
+# and video codecs only.
+# The tables the ENCODER writes are the public JPEG spec Annex K
+# luminance tables; the decoder reads whatever DHT/DQT the file carries.
+# ---------------------------------------------------------------------------
+
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# quant table in zigzag order: DC step 4 (exercises real dequant —
+# 8*(v-128) is always divisible by 4), ACs a position-derived pattern
+_JPEG_QZZ = np.array([4] + [1 + (i % 7) for i in range(1, 64)],
+                     dtype=np.int64)
+
+
+def _dct_mat() -> np.ndarray:
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_mat()
+
+
+def _canonical_codes(bits, vals):
+    """JPEG canonical huffman: {symbol: (code, length)} (spec C.2)."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((val >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:   # byte stuffing
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def write_jpeg_gray(coefs: np.ndarray, width: int, height: int) -> bytes:
+    """Serialize quantized coefficient blocks (n_blocks x 64, zigzag
+    order, row-major block layout) as a baseline grayscale JFIF using
+    the Annex K luminance tables and _JPEG_QZZ quantization."""
+    dc_enc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in coefs:
+        s, mb = _mag_bits(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        code, ln = dc_enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(mb, s)
+        k = 1
+        while k < 64:
+            if blk[k] == 0:
+                run = 0
+                while k < 64 and blk[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, ln = ac_enc[0x00]      # EOB
+                    bw.write(code, ln)
+                    break
+                while run >= 16:
+                    code, ln = ac_enc[0xF0]      # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, mb = _mag_bits(int(blk[k]))
+                code, ln = ac_enc[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(mb, s)
+                k += 1
+            else:
+                s, mb = _mag_bits(int(blk[k]))
+                code, ln = ac_enc[s]             # run = 0
+                bw.write(code, ln)
+                bw.write(mb, s)
+                k += 1
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")                                   # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(q) for q in _JPEG_QZZ))  # DQT
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+                + b"\x01\x11\x00")                                 # SOF0
+    out += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS)
+                + bytes(_JPEG_DC_VALS))                            # DHT DC
+    out += _seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS)
+                + bytes(_JPEG_AC_VALS))                            # DHT AC
+    out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3F\x00")               # SOS
+    out += bw.buf
+    out += b"\xFF\xD9"                                             # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """FDCT + quantize an 8-aligned grayscale image and serialize it.
+    Dimensions must be multiples of 8 (no edge replication here)."""
+    h, w = pixels.shape
+    coefs = []
+    shifted = pixels.astype(np.float64) - 128.0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            s = _DCT_A @ shifted[by:by + 8, bx:bx + 8] @ _DCT_A.T
+            zz = np.round(s.reshape(64)[_ZIGZAG] / _JPEG_QZZ).astype(np.int64)
+            coefs.append(zz)
+    return write_jpeg_gray(np.array(coefs), w, h)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1        # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Full baseline decode of a grayscale JFIF produced by any
+    conformant encoder (single component, no restart markers):
+    segment walk -> tables from the file -> entropy decode -> dequant
+    -> IDCT -> uint8 pixels."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(body[i + 1:i + 65],
+                                       dtype=np.uint8).astype(np.int64)
+                i += 65
+        elif marker == 0xC0:
+            _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only grayscale baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17:i + 17 + nvals])
+                enc = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(ln, code): sym
+                                  for sym, (code, ln) in enc.items()}
+                i += 17 + nvals
+        elif marker == 0xDA:
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+            pos += seglen
+            break
+        pos += seglen
+    if width is None:
+        raise ValueError("no SOF0 before SOS")
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    q = qt[comp_q]
+    dct, act = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    br = _BitReader(data, pos)
+    out = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.uint8)
+    prev_dc = 0
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    for bi in range(bh_blocks * bw_blocks):
+        zz = np.zeros(64, dtype=np.int64)
+        s = _decode_symbol(br, dct)
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = _decode_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            if rs == 0x00:       # EOB
+                break
+            if rs == 0xF0:       # ZRL
+                k += 16
+                continue
+            k += r
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        block = ((zz * q)[inv_zz]).reshape(8, 8).astype(np.float64)
+        pix = _DCT_A.T @ block @ _DCT_A + 128.0
+        by, bx = divmod(bi, bw_blocks)
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+            np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    return out[:height, :width]
+
+
+_JPEG_STATS = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("pixel_mean", T.DoubleType()),
+    T.StructField("pixel_std", T.DoubleType()),
+    T.StructField("pixel_min", T.IntegerType()),
+    T.StructField("pixel_max", T.IntegerType()),
+])
+
+
+@F.pandas_udf(_JPEG_STATS)
+def jpeg_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """REAL JPEG pixel statistics: full baseline grayscale decode
+    (huffman + dequant + IDCT) per payload, then mean/std/min/max over
+    the decoded pixels."""
+    rows = []
+    for b in payload:
+        if b is None:
+            rows.append((None,) * 7)
+            continue
+        px = decode_jpeg_gray(bytes(b))
+        h, w = px.shape
+        rows.append((w, h, (w // 8) * (h // 8),
+                     float(px.mean()), float(px.std()),
+                     int(px.min()), int(px.max())))
+    return pd.DataFrame(rows, columns=[f.name for f in _JPEG_STATS])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_jpeg_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic grayscale JPEG per doc: side = 8*(id%3+1), block
+    (row-major index b) is the solid value 16 + ((id*7 + b*29) % 224).
+    Constant blocks make the DCT round trip exact (DC = 8*(v-128),
+    divisible by the DC quant step 4; ACs exactly 0), so the oracle
+    recomputes every statistic arithmetically."""
+    def gen(i: int) -> bytes:
+        k = i % 3 + 1
+        side = 8 * k
+        img = np.zeros((side, side), dtype=np.uint8)
+        for b in range(k * k):
+            by, bx = divmod(b, k)
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                16 + ((i * 7 + b * 29) % 224)
+        return encode_jpeg_gray(img)
     return doc_id.map(lambda i: gen(int(i)))

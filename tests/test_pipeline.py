@@ -423,3 +423,49 @@ def test_container_parser_edge_cases():
     # truncated inputs return None tuples, never raise
     assert mm._image_meta_one(b"\x89PNG\r\n\x1a")[0] is None
     assert mm._wav_meta_one(b"RI") == (None, None, None, None)
+
+
+def test_real_jpeg_baseline_codec():
+    """The JPEG decoder is a REAL baseline entropy decoder: DHT/DQT
+    from the file, DC prediction across blocks (negative diffs), AC
+    run-lengths incl. ZRL, exact round trip for block-constant images,
+    and agreement with an independent IDCT for handcrafted coefficient
+    blocks. Unsupported shapes (progressive, color) fail loudly."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    # multi-block image, values chosen to force negative DC diffs and
+    # multi-category magnitudes
+    img = np.zeros((16, 24), dtype=np.uint8)
+    vals = [200, 16, 239, 30, 128, 77]
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 3)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    out = mm.decode_jpeg_gray(mm.encode_jpeg_gray(img))
+    assert np.array_equal(out, img)
+
+    # handcrafted coefficients exercise AC runs + ZRL + end-of-block
+    # tails; reference is an independent IDCT of the same coefficients
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[1], zz[5], zz[40], zz[63] = 40, 12, -7, 3, -2
+    dec = mm.decode_jpeg_gray(mm.write_jpeg_gray(zz.reshape(1, 64), 8, 8))
+    inv = np.empty(64, dtype=np.int64)
+    inv[mm._ZIGZAG] = np.arange(64)
+    block = ((zz * mm._JPEG_QZZ)[inv]).reshape(8, 8).astype(float)
+    ref = np.clip(np.round(mm._DCT_A.T @ block @ mm._DCT_A + 128),
+                  0, 255).astype(np.uint8)
+    assert np.array_equal(dec, ref)
+
+    # synth payloads decode to the closed-form block values
+    payload = bytes(mm.encode_jpeg_gray(
+        np.full((8, 8), 99, dtype=np.uint8)))
+    assert mm.decode_jpeg_gray(payload).mean() == 99.0
+
+    # progressive (SOF2) and non-JPEG inputs are rejected, not garbled
+    good = mm.encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8))
+    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(prog)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(b"\x89PNG not a jpeg")
