@@ -1612,3 +1612,130 @@ def d26_repetition_ratio(spark, sf_dir):
         F.round(1.0 - F.size(F.array_distinct(gs))
                 / F.size(gs).cast("double"), 6).alias("dup_gram_frac"))
     return out.filter(F.col("n_grams") > 0)
+
+
+# Product quantization (the billion-vector compression recipe): m=4
+# subspaces x k=8 codes learned with the deterministic k-means loop,
+# every vector encoded as 4 small codes. Iterative like k01, so the
+# oracle is a golden VALUES table keyed by the same per-sf embeddings
+# fingerprint; regenerate with tools/gen_goldens.py. The pytest
+# additionally pins the reconstruction-error contract (monotone
+# improvement over the init codebook).
+@q("s11_pq_codes", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+golden AS (
+  SELECT * FROM (VALUES
+    (500, -1.464, 0, 0, 84),
+    (500, -1.464, 0, 1, 80),
+    (500, -1.464, 0, 2, 43),
+    (500, -1.464, 0, 3, 24),
+    (500, -1.464, 0, 4, 103),
+    (500, -1.464, 0, 5, 58),
+    (500, -1.464, 0, 6, 41),
+    (500, -1.464, 0, 7, 67),
+    (500, -1.464, 1, 0, 58),
+    (500, -1.464, 1, 1, 101),
+    (500, -1.464, 1, 2, 37),
+    (500, -1.464, 1, 3, 59),
+    (500, -1.464, 1, 4, 55),
+    (500, -1.464, 1, 5, 71),
+    (500, -1.464, 1, 6, 60),
+    (500, -1.464, 1, 7, 59),
+    (500, -1.464, 2, 0, 79),
+    (500, -1.464, 2, 1, 44),
+    (500, -1.464, 2, 2, 77),
+    (500, -1.464, 2, 3, 64),
+    (500, -1.464, 2, 4, 55),
+    (500, -1.464, 2, 5, 44),
+    (500, -1.464, 2, 6, 87),
+    (500, -1.464, 2, 7, 50),
+    (500, -1.464, 3, 0, 57),
+    (500, -1.464, 3, 1, 53),
+    (500, -1.464, 3, 2, 67),
+    (500, -1.464, 3, 3, 107),
+    (500, -1.464, 3, 4, 43),
+    (500, -1.464, 3, 5, 81),
+    (500, -1.464, 3, 6, 51),
+    (500, -1.464, 3, 7, 41),
+    (500, 1.0824, 0, 0, 85),
+    (500, 1.0824, 0, 1, 90),
+    (500, 1.0824, 0, 2, 78),
+    (500, 1.0824, 0, 3, 59),
+    (500, 1.0824, 0, 4, 39),
+    (500, 1.0824, 0, 5, 56),
+    (500, 1.0824, 0, 6, 37),
+    (500, 1.0824, 0, 7, 56),
+    (500, 1.0824, 1, 0, 46),
+    (500, 1.0824, 1, 1, 46),
+    (500, 1.0824, 1, 2, 40),
+    (500, 1.0824, 1, 3, 79),
+    (500, 1.0824, 1, 4, 67),
+    (500, 1.0824, 1, 5, 72),
+    (500, 1.0824, 1, 6, 88),
+    (500, 1.0824, 1, 7, 62),
+    (500, 1.0824, 2, 0, 63),
+    (500, 1.0824, 2, 1, 54),
+    (500, 1.0824, 2, 2, 67),
+    (500, 1.0824, 2, 3, 64),
+    (500, 1.0824, 2, 4, 75),
+    (500, 1.0824, 2, 5, 67),
+    (500, 1.0824, 2, 6, 27),
+    (500, 1.0824, 2, 7, 83),
+    (500, 1.0824, 3, 0, 67),
+    (500, 1.0824, 3, 1, 72),
+    (500, 1.0824, 3, 2, 47),
+    (500, 1.0824, 3, 3, 51),
+    (500, 1.0824, 3, 4, 84),
+    (500, 1.0824, 3, 5, 50),
+    (500, 1.0824, 3, 6, 78),
+    (500, 1.0824, 3, 7, 51),
+    (2000, 1.5308, 0, 0, 283),
+    (2000, 1.5308, 0, 1, 213),
+    (2000, 1.5308, 0, 2, 294),
+    (2000, 1.5308, 0, 3, 224),
+    (2000, 1.5308, 0, 4, 206),
+    (2000, 1.5308, 0, 5, 250),
+    (2000, 1.5308, 0, 6, 317),
+    (2000, 1.5308, 0, 7, 213),
+    (2000, 1.5308, 1, 0, 193),
+    (2000, 1.5308, 1, 1, 220),
+    (2000, 1.5308, 1, 2, 270),
+    (2000, 1.5308, 1, 3, 247),
+    (2000, 1.5308, 1, 4, 325),
+    (2000, 1.5308, 1, 5, 249),
+    (2000, 1.5308, 1, 6, 178),
+    (2000, 1.5308, 1, 7, 318),
+    (2000, 1.5308, 2, 0, 248),
+    (2000, 1.5308, 2, 1, 281),
+    (2000, 1.5308, 2, 2, 236),
+    (2000, 1.5308, 2, 3, 220),
+    (2000, 1.5308, 2, 4, 227),
+    (2000, 1.5308, 2, 5, 275),
+    (2000, 1.5308, 2, 6, 192),
+    (2000, 1.5308, 2, 7, 321),
+    (2000, 1.5308, 3, 0, 215),
+    (2000, 1.5308, 3, 1, 342),
+    (2000, 1.5308, 3, 2, 304),
+    (2000, 1.5308, 3, 3, 289),
+    (2000, 1.5308, 3, 4, 241),
+    (2000, 1.5308, 3, 5, 206),
+    (2000, 1.5308, 3, 6, 263),
+    (2000, 1.5308, 3, 7, 140)
+  ) AS g(n, s, subspace, code, n_vectors)
+)
+SELECT subspace::INTEGER AS subspace, code::INTEGER AS code,
+       n_vectors::BIGINT AS n_vectors
+FROM golden JOIN fp ON golden.n = fp.n AND golden.s::DOUBLE = fp.s
+""")
+def s11_pq_codes(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.similarity import pq_encode
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, _cbs = pq_encode(emb, m=4, k=8, iterations=2)
+    long = codes.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("subspace"), F.col(f"code_{j}").alias("code"))
+        for j in range(4)])).alias("s")).select("s.subspace", "s.code")
+    return (long.groupBy("subspace", "code")
+            .agg(F.count(F.lit(1)).alias("n_vectors")))

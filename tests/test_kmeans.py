@@ -54,3 +54,32 @@ def test_kmeans_deterministic(spark):
     a2, _ = kmeans(emb, k=3, iterations=2)
     assert ({(r["vec_id"], r["cluster"]) for r in a1.collect()}
             == {(r["vec_id"], r["cluster"]) for r in a2.collect()})
+
+
+def test_pq_encode_reconstruction_contract(spark):
+    """PQ codes must (a) assign every vector m in-range codes, (b) use
+    codebooks of exactly k centroids per subspace, and (c) reconstruct
+    better than the un-iterated init codebook — the monotone-improvement
+    property Lloyd's algorithm guarantees."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        pq_encode, pq_reconstruction_error)
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+
+    codes, cbs = pq_encode(emb, m=4, k=8, iterations=2)
+    assert codes.count() == n
+    for j in range(4):
+        vals = [r[0] for r in codes.select(f"code_{j}").distinct().collect()]
+        assert set(vals) <= set(range(8))
+        assert cbs[j].count() == 8
+
+    err2 = (pq_reconstruction_error(emb, codes, cbs)
+            .agg(F.sum("sq_err")).first()[0])
+    codes0, cbs0 = pq_encode(emb, m=4, k=8, iterations=0)
+    err0 = (pq_reconstruction_error(emb, codes0, cbs0)
+            .agg(F.sum("sq_err")).first()[0])
+    assert err2 < err0

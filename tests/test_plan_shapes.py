@@ -115,6 +115,7 @@ _BNLJ_OK = {
     "s01_cosine_topk",          # broadcast query vector
     "s03_centroid_assign",      # broadcast codebook
     "s04_ivf_probe",            # broadcast codebook
+    "s11_pq_codes",             # broadcast per-subspace codebooks
     "s09_knn_join",             # broadcast query batch
 }
 

@@ -63,6 +63,20 @@ def main():
         print(",\n".join(f"({n}, {s!r}, {c}, {nv})" for c, nv in rows) + ",")
     print()
 
+    print("# s11_pq_codes golden (n, s, subspace, code, n_vectors):")
+    for sf in SFS:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{BASE}{sf}/embeddings.parquet'")
+        n, s = con.execute(
+            "SELECT count(*), round(sum(embedding[1])::DOUBLE, 4) "
+            "FROM embeddings").fetchone()
+        rows = sorted(map(tuple, qs["s11_pq_codes"](
+            spark, BASE + sf).collect()))
+        print(",\n".join(f"({n}, {s!r}, {sub}, {c}, {nv})"
+                         for sub, c, nv in rows) + ",")
+    print()
+
     print("# g08_dorling_scalable_large golden "
           "(n, cx_chk, cy_chk, radius_chk):")
     for sf in SFS:
