@@ -1739,3 +1739,22 @@ def s11_pq_codes(spark, sf_dir):
         for j in range(4)])).alias("s")).select("s.subspace", "s.code")
     return (long.groupBy("subspace", "code")
             .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+# PQ asymmetric-distance search (ADC) with exact re-rank: normalize ->
+# learn PQ codebooks -> query-vs-centroid distance table (m x 8,
+# broadcast) -> per-vector distance = 4 table lookups -> shortlist ->
+# exact-cosine re-rank. The oracle is the BRUTE-FORCE top-20 (same SQL
+# as s01): the gate therefore checks the end-to-end recall contract —
+# a shortlist that ever drops a true top-20 neighbor hash-mismatches.
+@q("s12_pq_adc_rerank", f"""
+SELECT vec_id, cos FROM ({_COS_SQL})
+ORDER BY cos DESC, vec_id ASC LIMIT 20
+""")
+def s12_pq_adc_rerank(spark, sf_dir):
+    # m=8 subspaces: fine enough that a 25%-of-corpus shortlist holds
+    # recall 1.0 at every testdata sf (m=4 drops 1 of 20 at sf0.1);
+    # in production shortlist/m trade recall against scan cost
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, similarity.query_vector(emb, 0), k=20, m=8, shortlist=500)

@@ -334,3 +334,59 @@ def pq_reconstruction_error(df: DataFrame, codes: DataFrame,
                        * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, v: acc + v)
     return out.select(id_col, err.alias("sq_err"))
+
+
+def pq_adc_topk(df: DataFrame, query: DataFrame, k: int = 20,
+                m: int = 4, k_codes: int = 8, iterations: int = 2,
+                shortlist: int = 500, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                q_col: str = "q") -> DataFrame:
+    """PQ asymmetric-distance search with exact re-rank — the standard
+    production ANN recipe (Jégou et al.): vectors are L2-normalized so
+    squared-L2 order == cosine order, PQ codebooks are learned on the
+    normalized corpus, the query is compared to CENTROIDS once (an
+    m x k_codes distance table, broadcast everywhere), every vector's
+    approximate distance is m table lookups (broadcast joins on the
+    code columns — no shuffle over the corpus beyond the encode), the
+    top-``shortlist`` by approximate distance are re-ranked with the
+    exact cosine, and the final top-k is exact over that shortlist.
+    Recall is governed by shortlist/m/k_codes; at 100 TB the corpus
+    scan cost is reading m bytes per vector instead of the full
+    embedding."""
+    nrm = F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    dfn = df.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double") / nrm)
+        .alias("embedding"))
+    codes, cbs = pq_encode(dfn, m=m, k=k_codes, iterations=iterations,
+                           id_col=id_col, vec_col="embedding")
+
+    qn = F.sqrt(F.aggregate(
+        F.transform(q_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    qdf = query.select(
+        F.transform(q_col, lambda x: x.cast("double") / qn).alias("_qn"))
+    dim_row = df.select(F.size(vec_col)).first()
+    sub_d = dim_row[0] // m
+
+    approx = codes
+    dist = F.lit(0.0)
+    for j in range(m):
+        qsub = F.slice("_qn", j * sub_d + 1, sub_d)
+        dtab = (cbs[j].crossJoin(F.broadcast(qdf))
+                .select(F.col("cluster").alias(f"code_{j}"),
+                        F.aggregate(
+                            F.zip_with("centroid", qsub,
+                                       lambda c, q: (c - q) * (c - q)),
+                            F.lit(0.0), lambda a, v: a + v)
+                        .alias(f"_d_{j}")))
+        approx = approx.join(F.broadcast(dtab), f"code_{j}")
+        dist = dist + F.col(f"_d_{j}")
+    short = (approx.select(id_col, dist.alias("_approx"))
+             .orderBy(F.col("_approx").asc(), F.col(id_col).asc())
+             .limit(shortlist))
+
+    cand = df.join(F.broadcast(short), id_col).select(id_col, vec_col)
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)

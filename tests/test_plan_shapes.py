@@ -116,6 +116,7 @@ _BNLJ_OK = {
     "s03_centroid_assign",      # broadcast codebook
     "s04_ivf_probe",            # broadcast codebook
     "s11_pq_codes",             # broadcast per-subspace codebooks
+    "s12_pq_adc_rerank",        # broadcast query vector + codebooks
     "s09_knn_join",             # broadcast query batch
 }
 
