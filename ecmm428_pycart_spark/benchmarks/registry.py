@@ -28,9 +28,10 @@ from ecmm428_pycart_spark.benchmarks import relational
 #            stdlib-zlib PNG pixel decode
 #   st01/st05/st06  streaming: watermarked window, stream-stream
 #            interval join, bounded-state dedup
-#   q38a/q42-q51  sketches (hash-checked face), salted agg, gapfill,
-#            RANGE frame, grouping sets, equi-depth, KMV, skew join,
-#            constraint report, ORC sink round-trip (S6)
+#   q38a/q42-q59  sketches (hash-checked face), salted agg, gapfill,
+#            grouping sets, KMV, ORC sink round-trip (S6), z-order
+#            manifest skipping, real JPEG pixel decode (q44/q46 extras
+#            rotated out in r3 — still verify_oracle-covered)
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q02_filter_eq", "q03_filter_isin",
     "q04_cast_clean", "q05_range_filter", "q06_join_customer_nation_region",
@@ -50,8 +51,8 @@ DRIVER_WINDOW = [
     "st01_stream_hourly", "st05_stream_interval_join",
     "st06_stream_dedup_bounded",
     "q38_sketch_accuracy", "q42_salted_agg", "q43_gapfill",
-    "q44_trailing_window", "q45_grouping_sets", "q46_equidepth_hist",
-    "q47_kmv_sketch", "q50_orc_roundtrip",
+    "q45_grouping_sets", "q47_kmv_sketch", "q50_orc_roundtrip",
+    "q59_zorder_skipping", "m09_jpeg_pixels",
 ]
 
 

@@ -63,6 +63,8 @@ FAMILIES: dict[str, set[str]] = {
     "stream_dedup": {"st03_stream_dedup", "st06_stream_dedup_bounded"},
     "sketches_gated": {"q38_sketch_accuracy", "q47_kmv_sketch"},
     "sink_roundtrip": {"q50_orc_roundtrip"},
+    "data_layout_skipping": {"q59_zorder_skipping"},
+    "multimodal_jpeg_decode": {"m09_jpeg_pixels"},
 }
 
 
