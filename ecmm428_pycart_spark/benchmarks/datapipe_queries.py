@@ -1758,3 +1758,46 @@ def s12_pq_adc_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(
         emb, similarity.query_vector(emb, 0), k=20, m=8, shortlist=500)
+
+
+# REAL color (YCbCr 4:2:0) JPEG decode: 3 interleaved components,
+# per-component quant/huffman tables from the file, separate DC
+# predictors, chroma at half resolution. Block-constant synthesized
+# planes make every channel statistic closed-form. The BT.601 RGB
+# conversion is pinned in pytest (numpy banker's rounding differs from
+# SQL round, so RGB stays out of the cross-engine oracle).
+@q("m10_color_jpeg", """
+WITH yb AS (
+  SELECT d.doc_id, 16 + ((d.doc_id * 7 + t.b * 13) % 224) AS v
+  FROM documents d JOIN range(0, 16) t(b) ON TRUE
+),
+cbb AS (
+  SELECT d.doc_id, 64 + ((d.doc_id * 3 + t.b * 17) % 128) AS v
+  FROM documents d JOIN range(0, 4) t(b) ON TRUE
+),
+crb AS (
+  SELECT d.doc_id, 48 + ((d.doc_id * 5 + t.b * 11) % 160) AS v
+  FROM documents d JOIN range(0, 4) t(b) ON TRUE
+),
+ys AS (SELECT doc_id, round(avg(v), 4) AS y_mean,
+              round(coalesce(stddev_pop(v), 0.0), 4) AS y_std
+       FROM yb GROUP BY doc_id),
+cbs AS (SELECT doc_id, round(avg(v), 4) AS cb_mean FROM cbb GROUP BY doc_id),
+crs AS (SELECT doc_id, round(avg(v), 4) AS cr_mean FROM crb GROUP BY doc_id)
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       y_mean, y_std, cb_mean, cr_mean
+FROM ys JOIN cbs USING (doc_id) JOIN crs USING (doc_id)
+""")
+def m10_color_jpeg(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_color_jpeg_payload(F.col("doc_id")))
+    st = payload.withColumn("s",
+                            multimodal.color_jpeg_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.round("s.y_mean", 4).alias("y_mean"),
+        F.round("s.y_std", 4).alias("y_std"),
+        F.round("s.cb_mean", 4).alias("cb_mean"),
+        F.round("s.cr_mean", 4).alias("cr_mean"))

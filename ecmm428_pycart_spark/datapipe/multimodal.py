@@ -1,20 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio decode libraries are not present in this container
-(BASELINE.json instruction), so the COLOR-JPEG/video pixel kernels are
+(BASELINE.json instruction), so the VIDEO-CODEC pixel kernels are
 stubs — but the Spark-side contract is real and tested: BinaryType
 payload columns, a metadata struct, Arrow-batched mapInPandas with a
 declared output schema, and partition-size-aware batching. Swapping the
 stub for a real decoder (PIL / torchaudio / pyav) changes only
 `_decode_batch`.
 
-Pixel/sample decode for PNG, grayscale baseline JPEG, and WAV PCM IS
-real, stdlib + numpy only:
+Pixel/sample decode for PNG, baseline JPEG (grayscale AND 4:2:0
+color), and WAV PCM IS real, stdlib + numpy only:
 - `decode_png_pixels` inflates IDAT with zlib and undoes the scanline
   filters (None/Sub/Up/Average/Paeth) in numpy (m06);
 - `decode_jpeg_gray` is a full baseline JPEG decoder — marker walk,
   DHT/DQT read from the file, byte-unstuffed canonical-huffman entropy
   decode with DC prediction and EOB/ZRL runs, dequant, IDCT (m09);
+- `decode_jpeg_color` extends it to 3 interleaved YCbCr components
+  with 4:2:0 subsampling, per-component tables, and BT.601 RGB (m10);
 - `wav_sample_stats` reads PCM frames with numpy (m07).
 Each is verified end-to-end against closed-form oracles on synthesized
 payloads.
@@ -39,9 +41,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-# Color-JPEG (chroma upsampling) and video-codec pixel decode need
-# PIL/pyav (absent from this container). PNG, grayscale baseline JPEG,
-# and WAV PCM decode do NOT — decode_png_pixels / decode_jpeg_gray /
+# Video-codec pixel decode needs pyav (absent from this container).
+# PNG, baseline JPEG (gray + 4:2:0 color), and WAV PCM decode do NOT —
+# decode_png_pixels / decode_jpeg_gray / decode_jpeg_color /
 # wav_sample_stats below are real stdlib+numpy implementations.
 REAL_DECODERS_AVAILABLE = False
 
@@ -1027,4 +1029,291 @@ def synth_jpeg_payload(doc_id: pd.Series) -> pd.Series:
             img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                 16 + ((i * 7 + b * 29) % 224)
         return encode_jpeg_gray(img)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+# ---------------------------------------------------------------------------
+# Color JPEG (YCbCr 4:2:0) — extends the baseline codec above to 3
+# interleaved components with chroma subsampling: per-component
+# DQT/DHT selection from the file, MCU = 2x2 Y blocks + 1 Cb + 1 Cr,
+# separate DC predictors per component, nearest-neighbor chroma
+# upsample, and the ITU-R BT.601 YCbCr->RGB transform. With this the
+# only remaining pixel stub is video codecs.
+# ---------------------------------------------------------------------------
+
+# standard chrominance tables (JPEG spec Annex K)
+_JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_C = tuple(range(12))
+_JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+_JPEG_QZZ_C = np.array([4] + [1] * 63, dtype=np.int64)
+
+
+def _encode_plane_block(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+    blk = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+    s = _DCT_A @ blk @ _DCT_A.T
+    return s.reshape(64)[_ZIGZAG]
+
+
+def encode_jpeg_color(y: np.ndarray, cb: np.ndarray,
+                      cr: np.ndarray) -> bytes:
+    """Serialize YCbCr planes (Y full-res HxW, Cb/Cr H/2 x W/2) as a
+    baseline 4:2:0 JFIF. H and W must be multiples of 16."""
+    h, w = y.shape
+    assert h % 16 == 0 and w % 16 == 0
+    assert cb.shape == (h // 2, w // 2) and cr.shape == cb.shape
+    enc_dc_y = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    enc_ac_y = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    enc_dc_c = _canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    enc_ac_c = _canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # DC predictors per component
+
+    def emit(zz: np.ndarray, comp: int) -> None:
+        q = _JPEG_QZZ if comp == 0 else _JPEG_QZZ_C
+        dc_enc = enc_dc_y if comp == 0 else enc_dc_c
+        ac_enc = enc_ac_y if comp == 0 else enc_ac_c
+        qz = np.round(zz / q).astype(np.int64)
+        s, mb = _mag_bits(int(qz[0]) - prev[comp])
+        prev[comp] = int(qz[0])
+        code, ln = dc_enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(mb, s)
+        k = 1
+        while k < 64:
+            if qz[k] == 0:
+                run = 0
+                while k < 64 and qz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, ln = ac_enc[0x00]
+                    bw.write(code, ln)
+                    break
+                while run >= 16:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, mb = _mag_bits(int(qz[k]))
+                code, ln = ac_enc[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(mb, s)
+                k += 1
+            else:
+                s, mb = _mag_bits(int(qz[k]))
+                code, ln = ac_enc[s]
+                bw.write(code, ln)
+                bw.write(mb, s)
+                k += 1
+
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy in (0, 8):            # 4 Y blocks, raster order
+                for dx in (0, 8):
+                    emit(_encode_plane_block(y, my + dy, mx + dx), 0)
+            emit(_encode_plane_block(cb, my // 2, mx // 2), 1)
+            emit(_encode_plane_block(cr, my // 2, mx // 2), 2)
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(v) for v in _JPEG_QZZ))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(v) for v in _JPEG_QZZ_C))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                + b"\x01\x22\x00"        # Y: 2x2 sampling, qtable 0
+                + b"\x02\x11\x01"        # Cb: 1x1, qtable 1
+                + b"\x03\x11\x01")       # Cr
+    out += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS_C)
+                + bytes(_JPEG_DC_VALS_C))
+    out += _seg(0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS_C)
+                + bytes(_JPEG_AC_VALS_C))
+    out += _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00")
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 full-range conversion (the JFIF definition)."""
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+def decode_jpeg_color(data: bytes):
+    """Full baseline 4:2:0 color decode: returns (y, cb, cr) planes
+    (chroma at half resolution — callers upsample/convert as needed).
+    Grayscale files decode via decode_jpeg_gray."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps = []       # (id, h_samp, v_samp, tq)
+    scan_sel = {}    # comp id -> (td, ta)
+    while pos < len(data):
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                qt[body[i] & 15] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                i += 65
+        elif marker == 0xC0:
+            _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17:i + 17 + nvals])
+                enc = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(ln, code): sym
+                                  for sym, (code, ln) in enc.items()}
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                scan_sel[body[1 + 2 * c]] = (body[2 + 2 * c] >> 4,
+                                             body[2 + 2 * c] & 15)
+            pos += seglen
+            break
+        pos += seglen
+    if len(comps) == 1:
+        raise ValueError("grayscale file: use decode_jpeg_gray")
+    if len(comps) != 3 or [(c[1], c[2]) for c in comps] != \
+            [(2, 2), (1, 1), (1, 1)]:
+        raise ValueError("only 3-component 4:2:0 supported")
+    if height % 16 or width % 16:
+        raise ValueError("dimensions must be multiples of 16")
+
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    br = _BitReader(data, pos)
+    prev = {c[0]: 0 for c in comps}
+    y_plane = np.zeros((height, width), dtype=np.uint8)
+    cb_plane = np.zeros((height // 2, width // 2), dtype=np.uint8)
+    cr_plane = np.zeros((height // 2, width // 2), dtype=np.uint8)
+
+    def read_block(cid: int, tq: int) -> np.ndarray:
+        td, ta = scan_sel[cid]
+        zz = np.zeros(64, dtype=np.int64)
+        s = _decode_symbol(br, huff[(0, td)])
+        diff = _extend(br.bits(s), s) if s else 0
+        prev[cid] += diff
+        zz[0] = prev[cid]
+        k = 1
+        while k < 64:
+            rs = _decode_symbol(br, huff[(1, ta)])
+            r, s = rs >> 4, rs & 15
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += r
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        blk = ((zz * qt[tq])[inv_zz]).reshape(8, 8).astype(np.float64)
+        pix = _DCT_A.T @ blk @ _DCT_A + 128.0
+        return np.clip(np.round(pix), 0, 255).astype(np.uint8)
+
+    (yid, _, _, ytq), (cbid, _, _, cbtq), (crid, _, _, crtq) = comps
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    y_plane[my + dy:my + dy + 8, mx + dx:mx + dx + 8] = \
+                        read_block(yid, ytq)
+            cb_plane[my // 2:my // 2 + 8, mx // 2:mx // 2 + 8] = \
+                read_block(cbid, cbtq)
+            cr_plane[my // 2:my // 2 + 8, mx // 2:mx // 2 + 8] = \
+                read_block(crid, crtq)
+    return y_plane, cb_plane, cr_plane
+
+
+_COLOR_JPEG_STATS = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("y_mean", T.DoubleType()),
+    T.StructField("y_std", T.DoubleType()),
+    T.StructField("cb_mean", T.DoubleType()),
+    T.StructField("cr_mean", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_COLOR_JPEG_STATS)
+def color_jpeg_stats(payload: pd.Series) -> pd.DataFrame:
+    """REAL 4:2:0 color JPEG decode per payload -> per-channel pixel
+    statistics (Y population mean/std, chroma means)."""
+    rows = []
+    for b in payload:
+        if b is None:
+            rows.append((None,) * 6)
+            continue
+        y, cb, cr = decode_jpeg_color(bytes(b))
+        rows.append((y.shape[1], y.shape[0],
+                     float(y.mean()), float(y.std()),
+                     float(cb.mean()), float(cr.mean())))
+    return pd.DataFrame(rows, columns=[f.name for f in _COLOR_JPEG_STATS])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_color_jpeg_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic 32x32 4:2:0 color JPEG per doc: 16 solid Y blocks
+    (16 + ((id*7 + b*13) % 224)), 4 solid Cb blocks
+    (64 + ((id*3 + b*17) % 128)), 4 solid Cr blocks
+    (48 + ((id*5 + b*11) % 160)) — every channel statistic has a
+    closed form."""
+    def gen(i: int) -> bytes:
+        y = np.zeros((32, 32), dtype=np.uint8)
+        for b in range(16):
+            by, bx = divmod(b, 4)
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                16 + ((i * 7 + b * 13) % 224)
+        cb = np.zeros((16, 16), dtype=np.uint8)
+        cr = np.zeros((16, 16), dtype=np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            cb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                64 + ((i * 3 + b * 17) % 128)
+            cr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                48 + ((i * 5 + b * 11) % 160)
+        return encode_jpeg_color(y, cb, cr)
     return doc_id.map(lambda i: gen(int(i)))

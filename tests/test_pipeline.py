@@ -469,3 +469,41 @@ def test_real_jpeg_baseline_codec():
         mm.decode_jpeg_gray(prog)
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(b"\x89PNG not a jpeg")
+
+
+def test_real_color_jpeg_codec():
+    """4:2:0 color path: exact round trip of block-constant planes,
+    separate DC predictor chains per component, chroma tables selected
+    from the file, BT.601 RGB conversion matches the spec formula, and
+    unsupported layouts are rejected loudly."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    y = np.zeros((32, 48), dtype=np.uint8)
+    for b in range(24):
+        by, bx = divmod(b, 6)
+        y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (b * 37 + 19) % 256
+    cb = np.zeros((16, 24), dtype=np.uint8)
+    cr = np.zeros((16, 24), dtype=np.uint8)
+    for b in range(6):
+        by, bx = divmod(b, 3)
+        cb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = 70 + 23 * b
+        cr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = 200 - 19 * b
+    data = mm.encode_jpeg_color(y, cb, cr)
+    dy, dcb, dcr = mm.decode_jpeg_color(data)
+    assert np.array_equal(dy, y)
+    assert np.array_equal(dcb, cb) and np.array_equal(dcr, cr)
+
+    # RGB conversion: spec formula, element-checked
+    up_cb = np.repeat(np.repeat(dcb, 2, 0), 2, 1)
+    up_cr = np.repeat(np.repeat(dcr, 2, 0), 2, 1)
+    rgb = mm.ycbcr_to_rgb(dy, up_cb, up_cr)
+    yy, cc, rr = float(dy[0, 0]), float(up_cb[0, 0]), float(up_cr[0, 0])
+    assert rgb[0, 0, 0] == np.clip(np.round(yy + 1.402 * (rr - 128)), 0, 255)
+    assert rgb[0, 0, 2] == np.clip(np.round(yy + 1.772 * (cc - 128)), 0, 255)
+
+    # grayscale files route to decode_jpeg_gray, not the color path
+    gray = mm.encode_jpeg_gray(np.full((8, 8), 77, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_color(gray)
