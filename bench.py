@@ -77,7 +77,9 @@ HEADLINE = [
     "g11_triangle_count",
     "q59_zorder_skipping",
     "m09_jpeg_pixels",
+    "m10_color_jpeg",
     "st07_stream_foreach_upsert",
+    "q60_bucketed_colocated_join",
 ]
 
 

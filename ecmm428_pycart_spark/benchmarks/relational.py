@@ -1856,3 +1856,41 @@ def st07_stream_foreach_upsert(spark, sf_dir):
     return (read_upsert_state(spark, sink)
             .select("event_date", "event_type", "n",
                     F.round("sum_value", 2).alias("sum_value")))
+
+
+# Bucketed co-located join EXECUTED in the gate: both fact tables are
+# written bucketBy(8, orderkey) + sortBy into the session catalog
+# (external parquet in a temp dir, in-memory catalog — no Hive), then
+# joined. Bucketing pre-shuffles ONCE at write time; every subsequent
+# join/aggregation on the bucket key runs exchange-free (the pytest
+# twin, test_bucketed_join_avoids_shuffle, asserts the plan property
+# with broadcast disabled). At 100 TB this is the difference between
+# shuffling the fact table per query and never shuffling it again.
+@q("q60_bucketed_colocated_join", """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""")
+def q60_bucketed_colocated_join(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="q60_bkt_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"))
+    (o.write.mode("overwrite").option("path", f"{base}/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(f"q60_orders_{tag}"))
+    (li.write.mode("overwrite").option("path", f"{base}/lineitem")
+       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .saveAsTable(f"q60_lineitem_{tag}"))
+    ob = spark.table(f"q60_orders_{tag}")
+    lb = spark.table(f"q60_lineitem_{tag}")
+    return (ob.join(lb, "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("l_quantity"), 2).alias("total_qty")))

@@ -368,3 +368,20 @@ def test_q51_all_predicates_pushed(spark):
         assert col in pushed, f"{col} not pushed: {pushed}"
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_orderkey" not in read and "l_extendedprice" in read
+
+
+def test_q60_bucketed_join_no_exchange(spark):
+    """The gate's bucketed co-located join must actually join without a
+    hash-partitioning Exchange above the bucketed scans once the
+    broadcast escape hatch is off (the write-once-shuffle-never
+    contract bucketing exists for)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = get_queries()["q60_bucketed_colocated_join"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan
+    joins = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in joins
