@@ -1894,3 +1894,66 @@ def q60_bucketed_colocated_join(spark, sf_dir):
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+
+
+# Batch MERGE (SCD type 1) on plain DataFrames: a deterministic changes
+# feed (updates for custkey%3=0, deletes for custkey%7=0, inserts with
+# shifted keys for custkey%5=0) applied to the customer base in ONE
+# full-outer join — WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN
+# NOT MATCHED INSERT, exactly the lakehouse MERGE INTO contract. The
+# only shuffle is the join on the merge key; the post-merge rollup
+# proves row-level semantics (updated balances, dropped deletes,
+# appended inserts) against the oracle's set-based restatement.
+@q("q61_batch_merge_scd1", """
+WITH changes AS (
+  SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal,
+         c_nationkey AS nk
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, 'D', NULL, c_nationkey
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', 500.0, c_nationkey
+  FROM customer WHERE c_custkey % 5 = 0
+),
+merged AS (
+  SELECT coalesce(c.c_custkey, ch.k) AS k,
+         coalesce(c.c_nationkey, ch.nk) AS nk,
+         CASE WHEN ch.op = 'U' THEN ch.new_bal
+              WHEN ch.op = 'I' THEN ch.new_bal
+              ELSE c.c_acctbal END AS bal
+  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+  WHERE ch.op IS NULL OR ch.op <> 'D'
+)
+SELECT nk AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(bal), 2) AS total_bal
+FROM merged GROUP BY nk
+""")
+def q61_batch_merge_scd1(spark, sf_dir):
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    k = F.col("c_custkey")
+    updates = (base.filter((k % 3 == 0) & (k % 7 != 0))
+               .select(k.alias("k"), F.lit("U").alias("op"),
+                       (F.col("c_acctbal") + 100.0).alias("new_bal"),
+                       F.col("c_nationkey").alias("nk")))
+    deletes = (base.filter(k % 7 == 0)
+               .select(k.alias("k"), F.lit("D").alias("op"),
+                       F.lit(None).cast("double").alias("new_bal"),
+                       F.col("c_nationkey").alias("nk")))
+    inserts = (base.filter(k % 5 == 0)
+               .select((k + 1000000).alias("k"), F.lit("I").alias("op"),
+                       F.lit(500.0).alias("new_bal"),
+                       F.col("c_nationkey").alias("nk")))
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = (base.join(changes, base["c_custkey"] == changes["k"],
+                        "full_outer")
+              .filter(F.col("op").isNull() | (F.col("op") != "D"))
+              .select(
+                  F.coalesce("c_nationkey", "nk").alias("c_nationkey"),
+                  F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+                  .otherwise(F.col("c_acctbal")).alias("bal")))
+    return (merged.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.round(F.sum("bal"), 2).alias("total_bal")))
