@@ -1801,3 +1801,67 @@ def m10_color_jpeg(spark, sf_dir):
         F.round("s.y_std", 4).alias("y_std"),
         F.round("s.cb_mean", 4).alias("cb_mean"),
         F.round("s.cr_mean", 4).alias("cr_mean"))
+
+
+# Gopher-style rule report (Rae et al. 2021 §A1.1 shape): per-source
+# counts of documents failing each structural quality rule, plus the
+# survivors — the gate report a corpus pipeline emits before training.
+# Every rule is a native column expression over the token array (one
+# scan, zero shuffles except the tiny per-source rollup); the max
+# token-frequency rule is per-row array math, not a token explode.
+@q("d30_gopher_rules", """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS nc
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CASE WHEN n < 30 THEN 1 ELSE 0 END AS fail_len,
+         CASE WHEN (nc - (n - 1))::DOUBLE / n NOT BETWEEN 3.0 AND 5.5
+              THEN 1 ELSE 0 END AS fail_wordlen,
+         CASE WHEN len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE
+                   / n > 0.2 THEN 1 ELSE 0 END AS fail_stop,
+         CASE WHEN list_max([len(list_filter(toks, x -> x = w))
+                             FOR w IN list_distinct(toks)])::DOUBLE / n
+                   > 0.2 THEN 1 ELSE 0 END AS fail_rep
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fail_len) AS BIGINT) AS n_fail_len,
+       CAST(sum(fail_wordlen) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(fail_stop) AS BIGINT) AS n_fail_stop,
+       CAST(sum(fail_rep) AS BIGINT) AS n_fail_rep,
+       CAST(sum(CASE WHEN fail_len + fail_wordlen + fail_stop + fail_rep = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM r GROUP BY source
+""")
+def d30_gopher_rules(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    stop_ratio = (F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+                  .cast("double") / n)
+    max_freq = (F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda x: x == w))))
+        .cast("double") / n)
+    r = docs.select(
+        "source",
+        F.when(n < 30, 1).otherwise(0).alias("fail_len"),
+        F.when(~mean_wl.between(3.0, 5.5), 1).otherwise(0)
+        .alias("fail_wordlen"),
+        F.when(stop_ratio > 0.2, 1).otherwise(0).alias("fail_stop"),
+        F.when(max_freq > 0.2, 1).otherwise(0).alias("fail_rep"))
+    passed = (F.col("fail_len") + F.col("fail_wordlen")
+              + F.col("fail_stop") + F.col("fail_rep") == 0)
+    return (r.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("fail_len").alias("n_fail_len"),
+                 F.sum("fail_wordlen").alias("n_fail_wordlen"),
+                 F.sum("fail_stop").alias("n_fail_stop"),
+                 F.sum("fail_rep").alias("n_fail_rep"),
+                 F.sum(F.when(passed, 1).otherwise(0)).alias("n_pass_all")))

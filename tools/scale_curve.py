@@ -46,6 +46,14 @@ SCALE_SET = [
     "g10_pagerank_borders",
     "q47_kmv_sketch",
     "q48_replicated_skew_join",
+    "q54_returned_items",
+    "q56_large_volume_customers",
+    "q59_zorder_skipping",
+    "q60_bucketed_colocated_join",
+    "d28_ngram_jaccard",
+    "d29_segment_dup_rate",
+    "g11_triangle_count",
+    "m09_jpeg_pixels",
 ]
 
 
