@@ -1819,7 +1819,7 @@ WITH t AS (
 r AS (
   SELECT doc_id, source,
          CASE WHEN n < 30 THEN 1 ELSE 0 END AS fail_len,
-         CASE WHEN (nc - (n - 1))::DOUBLE / n NOT BETWEEN 3.0 AND 5.5
+         CASE WHEN (nc - (n - 1))::DOUBLE / n NOT BETWEEN 4.0 AND 5.0
               THEN 1 ELSE 0 END AS fail_wordlen,
          CASE WHEN len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE
                    / n > 0.2 THEN 1 ELSE 0 END AS fail_stop,
@@ -1852,7 +1852,7 @@ def d30_gopher_rules(spark, sf_dir):
     r = docs.select(
         "source",
         F.when(n < 30, 1).otherwise(0).alias("fail_len"),
-        F.when(~mean_wl.between(3.0, 5.5), 1).otherwise(0)
+        F.when(~mean_wl.between(4.0, 5.0), 1).otherwise(0)
         .alias("fail_wordlen"),
         F.when(stop_ratio > 0.2, 1).otherwise(0).alias("fail_stop"),
         F.when(max_freq > 0.2, 1).otherwise(0).alias("fail_rep"))
