@@ -1957,3 +1957,33 @@ def q61_batch_merge_scd1(spark, sf_dir):
     return (merged.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.round(F.sum("bal"), 2).alias("total_bal")))
+
+
+# Small-file compaction EXECUTED in the gate: events is first shattered
+# into 64 tiny files (a streaming ingest's pathological layout), then
+# compacted with coalesce — a narrow dependency, NO shuffle — into
+# byte-targeted bins, and the aggregate over the compacted copy must
+# equal the straight-scan oracle (row-exact parity through the
+# rewrite). The pytest twin asserts the file-count collapse.
+@q("q62_compaction_roundtrip", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""")
+def q62_compaction_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.zorder import compact_parquet
+
+    shattered = tempfile.mkdtemp(prefix="q62_small_")
+    compacted = tempfile.mkdtemp(prefix="q62_big_")
+    (_t(spark, sf_dir, "events")
+     .repartition(64)
+     .write.mode("overwrite").parquet(shattered))
+    compact_parquet(spark, shattered, compacted,
+                    target_file_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(compacted)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

@@ -128,3 +128,24 @@ def read_skipping(spark: SparkSession, path: str,
         if hi is not None:
             row_cond = row_cond & (F.col(c) <= F.lit(hi))
     return df.filter(row_cond), len(files), total
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+    """Small-file compaction (the table-maintenance job every streaming
+    ingest needs): bin the source's files into ~target_file_bytes
+    outputs with coalesce — a NARROW dependency, so compaction reads
+    and rewrites without any shuffle. Returns (n_files_in, n_files_out).
+    File sizing uses the driver-side listing (metadata-scale, same as
+    the planner's own split computation)."""
+    import glob as _glob
+    import os as _os
+
+    files = [f for f in _glob.glob(_os.path.join(src, "*.parquet"))
+             if not _os.path.basename(f).startswith(("_", "."))]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))   # ceil
+    (spark.read.parquet(src)
+     .coalesce(int(n_out))
+     .write.mode("overwrite").parquet(dst))
+    return len(files), int(n_out)

@@ -384,3 +384,25 @@ def test_zorder_skipping_reads_fraction_of_files(spark, tmp_path):
 
     empty, n0, _ = read_skipping(spark, path, {"ship_day": (99999, None)})
     assert n0 == 0 and empty.count() == 0
+
+
+def test_compaction_collapses_files_without_shuffle(spark, tmp_path):
+    """compact_parquet must reduce a shattered layout to the
+    byte-targeted file count via coalesce (narrow — no Exchange in the
+    write plan) and preserve every row."""
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.zorder import compact_parquet
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    ev.repartition(32).write.parquet(src)
+
+    n_in, n_out = compact_parquet(spark, src, dst,
+                                  target_file_bytes=1024 * 1024)
+    assert n_in == 32 and n_out < n_in
+
+    import glob
+    written = [f for f in glob.glob(dst + "/*.parquet")]
+    assert len(written) == n_out
+    assert spark.read.parquet(dst).count() == ev.count()
