@@ -1987,3 +1987,47 @@ def q62_compaction_roundtrip(spark, sf_dir):
     return (back.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# Stream-static enrichment join EXECUTED through Structured Streaming:
+# the event stream joins a STATIC customer->nation dimension (broadcast
+# per micro-batch — stream-static joins are stateless, no watermark
+# state at all, the canonical dimension-enrichment shape) and
+# aggregates per nation in complete mode. Oracle restates it as a
+# batch join-aggregate.
+@q("st08_stream_static_enrich", """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""")
+def st08_stream_static_enrich(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="st08_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    dim = (_t(spark, sf_dir, "customer")
+           .join(F.broadcast(_t(spark, sf_dir, "nation")
+                             .select("n_nationkey", "n_name")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .select(F.col("c_custkey").alias("user_id"), "n_name"))
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = (enriched.groupBy("n_name")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value")))
+    name = f"st08_{uuid.uuid4().hex[:8]}"
+    q_ = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.table(name)
+            .select("n_name", "n_events",
+                    F.round("sum_value", 2).alias("sum_value")))
