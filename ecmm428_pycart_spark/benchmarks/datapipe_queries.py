@@ -1865,3 +1865,53 @@ def d30_gopher_rules(spark, sf_dir):
                  F.sum("fail_stop").alias("n_fail_stop"),
                  F.sum("fail_rep").alias("n_fail_rep"),
                  F.sum(F.when(passed, 1).otherwise(0)).alias("n_pass_all")))
+
+
+# CCNet-style unigram LM quality scoring: score every document by the
+# mean log-probability of its tokens under the corpus's own unigram
+# model (the cheap stand-in for the KenLM perplexity gate). Scale
+# shape: one groupBy(token) builds the vocab (bounded by vocabulary,
+# not corpus), the 1-row total broadcasts, the vocab BROADCASTS into
+# the exploded token stream (no shuffle of the corpus on the token
+# key), and the per-doc rollup is the only wide shuffle. Scores are
+# rounded to 6 decimals on both engines BEFORE thresholding/averaging
+# so libm last-ulp differences can't flip a flag.
+@q("d31_unigram_lm_score", """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+n AS (SELECT sum(c) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id, any_value(t.source) AS source,
+         round(avg(ln(v.c::DOUBLE / n.total)), 6) AS lm
+  FROM toks t JOIN vocab v USING (w) CROSS JOIN n
+  GROUP BY t.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lm), 4) AS avg_lm_score,
+       round(min(lm), 4) AS min_lm_score,
+       CAST(sum(CASE WHEN lm < -3.42 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low
+FROM scored GROUP BY source
+""")
+def d31_unigram_lm_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (toks
+              .join(F.broadcast(vocab), "w")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.any_value("source").alias("source"),
+                   F.round(F.avg(F.log(F.col("c").cast("double")
+                                       / F.col("total"))), 6).alias("lm")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("lm"), 4).alias("avg_lm_score"),
+                 F.round(F.min("lm"), 4).alias("min_lm_score"),
+                 F.sum(F.when(F.col("lm") < -3.42, 1).otherwise(0))
+                 .alias("n_low")))
