@@ -80,6 +80,12 @@ HEADLINE = [
     "m10_color_jpeg",
     "st07_stream_foreach_upsert",
     "q60_bucketed_colocated_join",
+    "q61_batch_merge_scd1",
+    "q62_compaction_roundtrip",
+    "st08_stream_static_enrich",
+    "d30_gopher_rules",
+    "d31_unigram_lm_score",
+    "g12_knn_spatial",
 ]
 
 

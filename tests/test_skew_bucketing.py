@@ -75,3 +75,50 @@ def test_partitioned_write_prunes(spark, tmp_path):
     n = back.count()
     want = ev.filter(F.col("event_date") == "2024-01-02").count()
     assert n == want > 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must actually engage on a pathological
+    key distribution (one key owning ~half the fact rows): after
+    execution the adaptive plan shows the skew=true sort-merge join,
+    and results equal the non-adaptive run. This is the runtime half of
+    the skew story (salting/replication are the manual half)."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+         .otherwise(F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # NOTE: no groupBy on the join key afterwards — a same-key
+        # aggregate re-requires hash distribution, which forbids the
+        # skew split (AQE would have to re-shuffle the split partitions)
+        joined = (fact.join(dim, "k")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum(F.col("v") + F.col("w")), 2)
+                       .alias("sv")))
+        rows_aqe = sorted(map(tuple, joined.collect()))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        rows_plain = sorted(map(tuple, joined.collect()))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert rows_aqe == rows_plain
