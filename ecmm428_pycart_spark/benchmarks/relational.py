@@ -2031,3 +2031,90 @@ def st08_stream_static_enrich(spark, sf_dir):
     return (spark.table(name)
             .select("n_name", "n_events",
                     F.round("sum_value", 2).alias("sum_value")))
+
+
+# TPC-H Q7-shaped bilateral volume shipping: the 5-way star with TWO
+# independent nation attaches (supplier's and customer's), restricted
+# to cross-border flows (supplier nation <> customer nation — the
+# testdata's supplier set is too thin at sf0.001 for Q7's single-pair
+# literal to be non-vacuous at every sf, so the predicate keeps the
+# shape, not the constants). Plan shape: both nation dims and
+# supplier/customer broadcast; lineitem⋈orders is the only fact-fact
+# shuffle; the inequality filter applies after the broadcast attaches.
+@q("q63_bilateral_shipping", """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""")
+def q63_bilateral_shipping(spark, sf_dir):
+    # per-line integer cents: with thousands of lines per (pair, year)
+    # group, double sums differ across engine reduction orders by a
+    # last cent at .xx5 boundaries; the per-line product is the SAME
+    # double on both engines (IEEE mult is deterministic), so rounding
+    # it to cents per line and summing integers is reduction-order-free
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("rev_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum("rev_cents") / 100.0, 2)
+                 .alias("revenue")))
+
+
+# TPC-H Q12-shaped priority-mix audit (adapted: the schema has no
+# l_shipmode, so the "mode" axis is the line status): per returnflag,
+# how many shipped lines in 1997 belong to urgent/high vs lower
+# priority orders — conditional aggregates over one fact-fact join,
+# the canonical CASE-inside-SUM shape with both date bounds pushed
+# into the lineitem scan.
+@q("q64_priority_mix", """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""")
+def q64_priority_mix(spark, sf_dir):
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0))
+                 .alias("low_line_count")))
