@@ -108,6 +108,7 @@ _BNLJ_OK = {
     "g07_queen_borders_large",  # 1-row grid side length
     "g09_noncontiguous_large",  # 1-row grid side + anchor
     "g10_pagerank_borders",     # 1-row node count for teleport term
+    "g12_knn_spatial",          # 1-row grid side length
     "k01_kmeans_clusters",      # sf fingerprint / centroid broadcast
     "q32_range_bucket_join",    # literal bucket-edge table
     "q35_scalar_subquery",      # 1-row scalar aggregate
