@@ -86,6 +86,8 @@ HEADLINE = [
     "d30_gopher_rules",
     "d31_unigram_lm_score",
     "g12_knn_spatial",
+    "q63_bilateral_shipping",
+    "q64_priority_mix",
 ]
 
 
