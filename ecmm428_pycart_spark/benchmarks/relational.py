@@ -2118,3 +2118,76 @@ def q64_priority_mix(spark, sf_dir):
                  .alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0))
                  .alias("low_line_count")))
+
+
+# Snapshot versioning / time travel EXECUTED in the gate
+# (sources/snapshots.py): v1 = the customer base, v2 = the q61-style
+# MERGE result published as a SECOND immutable version; the query then
+# time-travels to BOTH versions and returns their per-version
+# aggregates. The oracle restates each version independently, so a v2
+# write that mutated v1 (or a reader that can't reach a historical
+# version) hash-mismatches.
+@q("q65_time_travel", """
+WITH changes AS (
+  SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal,
+         c_nationkey AS nk
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, 'D', NULL, c_nationkey
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', 500.0, c_nationkey
+  FROM customer WHERE c_custkey % 5 = 0
+),
+v2 AS (
+  SELECT coalesce(c.c_custkey, ch.k) AS k,
+         CASE WHEN ch.op IN ('U', 'I') THEN ch.new_bal
+              ELSE c.c_acctbal END AS bal
+  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+  WHERE ch.op IS NULL OR ch.op <> 'D'
+)
+SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), round(sum(bal), 2) FROM v2
+""")
+def q65_time_travel(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.snapshots import (
+        read_snapshot, write_snapshot)
+
+    base = tempfile.mkdtemp(prefix="q65_snap_")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    write_snapshot(cust, base)
+
+    k = F.col("c_custkey")
+    updates = (cust.filter((k % 3 == 0) & (k % 7 != 0))
+               .select(k.alias("k"), F.lit("U").alias("op"),
+                       (F.col("c_acctbal") + 100.0).alias("new_bal")))
+    deletes = (cust.filter(k % 7 == 0)
+               .select(k.alias("k"), F.lit("D").alias("op"),
+                       F.lit(None).cast("double").alias("new_bal")))
+    inserts = (cust.filter(k % 5 == 0)
+               .select((k + 1000000).alias("k"), F.lit("I").alias("op"),
+                       F.lit(500.0).alias("new_bal")))
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    v1 = read_snapshot(spark, base, version=1)
+    merged = (v1.join(changes, v1["c_custkey"] == changes["k"],
+                      "full_outer")
+              .filter(F.col("op").isNull() | (F.col("op") != "D"))
+              .select(F.coalesce("c_custkey", "k").alias("c_custkey"),
+                      F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+                      .otherwise(F.col("c_acctbal")).alias("c_acctbal")))
+    write_snapshot(merged, base)
+
+    out = []
+    for v in (1, 2):
+        snap = read_snapshot(spark, base, version=v)
+        out.append(snap.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+    return out[0].unionByName(out[1])

@@ -406,3 +406,32 @@ def test_compaction_collapses_files_without_shuffle(spark, tmp_path):
     written = [f for f in glob.glob(dst + "/*.parquet")]
     assert len(written) == n_out
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_snapshot_versions_are_immutable(spark, tmp_path):
+    """Snapshot publishing: versions are append-only, a later write
+    never mutates an earlier version, time travel reaches any published
+    version, and unknown versions fail loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.sources.snapshots import (
+        read_snapshot, write_snapshot)
+
+    base = str(tmp_path / "snaps")
+    df1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3],
+                                              "v": [10.0, 20.0, 30.0]}))
+    assert write_snapshot(df1, base) == 1
+    df2 = spark.createDataFrame(pd.DataFrame({"k": [1, 2],
+                                              "v": [99.0, 20.0]}))
+    assert write_snapshot(df2, base) == 2
+
+    v1 = {(r["k"], r["v"]) for r in read_snapshot(spark, base, 1).collect()}
+    assert v1 == {(1, 10.0), (2, 20.0), (3, 30.0)}   # untouched by v2
+    latest = {(r["k"], r["v"]) for r in read_snapshot(spark, base).collect()}
+    assert latest == {(1, 99.0), (2, 20.0)}
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, base, 99)
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, str(tmp_path / "nothing"))
