@@ -1915,3 +1915,74 @@ def d31_unigram_lm_score(spark, sf_dir):
                  F.round(F.min("lm"), 4).alias("min_lm_score"),
                  F.sum(F.when(F.col("lm") < -3.42, 1).otherwise(0))
                  .alias("n_low")))
+
+
+# Corpus drift detection: compare the token distribution of two corpus
+# slices (sources src0-src9 vs src10-src19 — in production, last
+# week's crawl vs this week's) and report the tokens with the largest
+# log-odds shift, Laplace-smoothed so tokens absent from one side
+# don't blow up. One groupBy(token) per side over the exploded stream
+# (vocabulary-bounded), a broadcast-sized join of the two vocab
+# tables, top-k by |shift| with a token tiebreak — the
+# dataset-monitoring signal a continuously-ingesting pipeline alerts
+# on. Log-odds are rounded to 6 before ranking (libm parity).
+@q("d33_token_drift", """
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+              THEN 'A' ELSE 'B' END AS side,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT side, w, count(*) AS c FROM toks GROUP BY side, w
+),
+totals AS (SELECT side, sum(c) AS t FROM counts GROUP BY side),
+joined AS (
+  SELECT coalesce(a.w, b.w) AS w,
+         coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM (SELECT w, c FROM counts WHERE side = 'A') a
+  FULL OUTER JOIN (SELECT w, c FROM counts WHERE side = 'B') b
+    ON a.w = b.w
+),
+scored AS (
+  SELECT j.w, j.ca, j.cb,
+         round(ln(((j.ca + 1.0) / (ta.t + 2.0))
+                  / ((j.cb + 1.0) / (tb.t + 2.0))), 6) AS log_odds
+  FROM joined j,
+       (SELECT t AS t FROM totals WHERE side = 'A') ta,
+       (SELECT t AS t FROM totals WHERE side = 'B') tb
+)
+SELECT w AS token, CAST(ca AS BIGINT) AS count_a,
+       CAST(cb AS BIGINT) AS count_b, log_odds
+FROM scored
+ORDER BY abs(log_odds) DESC, token ASC
+LIMIT 20
+""")
+def d33_token_drift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    side = F.when(F.substring("source", 4, 10).cast("int") < 10,
+                  "A").otherwise("B")
+    toks = docs.select(side.alias("side"),
+                       F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("side", "w").agg(F.count(F.lit(1)).alias("c"))
+    a = (counts.filter(F.col("side") == "A")
+         .select(F.col("w").alias("wa"), F.col("c").alias("ca")))
+    b = (counts.filter(F.col("side") == "B")
+         .select(F.col("w").alias("wb"), F.col("c").alias("cb")))
+    ta = a.agg(F.sum("ca").alias("ta"))
+    tb = b.agg(F.sum("cb").alias("tb"))
+    joined = (a.join(b, F.col("wa") == F.col("wb"), "full_outer")
+              .select(F.coalesce("wa", "wb").alias("token"),
+                      F.coalesce("ca", F.lit(0)).alias("count_a"),
+                      F.coalesce("cb", F.lit(0)).alias("count_b")))
+    scored = (joined.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+              .withColumn(
+                  "log_odds",
+                  F.round(F.log(((F.col("count_a") + 1.0)
+                                 / (F.col("ta") + 2.0))
+                                / ((F.col("count_b") + 1.0)
+                                   / (F.col("tb") + 2.0))), 6)))
+    return (scored
+            .orderBy(F.abs("log_odds").desc(), F.col("token").asc())
+            .limit(20)
+            .select("token", "count_a", "count_b", "log_odds"))

@@ -2191,3 +2191,42 @@ def q65_time_travel(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
     return out[0].unionByName(out[1])
+
+
+# Cohort retention: bucket every user by first-seen week (cohort),
+# then count distinct active users per (cohort, weeks-since-first) —
+# the canonical product-analytics matrix. Two shuffles: the per-user
+# min(ts) argmin and the (cohort, age) distinct-count; the first-seen
+# attach broadcasts (|users| << |events| at scale it stays a shuffle
+# join — size-based, Spark decides).
+@q("q66_cohort_retention", """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+aged AS (
+  SELECT f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week,
+                              CAST(e.ts AS DATE)) / 7.0) AS INTEGER)
+           AS week_age,
+         e.user_id
+  FROM events e JOIN first_seen f USING (user_id)
+)
+SELECT cohort_week, week_age,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM aged GROUP BY cohort_week, week_age
+""")
+def q66_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                       .alias("cohort_week")))
+    aged = (ev.join(first_seen, "user_id")
+            .select("cohort_week",
+                    F.floor(F.datediff(F.col("ts").cast("date"),
+                                       F.col("cohort_week")) / 7.0)
+                    .cast("int").alias("week_age"),
+                    "user_id"))
+    return (aged.groupBy("cohort_week", "week_age")
+            .agg(F.countDistinct("user_id").alias("active_users")))

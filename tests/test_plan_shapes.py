@@ -104,6 +104,7 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 _BNLJ_OK = {
     "d14_tfidf_top_terms",      # 1-row corpus doc-count for IDF
     "d31_unigram_lm_score",     # 1-row corpus token total
+    "d33_token_drift",          # 1-row per-side token totals
     "g01_noncontiguous_scale",  # 1-row anchor max
     "g07_queen_borders_large",  # 1-row grid side length
     "g09_noncontiguous_large",  # 1-row grid side + anchor
