@@ -88,6 +88,9 @@ HEADLINE = [
     "g12_knn_spatial",
     "q63_bilateral_shipping",
     "q64_priority_mix",
+    "q65_time_travel",
+    "q66_cohort_retention",
+    "d33_token_drift",
 ]
 
 
