@@ -91,6 +91,7 @@ HEADLINE = [
     "q65_time_travel",
     "q66_cohort_retention",
     "d33_token_drift",
+    "g13_point_in_polygon",
 ]
 
 

@@ -386,3 +386,27 @@ def shared_boundary_length(ga, gb, rel_tol: float = 1e-9) -> float:
 def point_distance(ax: float, ay: float, bx: float, by: float) -> float:
     """Euclidean point distance (pycart/cartogram.py:16-32)."""
     return math.hypot(bx - ax, by - ay)
+
+
+def contains_point(geom, x: float, y: float) -> bool:
+    """Even-odd ray-cast point-in-polygon over all rings (holes flip
+    parity, multi-parts accumulate independently). Boundary points
+    follow the half-open crossing convention (left/bottom edges in,
+    right/top out on axis-aligned rectangles) — callers needing
+    closed-boundary semantics should buffer. Vectorized over each
+    ring's edges in numpy."""
+    for rings in _iter_polys(geom):
+        inside = False
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            x1, y1 = r[:-1, 0], r[:-1, 1]
+            x2, y2 = r[1:, 0], r[1:, 1]
+            straddles = (y1 > y) != (y2 > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            hits = straddles & (x < xs)
+            if int(hits.sum()) % 2:
+                inside = not inside
+        if inside:
+            return True
+    return False

@@ -160,3 +160,17 @@ def centroid_cols(df, geom_col: str = "geom", prefix: str = "c"):
     return (tmp.withColumn(f"{prefix}x", F.col("_cxy.x"))
                .withColumn(f"{prefix}y", F.col("_cxy.y"))
                .drop("_cxy"))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Exact even-odd point-in-polygon test (core.contains_point) —
+    the refine step of a bucket-prefiltered spatial containment join."""
+    out = []
+    for b, px, py in zip(wkb, x, y):
+        if b is None or px is None:
+            out.append(None)
+        else:
+            out.append(core.contains_point(core.loads(bytes(b)),
+                                           float(px), float(py)))
+    return pd.Series(out, dtype="object")

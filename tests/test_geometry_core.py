@@ -180,3 +180,26 @@ def test_ewkb_z_rejected_explicitly():
     buf = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 3.0)
     with pytest.raises(ValueError, match="Z/M"):
         core.loads(buf)
+
+
+def test_contains_point_even_odd():
+    """PIP kernel: interior/exterior, hole flips parity, multi-part
+    accumulates, and the half-open boundary convention is stable
+    (left/bottom in, right/top out on an axis-aligned unit square)."""
+    from ecmm428_pycart_spark.geometry import core
+
+    sq = core.wkt_loads("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert core.contains_point(sq, 0.5, 0.5)
+    assert not core.contains_point(sq, 1.5, 0.5)
+    hole = core.wkt_loads(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert core.contains_point(hole, 0.5, 2.0)
+    assert not core.contains_point(hole, 2.0, 2.0)
+    multi = core.wkt_loads(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert core.contains_point(multi, 5.5, 5.5)
+    assert not core.contains_point(multi, 3.0, 3.0)
+    # half-open convention on the boundary
+    assert core.contains_point(sq, 0.0, 0.5)       # left edge in
+    assert not core.contains_point(sq, 1.0, 0.5)   # right edge out

@@ -110,6 +110,7 @@ _BNLJ_OK = {
     "g09_noncontiguous_large",  # 1-row grid side + anchor
     "g10_pagerank_borders",     # 1-row node count for teleport term
     "g12_knn_spatial",          # 1-row grid side length
+    "g13_point_in_polygon",     # 1-row grid side + count
     "k01_kmeans_clusters",      # sf fingerprint / centroid broadcast
     "q32_range_bucket_join",    # literal bucket-edge table
     "q35_scalar_subquery",      # 1-row scalar aggregate
