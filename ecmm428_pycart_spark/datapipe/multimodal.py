@@ -555,6 +555,8 @@ def _mp4_walk(b: bytes, start: int, end: int, out: dict) -> None:
         tag = b[i + 4:i + 8]
         body = i + 8
         if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return  # header truncated mid-largesize: degrade, not raise
             (size,) = struct.unpack(">Q", b[i + 8:i + 16])
             body = i + 16
         elif size == 0:  # box extends to end of enclosing box

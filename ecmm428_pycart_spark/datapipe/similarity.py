@@ -352,7 +352,12 @@ def pq_adc_topk(df: DataFrame, query: DataFrame, k: int = 20,
     exact cosine, and the final top-k is exact over that shortlist.
     Recall is governed by shortlist/m/k_codes; at 100 TB the corpus
     scan cost is reading m bytes per vector instead of the full
-    embedding."""
+    embedding.
+
+    Single-query contract (same as cosine_topk): the per-subspace
+    distance tables are keyed on code_j only, so multiple query rows
+    would mix distances arbitrarily — enforce one row up front."""
+    query = query.limit(1)
     nrm = F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, v: a + v))

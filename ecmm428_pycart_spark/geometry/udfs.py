@@ -168,7 +168,7 @@ def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     the refine step of a bucket-prefiltered spatial containment join."""
     out = []
     for b, px, py in zip(wkb, x, y):
-        if b is None or px is None:
+        if b is None or px is None or py is None or px != px or py != py:
             out.append(None)
         else:
             out.append(core.contains_point(core.loads(bytes(b)),

@@ -45,8 +45,13 @@ def write_snapshot(df: DataFrame, base: str) -> int:
     versions = _read_manifest(base)
     v = (versions[-1] + 1) if versions else 1
     df.write.mode("errorifexists").parquet(os.path.join(base, f"v{v}"))
-    with open(os.path.join(base, MANIFEST), "w") as f:
+    # atomic publish: write-temp + rename so a concurrent reader sees the
+    # old or the new manifest, never a truncated one (os.replace is atomic
+    # within a POSIX filesystem; object stores need the table format's swap)
+    tmp = os.path.join(base, f".{MANIFEST}.tmp.{v}")
+    with open(tmp, "w") as f:
         json.dump({"versions": versions + [v]}, f)
+    os.replace(tmp, os.path.join(base, MANIFEST))
     return v
 
 

@@ -136,13 +136,22 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     ingest needs): bin the source's files into ~target_file_bytes
     outputs with coalesce — a NARROW dependency, so compaction reads
     and rewrites without any shuffle. Returns (n_files_in, n_files_out).
-    File sizing uses the driver-side listing (metadata-scale, same as
-    the planner's own split computation)."""
+
+    Scope: ``src`` must be a LOCAL, flat directory of parquet files —
+    sizing uses os-level listing (metadata-scale, same as the planner's
+    own split computation). On HDFS/S3 or nested layouts, list via the
+    Hadoop FileSystem API instead; rather than silently compacting to a
+    single file when the glob sees nothing, this raises."""
     import glob as _glob
     import os as _os
 
     files = [f for f in _glob.glob(_os.path.join(src, "*.parquet"))
              if not _os.path.basename(f).startswith(("_", "."))]
+    if not files:
+        raise FileNotFoundError(
+            f"compact_parquet: no *.parquet files directly under {src!r} — "
+            "non-local or nested layouts are out of scope (use the Hadoop "
+            "FileSystem API to list them)")
     total = sum(_os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))   # ceil
     (spark.read.parquet(src)
