@@ -1427,8 +1427,11 @@ def q38_sketches(spark, sf_dir):
          .alias("median_rel_err"))
 
 
-QUERIES["q38_sketches"] = q38_sketches
-ORACLES["q38_sketches"] = None
+# q38_sketches stays available as a library helper but is DEREGISTERED
+# from the gate registry (round 4): it was the only oracle-less entry —
+# engine-specific estimates can't hash-match cross-engine — and its
+# hash-checked face q38_sketch_accuracy below supersedes it, keeping
+# len(queries()) == len(oracle_sql()).
 
 
 # Hash-checkable face of q38: the exact answers ARE cross-engine

@@ -107,6 +107,7 @@ def test_full_registry_still_contains_everything():
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
     names = list(get_queries())
     assert len(names) == len(set(names))
-    for required in ("q38_sketches", "m05_frame_sample", "q41_e3_pipeline",
-                     "d27_source_mix", "s08_int8_quantize"):
+    for required in ("q38_sketch_accuracy", "m05_frame_sample",
+                     "q41_e3_pipeline", "d27_source_mix",
+                     "s08_int8_quantize"):
         assert required in names

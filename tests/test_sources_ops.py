@@ -113,11 +113,11 @@ def test_registry_contract():
     oracles = ent.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # g04/g05/k01 were upgraded to golden VALUES oracles in round 2; the
-    # the only remaining rows-only entry is q38 (sketch values
-    # engine-specific by design; its deterministic counterpart q47 is
-    # hash-checked). g08 graduated to a per-sf golden checksum oracle.
-    assert rows_only == {"q38_sketches"}
+    # round 4: q38_sketches (the last rows-only entry) was deregistered —
+    # its hash-checked face q38_sketch_accuracy carries the sketch surface,
+    # so every registered query is oracle-checkable.
+    assert rows_only == set()
+    assert len(qs) == len(oracles)
     assert len(qs) >= 65
     for name, fn in qs.items():
         assert callable(fn), name
