@@ -364,18 +364,53 @@ def m01_multimodal_meta(spark, sf_dir):
                      F.col("meta.byte_len").alias("byte_len"))
 
 
-_FEATURE_SQL = ", ".join(
-    f"ord(substr(text, {i + 1}, 1)) / 255.0" for i in range(multimodal.FEATURE_DIM))
-
-@q("m02_decode_features", f"""
-SELECT doc_id, 'text/plain' AS mime,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       [{_FEATURE_SQL}] AS feature
-FROM documents
+# REAL decode + featurize (round 4 — replaces the byte-head fake): the
+# payload is a gradient PNG (pixel(x,y) = base + x + y with the filter
+# type cycling 0..4), decode_features runs the real stdlib PNG decoder
+# and emits [mean, std, min, max]/255 + 4-bin histogram fractions. The
+# oracle reconstructs the exact pixel population with a range-join grid
+# (same pattern as m08/m09) and recomputes every feature with plain SQL
+# aggregates — end-to-end and filter-sensitive: any unfilter/featurize
+# bug shifts a feature and reddens the hash.
+@q("m02_decode_features", """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 128 + x.x + y.y AS v
+  FROM documents d
+  CROSS JOIN range(0, 64) x(x) CROSS JOIN range(0, 32) y(y)
+  WHERE x.x < d.doc_id % 64 + 1 AND y.y < d.doc_id % 32 + 1
+)
+SELECT doc_id, 'image/png' AS mime,
+       round(avg(v) / 255.0, 4) AS f_mean,
+       round(coalesce(stddev_pop(v), 0.0) / 255.0, 4) AS f_std,
+       round(min(v) / 255.0, 4) AS f_min,
+       round(max(v) / 255.0, 4) AS f_max,
+       round(CAST(count(*) FILTER (WHERE v < 64) AS DOUBLE)
+             / count(*), 4) AS h0,
+       round(CAST(count(*) FILTER (WHERE v >= 64 AND v < 128) AS DOUBLE)
+             / count(*), 4) AS h1,
+       round(CAST(count(*) FILTER (WHERE v >= 128 AND v < 192) AS DOUBLE)
+             / count(*), 4) AS h2,
+       round(CAST(count(*) FILTER (WHERE v >= 192) AS DOUBLE)
+             / count(*), 4) AS h3
+FROM px GROUP BY doc_id
 """)
 def m02_decode_features(spark, sf_dir):
-    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_features(mm)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.select(
+        "doc_id",
+        multimodal.synth_png_gradient_payload(F.col("doc_id"))
+        .alias("payload"))
+    mm = mm.select(
+        "doc_id", "payload",
+        F.struct(F.lit("image/png").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("byte_len"))
+        .alias("meta"))
+    feat = multimodal.decode_features(mm)
+    cols = ["f_mean", "f_std", "f_min", "f_max", "h0", "h1", "h2", "h3"]
+    return feat.select(
+        "doc_id", "mime",
+        *[F.round(F.col("feature")[i], 4).alias(c)
+          for i, c in enumerate(cols)])
 
 
 # REAL container-format decode (PNG IHDR parse — stdlib, no PIL): the
@@ -558,6 +593,84 @@ def m09_jpeg_pixels(spark, sf_dir):
         F.round("s.pixel_std", 4).alias("pixel_std"),
         F.col("s.pixel_min").alias("pixel_min"),
         F.col("s.pixel_max").alias("pixel_max"))
+
+
+# REAL palette (PLTE) + Adam7-interlace PNG decode (round 4): each doc
+# gets a K-entry gray-ramp palette (palette[k] = base + 7k) indexed by
+# (x + 2y) % K; ODD doc_ids are Adam7-INTERLACED, even sequential —
+# both layouts decode to the same pixel field, so this one oracle
+# (range-join grid reconstruction, as m02/m09) covers the palette map,
+# the 7-pass geometry, and per-pass filter state in a single hash.
+@q("m11_palette_png", """
+WITH px AS (
+  SELECT d.doc_id,
+         d.doc_id % 100 + 7 * ((x.x + 2 * y.y) % (d.doc_id % 16 + 2)) AS v
+  FROM documents d
+  CROSS JOIN range(0, 24) x(x) CROSS JOIN range(0, 16) y(y)
+  WHERE x.x < d.doc_id % 24 + 1 AND y.y < d.doc_id % 16 + 1
+)
+SELECT doc_id,
+       CAST(doc_id % 24 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+       CAST(doc_id % 2 AS INTEGER) AS interlaced,
+       round(avg(v), 4) AS pixel_mean,
+       round(coalesce(stddev_pop(v), 0.0), 4) AS pixel_std,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id
+""")
+def m11_palette_png(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_palette_png_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.png_pixel_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        (F.col("doc_id") % 2).cast("int").alias("interlaced"),
+        F.round("s.pixel_mean", 4).alias("pixel_mean"),
+        F.round("s.pixel_std", 4).alias("pixel_std"),
+        F.col("s.pixel_min").alias("pixel_min"),
+        F.col("s.pixel_max").alias("pixel_max"))
+
+
+# REAL box-filter image resize (round 4 — replaces the byte-tiling
+# stub): gradient PNGs (dims >= 4) are decoded with the real PNG
+# decoder and box-filtered to a 4x4 gray grid; the gate explodes the
+# output bytes and hash-checks EVERY resized pixel as an integer. The
+# oracle recomputes each output pixel's box mean in closed form: mean
+# over box [x0,x1) x [y0,y1) of (base + x + y) =
+# base + (x0+x1-1)/2 + (y0+y1-1)/2, then round-half-up — exact dyadic
+# arithmetic on both engines, so the compare is bit-for-bit.
+@q("m12_resize_pixels", """
+WITH g AS (
+  SELECT d.doc_id,
+         d.doc_id % 60 + 4 AS w, d.doc_id % 28 + 4 AS h,
+         d.doc_id % 120 AS base, t.i AS ox, u.j AS oy
+  FROM documents d
+  CROSS JOIN range(0, 4) t(i) CROSS JOIN range(0, 4) u(j)
+)
+SELECT doc_id,
+       CAST(oy AS INTEGER) AS out_y, CAST(ox AS INTEGER) AS out_x,
+       CAST(floor(base + ((ox * w) // 4 + ((ox + 1) * w) // 4 - 1) / 2.0
+                       + ((oy * h) // 4 + ((oy + 1) * h) // 4 - 1) / 2.0
+                       + 0.5) AS INTEGER) AS value
+FROM g
+""")
+def m12_resize_pixels(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload",
+        multimodal.synth_png_gradient_min4_payload(F.col("doc_id")))
+    resized = multimodal.resize_image(payload, width=4, height=4)
+    px = resized.select(
+        "doc_id", multimodal.binary_to_ints(F.col("pixels")).alias("vals"))
+    ex = px.select("doc_id", F.posexplode("vals").alias("pos", "value"))
+    return ex.select(
+        "doc_id",
+        (F.col("pos") / 4).cast("int").alias("out_y"),
+        (F.col("pos") % 4).cast("int").alias("out_x"),
+        F.col("value"))
 
 
 # Deterministic hash-based sampling (reproducible across engines/runs —

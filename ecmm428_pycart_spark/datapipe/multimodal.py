@@ -42,12 +42,17 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 # Video-codec pixel decode needs pyav (absent from this container).
-# PNG, baseline JPEG (gray + 4:2:0 color), and WAV PCM decode do NOT —
-# decode_png_pixels / decode_jpeg_gray / decode_jpeg_color /
-# wav_sample_stats below are real stdlib+numpy implementations.
-REAL_DECODERS_AVAILABLE = False
+# PNG (incl. palette + Adam7), baseline JPEG (gray + 4:2:0 color), and
+# WAV PCM decode do NOT — decode_png_pixels / decode_jpeg_gray /
+# decode_jpeg_color / wav_sample_stats below are real stdlib+numpy
+# implementations, and decode_features / resize_image run on their
+# decoded pixel arrays. The flag now gates only the VIDEO frame-pixel
+# path (frame_sample_stub).
+REAL_VIDEO_DECODER_AVAILABLE = False
+REAL_DECODERS_AVAILABLE = REAL_VIDEO_DECODER_AVAILABLE  # back-compat alias
 
-FEATURE_DIM = 4
+# [mean, std, min, max] / 255 + 4-bin histogram fractions
+FEATURE_DIM = 8
 
 _DECODED_SCHEMA = ("doc_id long, mime string, byte_len long, "
                    "feature array<double>")
@@ -68,22 +73,43 @@ def attach_binary_payload(df: DataFrame, id_col: str = "doc_id",
         ).alias("meta"))
 
 
-def _fake_features(buf: bytes) -> list[float]:
-    """Deterministic stand-in for a decode+featurize kernel: first
-    FEATURE_DIM bytes, scaled. Replace with a real decoder when available."""
-    head = np.frombuffer(buf[:FEATURE_DIM].ljust(FEATURE_DIM, b"\0"),
-                         dtype=np.uint8)
-    return (head.astype("f8") / 255.0).tolist()
+def _sample_values(buf: bytes) -> np.ndarray:
+    """Decode a payload to a flat float64 sample array. PNG and baseline
+    JPEG payloads go through the REAL stdlib decoders below; anything
+    else (text/unknown) is treated as raw uint8 bytes, which keeps the
+    featurizer total over arbitrary corpora."""
+    if buf.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png_pixels(buf).astype(np.float64).ravel()
+    if buf.startswith(b"\xff\xd8"):
+        return decode_jpeg_gray(buf).astype(np.float64).ravel()
+    return np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+
+
+def image_features(buf: bytes) -> list[float] | None:
+    """REAL featurize kernel over decoded samples: [mean, std, min, max]
+    scaled to [0, 1] plus a 4-bin value histogram (fractions in [0, 64),
+    [64, 128), [128, 192), [192, 256)) — the compact per-item signature
+    a dedup / quality / drift pass reads instead of raw pixels."""
+    vals = _sample_values(buf)
+    if vals.size == 0:
+        return None
+    n = float(vals.size)
+    return [
+        float(vals.mean()) / 255.0,
+        float(vals.std()) / 255.0,
+        float(vals.min()) / 255.0,
+        float(vals.max()) / 255.0,
+        float(np.count_nonzero(vals < 64.0)) / n,
+        float(np.count_nonzero((vals >= 64.0) & (vals < 128.0))) / n,
+        float(np.count_nonzero((vals >= 128.0) & (vals < 192.0))) / n,
+        float(np.count_nonzero(vals >= 192.0)) / n,
+    ]
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        feats = []
-        for buf in pdf["payload"]:
-            if REAL_DECODERS_AVAILABLE:
-                raise NotImplementedError(
-                    "real decode path requires PIL/pyav; not in container")
-            feats.append(_fake_features(bytes(buf)))
+        feats = [None if buf is None else image_features(bytes(buf))
+                 for buf in pdf["payload"]]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "mime": [m["mime"] for m in pdf["meta"]],
@@ -103,29 +129,67 @@ def decode_features(df: DataFrame) -> DataFrame:
 _RESIZED_SCHEMA = ("doc_id long, width int, height int, pixels binary")
 
 
-def resize_stub(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Image-resize plumbing: payload → fixed (width×height) byte grid.
+def box_resize_gray(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL box-filter downsample of a decoded pixel array to a
+    (height, width) uint8 grid. Multichannel input is first averaged to
+    gray; source box for output pixel (i, j) is
+    [floor(j*H/height), floor((j+1)*H/height)) x [floor(i*W/width),
+    floor((i+1)*W/width)) and the output value is the round-half-up box
+    mean — deterministic, exactly reproducible arithmetic (box means of
+    integer pixels are multiples of representable dyadic fractions for
+    the test fixtures, so the closed-form oracle matches bit-for-bit)."""
+    if px.ndim == 3:
+        px = px.astype(np.float64).mean(axis=2)
+    px = px.astype(np.float64)
+    h_in, w_in = px.shape
+    if w_in < width or h_in < height:
+        raise ValueError(
+            f"box_resize_gray downsamples only: source {w_in}x{h_in} "
+            f"smaller than target {width}x{height}")
+    xe = (np.arange(width + 1) * w_in) // width
+    ye = (np.arange(height + 1) * h_in) // height
+    sums = np.add.reduceat(np.add.reduceat(px, ye[:-1], axis=0),
+                           xe[:-1], axis=1)
+    counts = np.outer(np.diff(ye), np.diff(xe)).astype(np.float64)
+    return np.floor(sums / counts + 0.5).astype(np.uint8)
 
-    The real kernel would be PIL/torchvision inside the same batch
-    function; the stub deterministically tiles the payload bytes so the
-    Spark-side contract (binary in, fixed-size binary out, schema,
-    batching) is real and testable."""
-    npix = width * height
 
+def resize_image(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize stage: image payload → fixed (width×height) gray
+    byte grid, one row per image. The kernel is the REAL
+    ``box_resize_gray`` over the REAL PNG/JPEG decoders — no byte
+    tiling. mapInPandas keeps the work Arrow-batched and embarrassingly
+    parallel; at scale, repartition upstream so each task holds ~128 MB
+    of payloads."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for buf in pdf["payload"]:
+            ids, out = [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                if buf is None:
+                    continue
                 b = bytes(buf)
-                if REAL_DECODERS_AVAILABLE:
-                    raise NotImplementedError("real resize requires PIL")
-                tiled = (b * (npix // max(len(b), 1) + 1))[:npix]
-                out.append(tiled)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                if b.startswith(b"\x89PNG\r\n\x1a\n"):
+                    px = decode_png_pixels(b)
+                elif b.startswith(b"\xff\xd8"):
+                    px = decode_jpeg_gray(b)
+                else:
+                    raise ValueError("resize_image needs an image payload "
+                                     "(PNG or baseline JPEG)")
+                ids.append(doc_id)
+                out.append(box_resize_gray(px, width, height).tobytes())
+            yield pd.DataFrame({"doc_id": ids,
                                 "width": width, "height": height,
                                 "pixels": out})
 
     return df.mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def binary_to_ints(b: pd.Series) -> pd.Series:
+    """Inspection helper: binary column → array<int> of its bytes (used
+    by the gate to hash-check every resized pixel as an integer)."""
+    return b.map(lambda v: None if v is None
+                 else [int(x) for x in bytes(v)])
 
 
 _FRAMES_SCHEMA = ("doc_id long, frame_index int, frame binary")
@@ -141,7 +205,7 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64,
             ids, idxs, frames = [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(buf)
-                if REAL_DECODERS_AVAILABLE:
+                if REAL_VIDEO_DECODER_AVAILABLE:
                     raise NotImplementedError("real sampling requires pyav")
                 for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
                     start = i * every_n_bytes
@@ -283,49 +347,29 @@ def parse_wav_meta(payload: pd.Series) -> pd.DataFrame:
 # stub to JPEG/video only.
 # ---------------------------------------------------------------------------
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, palette, +A
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def decode_png_pixels(b: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to a (height, width, channels)
-    uint8 array using only stdlib zlib + numpy.
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
+                  ch: int) -> tuple[np.ndarray, int]:
+    """Undo PNG scanline filters over ``height`` rows of ``width*ch``
+    bytes starting at ``offset`` in the decompressed stream. Returns the
+    (height, width*ch) array and the byte offset after the last row.
 
     Filters 0/1/2 are vectorized (Sub is a per-lane mod-256 cumsum —
     numpy uint8 cumsum wraps exactly like PNG arithmetic); Average and
     Paeth have a true left-to-right data dependence, so they fall back
-    to a scalar loop per scanline. Palette/16-bit/interlaced PNGs raise
-    NotImplementedError (out of scope for this container)."""
-    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
-        raise ValueError("not a PNG stream")
-    i, width, height, idat = 8, None, None, []
-    bit_depth = color_type = interlace = None
-    while i + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[i:i + 4])
-        tag = b[i + 4:i + 8]
-        data = b[i + 8:i + 8 + length]
-        if tag == b"IHDR":
-            (width, height, bit_depth, color_type,
-             _, _, interlace) = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        i += 12 + length  # length + tag + data + crc
-    if width is None or not idat:
-        raise ValueError("truncated PNG: missing IHDR/IDAT")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced gray/RGB(A) supported "
-            f"(depth={bit_depth}, color={color_type}, interlace={interlace})")
-    ch = _PNG_CHANNELS[color_type]
+    to a scalar loop per scanline."""
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+    if len(raw) < offset + height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = np.empty((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        pos = y * (stride + 1)
+        pos = offset + y * (stride + 1)
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
                              offset=pos + 1)
@@ -354,23 +398,84 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec
         prior = rec
-    return out.reshape(height, width, ch)
+    return out, offset + height * (stride + 1)
 
 
-def png_bytes_gradient(width: int, height: int, base: int) -> bytes:
-    """PNG whose pixel (x, y) = base + x + y — callers keep
-    base + width + height <= 257 so no value wraps mod 256 and the
-    mean/std have closed forms (x and y are independent uniforms:
-    mean = base + (w-1)/2 + (h-1)/2, var = (w²-1)/12 + (h²-1)/12).
-    The filter type cycles 0..4 by row, so a decode exercises every
-    PNG filter; any filter-reconstruction bug shifts the mean/std."""
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+def decode_png_pixels(b: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG — gray/RGB(A), PALETTE (PLTE), and Adam7
+    INTERLACED streams — to a (height, width, channels) uint8 array
+    using only stdlib zlib + numpy. Palette images return channels=3
+    (the PLTE-mapped RGB). 16-bit depth raises NotImplementedError.
 
-    scanlines, prior = [], [0] * width
-    for y in range(height):
-        row = [base + x + y for x in range(width)]
+    Adam7: each of the 7 passes is an independently filtered sub-image
+    (the filter `prior` row resets per pass); decoded pass pixels
+    scatter back to the full grid at (x0 + i*dx, y0 + j*dy)."""
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG stream")
+    i, width, height, idat, plte = 8, None, None, [], None
+    bit_depth = color_type = interlace = None
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + length]
+        if tag == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _, _, interlace) = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # length + tag + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    if (bit_depth != 8 or color_type not in _PNG_CHANNELS
+            or interlace not in (0, 1)):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A)/palette, interlace 0/1 supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, end = _png_unfilter(raw, 0, width, height, ch)
+        out = out.reshape(height, width, ch)
+    else:
+        out = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, wp, hp, ch)
+            out[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        end = pos
+    if len(raw) != end:
+        raise ValueError("IDAT length does not match dimensions")
+    if color_type == 3:
+        if int(out.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[out[:, :, 0]]
+    return out
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _filter_rows(rows: list[list[int]]) -> bytes:
+    """Encode single-channel scanlines with the filter type cycling
+    0..4 by row (None/Sub/Up/Average/Paeth), so a decode of the stream
+    exercises every PNG filter. Used for whole images and, per pass,
+    for Adam7 sub-images (each pass's `prior` starts at zero, exactly
+    as the spec requires of decoders)."""
+    out, prior = [], [0] * (len(rows[0]) if rows else 0)
+    for y, row in enumerate(rows):
+        width = len(row)
         t = y % 5
         if t == 0:
             f = row
@@ -378,7 +483,8 @@ def png_bytes_gradient(width: int, height: int, base: int) -> bytes:
             f = [(row[x] - (row[x - 1] if x else 0)) % 256
                  for x in range(width)]
         elif t == 2:
-            f = [(row[x] - prior[x]) % 256 for x in range(width)]
+            f = [(row[x] - (prior[x] if x < len(prior) else 0)) % 256
+                 for x in range(width)]
         elif t == 3:
             f = [(row[x] - (((row[x - 1] if x else 0) + prior[x]) >> 1)) % 256
                  for x in range(width)]
@@ -393,12 +499,50 @@ def png_bytes_gradient(width: int, height: int, base: int) -> bytes:
                 pred = (left if pa <= pb and pa <= pc
                         else up if pb <= pc else ul)
                 f.append((row[x] - pred) % 256)
-        scanlines.append(bytes([t]) + bytes(f))
+        out.append(bytes([t]) + bytes(f))
         prior = row
+    return b"".join(out)
+
+
+def png_bytes_gradient(width: int, height: int, base: int) -> bytes:
+    """PNG whose pixel (x, y) = base + x + y — callers keep
+    base + width + height <= 257 so no value wraps mod 256 and the
+    mean/std have closed forms (x and y are independent uniforms:
+    mean = base + (w-1)/2 + (h-1)/2, var = (w²-1)/12 + (h²-1)/12).
+    The filter type cycles 0..4 by row, so a decode exercises every
+    PNG filter; any filter-reconstruction bug shifts the mean/std."""
+    rows = [[base + x + y for x in range(width)] for y in range(height)]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
-            + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(_filter_rows(rows)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_bytes_palette(width: int, height: int, palette: list[tuple],
+                      index_rows: list[list[int]],
+                      interlace: bool = False) -> bytes:
+    """8-bit PALETTE (color type 3) PNG, optionally Adam7-interlaced.
+    ``palette`` is a list of (r, g, b); ``index_rows`` is the
+    height x width grid of palette indices. Non-interlaced streams use
+    the cycling 0..4 row filters; interlaced streams filter each Adam7
+    pass independently (again cycling), so a decode exercises both the
+    pass geometry and per-pass filter state."""
+    plte = b"".join(bytes(c) for c in palette)
+    if interlace:
+        parts = []
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = [row[x0::dx] for row in index_rows[y0::dy]]
+            if sub and sub[0]:
+                parts.append(_filter_rows(sub))
+        raw = b"".join(parts)
+    else:
+        raw = _filter_rows(index_rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0,
+                       1 if interlace else 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
 
 
 _PNG_STATS = T.StructType([
@@ -406,25 +550,30 @@ _PNG_STATS = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("pixel_mean", T.DoubleType()),
     T.StructField("pixel_std", T.DoubleType()),
+    T.StructField("pixel_min", T.IntegerType()),
+    T.StructField("pixel_max", T.IntegerType()),
 ])
 
 
 @F.pandas_udf(_PNG_STATS)
 def png_pixel_stats(payload: pd.Series) -> pd.DataFrame:
-    """REAL pixel-level decode: inflate + unfilter each PNG, emit
-    (width, height, mean, population std) over all samples. Arrow-batched;
-    at scale, repartition upstream so each task holds ~128 MB of
-    payloads (same guidance as decode_features)."""
+    """REAL pixel-level decode: inflate + unfilter (+ de-interlace,
+    + palette-map) each PNG, emit (width, height, mean, population std,
+    min, max) over all samples. Arrow-batched; at scale, repartition
+    upstream so each task holds ~128 MB of payloads (same guidance as
+    decode_features)."""
     rows = []
     for buf in payload:
         if buf is None:
-            rows.append((None, None, None, None))
+            rows.append((None, None, None, None, None, None))
             continue
         px = decode_png_pixels(bytes(buf)).astype(np.float64)
         rows.append((px.shape[1], px.shape[0],
-                     float(px.mean()), float(px.std())))
+                     float(px.mean()), float(px.std()),
+                     int(px.min()), int(px.max())))
     return pd.DataFrame(rows, columns=["width", "height",
-                                       "pixel_mean", "pixel_std"])
+                                       "pixel_mean", "pixel_std",
+                                       "pixel_min", "pixel_max"])
 
 
 @F.pandas_udf(T.BinaryType())
@@ -434,6 +583,36 @@ def synth_png_gradient_payload(doc_id: pd.Series) -> pd.Series:
     wrap, so the closed-form mean/std oracle holds)."""
     return doc_id.map(lambda i: png_bytes_gradient(
         int(i) % 64 + 1, int(i) % 32 + 1, int(i) % 128))
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_png_gradient_min4_payload(doc_id: pd.Series) -> pd.Series:
+    """Gradient PNG with dimensions >= 4 (width = id%60+4, height =
+    id%28+4, base = id%120; max value 120+62+30 < 256) so a 4x4
+    box-filter resize is always a pure downsample with closed-form
+    box means."""
+    return doc_id.map(lambda i: png_bytes_gradient(
+        int(i) % 60 + 4, int(i) % 28 + 4, int(i) % 120))
+
+
+def _palette_png_one(i: int) -> bytes:
+    """Palette fixture: K = id%16+2 gray entries palette[k] =
+    base + 7k (base = id%100; max 99 + 7*17 < 256), index(x, y) =
+    (x + 2y) % K, width = id%24+1, height = id%16+1. Odd ids are
+    Adam7-INTERLACED — both layouts decode to the same pixel field,
+    so one closed-form oracle covers the interlaced and sequential
+    code paths."""
+    k = i % 16 + 2
+    base = i % 100
+    w, h = i % 24 + 1, i % 16 + 1
+    palette = [(base + 7 * j,) * 3 for j in range(k)]
+    idx = [[(x + 2 * y) % k for x in range(w)] for y in range(h)]
+    return png_bytes_palette(w, h, palette, idx, interlace=bool(i % 2))
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_palette_png_payload(doc_id: pd.Series) -> pd.Series:
+    return doc_id.map(lambda i: _palette_png_one(int(i)))
 
 
 # ---------------------------------------------------------------------------

@@ -60,16 +60,35 @@ def test_etl_to_cartogram_pipeline(spark, tmp_path):
 
 
 def test_multimodal_resize_and_frames(spark):
+    from pyspark.sql import functions as F
+
     from ecmm428_pycart_spark.datapipe.multimodal import (
-        attach_binary_payload, frame_sample_stub, resize_stub)
+        attach_binary_payload, frame_sample_stub, resize_image,
+        synth_png_gradient_min4_payload)
     from ecmm428_pycart_spark.session import load_table
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
-    mm = attach_binary_payload(docs)
 
-    resized = resize_stub(mm, width=8, height=8).collect()
+    # REAL resize: decode gradient PNGs (dims >= 4), box-filter to 4x4;
+    # every output pixel has the closed form floor(base + mx + my + 0.5)
+    payload = docs.select(
+        "doc_id",
+        synth_png_gradient_min4_payload(F.col("doc_id")).alias("payload"))
+    resized = resize_image(payload, width=4, height=4).collect()
     assert len(resized) == 20
-    assert all(len(bytes(r["pixels"])) == 64 for r in resized)
+    for r in resized:
+        i = r["doc_id"]
+        w, h, base = i % 60 + 4, i % 28 + 4, i % 120
+        got = bytes(r["pixels"])
+        assert len(got) == 16
+        for oy in range(4):
+            for ox in range(4):
+                x0, x1 = (ox * w) // 4, ((ox + 1) * w) // 4
+                y0, y1 = (oy * h) // 4, ((oy + 1) * h) // 4
+                exp = int((base + (x0 + x1 - 1) / 2.0
+                           + (y0 + y1 - 1) / 2.0) + 0.5)
+                assert got[oy * 4 + ox] == exp, (i, ox, oy)
 
+    mm = attach_binary_payload(docs)
     frames = frame_sample_stub(mm).collect()
     assert len(frames) >= 20
     by_doc = {}
@@ -340,6 +359,82 @@ def test_png_decoder_hand_filtered_stream():
     assert px.shape == (3, 3, 1)
     expected = np.array([[10, 20, 30], [15, 25, 200], [40, 41, 42]])
     assert (px[:, :, 0] == expected).all()
+
+
+def test_png_palette_hand_stream():
+    """Palette decode vs a HAND-ASSEMBLED stream (independent of
+    png_bytes_palette): 2x2 indices [[0,1],[2,0]] with PLTE
+    [(9,9,9), (20,30,40), (250,0,5)], filter 0 rows."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import decode_png_pixels
+
+    def chunk(tag, data):
+        return (_s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([9, 9, 9, 20, 30, 40, 250, 0, 5])
+    raw = b"\x00\x00\x01" + b"\x00\x02\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    px = decode_png_pixels(png)
+    assert px.shape == (2, 2, 3)
+    expected = np.array([[[9, 9, 9], [20, 30, 40]],
+                         [[250, 0, 5], [9, 9, 9]]])
+    assert (px == expected).all()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 decode equals the sequential decode of the same pixel
+    field, across sizes that exercise empty passes (1x1 has six empty
+    passes) and partial passes; filters cycle within each pass."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_png_pixels, png_bytes_palette)
+
+    for (w, h) in [(1, 1), (2, 1), (1, 2), (3, 3), (8, 8), (9, 5),
+                   (16, 16), (23, 13)]:
+        k = 5
+        palette = [(40 + 11 * j,) * 3 for j in range(k)]
+        idx = [[(3 * x + y) % k for x in range(w)] for y in range(h)]
+        seq = decode_png_pixels(
+            png_bytes_palette(w, h, palette, idx, interlace=False))
+        lace = decode_png_pixels(
+            png_bytes_palette(w, h, palette, idx, interlace=True))
+        assert seq.shape == (h, w, 3)
+        assert (seq == lace).all(), (w, h)
+        expected = np.array([[palette[idx[y][x]][0] for x in range(w)]
+                             for y in range(h)])
+        assert (seq[:, :, 0] == expected).all(), (w, h)
+
+
+def test_image_features_closed_form():
+    """image_features over a gradient PNG matches the exact pixel
+    population; raw (non-image) payloads fall back to byte stats."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        FEATURE_DIM, image_features, png_bytes_gradient)
+
+    w, h, base = 12, 7, 100
+    f = image_features(png_bytes_gradient(w, h, base))
+    vals = np.array([[base + x + y for x in range(w)] for y in range(h)],
+                    dtype=np.float64)
+    assert len(f) == FEATURE_DIM
+    assert f[0] == vals.mean() / 255.0
+    assert f[1] == vals.std() / 255.0
+    assert f[2] == base / 255.0 and f[3] == (base + w - 1 + h - 1) / 255.0
+    assert abs(sum(f[4:]) - 1.0) < 1e-12
+    assert f[4] == 0.0  # no gradient value below 64 (base = 100)
+
+    raw = image_features(b"\x00\x00\xff\xff")
+    assert raw[2] == 0.0 and raw[3] == 1.0 and raw[4] == 0.5 and raw[7] == 0.5
 
 
 def test_shingle_set_short_docs(spark):
