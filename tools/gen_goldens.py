@@ -77,12 +77,15 @@ def main():
                          for sub, c, nv in rows) + ",")
     print()
 
-    print("# g08_dorling_scalable_large golden "
-          "(n, cx_chk, cy_chk, radius_chk):")
-    for sf in SFS:
-        (n, cx, cy, r), = qs["g08_dorling_scalable_large"](
-            spark, BASE + sf).collect()
-        print(f"({n}, {cx}, {cy}, {r}),")
+    for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
+        print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
+        seen = set()
+        for sf in SFS:
+            (n, cx, cy, r), = qs[gq](spark, BASE + sf).collect()
+            if n not in seen:  # g14's grid is identical at sf0.01/sf0.1
+                seen.add(n)
+                print(f"({n}, {cx}, {cy}, {r}),")
+        print()
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ SCALE_SET = [
     "s05_cosine_neardup",
     "g07_queen_borders_large",
     "g08_dorling_scalable_large",
+    "g14_dorling_grid2500",
     "g10_pagerank_borders",
     "q47_kmv_sketch",
     "q48_replicated_skew_join",
