@@ -108,7 +108,6 @@ _BNLJ_OK = {
     "g01_noncontiguous_scale",  # 1-row anchor max
     "g07_queen_borders_large",  # 1-row grid side length
     "g09_noncontiguous_large",  # 1-row grid side + anchor
-    "g10_pagerank_borders",     # 1-row node count for teleport term
     "g12_knn_spatial",          # 1-row grid side length
     "g13_point_in_polygon",     # 1-row grid side + count
     "k01_kmeans_clusters",      # sf fingerprint / centroid broadcast
@@ -144,6 +143,71 @@ def test_registry_wide_plan_guards(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale anti-patterns found: {offenders}"
+
+
+def _broadcast_subtrees(plan: str):
+    """Extract the subtree under every `BroadcastExchange
+    IdentityBroadcastMode` node (the build side of a BNLJ) from a
+    physical-plan string, scoped by the tree-drawing indentation."""
+    import re
+    lines = plan.split("\n")
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        depth = len(re.match(r"^[ :+-]*", ln).group(0))
+        body = []
+        for nxt in lines[i + 1:]:
+            d = len(re.match(r"^[ :+-]*", nxt).group(0))
+            if nxt.strip() and d <= depth:
+                break
+            body.append(nxt)
+        subs.append("\n".join(body))
+    return subs
+
+
+def test_bnlj_allowlist_build_sides_are_tiny(spark):
+    """Round-4 hardening of _BNLJ_OK (VERDICT r3 next-8): the allowlist
+    must not silently admit a fat nested-loop. For every allowlisted
+    query, every identity-broadcast build side must be PROVABLY small
+    from the plan itself: a no-grouping aggregate (1 row), a
+    GlobalLimit 1, a literal LocalTableScan (no file scan beneath), or
+    a codebook aggregate grouped on the bounded label/cluster key.
+    Entries whose plans no longer contain a BNLJ at all are stale and
+    must be removed (keeps the allowlist 1:1 with reality)."""
+    import re
+    qs = get_queries()
+    bad, stale = {}, []
+    for name in sorted(_BNLJ_OK):
+        plan = qs[name](spark, SF)._jdf.queryExecution() \
+            .executedPlan().toString()
+        if "BroadcastNestedLoopJoin" not in plan:
+            stale.append(name)
+            continue
+        for sub in _broadcast_subtrees(plan):
+            # provably-1-row: no-grouping aggregate or LIMIT 1
+            one_row = ("HashAggregate(keys=[]" in sub
+                       or "SortAggregate(key=[]" in sub
+                       or "GlobalLimit 1" in sub)
+            # driver-literal table (codebook / bucket edges): O(1) rows
+            # by construction, and provably not file-backed
+            literal = (("LocalTableScan" in sub
+                        or "Scan ExistingRDD" in sub)
+                       and "FileScan" not in sub)
+            # codebook aggregate grouped on the bounded cluster key
+            codebook = re.search(r"(ObjectHashAggregate|HashAggregate)"
+                                 r"\(keys=\[(label|cluster)#", sub)
+            # query-vector selection: literal equality / small upper
+            # bound on the embedding key riding the scan
+            m = re.search(r"Filter .*\(vec_id#\d+L? (?:=|<) (\d+)\)", sub)
+            qvec = bool(m) and int(m.group(1)) <= 1024
+            ok = one_row or literal or codebook or qvec
+            if not ok:
+                bad.setdefault(name, []).append(
+                    sub.strip().split("\n")[0][:80])
+    assert not bad, f"BNLJ build side not provably tiny: {bad}"
+    assert not stale, (f"stale _BNLJ_OK entries (no BNLJ in plan any "
+                       f"more — remove them): {stale}")
 
 
 def test_s05_no_nested_loop_join(spark):
