@@ -17,42 +17,61 @@ from __future__ import annotations
 
 from ecmm428_pycart_spark.benchmarks import relational
 
-# Curated gate prefix. Grouped by what each block proves:
-#   q01-q14  SURVEY §2 relational core (R1-R23, one row each)
-#   g01-g10  geo macros — A2/A3/A4, G1-G9, R13/R14/R19/R20/R24
-#   d*/s*/k* one representative per datapipe family
-#            (exact dedup, MinHash-LSH, SimHash, dup-clustering CC,
-#             corpus-clean macro, text stats, decontamination, fuzzy
-#             pairs, brute/ANN/k-NN similarity, k-means)
-#   m03/m04/m06  multimodal: real PNG/JPEG/GIF + WAV header parsers,
-#            stdlib-zlib PNG pixel decode
-#   st01/st05/st06  streaming: watermarked window, stream-stream
-#            interval join, bounded-state dedup
-#   q38a/q42-q59  sketches (hash-checked face), salted agg, gapfill,
-#            grouping sets, KMV, ORC sink round-trip (S6), z-order
-#            manifest skipping, real JPEG pixel decode (q44/q46 extras
-#            rotated out in r3 — still verify_oracle-covered)
+# Curated gate prefix — ROUND-4 ROTATION (VERDICT r3 next-3): rounds
+# 1-3 left 56 registered queries never driver-oracle-checked. This
+# window is drawn from exactly that set (plus this round's new
+# m11/m12/g14), keeping three §2 sentinels (q01 = relational core,
+# g02 = queen borders, g04 = reference-parity dorling) as canaries for
+# the previously-green surface. Everything green in r1-r3 plus the
+# DEFERRED_TO_NEXT_ROUND list below stays registered and
+# verify_oracle-covered; tests/test_gate_coverage.py pins the rotation
+# invariant (every registered query gate-checked within 2 consecutive
+# rounds).
 DRIVER_WINDOW = [
-    "q01_pricing_summary", "q02_filter_eq", "q03_filter_isin",
-    "q04_cast_clean", "q05_range_filter", "q06_join_customer_nation_region",
-    "q07_semi_join", "q08_anti_join", "q09_union", "q10_argmax_per_group",
-    "q11_agg_minmax", "q12_running_fill", "q13_price_range_join",
-    "q14_mapping_join",
-    "g01_noncontiguous_scale", "g02_queen_borders", "g03_dorling_radii",
-    "g04_dorling_positions", "g05_dorling_scalable", "g06_distance_pairs",
-    "g07_queen_borders_large", "g08_dorling_scalable_large",
-    "g09_noncontiguous_large", "g10_pagerank_borders",
-    "d01_dedup_exact", "d06_minhash_lsh_jaccard", "d08_simhash_neardup",
-    "d15_dup_clusters", "d19_corpus_clean", "d02_text_stats",
-    "d22_fuzzy_pairs", "d25_decontamination",
-    "s01_cosine_topk", "s02_ann_sign_lsh", "s09_knn_join",
-    "k01_kmeans_clusters",
-    "m03_image_meta", "m04_wav_meta", "m06_png_pixels",
-    "st01_stream_hourly", "st05_stream_interval_join",
-    "st06_stream_dedup_bounded",
-    "q38_sketch_accuracy", "q42_salted_agg", "q43_gapfill",
-    "q45_grouping_sets", "q47_kmv_sketch", "q50_orc_roundtrip",
-    "q59_zorder_skipping", "m09_jpeg_pixels",
+    # sentinels (green in r3; canaries against a regression of the
+    # already-proven surface)
+    "q01_pricing_summary", "g02_queen_borders", "g04_dorling_positions",
+    # similarity: IVF, codebook assign, near-dup, multiprobe, int8,
+    # banded near-dup, PQ encode + ADC re-rank
+    "s03_centroid_assign", "s04_ivf_probe", "s05_cosine_neardup",
+    "s07_ann_multiprobe", "s08_int8_quantize", "s10_neardup_banded",
+    "s11_pq_codes", "s12_pq_adc_rerank",
+    # multimodal: meta plumbing, REAL featurize (round-4 kernel), frame
+    # sampling, WAV samples, MP4 meta, color JPEG, palette/Adam7 PNG
+    # (new), box-filter resize (new)
+    "m01_multimodal_meta", "m02_decode_features", "m05_frame_sample",
+    "m07_wav_samples", "m08_video_meta", "m10_color_jpeg",
+    "m11_palette_png", "m12_resize_pixels",
+    # streaming: foreachBatch idempotent upsert, stream-static enrich
+    "st07_stream_foreach_upsert", "st08_stream_static_enrich",
+    # text/dedup pipeline
+    "d11_vocab_topk", "d12_bigram_stats", "d13_bpeish_token_count",
+    "d14_tfidf_top_terms", "d17_pii_scrub", "d18_dedup_canonical",
+    "d23_token_entropy", "d24_weighted_sample", "d26_repetition_ratio",
+    "d27_source_mix", "d28_ngram_jaccard", "d29_segment_dup_rate",
+    "d30_gopher_rules", "d31_unigram_lm_score", "d33_token_drift",
+    # geo / graph: triangle count, k-NN spatial, point-in-polygon,
+    # 2.5k-region dorling (new)
+    "g11_triangle_count", "g12_knn_spatial", "g13_point_in_polygon",
+    "g14_dorling_grid2500",
+    # composed pipeline + window/layout/lakehouse relational surface
+    "q41_e3_pipeline", "q44_trailing_window", "q46_equidepth_hist",
+    "q52_shipping_priority", "q60_bucketed_colocated_join",
+    "q61_batch_merge_scd1", "q62_compaction_roundtrip",
+    "q63_bilateral_shipping", "q65_time_travel", "q66_cohort_retention",
+]
+
+# Never-driver-checked queries that did NOT fit this round's 50-slot
+# window; they MUST form (with sentinels) the core of round 5's window.
+# All are verify_oracle-green locally; tests/test_gate_coverage.py
+# fails if any registered query is neither historically checked, in
+# the current window, nor in this list.
+DEFERRED_TO_NEXT_ROUND = [
+    "q53_local_supplier_volume", "q54_returned_items",
+    "q55_late_shipment_priority", "q56_large_volume_customers",
+    "q57_order_count_distribution", "q58_dormant_high_balance",
+    "q64_priority_mix", "d10_hash_sample", "d16_stratified_sample",
+    "d20_doc_chunks", "d21_seq_packing", "s06_array_ops",
 ]
 
 

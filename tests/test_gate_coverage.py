@@ -1,71 +1,35 @@
 """Guard for the driver correctness gate's coverage window.
 
 The driver evaluates only the FIRST ~50 entries of ``queries()``
-(observed cap in CORRECTNESS_r01/r02). Round 2 learned the hard way
-that reordering the registry silently moves families in and out of
-that window: adding q42/q47-q51/st01-st04 pushed d01-d09 and s01 out,
-and the geo macros g01-g10 (the reference-parity surface) never made
-the window at all in either round. This test pins the invariant: the
-gate prefix must exercise every SURVEY.md §2 operator row and at least
-one representative of every LLM-data-pipeline family. It FAILS on
-round-2's module-concatenation ordering — that is the point.
+(observed cap in CORRECTNESS_r01/r02/r03). Round 2 learned that
+reordering the registry silently moves families in and out of that
+window; rounds 1-3 together still left 56 registered queries that had
+NEVER seen the driver's DuckDB oracle (VERDICT r3). Round 4 therefore
+switches the pinned invariant from "window covers every family" to a
+ROTATION contract:
+
+  every registered query must be driver-gate-checked within two
+  consecutive rounds — i.e. it is (a) already checked in a committed
+  CORRECTNESS_r*.json, (b) in the current DRIVER_WINDOW, or (c) in the
+  explicit DEFERRED_TO_NEXT_ROUND list, which is small enough to fit
+  (with sentinels) entirely in the next round's window.
 
 No SparkSession needed: this is a pure registry-shape test.
 """
 
 from __future__ import annotations
 
-GATE_CAP = 50
+import glob
+import json
+import os
 
-# family → query names that count as covering it. Mapping queries to
-# SURVEY §2 rows: q01-q14 are the relational core R1-R23 (one row
-# each, see benchmarks/relational.py docstrings); g01-g10 cover the
-# geo macros A2/A3/A4 plus G1-G9/R13/R14/R19/R20/R24 (see
-# benchmarks/geo_queries.py); the d/s/k/m/st families are the
-# beyond-reference LLM-pipeline surface.
-FAMILIES: dict[str, set[str]] = {
-    # SURVEY §2 relational core — each query is its own row, all required
-    **{name: {name} for name in [
-        "q01_pricing_summary", "q02_filter_eq", "q03_filter_isin",
-        "q04_cast_clean", "q05_range_filter",
-        "q06_join_customer_nation_region", "q07_semi_join",
-        "q08_anti_join", "q09_union", "q10_argmax_per_group",
-        "q11_agg_minmax", "q12_running_fill", "q13_price_range_join",
-        "q14_mapping_join",
-    ]},
-    # geo macros — the reference-parity surface, all ten required
-    **{name: {name} for name in [
-        "g01_noncontiguous_scale", "g02_queen_borders",
-        "g03_dorling_radii", "g04_dorling_positions",
-        "g05_dorling_scalable", "g06_distance_pairs",
-        "g07_queen_borders_large", "g08_dorling_scalable_large",
-        "g09_noncontiguous_large", "g10_pagerank_borders",
-    ]},
-    # LLM-pipeline families — at least one representative each
-    "exact_dedup": {"d01_dedup_exact", "d18_dedup_canonical"},
-    "minhash_lsh": {"d05_minhash_signature", "d06_minhash_lsh_jaccard"},
-    "simhash": {"d07_simhash", "d08_simhash_neardup"},
-    "dup_clustering": {"d15_dup_clusters"},
-    "corpus_clean_macro": {"d19_corpus_clean"},
-    "text_analysis": {"d02_text_stats", "d03_lang_id", "d09_quality_score",
-                      "d13_bpeish_token_count"},
-    "fuzzy_dedup": {"d22_fuzzy_pairs"},
-    "decontamination": {"d25_decontamination"},
-    "similarity_brute": {"s01_cosine_topk"},
-    "similarity_ann": {"s02_ann_sign_lsh", "s04_ivf_probe",
-                       "s07_ann_multiprobe"},
-    "knn_join": {"s09_knn_join"},
-    "kmeans": {"k01_kmeans_clusters"},
-    "multimodal_meta": {"m03_image_meta", "m04_wav_meta"},
-    "multimodal_pixels": {"m06_png_pixels"},
-    "stream_window": {"st01_stream_hourly", "st02_stream_sessions"},
-    "stream_stream_join": {"st05_stream_interval_join"},
-    "stream_dedup": {"st03_stream_dedup", "st06_stream_dedup_bounded"},
-    "sketches_gated": {"q38_sketch_accuracy", "q47_kmv_sketch"},
-    "sink_roundtrip": {"q50_orc_roundtrip"},
-    "data_layout_skipping": {"q59_zorder_skipping"},
-    "multimodal_jpeg_decode": {"m09_jpeg_pixels"},
-}
+GATE_CAP = 50
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# §2 sentinels that ride every window as canaries for the
+# previously-proven surface (relational core, queen borders, dorling).
+SENTINELS = {"q01_pricing_summary", "g02_queen_borders",
+             "g04_dorling_positions"}
 
 
 def _window():
@@ -73,14 +37,14 @@ def _window():
     return list(get_queries())[:GATE_CAP]
 
 
-def test_gate_window_covers_every_family():
-    window = set(_window())
-    uncovered = {fam: names for fam, names in FAMILIES.items()
-                 if not (names & window)}
-    assert not uncovered, (
-        f"driver gate prefix (first {GATE_CAP} queries) lost coverage of: "
-        f"{sorted(uncovered)} — reorder DRIVER_WINDOW in "
-        f"benchmarks/registry.py, do not drop families")
+def _historically_checked() -> set[str]:
+    """Names that appeared in any committed driver correctness record
+    (presence means the driver ran the oracle compare on them)."""
+    checked = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked |= set(json.load(f))
+    return checked
 
 
 def test_gate_window_matches_declared_order():
@@ -90,6 +54,38 @@ def test_gate_window_matches_declared_order():
     from ecmm428_pycart_spark.benchmarks.registry import DRIVER_WINDOW
     assert _window()[:len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) == GATE_CAP
+
+
+def test_window_keeps_sentinels():
+    assert SENTINELS <= set(_window())
+
+
+def test_every_query_gate_checked_within_two_rounds():
+    """The rotation invariant: no registered query may sit outside the
+    hard signal indefinitely. Each one is historically checked, in the
+    current window, or explicitly deferred to next round's window."""
+    from ecmm428_pycart_spark.benchmarks.registry import (
+        DEFERRED_TO_NEXT_ROUND, get_queries)
+    registered = set(get_queries())
+    covered = (_historically_checked() | set(_window())
+               | set(DEFERRED_TO_NEXT_ROUND))
+    orphans = registered - covered
+    assert not orphans, (
+        f"queries outside the 2-round gate rotation: {sorted(orphans)} — "
+        "add them to DRIVER_WINDOW or DEFERRED_TO_NEXT_ROUND")
+
+
+def test_deferred_list_fits_next_window():
+    """The deferral escape hatch must stay small enough that next
+    round's window can absorb all of it plus the sentinels."""
+    from ecmm428_pycart_spark.benchmarks.registry import (
+        DEFERRED_TO_NEXT_ROUND, get_queries)
+    deferred = set(DEFERRED_TO_NEXT_ROUND)
+    assert len(DEFERRED_TO_NEXT_ROUND) == len(deferred)
+    assert len(deferred) + len(SENTINELS) <= GATE_CAP
+    assert deferred <= set(get_queries())
+    assert not deferred & set(_window()), \
+        "a query cannot be both gated now and deferred"
 
 
 def test_window_names_all_have_oracles():
@@ -109,5 +105,6 @@ def test_full_registry_still_contains_everything():
     assert len(names) == len(set(names))
     for required in ("q38_sketch_accuracy", "m05_frame_sample",
                      "q41_e3_pipeline", "d27_source_mix",
-                     "s08_int8_quantize"):
+                     "s08_int8_quantize", "q22_revenue_by_nation",
+                     "g08_dorling_scalable_large", "st01_stream_hourly"):
         assert required in names
