@@ -66,6 +66,7 @@ HEADLINE = [
     "m03_image_meta",
     "m06_png_pixels",
     "m09_jpeg_pixels",
+    "m12_resize_pixels",
     # streaming (one micro-batch-replay query per shape; st05/st07 are
     # multi-trigger by design and dominate wall time without adding signal)
     "st01_stream_hourly",
@@ -75,6 +76,7 @@ HEADLINE = [
     "g07_queen_borders_large",
     "g04_dorling_positions",
     "g08_dorling_scalable_large",
+    "g14_dorling_grid2500",
     "g10_pagerank_borders",
     "g12_knn_spatial",
     # sketches / layout
