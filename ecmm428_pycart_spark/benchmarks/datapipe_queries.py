@@ -511,6 +511,44 @@ def m07_wav_samples(spark, sf_dir):
         F.round("s.dc_mean", 4).alias("dc_mean"))
 
 
+# REAL multi-bit-depth PCM decode (round 4 — closes the 16-bit-only
+# edge of the WAV decoder): the fixture's bit depth cycles 8/16/24/32
+# by doc_id, amplitude scaled to each depth's dynamic range, so one
+# query exercises the unsigned-8 rebase, the int16 fast path, the
+# 24-bit sign-extension, and int32 — all with the same closed forms
+# (rms = peak = A, dc = 0 for an even-length +/-A square wave).
+@q("m13_wav_bitdepths", """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                            WHEN 2 THEN 24 ELSE 32 END AS INTEGER) AS bits,
+       CAST(2 * (doc_id % 200 + 25) AS BIGINT) AS n_samples,
+       round(CAST((doc_id % 100 + 1)
+             * CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+                               WHEN 2 THEN 65536 ELSE 16777216 END
+             AS DOUBLE), 4) AS rms,
+       CAST((doc_id % 100 + 1)
+            * CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+                              WHEN 2 THEN 65536 ELSE 16777216 END
+            AS INTEGER) AS peak,
+       CAST(0.0 AS DOUBLE) AS dc_mean
+FROM documents
+""")
+def m13_wav_bitdepths(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_multibits_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.wav_sample_stats(F.col("payload")))
+    bits = (F.element_at(
+        F.array(F.lit(8), F.lit(16), F.lit(24), F.lit(32)),
+        (F.col("doc_id") % 4 + 1).cast("int"))).alias("bits")
+    return st.select(
+        "doc_id", bits,
+        F.col("s.n_samples").alias("n_samples"),
+        F.round("s.rms", 4).alias("rms"),
+        F.col("s.peak").alias("peak"),
+        F.round("s.dc_mean", 4).alias("dc_mean"))
+
+
 # REAL MP4/ISO-BMFF container-metadata decode (stdlib struct box walk:
 # ftyp/moov/mvhd/trak/tkhd/mdia/minf/stbl/stsz): the routing pass a
 # video ingest runs before any codec work. Payloads are synthesized

@@ -622,9 +622,12 @@ def synth_palette_png_payload(doc_id: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 def decode_wav_samples(b: bytes) -> np.ndarray:
-    """Decode a 16-bit PCM WAV to an int16 array of shape
-    (n_samples, channels). Walks RIFF chunks like _wav_meta_one and
-    reinterprets the data chunk; raises on non-PCM/non-16-bit."""
+    """Decode a PCM WAV to an int array of shape (n_samples, channels).
+    Walks RIFF chunks like _wav_meta_one and reinterprets the data
+    chunk. Round 4 extends the real decoder beyond 16-bit: 8-bit PCM
+    (unsigned, rebased to signed per the spec), 24-bit PCM
+    (little-endian sign-extended to int32), and 32-bit PCM. Non-PCM
+    codecs (float, a-law, ...) raise NotImplementedError."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i, fmt_code, channels, bits, data = 12, None, None, None, None
@@ -639,10 +642,22 @@ def decode_wav_samples(b: bytes) -> np.ndarray:
         i += 8 + size + (size & 1)
     if data is None or channels is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
-    if fmt_code != 1 or bits != 16:
+    if fmt_code != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"only 16-bit PCM supported (fmt={fmt_code}, bits={bits})")
-    arr = np.frombuffer(data, dtype="<i2")
+            f"only 8/16/24/32-bit integer PCM supported "
+            f"(fmt={fmt_code}, bits={bits})")
+    if bits == 8:      # spec: 8-bit PCM is UNSIGNED with midpoint 128
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4")
+    else:              # 24-bit: pad each 3-byte LE triplet, sign-extend
+        trips = np.frombuffer(data[:len(data) - len(data) % 3],
+                              dtype=np.uint8).reshape(-1, 3)
+        quads = np.zeros((trips.shape[0], 4), dtype=np.uint8)
+        quads[:, 1:] = trips          # value << 8 in a LE int32...
+        arr = quads.view("<i4").ravel() >> 8   # ...then >> 8 sign-extends
     return arr.reshape(-1, channels)
 
 
@@ -684,6 +699,44 @@ def synth_wav_tone_payload(doc_id: pd.Series) -> pd.Series:
         body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(data)) + data)
         return b"RIFF" + struct.pack("<I", len(body)) + body
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+def wav_bytes_pcm(channels: int, sample_rate: int, samples: list[int],
+                  bits: int) -> bytes:
+    """PCM WAV encoder for any supported bit depth: 8 (unsigned,
+    midpoint 128 per spec), 16, 24 (LE low-3-bytes two's complement),
+    32. ``samples`` is the interleaved signed sample list."""
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    elif bits == 24:
+        data = b"".join(struct.pack("<i", s)[:3] for s in samples)
+    elif bits == 32:
+        data = b"".join(struct.pack("<i", s) for s in samples)
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_multibits_payload(doc_id: pd.Series) -> pd.Series:
+    """Square-wave WAV whose BIT DEPTH cycles 8/16/24/32 by doc_id%4,
+    amplitude A = (id%100+1) x {1, 256, 65536, 16777216} (so every
+    depth's dynamic range is exercised; A < 2^31 keeps the int32 peak
+    column exact), n = 2*(id%200+25) mono samples. Closed forms:
+    rms = A (alternating +/-A), peak = A, dc_mean = 0."""
+    def gen(i: int) -> bytes:
+        bits = (8, 16, 24, 32)[i % 4]
+        amp = (i % 100 + 1) * (1, 256, 65536, 16777216)[i % 4]
+        n = 2 * (i % 200 + 25)
+        return wav_bytes_pcm(1, 8000, [amp, -amp] * (n // 2), bits)
     return doc_id.map(lambda i: gen(int(i)))
 
 

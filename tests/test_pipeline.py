@@ -437,6 +437,38 @@ def test_image_features_closed_form():
     assert raw[2] == 0.0 and raw[3] == 1.0 and raw[4] == 0.5 and raw[7] == 0.5
 
 
+def test_wav_bitdepth_decode():
+    """decode_wav_samples across 8/16/24/32-bit PCM: unsigned-8 rebase,
+    24-bit sign extension (negative values!), int32 — values round-trip
+    exactly through wav_bytes_pcm."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_wav_samples, wav_bytes_pcm)
+
+    cases = {
+        8: [0, 1, -1, 127, -128],
+        16: [0, 1, -1, 32767, -32768],
+        24: [0, 1, -1, 8388607, -8388608, 65536, -65536],
+        32: [0, 1, -1, 2147483647, -2147483648, 16777216],
+    }
+    for bits, vals in cases.items():
+        got = decode_wav_samples(wav_bytes_pcm(1, 8000, vals, bits))
+        assert got.shape == (len(vals), 1), bits
+        assert [int(v) for v in got[:, 0]] == vals, bits
+    # stereo interleave preserved
+    st = decode_wav_samples(wav_bytes_pcm(2, 8000, [5, -6, 7, -8], 24))
+    assert st.shape == (2, 2)
+    assert st.tolist() == [[5, -6], [7, -8]]
+    # non-PCM still raises
+    import pytest as _pytest
+    bad = wav_bytes_pcm(1, 8000, [0], 16).replace(
+        b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1)  # fmt 3 = float
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(bad)
+    assert np.issubdtype(got.dtype, np.integer)
+
+
 def test_shingle_set_short_docs(spark):
     """Docs with fewer tokens than the shingle width must yield an EMPTY
     set, not an error: Spark's 2-arg sequence(1, 0) descends ([1, 0])
