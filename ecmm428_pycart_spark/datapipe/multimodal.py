@@ -518,6 +518,21 @@ def png_bytes_gradient(width: int, height: int, base: int) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def png_bytes_rgb(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a non-interlaced 8-bit RGB
+    PNG (filter 0 rows — rasters here are small client-side figures;
+    zlib does the heavy lifting). Round-trips through
+    decode_png_pixels, which the figure-sink tests exploit."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("png_bytes_rgb expects (H, W, 3) uint8")
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
 def png_bytes_palette(width: int, height: int, palette: list[tuple],
                       index_rows: list[list[int]],
                       interlace: bool = False) -> bytes:

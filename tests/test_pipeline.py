@@ -182,6 +182,45 @@ def test_svg_figure_sink(spark, tmp_path):
     assert (tmp_path / "dorling.svg").exists()
 
 
+def test_png_figure_sink(spark, tmp_path):
+    """S7 PNG-format parity (round 4): the raster sink writes a real
+    PNG that our OWN decoder reads back; fill correctness is checked
+    with exact pixel geometry on a known square layout."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import decode_png_pixels
+    from ecmm428_pycart_spark.viz import _PALETTE, _hex_rgb, to_png
+
+    geo = read_geojson(spark, f"{FIX}/squares.geojson", property_cols=["name"])
+    png = to_png(geo.select("geometry"), str(tmp_path / "squares.png"),
+                 width=120, height=120)
+    px = decode_png_pixels(png)
+    assert px.shape == (120, 120, 3)
+    colors = {tuple(c) for c in px.reshape(-1, 3)}
+    # background + every palette color used by the 4 squares is present
+    assert (255, 255, 255) in colors
+    used = [_hex_rgb(_PALETTE[i]) for i in range(4)]
+    for c in used:
+        assert c in colors, c
+    # sample each square's centroid through the sink's own transform
+    # and assert the pixel carries exactly that square's palette color
+    from ecmm428_pycart_spark.geometry import core as gcore
+    geoms = [gcore.loads(bytes(r["geometry"]))
+             for r in geo.select("geometry").collect()]
+    bxs = [gcore.bounds(g) for g in geoms]
+    minx = min(b[0] for b in bxs)
+    miny = min(b[1] for b in bxs)
+    sc = min(100.0 / (max(b[2] for b in bxs) - minx),
+             100.0 / (max(b[3] for b in bxs) - miny))
+    for i, g in enumerate(geoms):
+        cx, cy = gcore.centroid(g)
+        dx = int(10 + (cx - minx) * sc)
+        dy = int(120 - 10 - (cy - miny) * sc)
+        assert tuple(px[dy, dx]) == used[i], (i, dx, dy)
+    # file written and self-consistent
+    assert (tmp_path / "squares.png").read_bytes() == png
+
+
 def test_real_container_format_decoders(spark):
     """PNG/JPEG/GIF/WAV header parsers are REAL decoders (stdlib only):
     parse handcrafted bytes of each format and assert exact metadata."""
