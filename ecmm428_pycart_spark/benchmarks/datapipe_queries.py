@@ -711,6 +711,39 @@ def m12_resize_pixels(spark, sf_dir):
         F.col("value"))
 
 
+# Exact substring-window dedup (round 4 — the suffix-array-dedup
+# family in its scalable fixed-window form, Lee et al. 2022): per-doc
+# count/fraction of 8-token windows that also occur in another doc.
+# The oracle rebuilds every window with a range join over token
+# positions and groups on the window TEXT, independently re-deriving
+# the cross-doc dup set that the Spark side computes over md5 hashes —
+# any hash-path bug (slicing, off-by-one, within-doc-only dups
+# counted) shifts a count and reddens the hash.
+@q("d34_window_dedup", """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, array_to_string(toks[t.i + 1 : t.i + 8], ' ') AS w
+  FROM tok CROSS JOIN range(0, 100000) t(i)
+  WHERE t.i <= len(toks) - 8
+),
+dup AS (
+  SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) > 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE w IN (SELECT w FROM dup)) AS BIGINT)
+         AS n_dup_windows,
+       round(count(*) FILTER (WHERE w IN (SELECT w FROM dup))
+             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+FROM win GROUP BY doc_id
+""")
+def d34_window_dedup(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe.dedup import window_dup_stats
+    return window_dup_stats(_t(spark, sf_dir, "documents"), window=8)
+
+
 # Deterministic hash-based sampling (reproducible across engines/runs —
 # the scale-safe alternative to rand() sampling).
 @q("d10_hash_sample", """

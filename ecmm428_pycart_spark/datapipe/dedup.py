@@ -34,6 +34,48 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
                  F.min(id_col).alias("canonical_id")))
 
 
+def window_dup_stats(df: DataFrame, window: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact substring-window dedup — the scale-safe form of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide a
+    ``window``-token exact window over each doc, mark windows that
+    occur in MORE THAN ONE distinct doc, report each doc's duplicated
+    window count/fraction (the per-doc signal a span-removal pass
+    consumes).
+
+    Scale shape: windows are reduced to a 128-bit md5 before the
+    shuffle (16 bytes/window instead of the window text; collisions
+    are ~q²/2¹²⁸ for q distinct windows — negligible at 100 TB), the
+    dup-window set is a groupBy count (a window shared by k docs costs
+    O(k), never an O(k²) pair join), and the join back to positions is
+    an equi-join on the hash. Docs shorter than ``window`` tokens have
+    no windows and are excluded (sequence() would descend — same guard
+    as shingle_set)."""
+    toks = tokens(F.col(text_col))
+    wins = (df.select(id_col, toks.alias("_t"))
+            .filter(F.size("_t") >= window)
+            .select(id_col, F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (window - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i, window)))))
+                .alias("wh")))
+    dup = (wins.groupBy("wh")
+           .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+           .filter(F.col("_nd") > 1)
+           .select("wh"))
+    flagged = wins.join(dup.withColumn("_dup", F.lit(1)), "wh", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                 .alias("n_dup_windows"))
+            .select(id_col, "n_windows", "n_dup_windows",
+                    F.round(F.col("n_dup_windows")
+                            / F.col("n_windows").cast("double"), 4)
+                    .alias("dup_frac")))
+
+
 def shingle_set(col, n: int = 1) -> Column:
     """Distinct word n-gram shingles of a text column (native exprs)."""
     t = tokens(col)
