@@ -672,6 +672,41 @@ def m11_palette_png(spark, sf_dir):
         F.col("s.pixel_max").alias("pixel_max"))
 
 
+# REAL 16-BIT PNG decode (round 4 — closes the 8-bit-only edge): the
+# fixture is a 16-bit gradient (big-endian samples, filters cycling at
+# the byte level with 2-byte left references), so the query exercises
+# the depth-16 filter geometry AND the sample reassembly; the oracle
+# rebuilds the pixel population with a range-join grid.
+@q("m14_png16_pixels", """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 1000 + 171 * (x.x + y.y) AS v
+  FROM documents d
+  CROSS JOIN range(0, 24) x(x) CROSS JOIN range(0, 16) y(y)
+  WHERE x.x < d.doc_id % 24 + 1 AND y.y < d.doc_id % 16 + 1
+)
+SELECT doc_id,
+       CAST(doc_id % 24 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+       round(avg(v), 4) AS pixel_mean,
+       round(coalesce(stddev_pop(v), 0.0), 4) AS pixel_std,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id
+""")
+def m14_png16_pixels(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png16_gradient_payload(F.col("doc_id")))
+    st = payload.withColumn("s", multimodal.png_pixel_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.round("s.pixel_mean", 4).alias("pixel_mean"),
+        F.round("s.pixel_std", 4).alias("pixel_std"),
+        F.col("s.pixel_min").alias("pixel_min"),
+        F.col("s.pixel_max").alias("pixel_max"))
+
+
 # REAL box-filter image resize (round 4 — replaces the byte-tiling
 # stub): gradient PNGs (dims >= 4) are decoded with the real PNG
 # decoder and box-filtered to a 4x4 gray grid; the gate explodes the

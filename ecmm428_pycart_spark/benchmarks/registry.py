@@ -73,7 +73,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "q64_priority_mix", "d10_hash_sample", "d16_stratified_sample",
     "d20_doc_chunks", "d21_seq_packing", "s06_array_ops",
     # added after the round-4 window froze; verify_oracle-green locally
-    "m13_wav_bitdepths", "d34_window_dedup",
+    "m13_wav_bitdepths", "d34_window_dedup", "m14_png16_pixels",
 ]
 
 

@@ -354,16 +354,19 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
-                  ch: int) -> tuple[np.ndarray, int]:
-    """Undo PNG scanline filters over ``height`` rows of ``width*ch``
-    bytes starting at ``offset`` in the decompressed stream. Returns the
-    (height, width*ch) array and the byte offset after the last row.
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Undo PNG scanline filters over ``height`` rows of ``width*bpp``
+    bytes starting at ``offset`` in the decompressed stream (``bpp`` =
+    bytes per pixel = channels x bytes-per-sample; the spec's filters
+    reference the byte ``bpp`` positions left, which is what makes the
+    same code serve 8- and 16-bit depths). Returns the
+    (height, width*bpp) byte array and the offset after the last row.
 
-    Filters 0/1/2 are vectorized (Sub is a per-lane mod-256 cumsum —
-    numpy uint8 cumsum wraps exactly like PNG arithmetic); Average and
-    Paeth have a true left-to-right data dependence, so they fall back
-    to a scalar loop per scanline."""
-    stride = width * ch
+    Filters 0/1/2 are vectorized (Sub is a per-byte-lane mod-256
+    cumsum — numpy uint8 cumsum wraps exactly like PNG arithmetic);
+    Average and Paeth have a true left-to-right data dependence, so
+    they fall back to a scalar loop per scanline."""
+    stride = width * bpp
     if len(raw) < offset + height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = np.empty((height, stride), dtype=np.uint8)
@@ -375,20 +378,20 @@ def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
                              offset=pos + 1)
         if ftype == 0:
             rec = line.copy()
-        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
-            rec = np.cumsum(line.reshape(width, ch), axis=0,
+        elif ftype == 1:  # Sub: per-byte-lane cumulative sum mod 256
+            rec = np.cumsum(line.reshape(stride // bpp, bpp), axis=0,
                             dtype=np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             rec = line + prior  # uint8 add wraps mod 256
         elif ftype in (3, 4):  # Average / Paeth: sequential in x
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                left = int(rec[x - ch]) if x >= ch else 0
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 up = int(prior[x])
                 if ftype == 3:
                     pred = (left + up) >> 1
                 else:
-                    ul = int(prior[x - ch]) if x >= ch else 0
+                    ul = int(prior[x - bpp]) if x >= bpp else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = (left if pa <= pb and pa <= pc
@@ -401,11 +404,24 @@ def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
     return out, offset + height * (stride + 1)
 
 
+def _png_assemble(arr: np.ndarray, h: int, w: int, ch: int,
+                  sbytes: int) -> np.ndarray:
+    """Combine an unfiltered (h, w*ch*sbytes) byte plane into pixels:
+    uint8 (h, w, ch) at depth 8, big-endian uint16 (h, w, ch) at 16."""
+    if sbytes == 1:
+        return arr.reshape(h, w, ch)
+    pairs = arr.reshape(h, w, ch, 2).astype(np.uint16)
+    return (pairs[..., 0] << 8) | pairs[..., 1]
+
+
 def decode_png_pixels(b: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG — gray/RGB(A), PALETTE (PLTE), and Adam7
-    INTERLACED streams — to a (height, width, channels) uint8 array
-    using only stdlib zlib + numpy. Palette images return channels=3
-    (the PLTE-mapped RGB). 16-bit depth raises NotImplementedError.
+    """Decode a PNG — 8-bit gray/RGB(A)/PALETTE (PLTE), 16-BIT
+    gray/RGB(A), and Adam7 INTERLACED streams — to a (height, width,
+    channels) array using only stdlib zlib + numpy: uint8 at depth 8
+    (palette images return channels=3, PLTE-mapped), uint16 at depth
+    16 (big-endian samples per the spec; filters operate on the byte
+    stream with bpp-byte left references, which _png_unfilter
+    honors). Sub-8-bit depths raise NotImplementedError.
 
     Adam7: each of the 7 passes is an independently filtered sub-image
     (the filter `prior` row resets per pass); decoded pass pixels
@@ -430,28 +446,33 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
         i += 12 + length  # length + tag + data + crc
     if width is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
-    if (bit_depth != 8 or color_type not in _PNG_CHANNELS
-            or interlace not in (0, 1)):
+    if (bit_depth not in (8, 16) or color_type not in _PNG_CHANNELS
+            or interlace not in (0, 1)
+            or (color_type == 3 and bit_depth != 8)):
         raise NotImplementedError(
-            f"only 8-bit gray/RGB(A)/palette, interlace 0/1 supported "
-            f"(depth={bit_depth}, color={color_type}, interlace={interlace})")
+            f"only 8/16-bit gray/RGB(A) + 8-bit palette, interlace 0/1 "
+            f"supported (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
+    sbytes = bit_depth // 8
+    bpp = ch * sbytes
+    dtype = np.uint8 if sbytes == 1 else np.uint16
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out, end = _png_unfilter(raw, 0, width, height, ch)
-        out = out.reshape(height, width, ch)
+        plane, end = _png_unfilter(raw, 0, width, height, bpp)
+        out = _png_assemble(plane, height, width, ch, sbytes)
     else:
-        out = np.zeros((height, width, ch), dtype=np.uint8)
+        out = np.zeros((height, width, ch), dtype=dtype)
         pos = 0
         for (x0, y0, dx, dy) in _ADAM7:
             wp = (width - x0 + dx - 1) // dx
             hp = (height - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            sub, pos = _png_unfilter(raw, pos, wp, hp, ch)
-            out[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+            sub, pos = _png_unfilter(raw, pos, wp, hp, bpp)
+            out[y0::dy, x0::dx] = _png_assemble(sub, hp, wp, ch, sbytes)
         end = pos
     if len(raw) != end:
         raise ValueError("IDAT length does not match dimensions")
@@ -467,12 +488,13 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def _filter_rows(rows: list[list[int]]) -> bytes:
-    """Encode single-channel scanlines with the filter type cycling
-    0..4 by row (None/Sub/Up/Average/Paeth), so a decode of the stream
-    exercises every PNG filter. Used for whole images and, per pass,
-    for Adam7 sub-images (each pass's `prior` starts at zero, exactly
-    as the spec requires of decoders)."""
+def _filter_rows(rows: list[list[int]], bpp: int = 1) -> bytes:
+    """Encode scanlines of raw BYTES with the filter type cycling 0..4
+    by row (None/Sub/Up/Average/Paeth; left references are ``bpp``
+    bytes back, per the spec), so a decode of the stream exercises
+    every PNG filter. Used for whole images and, per pass, for Adam7
+    sub-images (each pass's `prior` starts at zero, exactly as the
+    spec requires of decoders)."""
     out, prior = [], [0] * (len(rows[0]) if rows else 0)
     for y, row in enumerate(rows):
         width = len(row)
@@ -480,20 +502,21 @@ def _filter_rows(rows: list[list[int]]) -> bytes:
         if t == 0:
             f = row
         elif t == 1:
-            f = [(row[x] - (row[x - 1] if x else 0)) % 256
+            f = [(row[x] - (row[x - bpp] if x >= bpp else 0)) % 256
                  for x in range(width)]
         elif t == 2:
             f = [(row[x] - (prior[x] if x < len(prior) else 0)) % 256
                  for x in range(width)]
         elif t == 3:
-            f = [(row[x] - (((row[x - 1] if x else 0) + prior[x]) >> 1)) % 256
+            f = [(row[x] - (((row[x - bpp] if x >= bpp else 0)
+                             + prior[x]) >> 1)) % 256
                  for x in range(width)]
         else:
             f = []
             for x in range(width):
-                left = row[x - 1] if x else 0
+                left = row[x - bpp] if x >= bpp else 0
                 up = prior[x]
-                ul = prior[x - 1] if x else 0
+                ul = prior[x - bpp] if x >= bpp else 0
                 p = left + up - ul
                 pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                 pred = (left if pa <= pb and pa <= pc
@@ -530,6 +553,26 @@ def png_bytes_rgb(arr: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_bytes_gradient16(width: int, height: int, base: int,
+                         scale: int) -> bytes:
+    """16-BIT grayscale PNG whose pixel (x, y) = base + scale*(x + y)
+    (big-endian samples; callers keep the max below 65536). Filters
+    cycle 0..4 at the BYTE level with bpp=2 left references, so a
+    decode exercises the 16-bit filter geometry, not just the sample
+    reassembly."""
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            v = base + scale * (x + y)
+            row += [v >> 8, v & 0xFF]
+        rows.append(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(_filter_rows(rows, bpp=2)))
             + _png_chunk(b"IEND", b""))
 
 
@@ -608,6 +651,15 @@ def synth_png_gradient_min4_payload(doc_id: pd.Series) -> pd.Series:
     box means."""
     return doc_id.map(lambda i: png_bytes_gradient(
         int(i) % 60 + 4, int(i) % 28 + 4, int(i) % 120))
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_png16_gradient_payload(doc_id: pd.Series) -> pd.Series:
+    """16-bit gradient PNG per doc: width = id%24+1, height = id%16+1,
+    base = id%1000, scale 171 (max 999 + 171*38 < 65536). Mean/std
+    have the same closed forms as the 8-bit gradient, scaled."""
+    return doc_id.map(lambda i: png_bytes_gradient16(
+        int(i) % 24 + 1, int(i) % 16 + 1, int(i) % 1000, 171))
 
 
 def _palette_png_one(i: int) -> bytes:

@@ -453,6 +453,33 @@ def test_png_adam7_interlace_roundtrip():
         assert (seq[:, :, 0] == expected).all(), (w, h)
 
 
+def test_png_16bit_hand_stream():
+    """16-bit decode vs a HAND-ASSEMBLED stream: 2x2 gray16, row0
+    filter 0 with big-endian samples [256, 515], row1 Sub (bpp=2!):
+    pixels [770, 1029] → bytes [03 02, 04 05], f = [03 02, 01 03]
+    (each byte minus the byte TWO back). A bpp=1 decoder would
+    reconstruct the wrong second sample."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import decode_png_pixels
+
+    def chunk(tag, data):
+        return (_s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = (b"\x00\x01\x00\x02\x03"      # filter 0: 256, 515
+           + b"\x01\x03\x02\x01\x03")   # Sub bpp=2: 770, 1029
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    px = decode_png_pixels(png)
+    assert px.dtype == np.uint16 and px.shape == (2, 2, 1)
+    assert px[:, :, 0].tolist() == [[256, 515], [770, 1029]]
+
+
 def test_image_features_closed_form():
     """image_features over a gradient PNG matches the exact pixel
     population; raw (non-image) payloads fall back to byte stats."""
