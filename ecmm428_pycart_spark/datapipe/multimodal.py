@@ -73,16 +73,41 @@ def attach_binary_payload(df: DataFrame, id_col: str = "doc_id",
         ).alias("meta"))
 
 
-def _sample_values(buf: bytes) -> np.ndarray:
-    """Decode a payload to a flat float64 sample array. PNG and baseline
-    JPEG payloads go through the REAL stdlib decoders below; anything
-    else (text/unknown) is treated as raw uint8 bytes, which keeps the
-    featurizer total over arbitrary corpora."""
+def _decode_image(buf: bytes) -> np.ndarray:
+    """Route an image payload to the right REAL decoder: PNG (8/16-bit,
+    palette, Adam7) or baseline JPEG — grayscale first, 3-component
+    files fall through to the 4:2:0 color decoder, whose LUMA plane is
+    returned (chroma is half-resolution and would skew value stats).
+    Raises ValueError for non-image payloads."""
     if buf.startswith(b"\x89PNG\r\n\x1a\n"):
-        return decode_png_pixels(buf).astype(np.float64).ravel()
+        return decode_png_pixels(buf)
     if buf.startswith(b"\xff\xd8"):
-        return decode_jpeg_gray(buf).astype(np.float64).ravel()
-    return np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+        try:
+            return decode_jpeg_gray(buf)
+        except (ValueError, NotImplementedError):
+            y, _cb, _cr = decode_jpeg_color(buf)
+            return np.asarray(y)
+    raise ValueError("not an image payload (PNG or baseline JPEG)")
+
+
+def _to_8bit_range(px: np.ndarray) -> np.ndarray:
+    """Map decoded pixels to float64 in the 8-bit value range: 16-bit
+    samples are scaled by 1/257 (65535 → 255.0 exactly), so features
+    and resizes are comparable across depths."""
+    if px.dtype == np.uint16:
+        return px.astype(np.float64) / 257.0
+    return px.astype(np.float64)
+
+
+def _sample_values(buf: bytes) -> np.ndarray:
+    """Decode a payload to a flat float64 sample array via the REAL
+    decoders (16-bit depths rescaled to the 8-bit range); anything
+    non-image (text/unknown) is treated as raw uint8 bytes, which
+    keeps the featurizer total over arbitrary corpora."""
+    try:
+        return _to_8bit_range(_decode_image(buf)).ravel()
+    except ValueError:
+        return np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
 
 
 def image_features(buf: bytes) -> list[float] | None:
@@ -167,14 +192,7 @@ def resize_image(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 if buf is None:
                     continue
-                b = bytes(buf)
-                if b.startswith(b"\x89PNG\r\n\x1a\n"):
-                    px = decode_png_pixels(b)
-                elif b.startswith(b"\xff\xd8"):
-                    px = decode_jpeg_gray(b)
-                else:
-                    raise ValueError("resize_image needs an image payload "
-                                     "(PNG or baseline JPEG)")
+                px = _to_8bit_range(_decode_image(bytes(buf)))
                 ids.append(doc_id)
                 out.append(box_resize_gray(px, width, height).tobytes())
             yield pd.DataFrame({"doc_id": ids,

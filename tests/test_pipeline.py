@@ -503,6 +503,30 @@ def test_image_features_closed_form():
     assert raw[2] == 0.0 and raw[3] == 1.0 and raw[4] == 0.5 and raw[7] == 0.5
 
 
+def test_image_features_color_jpeg_and_16bit():
+    """The featurizer must route 3-component JPEGs to the color decoder
+    (luma features) and rescale 16-bit PNG samples to the 8-bit range."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        encode_jpeg_color, image_features, png_bytes_gradient16)
+
+    # constant-plane 4:2:0 color JPEG: luma 100 everywhere -> exact stats
+    y = np.full((16, 16), 100, dtype=np.int64)
+    c = np.full((8, 8), 128, dtype=np.int64)
+    f = image_features(encode_jpeg_color(y, c, c))
+    assert f[0] == 100 / 255.0 and f[1] == 0.0
+    assert f[2] == f[3] == 100 / 255.0
+    assert f[5] == 1.0  # all values in [64, 128)
+
+    # 16-bit gradient: features match the decoded array scaled by 1/257
+    vals = np.array([[500 + 171 * (x + yy) for x in range(4)]
+                     for yy in range(4)], dtype=np.float64) / 257.0
+    f16 = image_features(png_bytes_gradient16(4, 4, 500, 171))
+    assert f16[0] == vals.mean() / 255.0
+    assert f16[2] == vals.min() / 255.0 and f16[3] == vals.max() / 255.0
+
+
 def test_wav_bitdepth_decode():
     """decode_wav_samples across 8/16/24/32-bit PCM: unsigned-8 rebase,
     24-bit sign extension (negative values!), int32 — values round-trip
