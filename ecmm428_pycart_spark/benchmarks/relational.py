@@ -2233,3 +2233,172 @@ def q66_cohort_retention(spark, sf_dir):
                     "user_id"))
     return (aged.groupBy("cohort_week", "week_age")
             .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: multi-level aggregation (ROLLUP), pivot, TPC-H
+# Q15/Q21 shapes. All big-group money sums use the q63 integer-cents
+# trick (per-line round to cents, BIGINT sum) so the cross-engine hash
+# is reduction-order-free.
+# ---------------------------------------------------------------------------
+
+# ROLLUP region -> nation -> grand total in ONE pass: Spark expands the
+# grouping sets with a single Expand node over one scan (map-side
+# partial agg still applies), identical to DuckDB's GROUP BY ROLLUP.
+# NULL group keys are coalesced to 'ALL' on both sides so the subtotal
+# rows hash identically.
+@q("q67_rollup_revenue", """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def q67_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("rev_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    j = (li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(nation),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(region),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "revenue", "n_lines"))
+
+
+# Pivot: ship-year x returnflag revenue matrix. Spark's pivot with an
+# explicit value list compiles to ONE aggregate with conditional sums
+# (no extra distinct-values job, no second shuffle) — exactly the
+# CASE-inside-SUM the oracle states.
+@q("q68_pivot_year_flag", """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       round(sum(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT) END) / 100.0, 2)
+         AS rev_A,
+       round(sum(CASE WHEN l_returnflag = 'N'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT) END) / 100.0, 2)
+         AS rev_N,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT) END) / 100.0, 2)
+         AS rev_R
+FROM lineitem GROUP BY 1
+""")
+def q68_pivot_year_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"), "l_returnflag",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("rev_cents"))
+    piv = (li.groupBy("ship_year")
+           .pivot("l_returnflag", ["A", "N", "R"])
+           .agg(F.sum("rev_cents")))
+    return piv.select(
+        "ship_year",
+        F.round(F.col("A") / 100.0, 2).alias("rev_A"),
+        F.round(F.col("N") / 100.0, 2).alias("rev_N"),
+        F.round(F.col("R") / 100.0, 2).alias("rev_R"))
+
+
+# TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+# the max-revenue supplier(s) by crossJoining a broadcast 1-row max —
+# unlike the naive empty-frame window (which sorts EVERY supplier's
+# aggregate into one partition), the scalar join keeps the per-supplier
+# rows distributed; ties kept deterministically.
+@q("q70_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+""")
+def q70_top_supplier(spark, sf_dir):
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+          .select("l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("rev_cents")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("rev_cents").alias("rev_cents"))
+    max_rev = rev.agg(F.max("rev_cents").alias("max_rev"))
+    top = (rev.crossJoin(F.broadcast(max_rev))
+           .filter(F.col("rev_cents") == F.col("max_rev")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(supp),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("rev_cents") / 100.0, 2)
+                    .alias("total_revenue")))
+
+
+# TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+# schema (no commit/receipt dates): a line is LATE if it shipped more
+# than 60 days after the order date. For each order with >= 2 distinct
+# suppliers where EXACTLY ONE supplier was late, charge that supplier.
+# One per-order aggregate replaces Q21's exists/not-exists self-join
+# pair — same semantics, one shuffle instead of three.
+@q("q71_lone_late_supplier", """
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN l.l_suppkey END AS late_supp
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT late_supp) AS n_late,
+         max(late_supp) AS the_late_supp
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = the_late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+""")
+def q71_lone_late_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAY")
+    flagged = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+               .select("l_orderkey", "l_suppkey",
+                       F.when(late, F.col("l_suppkey")).alias("late_supp")))
+    per_order = (flagged.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct("late_supp").alias("n_late"),
+                      F.max("late_supp").alias("the_late_supp"))
+                 .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_order.join(F.broadcast(supp),
+                           F.col("the_late_supp") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
