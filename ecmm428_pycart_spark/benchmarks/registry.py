@@ -74,8 +74,8 @@ DEFERRED_TO_NEXT_ROUND = [
     "d20_doc_chunks", "d21_seq_packing", "s06_array_ops",
     # added after the round-4 window froze; verify_oracle-green locally
     "m13_wav_bitdepths", "d34_window_dedup", "m14_png16_pixels",
-    "q67_rollup_revenue", "q68_pivot_year_flag", "q70_top_supplier",
-    "q71_lone_late_supplier",
+    "q67_rollup_revenue", "q68_pivot_year_flag", "q69_dpp_prune",
+    "q70_top_supplier", "q71_lone_late_supplier",
 ]
 
 

@@ -2402,3 +2402,43 @@ def q71_lone_late_supplier(spark, sf_dir):
                            F.col("the_late_supp") == F.col("s_suppkey"))
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+# Dynamic partition pruning EXECUTED in the gate: the orders fact is
+# written partitioned by o_orderpriority, then joined to a tiny
+# routing dim filtered to the two "hot" priorities. Catalyst inserts a
+# dynamicpruningexpression(SubqueryAdaptiveBroadcast) into the fact
+# scan's PartitionFilters, so only 2 of 5 partition directories are
+# read — the mechanism that turns a 100 TB date-partitioned fact scan
+# into a few-partition read when the dim filter is selective.
+# tests/test_plan_shapes.py::test_q69_plan_has_dpp pins the plan shape.
+@q("q69_dpp_prune", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+""")
+def q69_dpp_prune(spark, sf_dir):
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"))
+    d = tempfile.mkdtemp(prefix="q69_dpp_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 1), ("3-MEDIUM", 0),
+         ("4-NOT SPECIFIED", 0), ("5-LOW", 0)],
+        "prio string, is_hot int")
+    return (fact.join(F.broadcast(dim),
+                      (fact["o_orderpriority"] == dim["prio"])
+                      & (dim["is_hot"] == 1))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("price_cents") / 100.0, 2)
+                 .alias("total_price")))

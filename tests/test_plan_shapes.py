@@ -95,6 +95,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == want and want > 0
 
 
+def test_q69_plan_has_dpp(spark):
+    """q69's fact scan must carry a dynamicpruningexpression partition
+    filter (DPP engaged), not a plain full scan of all 5 priority
+    directories."""
+    from ecmm428_pycart_spark.benchmarks.registry import get_queries
+    df = get_queries()["q69_dpp_prune"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert df.count() > 0
+
+
 # Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
 # every one is a crossJoin(broadcast(<1-row aggregate or tiny literal
 # table>)) — anchor maxima, scalar fingerprints, IDF doc counts, query
