@@ -2442,3 +2442,70 @@ def q69_dpp_prune(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("price_cents") / 100.0, 2)
                  .alias("total_price")))
+
+
+# SCD-2 history merge (lakehouse versioned-dimension pattern; the
+# type-2 sibling of q61's SCD-1): apply the same change feed but KEEP
+# history — closed-out v1 rows for updated/deleted keys, untouched
+# open rows, and new open v2 versions, via operators.relational.
+# scd2_apply (two hash joins on the key + a union, one shuffle shape,
+# no windows). The audit output groups the full history by validity
+# interval, so a merge that drops history, fails to close a version,
+# or resurrects a deleted key hash-mismatches.
+@q("q72_scd2_history", """
+WITH base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey AS k, 'U' AS op,
+         CAST(round((c_acctbal + 100.0) * 100) AS BIGINT) AS new_cents
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', 50000
+  FROM customer WHERE c_custkey % 5 = 0
+),
+touched AS (SELECT DISTINCT k FROM changes WHERE op IN ('U', 'D')),
+history AS (
+  SELECT b.c_custkey, b.bal_cents, 1 AS valid_from, 2 AS valid_to,
+         FALSE AS is_current
+  FROM base b WHERE b.c_custkey IN (SELECT k FROM touched)
+  UNION ALL
+  SELECT b.c_custkey, b.bal_cents, 1, NULL, TRUE
+  FROM base b WHERE b.c_custkey NOT IN (SELECT k FROM touched)
+  UNION ALL
+  SELECT k, new_cents, 2, NULL, TRUE FROM changes WHERE op IN ('U', 'I')
+)
+SELECT valid_from, coalesce(valid_to, 0) AS valid_to_c, is_current,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(bal_cents) / 100.0, 2) AS total_bal
+FROM history
+GROUP BY 1, 2, 3
+""")
+def q72_scd2_history(spark, sf_dir):
+    from ecmm428_pycart_spark.operators.relational import scd2_apply
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"))
+    k = F.col("c_custkey")
+    updates = (base.filter((k % 3 == 0) & (k % 7 != 0))
+               .select(k.alias("c_custkey"), F.lit("U").alias("op"),
+                       (F.col("bal_cents") + 10000).alias("bal_cents")))
+    deletes = (base.filter(k % 7 == 0)
+               .select(k.alias("c_custkey"), F.lit("D").alias("op"),
+                       F.lit(None).cast("long").alias("bal_cents")))
+    inserts = (base.filter(k % 5 == 0)
+               .select((k + 1000000).alias("c_custkey"),
+                       F.lit("I").alias("op"),
+                       F.lit(50000).cast("long").alias("bal_cents")))
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    hist = scd2_apply(base, changes, key="c_custkey", batch_id=2)
+    return (hist.groupBy("valid_from",
+                         F.coalesce("valid_to", F.lit(0))
+                         .alias("valid_to_c"),
+                         "is_current")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("bal_cents") / 100.0, 2).alias("total_bal")))

@@ -435,3 +435,30 @@ def test_snapshot_versions_are_immutable(spark, tmp_path):
         read_snapshot(spark, base, 99)
     with _pytest.raises(ValueError):
         read_snapshot(spark, str(tmp_path / "nothing"))
+
+
+def test_scd2_apply_history_invariants(spark):
+    """SCD-2 merge: updated keys get a closed v1 + open v2, deleted
+    keys only a closed v1, inserted keys only an open v2, untouched
+    keys one open v1 — and exactly one current row per surviving key."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.operators.relational import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(2, "U", 25.0), (3, "D", None), (5, "I", 50.0)],
+        "k int, op string, v double")
+    hist = scd2_apply(base, changes, key="k", batch_id=2)
+    rows = {(r["k"], r["valid_from"]): (r["valid_to"], r["is_current"], r["v"])
+            for r in hist.collect()}
+    assert rows[(1, 1)] == (None, True, 10.0)    # untouched
+    assert rows[(2, 1)] == (2, False, 20.0)      # closed old version
+    assert rows[(2, 2)] == (None, True, 25.0)    # new open version
+    assert rows[(3, 1)] == (2, False, 30.0)      # delete: closed, no v2
+    assert (3, 2) not in rows
+    assert rows[(5, 2)] == (None, True, 50.0)    # insert
+    assert len(rows) == 6
+    current = hist.filter(F.col("is_current")).groupBy("k").count()
+    assert current.filter(F.col("count") > 1).count() == 0
