@@ -2205,3 +2205,44 @@ def d33_token_drift(spark, sf_dir):
             .orderBy(F.abs("log_odds").desc(), F.col("token").asc())
             .limit(20)
             .select("token", "count_a", "count_b", "log_odds"))
+
+
+# REAL frame-level audio features over a decoded tone-burst fixture
+# (round 4): the Spark side decodes actual PCM bytes and frames them
+# (multimodal.wav_frame_features); the oracle restates each frame's
+# RMS/ZCR from the burst's closed forms via unnest(generate_series) —
+# a per-frame hash check, not just clip-level stats like m07/m13.
+@q("m15_audio_frames", """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 1000 + 1 AS DOUBLE) AS amp,
+         CAST(doc_id % 250 + 50 AS BIGINT) AS half
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, amp, half,
+         unnest(generate_series(0, (2 * half) // 32 - 1)) AS f
+  FROM p
+),
+k AS (
+  SELECT doc_id, amp, CAST(f AS INTEGER) AS frame_idx,
+         GREATEST(LEAST(half - 32 * f, 32), 0) AS k
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       round(sqrt(amp * amp * k / 32.0), 4) AS rms,
+       round(GREATEST(k - 1, 0) / 31.0, 4) AS zcr
+FROM k
+""")
+def m15_audio_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_burst_payload(F.col("doc_id")))
+    feats = payload.select(
+        "doc_id",
+        F.explode(multimodal.wav_frame_features(F.col("payload")))
+        .alias("fr"))
+    return feats.select(
+        "doc_id", F.col("fr.frame_idx").alias("frame_idx"),
+        F.round("fr.rms", 4).alias("rms"),
+        F.round("fr.zcr", 4).alias("zcr"))

@@ -1636,3 +1636,69 @@ def synth_color_jpeg_payload(doc_id: pd.Series) -> pd.Series:
                 48 + ((i * 5 + b * 11) % 160)
         return encode_jpeg_color(y, cb, cr)
     return doc_id.map(lambda i: gen(int(i)))
+
+
+# ---------------------------------------------------------------------------
+# REAL frame-level audio features (round 4): non-overlapping 32-sample
+# frames over decoded PCM, per-frame RMS energy + zero-crossing rate —
+# the librosa-style framing primitive a speech/music data pipeline runs
+# before VAD or silence trimming, built on decode_wav_samples.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_LEN = 32
+
+_FRAME_FEATS = T.ArrayType(T.StructType([
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+]))
+
+
+@F.pandas_udf(_FRAME_FEATS)
+def wav_frame_features(payload: pd.Series) -> pd.Series:
+    """Per-frame (RMS, zero-crossing-rate) over channel 0 of a PCM WAV.
+
+    Frames are non-overlapping windows of AUDIO_FRAME_LEN samples; the
+    trailing partial frame is dropped (hop == frame length). ZCR is the
+    fraction of adjacent in-frame pairs with a strict sign change
+    (s[j] * s[j+1] < 0), denominator L-1. Vectorized: one reshape +
+    two reductions per clip, no Python loop over samples."""
+    L = AUDIO_FRAME_LEN
+    out = []
+    for buf in payload:
+        if buf is None:
+            out.append(None)
+            continue
+        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        nf = s.shape[0] // L
+        if nf == 0:
+            out.append([])
+            continue
+        fr = s[:nf * L].reshape(nf, L)
+        rms = np.sqrt((fr * fr).mean(axis=1))
+        zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1) / (L - 1)
+        out.append([{"frame_idx": int(i), "rms": float(rms[i]),
+                     "zcr": float(zc[i])} for i in range(nf)])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_burst_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic tone-burst WAV per doc: mono 16-bit PCM, a square
+    wave of amplitude A = id%1000+1 for the first half = id%250+50
+    samples, then half samples of silence. Frame f of length L=32 then
+    contains k = clamp(half - 32f, 0, 32) tone samples, giving the
+    closed forms the oracle restates:
+      rms(f) = sqrt(A^2 * k / 32),  zcr(f) = max(k-1, 0) / 31."""
+    def gen(i: int) -> bytes:
+        amp = i % 1000 + 1
+        half = i % 250 + 50
+        tone = bytes().join(
+            struct.pack("<h", amp if j % 2 == 0 else -amp)
+            for j in range(half))
+        data = tone + b"\x00\x00" * half
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    return doc_id.map(lambda i: gen(int(i)))

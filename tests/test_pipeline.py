@@ -724,3 +724,33 @@ def test_real_color_jpeg_codec():
     gray = mm.encode_jpeg_gray(np.full((8, 8), 77, dtype=np.uint8))
     with pytest.raises(ValueError):
         mm.decode_jpeg_color(gray)
+
+
+def test_wav_frame_features_kernel(spark):
+    """Frame features over the burst fixture: a doc with half=50 tone
+    samples and 50 zeros at L=32 yields 3 full frames — pure tone
+    (rms=A, zcr=1), boundary (k=18 tone samples), pure silence (0, 0)
+    — and a clip shorter than one frame yields an empty array."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        synth_wav_burst_payload, wav_bytes, wav_frame_features)
+
+    # doc_id=1000 -> amp=1, half=50, n=100 samples, 3 full frames
+    df = spark.createDataFrame([(1000,)], "doc_id long").withColumn(
+        "fr", wav_frame_features(synth_wav_burst_payload(F.col("doc_id"))))
+    frames = df.select(F.explode("fr").alias("f")).collect()
+    got = [(r["f"]["frame_idx"], round(r["f"]["rms"], 6),
+            round(r["f"]["zcr"], 6)) for r in frames]
+    k = 50 - 32          # tone samples in the boundary frame
+    assert got == [
+        (0, 1.0, 1.0),
+        (1, round(math.sqrt(k / 32.0), 6), round((k - 1) / 31.0, 6)),
+        (2, 0.0, 0.0),
+    ]
+    # sub-frame clip: empty feature list, not an error
+    short = spark.createDataFrame([(1,)], "i int").withColumn(
+        "fr", wav_frame_features(F.lit(wav_bytes(1, 8000, 7))))
+    assert short.select(F.size("fr").alias("n")).first()["n"] == 0
