@@ -2246,3 +2246,37 @@ def m15_audio_frames(spark, sf_dir):
         "doc_id", F.col("fr.frame_idx").alias("frame_idx"),
         F.round("fr.rms", 4).alias("rms"),
         F.round("fr.zcr", 4).alias("zcr"))
+
+
+# Bloom-prefiltered decontamination (round 4; the scale path past
+# d25): the eval 4-gram set is folded into a Bloom bitmap (ONE
+# aggregate, <= m/64 rows of 16 bytes — broadcastable long after the
+# raw shingle set is not), train shingles pass k map-side broadcast-
+# join membership tests (dedup.bloom_prefilter — no shuffle of the
+# train side), and only the bloom-positive survivors hit the exact
+# confirm join. Bloom false positives are removed by the exact join,
+# false negatives are impossible, so the result equals d25-style exact
+# SQL — which is precisely what the oracle states.
+@q("d35_bloom_decontaminate", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i.i:i.i+3], ' ') AS g
+       FROM toks, unnest(range(1, len(t) - 2)) AS i(i)),
+eval AS (SELECT DISTINCT g FROM sh WHERE doc_id % 40 = 0),
+train AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 40 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM train JOIN eval USING (g)
+GROUP BY doc_id
+""")
+def d35_bloom_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(dedup.shingle_set(F.col("text"), 4))
+                     .alias("g"))
+    eval_g = (sh.filter(F.col("doc_id") % 40 == 0)
+              .select("g").distinct())
+    train = sh.filter(F.col("doc_id") % 40 != 0)
+    bloom = dedup.bloom_build(eval_g, "g")
+    candidates = dedup.bloom_prefilter(train, "g", bloom)
+    return (candidates.join(F.broadcast(eval_g), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

@@ -238,3 +238,64 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter (round 4). d25 broadcasts the full eval
+# shingle SET; at web scale that set can be 10^9+ n-grams — too big to
+# broadcast — while a Bloom filter of it is a few hundred MB at a 1%
+# false-positive rate regardless of string sizes. bloom_build folds the
+# keys into a word-indexed bitmap with ONE aggregate (<= m/64 rows);
+# bloom_prefilter tests membership with k map-side broadcast joins —
+# zero shuffle of the probe side, no explode, no distinct. False
+# positives are expected (callers exact-confirm the survivors, now a
+# tiny join); false negatives are impossible, which a unit test pins.
+# ---------------------------------------------------------------------------
+
+def _bloom_position_sql(col: str, m_bits: int, i: int) -> str:
+    """SQL for bit position i of a key: xxhash64 seeded with i, folded
+    to [0, m). Kept as a SQL string so callers can splice it into
+    derived expressions (word index, in-word mask)."""
+    return f"pmod(xxhash64({col}, {i}), {m_bits})"
+
+
+def bloom_build(keys: DataFrame, col: str,
+                m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+    """Aggregate distinct keys into a Bloom bitmap as (word, bits) rows:
+    word = bit_position >> 6, bits = OR of the in-word masks. Only
+    non-zero words materialize, so the result is at most m_bits/64 rows
+    of 16 bytes — broadcastable far beyond the point where the key set
+    itself is not."""
+    pos = (keys.select(F.explode(F.array(
+        *[F.expr(_bloom_position_sql(col, m_bits, i)) for i in range(k)]))
+        .alias("pos")))
+    return (pos.select(
+        F.shiftright("pos", 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+        .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame,
+                    m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+    """Keep only rows whose `col` value hits ALL k Bloom positions.
+
+    k broadcast hash joins against the (word, bits) table — per-row,
+    map-side, no shuffle of df; a missing word row is a definite miss.
+    Output = df rows that are possibly-in-the-set (superset of the true
+    matches; exact-confirm downstream)."""
+    out = df
+    for i in range(k):
+        p = _bloom_position_sql(col, m_bits, i)
+        w, m, b = f"_bw{i}", f"_bm{i}", f"_bb{i}"
+        side = F.broadcast(bloom.select(F.col("word").alias(w),
+                                        F.col("bits").alias(b)))
+        out = (out.withColumn(w, F.expr(f"shiftright({p}, 6)"))
+               .withColumn(m, F.expr(
+                   f"shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(pmod({p}, 64) AS INT))"))
+               .join(side, on=w, how="left")
+               .filter(F.col(b).isNotNull()
+                       & (F.col(b).bitwiseAND(F.col(m)) != 0))
+               .drop(w, m, b))
+    return out

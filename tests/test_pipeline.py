@@ -754,3 +754,29 @@ def test_wav_frame_features_kernel(spark):
     short = spark.createDataFrame([(1,)], "i int").withColumn(
         "fr", wav_frame_features(F.lit(wav_bytes(1, 8000, 7))))
     assert short.select(F.size("fr").alias("n")).first()["n"] == 0
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member of the key set must survive the Bloom
+    prefilter (false negatives impossible), misses are mostly dropped,
+    and the probe side's membership tests are broadcast joins — not a
+    shuffle of the probe table."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.dedup import (
+        bloom_build, bloom_prefilter)
+
+    keys = spark.range(0, 500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g"))
+    probe = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g"))
+    bloom = bloom_build(keys, "g", m_bits=1 << 16, k=3)
+    kept = bloom_prefilter(probe, "g", bloom, m_bits=1 << 16, k=3)
+    got = {r["g"] for r in kept.collect()}
+    want = {f"k{i}" for i in range(500)}
+    assert want <= got                      # no false negatives
+    # false-positive rate at this sizing should be far below 20%
+    assert len(got - want) < 300
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
