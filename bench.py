@@ -46,6 +46,10 @@ HEADLINE = [
     "q60_bucketed_colocated_join",
     "q63_bilateral_shipping",
     "q66_cohort_retention",
+    "q67_rollup_revenue",
+    "q69_dpp_prune",
+    "q71_lone_late_supplier",
+    "q72_scd2_history",
     # dedup + text pipeline
     "d05_minhash_signature",
     "d06_minhash_lsh_jaccard",
@@ -56,6 +60,7 @@ HEADLINE = [
     "d25_decontamination",
     "d28_ngram_jaccard",
     "d31_unigram_lm_score",
+    "d35_bloom_decontaminate",
     # similarity
     "s01_cosine_topk",
     "s05_cosine_neardup",
@@ -67,6 +72,7 @@ HEADLINE = [
     "m06_png_pixels",
     "m09_jpeg_pixels",
     "m12_resize_pixels",
+    "m15_audio_frames",
     # streaming (one micro-batch-replay query per shape; st05/st07 are
     # multi-trigger by design and dominate wall time without adding signal)
     "st01_stream_hourly",
@@ -84,6 +90,24 @@ HEADLINE = [
     "q59_zorder_skipping",
     "q41_e3_pipeline",
 ]
+
+
+def _cpu_calibration() -> float:
+    """Single-thread CPU fingerprint: seconds for a fixed numpy kernel.
+
+    Round 3's driver bench recorded a UNIFORM ~2.7x slowdown across
+    frozen-code queries (diagnosed as sandbox contention/host class in
+    docs/BENCH_R3_REGRESSION.md), and round 4 observed the same
+    machine running ~2x slower after a reboot. Embedding this constant
+    lets any reader separate "the code got slower" from "the host got
+    slower": compare calib across BENCH records before comparing
+    query times."""
+    import numpy as np
+    a = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(20):
+        (np.sqrt(a) * a).sum()
+    return round(time.time() - t0, 3)
 
 
 def main():
@@ -125,6 +149,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib": _cpu_calibration(),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:

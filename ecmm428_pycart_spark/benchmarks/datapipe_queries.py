@@ -2280,3 +2280,53 @@ def d35_bloom_decontaminate(spark, sf_dir):
     return (candidates.join(F.broadcast(eval_g), "g")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+# Perceptual image hash (round 4): REAL PNG decode -> 4x4 box cells ->
+# 64 dHash comparison bits, per doc. The oracle recomputes every cell
+# sum from the pattern's closed form (a*x + b*y) % 256 over an
+# unnested 8x9x4x4 grid and reassembles the same two 32-bit halves —
+# so a single wrong pixel anywhere in decode/unfilter/downsample flips
+# a hash bit and the row hash-mismatches. The picture-side sibling of
+# SimHash: Hamming distance on (hash_hi, hash_lo) is the image
+# near-dup signal.
+@q("m16_image_dhash", """
+WITH p AS (
+  SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b FROM documents
+),
+grid AS (
+  SELECT doc_id, a, b, r.r, c.c, dx.dx, dy.dy
+  FROM p,
+       unnest(range(0, 8)) r(r),
+       unnest(range(0, 9)) c(c),
+       unnest(range(0, 4)) dx(dx),
+       unnest(range(0, 4)) dy(dy)
+),
+cells AS (
+  SELECT doc_id, r, c,
+         sum((a * (c * 4 + dx) + b * (r * 4 + dy)) % 256) // 16 AS lum
+  FROM grid GROUP BY doc_id, r, c
+),
+bits AS (
+  SELECT l.doc_id, l.r * 8 + l.c AS idx,
+         CASE WHEN l.lum > rt.lum THEN 1 ELSE 0 END AS bit
+  FROM cells l
+  JOIN cells rt ON rt.doc_id = l.doc_id AND rt.r = l.r AND rt.c = l.c + 1
+  WHERE l.c < 8
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN idx >= 32
+                     THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                     ELSE 0 END) AS BIGINT) AS hash_hi,
+       CAST(sum(CASE WHEN idx < 32
+                     THEN bit * (CAST(1 AS BIGINT) << idx)
+                     ELSE 0 END) AS BIGINT) AS hash_lo
+FROM bits GROUP BY doc_id
+""")
+def m16_image_dhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png_pattern_payload(F.col("doc_id")))
+    h = payload.withColumn("h", multimodal.image_dhash(F.col("payload")))
+    return h.select("doc_id", F.col("h.hash_hi").alias("hash_hi"),
+                    F.col("h.hash_lo").alias("hash_lo"))

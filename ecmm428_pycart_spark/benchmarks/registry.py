@@ -76,7 +76,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "m13_wav_bitdepths", "d34_window_dedup", "m14_png16_pixels",
     "q67_rollup_revenue", "q68_pivot_year_flag", "q69_dpp_prune",
     "q70_top_supplier", "q71_lone_late_supplier", "q72_scd2_history",
-    "m15_audio_frames", "d35_bloom_decontaminate",
+    "m15_audio_frames", "d35_bloom_decontaminate", "m16_image_dhash",
 ]
 
 

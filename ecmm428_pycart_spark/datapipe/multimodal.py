@@ -1702,3 +1702,73 @@ def synth_wav_burst_payload(doc_id: pd.Series) -> pd.Series:
                 + b"data" + struct.pack("<I", len(data)) + data)
         return b"RIFF" + struct.pack("<I", len(body)) + body
     return doc_id.map(lambda i: gen(int(i)))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (round 4): dHash over REAL decoded PNG pixels —
+# 4x4 box-downsample to an 8x9 luminance grid, then 64 adjacent-column
+# comparisons. Near-identical images (re-encodes, small edits) collide
+# or differ in a few bits, so Hamming distance on the hash is the
+# image near-dup signal (the picture-side sibling of SimHash on text).
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 36, 32        # 9x8 cells of exactly 4x4 pixels
+
+_DHASH = T.StructType([
+    T.StructField("hash_hi", T.LongType()),
+    T.StructField("hash_lo", T.LongType()),
+])
+
+
+@F.pandas_udf(_DHASH)
+def image_dhash(payload: pd.Series) -> pd.DataFrame:
+    """64-bit dHash of a DHASH_W x DHASH_H grayscale PNG, returned as
+    two unsigned 32-bit halves (hash_hi = bits 63..32) so the value
+    stays positive in a signed BIGINT on every engine. Cell luminance
+    uses integer floor(sum/16) — bit-exact across platforms, no float
+    averaging."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None))
+            continue
+        px = decode_png_pixels(bytes(buf))
+        if px.ndim == 3:          # collapse RGB via integer mean
+            px = px.sum(axis=2) // px.shape[2]
+        h, w = px.shape
+        if (w, h) != (DHASH_W, DHASH_H):
+            raise ValueError(f"dhash expects {DHASH_W}x{DHASH_H}, "
+                             f"got {w}x{h}")
+        cells = (px.astype(np.int64).reshape(8, 4, 9, 4)
+                 .swapaxes(1, 2).reshape(8, 9, 16).sum(axis=2)) // 16
+        bits = cells[:, :-1] > cells[:, 1:]          # (8, 8)
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                if bits[r, c]:
+                    idx = r * 8 + c
+                    if idx >= 32:
+                        hi |= 1 << (idx - 32)
+                    else:
+                        lo |= 1 << idx
+        rows.append((hi, lo))
+    return pd.DataFrame(rows, columns=["hash_hi", "hash_lo"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_png_pattern_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic patterned PNG per doc: DHASH_W x DHASH_H grayscale,
+    pixel(x, y) = (a*x + b*y) % 256 with a = id%7+1, b = id%5+1 — the
+    mod-256 sawtooth makes the 4x4 cell averages non-monotonic, so the
+    dHash bit pattern varies across docs and every bit has a closed
+    form the oracle recomputes. Rows are written with the cycling
+    0..4 filter stream, so the hash also certifies the unfiltering."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        rows = [[(a * x + b * y) % 256 for x in range(DHASH_W)]
+                for y in range(DHASH_H)]
+        ihdr = struct.pack(">IIBBBBB", DHASH_W, DHASH_H, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(_filter_rows(rows)))
+                + _png_chunk(b"IEND", b""))
+    return doc_id.map(lambda i: gen(int(i)))

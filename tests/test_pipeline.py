@@ -780,3 +780,43 @@ def test_bloom_prefilter_no_false_negatives(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_image_dhash_near_dup_property(spark):
+    """dHash locality: an image and a lightly-perturbed copy must land
+    within a few Hamming bits, while a structurally different pattern
+    must be far — the property that makes the hash a near-dup signal.
+    Computed through the REAL PNG encode -> decode -> hash path."""
+    import struct as _s
+    import zlib as _z
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        DHASH_H, DHASH_W, _filter_rows, _png_chunk, image_dhash)
+
+    def png_of(fn):
+        rows = [[fn(x, y) for x in range(DHASH_W)] for y in range(DHASH_H)]
+        ihdr = _s.pack(">IIBBBBB", DHASH_W, DHASH_H, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", _z.compress(_filter_rows(rows)))
+                + _png_chunk(b"IEND", b""))
+
+    base = png_of(lambda x, y: (3 * x + 2 * y) % 256)
+    # light perturbation: +2 on one pixel — at most one cell average
+    # moves by 1, so at most a couple of comparison bits can flip
+    near = png_of(lambda x, y: min(255, (3 * x + 2 * y) % 256
+                                   + (2 if (x, y) == (5, 5) else 0)))
+    far = png_of(lambda x, y: (251 * x + 2 * y) % 256)
+
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "i int, p binary")
+    got = {r["i"]: (r["h"]["hash_hi"], r["h"]["hash_lo"])
+           for r in df.select("i", image_dhash(F.col("p")).alias("h"))
+           .collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(got[1], got[2]) <= 4
+    assert hamming(got[1], got[3]) > 10
