@@ -2509,3 +2509,75 @@ def q72_scd2_history(spark, sf_dir):
                          "is_current")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.round(F.sum("bal_cents") / 100.0, 2).alias("total_bal")))
+
+
+# LEFT OUTER stream-stream interval join (st05's outer sibling —
+# round 4): unmatched clicks must be EMITTED WITH NULLS once the
+# watermark proves no error can still arrive in their window; that
+# state-eviction-driven emission is the distinctive outer-join
+# machinery (an inner join could just drop them). Replay discipline:
+# the events table is sliced into 6 time-ordered files with strictly
+# increasing mtimes (write_time_ordered_stream_dir — out-of-order
+# listing would fast-forward the watermark and drop rows as late) plus
+# a far-future sentinel pair that pushes the final watermark past
+# every real click's window, so the drained availableNow result equals
+# the batch LEFT JOIN the oracle states. Sentinel rows (user_id < 0)
+# are filtered from the output on both sides.
+@q("st09_stream_outer_join", """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       epoch_us(c.ts) AS click_us, epoch_us(e.ts) AS error_us
+FROM events c LEFT JOIN events e
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""")
+def st09_stream_outer_join(spark, sf_dir):
+    import datetime
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(hours=200), -1, "click",
+          0.0, None),
+         (10**9 + 1, max_ts + datetime.timedelta(hours=200), -1, "error",
+          0.0, None)], ev.schema)
+    ranked = ev.withColumn("_b", F.ntile(6).over(W.orderBy("ts")))
+    slices = [ranked.filter(F.col("_b") == i).drop("_b")
+              for i in range(1, 7)] + [sentinel]
+    d = tempfile.mkdtemp(prefix="st09_events_")
+    write_time_ordered_stream_dir(slices, d)
+
+    clicks = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", "2 hours"))
+    errors = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("user_id2"),
+                      F.col("ts").alias("error_ts"),
+                      F.col("event_id").alias("error_id"))
+              .withWatermark("error_ts", "2 hours"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+    name = f"st09_{uuid.uuid4().hex[:8]}"
+    q_ = (joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select("click_id", "error_id",
+                    F.unix_micros("click_ts").alias("click_us"),
+                    F.unix_micros("error_ts").alias("error_us")))

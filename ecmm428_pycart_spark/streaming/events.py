@@ -177,3 +177,31 @@ def read_upsert_state(spark: SparkSession, path: str) -> DataFrame:
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_batch_id"))
+
+
+def write_time_ordered_stream_dir(parts, out_dir: str) -> None:
+    """Materialize DataFrame slices as one parquet file each in
+    ``out_dir``, with STRICTLY INCREASING modification times in slice
+    order.
+
+    The file stream source orders its backlog by modification time, so
+    replaying a time-sliced table through availableNow only simulates
+    an in-order stream if mtimes follow event time — parallel writes
+    get arbitrary mtimes, the late slices can be listed first, the
+    watermark jumps ahead, and earlier events are dropped as late.
+    os.utime pins the order deterministically (no sleeps)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="stream_slices_")
+    base = 1_600_000_000          # any fixed epoch; only ORDER matters
+    for i, part in enumerate(parts):
+        pdir = os.path.join(scratch, f"p{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        src = glob.glob(os.path.join(pdir, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{i:05d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    shutil.rmtree(scratch, ignore_errors=True)
