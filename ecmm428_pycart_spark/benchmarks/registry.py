@@ -77,7 +77,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "q67_rollup_revenue", "q68_pivot_year_flag", "q69_dpp_prune",
     "q70_top_supplier", "q71_lone_late_supplier", "q72_scd2_history",
     "m15_audio_frames", "d35_bloom_decontaminate", "m16_image_dhash",
-    "st09_stream_outer_join",
+    "st09_stream_outer_join", "q73_set_ops", "st10_stream_chained_agg",
 ]
 
 

@@ -2581,3 +2581,117 @@ def st09_stream_outer_join(spark, sf_dir):
             .select("click_id", "error_id",
                     F.unix_micros("click_ts").alias("click_us"),
                     F.unix_micros("error_ts").alias("error_us")))
+
+
+# Set operators beyond UNION (q09): INTERSECT and EXCEPT compile to
+# aggregate-backed semi/anti joins on the full row — one shuffle each,
+# duplicate-eliminating per ANSI semantics. Cohorts: nations having
+# BUILDING-segment customers vs nations having 5000+ acctbal
+# customers; the two distinct-nation sets are intersected and
+# differenced, and both results are labeled and unioned so one gate
+# row covers both operators.
+@q("q73_set_ops", """
+WITH building AS (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+rich AS (
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000
+)
+SELECT 'both' AS cohort, c_nationkey
+FROM (SELECT c_nationkey FROM building
+      INTERSECT SELECT c_nationkey FROM rich)
+UNION ALL
+SELECT 'building_only', c_nationkey
+FROM (SELECT c_nationkey FROM building
+      EXCEPT SELECT c_nationkey FROM rich)
+""")
+def q73_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    building = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_nationkey").distinct())
+    rich = (cust.filter(F.col("c_acctbal") > 5000)
+            .select("c_nationkey").distinct())
+    both = (building.intersect(rich)
+            .select(F.lit("both").alias("cohort"), "c_nationkey"))
+    only = (building.exceptAll(rich)
+            .select(F.lit("building_only").alias("cohort"), "c_nationkey"))
+    return both.unionByName(only)
+
+
+# CHAINED stateful streaming aggregation (round 4; Spark >= 3.4 —
+# multiple stateful operators in one streaming query): stage 1
+# aggregates events into per-(hour, user) counts, stage 2 re-windows
+# stage 1's window column into per-hour rollups (distinct users, max
+# per-user count, total events). Two stateful operators back-to-back
+# used to be rejected outright; the chained-window form is the
+# Spark-native replacement for a two-job pipeline with an intermediate
+# sink. Replay: single time-ordered slice + a far-future sentinel
+# (user_id < 0, filtered AFTER the watermark node so it advances the
+# watermark without entering the aggregates) so both stages flush and
+# the drained result equals the batch rollup the oracle states.
+@q("st10_stream_chained_agg", """
+WITH per_user AS (
+  SELECT date_trunc('hour', ts) AS h, user_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(h) AS hour_us,
+       CAST(count(*) AS BIGINT) AS n_users,
+       max(cnt) AS max_user_events,
+       CAST(sum(cnt) AS BIGINT) AS total_events
+FROM per_user GROUP BY h
+""")
+def st10_stream_chained_agg(spark, sf_dir):
+    import datetime
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    def sent(i, hours):
+        return spark.createDataFrame(
+            [(10**9 + i, max_ts + datetime.timedelta(hours=hours), -1,
+              "click", 0.0, None)], ev.schema)
+    d = tempfile.mkdtemp(prefix="st10_events_")
+    # THREE sentinel batches: the watermark used during batch N is the
+    # one computed at the END of batch N-1, and each stateful stage
+    # adds one batch of latency before its finalized windows reach the
+    # next stage — one batch to advance the watermark, one for stage 1
+    # to emit its final windows into stage 2, one for stage 2 to
+    # finalize them.
+    write_time_ordered_stream_dir(
+        [ev, sent(0, 200), sent(1, 201), sent(2, 202)], d)
+
+    # NO sentinel filter: a user_id predicate gets pushed BELOW the
+    # EventTimeWatermark operator, so the sentinels would be dropped
+    # before they can advance the watermark (observed: the last two
+    # real hours then never finalize). The sentinels instead
+    # self-exclude from append output — their far-future windows never
+    # pass the final watermark, so they stay in state and are never
+    # emitted.
+    stream = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .withWatermark("ts", "1 hour"))
+    per_user = (stream
+                .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    rolled = (per_user
+              .groupBy(F.window(F.col("w"), "1 hour").alias("hw"))
+              .agg(F.count(F.lit(1)).alias("n_users"),
+                   F.max("cnt").alias("max_user_events"),
+                   F.sum("cnt").alias("total_events")))
+    name = f"st10_{uuid.uuid4().hex[:8]}"
+    q_ = (rolled.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    # drop any sentinel hour that finalized (the earliest sentinel's
+    # window end can equal the final watermark exactly) — this is a
+    # batch filter on the drained memory sink, so no pushdown issue
+    return (spark.table(name)
+            .filter(F.col("hw.start") <= F.lit(max_ts))
+            .select(F.unix_micros(F.col("hw.start")).alias("hour_us"),
+                    "n_users", "max_user_events", "total_events"))
