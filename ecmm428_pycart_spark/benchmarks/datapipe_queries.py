@@ -2330,3 +2330,51 @@ def m16_image_dhash(spark, sf_dir):
     h = payload.withColumn("h", multimodal.image_dhash(F.col("payload")))
     return h.select("doc_id", F.col("h.hash_hi").alias("hash_hi"),
                     F.col("h.hash_lo").alias("hash_lo"))
+
+
+# Composed IVF + PQ-ADC + exact re-rank (round 4): the faiss-IVFPQ
+# architecture end-to-end — coarse quantizer picks nprobe=2 inverted
+# lists, PQ asymmetric distance scans only those lists, exact cosine
+# re-ranks the shortlist. The oracle restates the probe semantics
+# exactly (2 nearest label-centroids by L2, ties on label) and the
+# exact top-20 cosine within the probed lists; the shortlist is sized
+# so the re-rank is provably exhaustive at gate scales, making the
+# approximate pipeline's output equal the restated exact answer.
+@q("s13_ivf_pq_topk", """
+WITH cent AS (
+  SELECT label AS cand_label, pos, avg(val) AS avg_val
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+qd AS (
+  SELECT c.cand_label,
+         round(sum((v.val - c.avg_val) * (v.val - c.avg_val)), 9) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings WHERE vec_id = 0) v
+  JOIN cent c ON c.pos = v.pos
+  GROUP BY c.cand_label
+),
+qlist AS (
+  SELECT cand_label FROM qd ORDER BY d2 ASC, cand_label ASC LIMIT 2
+),
+scored AS (
+  SELECT vec_id,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex)) * sqrt(sum(qx * qx))), 6)
+           AS cos
+  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS ex,
+               unnest(q.embedding)::DOUBLE AS qx
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.label IN (SELECT cand_label FROM qlist))
+  GROUP BY vec_id
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20
+""")
+def s13_ivf_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, similarity.query_vector(emb, 0), k=20, nprobe=2, m=8,
+        shortlist=2000)

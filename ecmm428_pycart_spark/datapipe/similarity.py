@@ -395,3 +395,38 @@ def pq_adc_topk(df: DataFrame, query: DataFrame, k: int = 20,
 
     cand = df.join(F.broadcast(short), id_col).select(id_col, vec_col)
     return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_topk(df: DataFrame, query: DataFrame, k: int = 20,
+                nprobe: int = 2, m: int = 8, k_codes: int = 8,
+                shortlist: int = 2000, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                list_col: str = "label") -> DataFrame:
+    """IVF + PQ-ADC + exact re-rank — the composed faiss-IVFPQ shape
+    that serves billion-vector ANN in production: a coarse inverted
+    index (here the label-centroid lists of s03/s04) cuts the corpus
+    to ``nprobe`` lists, PQ asymmetric distance scans those lists at
+    m bytes/vector, and the exact cosine re-ranks the shortlist. At
+    100 TB the three stages multiply: read nprobe/nlist of the corpus,
+    at (m/4d)x the bytes, shuffling nothing but the shortlist.
+
+    Single-query contract (inherited from pq_adc_topk). Deterministic
+    end-to-end: centroids are exact per-list means, k-means (inside
+    pq_encode) uses the fixed deterministic init, ties broken on id."""
+    cents = label_centroids(df, label_col=list_col, vec_col=vec_col)
+    qv = query.select(F.col(query.columns[-1]).alias("_q")) \
+        if "q" not in query.columns else query.select(F.col("q").alias("_q"))
+    d2 = F.aggregate(
+        F.zip_with("centroid", "_q",
+                   lambda c, q: (c - q.cast("double"))
+                   * (c - q.cast("double"))),
+        F.lit(0.0), lambda a, v: a + v)
+    probed = (cents.crossJoin(F.broadcast(qv))
+              .select(F.col(list_col), d2.alias("_d2"))
+              .orderBy(F.col("_d2").asc(), F.col(list_col).asc())
+              .limit(nprobe)
+              .select(list_col))
+    cand = df.join(F.broadcast(probed), list_col)
+    return pq_adc_topk(cand, query, k=k, m=m, k_codes=k_codes,
+                       shortlist=shortlist, id_col=id_col,
+                       vec_col=vec_col)
