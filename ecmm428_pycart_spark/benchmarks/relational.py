@@ -2695,3 +2695,36 @@ def st10_stream_chained_agg(spark, sf_dir):
             .filter(F.col("hw.start") <= F.lit(max_ts))
             .select(F.unix_micros(F.col("hw.start")).alias("hour_us"),
                     "n_users", "max_user_events", "total_events"))
+
+
+# Decile distribution via ntile: rank every customer into 10
+# equal-count balance buckets and report each decile's population and
+# bounds — the quantile-table shape every feature-engineering pass
+# needs. ntile is ONE unpartitioned window sort; at 100 TB replace
+# with approx_percentile bounds + a bucket join (q46's equi-depth
+# path) — this query pins the exact-window semantics, q46 pins the
+# scalable path. Tiebreak on c_custkey makes bucket assignment
+# deterministic across engines and parallelism.
+@q("q74_decile_stats", """
+WITH ranked AS (
+  SELECT c_acctbal,
+         CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+              AS INTEGER) AS decile
+  FROM customer
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi,
+       round(avg(c_acctbal), 4) AS mean_bal
+FROM ranked GROUP BY decile
+""")
+def q74_decile_stats(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = cust.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("c_acctbal", "c_custkey")))
+    return (ranked.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi"),
+                 F.round(F.avg("c_acctbal"), 4).alias("mean_bal")))
