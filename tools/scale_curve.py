@@ -55,6 +55,16 @@ SCALE_SET = [
     "d29_segment_dup_rate",
     "g11_triangle_count",
     "m09_jpeg_pixels",
+    # round-4 additions whose input grows with sf
+    "q67_rollup_revenue",
+    "q69_dpp_prune",
+    "q71_lone_late_supplier",
+    "q72_scd2_history",
+    "q74_decile_stats",
+    "d35_bloom_decontaminate",
+    "m15_audio_frames",
+    "m16_image_dhash",
+    "s13_ivf_pq_topk",
 ]
 
 
