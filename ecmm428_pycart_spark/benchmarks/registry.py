@@ -78,7 +78,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "q70_top_supplier", "q71_lone_late_supplier", "q72_scd2_history",
     "m15_audio_frames", "d35_bloom_decontaminate", "m16_image_dhash",
     "st09_stream_outer_join", "q73_set_ops", "st10_stream_chained_agg",
-    "s13_ivf_pq_topk", "q74_decile_stats",
+    "s13_ivf_pq_topk", "q74_decile_stats", "g15_convex_hull",
 ]
 
 

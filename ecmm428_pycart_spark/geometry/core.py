@@ -410,3 +410,34 @@ def contains_point(geom, x: float, y: float) -> bool:
         if inside:
             return True
     return False
+
+
+def convex_hull(geom):
+    """Convex hull of all vertices as a Polygon geom (Andrew monotone
+    chain, O(n log n); collinear points dropped so the hull has the
+    minimal vertex set). Matches GEOS/shapely `convex_hull` for
+    polygons up to starting vertex and orientation: the ring is
+    counter-clockwise, starts at the lexicographically smallest
+    vertex, and is closed."""
+    pts = vertices(geom)
+    uniq = np.unique(pts, axis=0)           # sorted lexicographically
+    if uniq.shape[0] < 3:
+        raise ValueError("convex hull needs >= 3 distinct vertices")
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower = []
+    for p in uniq:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(tuple(p))
+    upper = []
+    for p in uniq[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(tuple(p))
+    ring = lower[:-1] + upper[:-1]
+    ring.append(ring[0])                    # close
+    return ("Polygon", [np.asarray(ring, dtype="f8")])

@@ -174,3 +174,13 @@ def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
             out.append(core.contains_point(core.loads(bytes(b)),
                                            float(px), float(py)))
     return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convex_hull(wkb: pd.Series) -> pd.Series:
+    """Convex hull polygon (WKB → WKB). Monotone chain over all ring
+    vertices (geometry/core.py::convex_hull); collinear points dropped
+    so downstream vertex counts are minimal — matching GEOS semantics
+    for polygon inputs."""
+    return wkb.map(lambda b: core.dumps(core.convex_hull(core.loads(b)))
+                   if b is not None else None)

@@ -203,3 +203,30 @@ def test_contains_point_even_odd():
     # half-open convention on the boundary
     assert core.contains_point(sq, 0.0, 0.5)       # left edge in
     assert not core.contains_point(sq, 1.0, 0.5)   # right edge out
+
+
+def test_convex_hull_kernel():
+    """Monotone chain: L-shape hull drops the concave corner, collinear
+    points are removed, degenerate inputs raise."""
+    import numpy as np
+    import pytest
+
+    from ecmm428_pycart_spark.geometry import core
+
+    s = 2.0
+    ring = [(0, 0), (s, 0), (s, s / 2), (s / 2, s / 2), (s / 2, s),
+            (0, s), (0, 0)]
+    h = core.convex_hull(("Polygon", [np.asarray(ring, dtype="f8")]))
+    pts = core.vertices(h)
+    assert pts.shape[0] == 5                       # pentagon, corner cut
+    assert abs(core.area(h) - 7 * s * s / 8) < 1e-12
+    assert abs(core.perimeter(h) - (3 * s + s / np.sqrt(2))) < 1e-12
+    # collinear midpoints must not survive
+    sq = [(0, 0), (1, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    h2 = core.convex_hull(("Polygon", [np.asarray(sq, dtype="f8")]))
+    assert core.vertices(h2).shape[0] == 4
+    # hull of a hull is idempotent
+    assert core.vertices(core.convex_hull(h2)).shape[0] == 4
+    with pytest.raises(ValueError):
+        core.convex_hull(("Polygon", [np.asarray(
+            [(0, 0), (1, 1), (0, 0)], dtype="f8")]))
