@@ -2378,3 +2378,38 @@ def s13_ivf_pq_topk(spark, sf_dir):
     return similarity.ivf_pq_topk(
         emb, similarity.query_vector(emb, 0), k=20, nprobe=2, m=8,
         shortlist=2000)
+
+
+# REAL GIF pixel decode (round 4): variable-width LSB-first LZW with
+# clear/end codes, dictionary growth, sub-block reassembly, and
+# palette mapping (multimodal.decode_gif_pixels) — with this,
+# PNG/JPEG/GIF/WAV/MP4 are all real and video codecs are the only
+# pixel stub left. The linear-ramp fixture (no mod-256 wrap) gives
+# exact closed forms: mean = 7.5(a+b), var = 21.25(a^2+b^2),
+# corner pixels 0 and 15(a+b).
+@q("m17_gif_pixels", """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS DOUBLE) AS a,
+         CAST(doc_id % 5 + 1 AS DOUBLE) AS b
+  FROM documents
+)
+SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       round(7.5 * (a + b), 4) AS mean,
+       round(sqrt(21.25 * (a * a + b * b)), 4) AS std,
+       CAST(0 AS INTEGER) AS p00,
+       CAST(15 * (a + b) AS INTEGER) AS p_last
+FROM p
+""")
+def m17_gif_pixels(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_gif_payload(F.col("doc_id")))
+    st = payload.withColumn("s",
+                            multimodal.gif_pixel_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.round("s.mean", 4).alias("mean"),
+        F.round("s.std", 4).alias("std"),
+        F.col("s.p00").alias("p00"),
+        F.col("s.p_last").alias("p_last"))

@@ -1772,3 +1772,181 @@ def synth_png_pattern_payload(doc_id: pd.Series) -> pd.Series:
                 + _png_chunk(b"IDAT", zlib.compress(_filter_rows(rows)))
                 + _png_chunk(b"IEND", b""))
     return doc_id.map(lambda i: gen(int(i)))
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF pixel decode (round 4): variable-width LSB-first LZW with
+# clear/end codes and dictionary growth, palette mapping through the
+# global color table. With PNG/JPEG/WAV/MP4 already real, video
+# codecs are now the only remaining pixel stub.
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> np.ndarray:
+    """Decode a GIF LZW code stream (already de-sub-blocked) into
+    ``npix`` palette indices. Codes are packed LSB-first; width starts
+    at mcs+1 and grows when the table fills (cap 12 bits per spec)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total and len(out) < npix:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width, prev = list(base), mcs + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):          # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise ValueError("GIF LZW: truncated pixel stream")
+    return np.asarray(out[:npix], dtype=np.int64)
+
+
+def decode_gif_pixels(b: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF87a/89a to an (H, W, 3) RGB
+    array via the global color table. Extensions are skipped; local
+    color tables and interlace raise NotImplementedError (documented
+    edges, same policy as the PNG decoder grew out of)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed = struct.unpack("<HHB", b[6:11])
+    i = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    gct = np.frombuffer(b[i:i + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
+    i += 3 * gct_n
+    while i < len(b):
+        tag = b[i]
+        if tag == 0x21:                   # extension: skip sub-blocks
+            i += 2
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif tag == 0x2C:                 # image descriptor
+            _, _, iw, ih, ipk = struct.unpack("<HHHHB", b[i + 1:i + 10])
+            if ipk & 0x80:
+                raise NotImplementedError("GIF local color table")
+            if ipk & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            i += 10
+            mcs = b[i]
+            i += 1
+            chunks = []
+            while b[i]:
+                n = b[i]
+                chunks.append(b[i + 1:i + 1 + n])
+                i += 1 + n
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+            return gct[idx].reshape(ih, iw, 3)
+        elif tag == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{tag:02x}")
+    raise ValueError("GIF without an image block")
+
+
+def gif_bytes_gray(rows: list) -> bytes:
+    """Encode rows of 0-255 values as a GIF89a with a 256-gray global
+    color table, using the classic 'uncompressed GIF' LZW stream:
+    every pixel is emitted as its own literal 9-bit code with a clear
+    code inserted before the table could force a width change — a
+    valid stream every decoder must accept, and one that exercises
+    clear handling + table growth in ours."""
+    h, w = len(rows), len(rows[0])
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    codes = [clear]
+    budget = (1 << width) - clear - 2     # appends before width bump
+    for row in rows:
+        for v in row:
+            if budget == 0:
+                codes.append(clear)
+                budget = (1 << width) - clear - 2
+            codes.append(int(v))
+            budget -= 1
+    codes.append(end)
+    acc = bits = 0
+    payload = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        payload.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)   # 256-color GCT
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)      # descriptor
+    out.append(mcs)
+    for j in range(0, len(payload), 255):
+        block = payload[j:j + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_STATS = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("std", T.DoubleType()),
+    T.StructField("p00", T.IntegerType()),
+    T.StructField("p_last", T.IntegerType()),
+])
+
+
+@F.pandas_udf(_GIF_STATS)
+def gif_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """REAL GIF decode -> per-image stats over the red channel (gray
+    palettes make all channels equal): dimensions, population
+    mean/std, first and last pixel."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None, None))
+            continue
+        px = decode_gif_pixels(bytes(buf))[:, :, 0].astype(np.float64)
+        h, w = px.shape
+        rows.append((w, h, float(px.mean()), float(px.std()),
+                     int(px[0, 0]), int(px[-1, -1])))
+    return pd.DataFrame(rows, columns=["width", "height", "mean", "std",
+                                       "p00", "p_last"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_gif_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic GIF per doc: 16x16 gray, pixel(x, y) = a*x + b*y
+    with a = id%7+1, b = id%5+1 (max 180 < 256, no wrap), so
+    mean = 7.5(a+b) and var = 21.25(a^2+b^2) exactly."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        return gif_bytes_gray([[a * x + b * y for x in range(16)]
+                               for y in range(16)])
+    return doc_id.map(lambda i: gen(int(i)))

@@ -820,3 +820,37 @@ def test_image_dhash_near_dup_property(spark):
 
     assert hamming(got[1], got[2]) <= 4
     assert hamming(got[1], got[3]) > 10
+
+
+def test_gif_lzw_decoder_edges():
+    """GIF LZW: the KwKwK case (a code referencing the entry being
+    built) on a hand-packed 3-bit stream, roundtrip through the
+    uncompressed writer across a clear-code boundary, and truncated /
+    unsupported inputs raising per contract."""
+    import numpy as np
+    import pytest
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        _gif_lzw_decode, decode_gif_pixels, gif_bytes_gray)
+
+    # mcs=2: clear=4, end=5. Stream [clear, 0, 6, end]: code 6 == next
+    # table slot -> entry must be prev + prev[0] = (0, 0) -> pixels 0,0,0
+    codes, width = [4, 0, 6, 5], 3
+    acc = 0
+    for j, c in enumerate(codes):
+        acc |= c << (width * j)
+    data = acc.to_bytes((width * len(codes) + 7) // 8, "little")
+    assert _gif_lzw_decode(data, 2, 3).tolist() == [0, 0, 0]
+
+    # a 512-pixel image crosses the uncompressed writer's clear-code
+    # re-arm boundary (budget 254) twice; decode must be exact
+    rows = [[(x * 31 + y * 7) % 256 for x in range(32)] for y in range(16)]
+    px = decode_gif_pixels(gif_bytes_gray(rows))
+    assert (px[:, :, 0] == np.array(rows)).all()
+    assert (px[:, :, 1] == px[:, :, 0]).all()      # gray palette
+
+    # truncated pixel stream raises, not garbage
+    with pytest.raises(ValueError):
+        _gif_lzw_decode(data[:1], 2, 100)
+    with pytest.raises(ValueError):
+        decode_gif_pixels(b"NOTGIF" + b"\x00" * 20)
