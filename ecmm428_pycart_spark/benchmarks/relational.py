@@ -2728,3 +2728,43 @@ def q74_decile_stats(spark, sf_dir):
                  F.round(F.min("c_acctbal"), 2).alias("lo"),
                  F.round(F.max("c_acctbal"), 2).alias("hi"),
                  F.round(F.avg("c_acctbal"), 4).alias("mean_bal")))
+
+
+# Observation metrics (round 4): production pipelines attach QA
+# counters to a job WITHOUT a second scan via df.observe — the metrics
+# ride the same pass as the real action (here a count()), and the
+# driver reads them after completion. The observed aggregates use the
+# integer-cents trick so they are reduction-order-free, and the oracle
+# restates them as plain SQL — a wrong/missing observation
+# hash-mismatches. The returned 1-row table is built from the observed
+# values (driver-side by design: observations ARE driver values).
+@q("q75_observed_metrics", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+""")
+def q75_observed_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  >= F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    obs = Observation("q75")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .alias("qty_cents"),
+        F.sum(F.round(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) * 100).cast("long"))
+        .alias("rev_cents"))
+    observed.count()                      # the job the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], round(m["qty_cents"] / 100.0, 2),
+          round(m["rev_cents"] / 100.0, 2))],
+        "n_rows bigint, sum_qty double, revenue double")
