@@ -79,7 +79,8 @@ DEFERRED_TO_NEXT_ROUND = [
     "m15_audio_frames", "d35_bloom_decontaminate", "m16_image_dhash",
     "st09_stream_outer_join", "q73_set_ops", "st10_stream_chained_agg",
     "s13_ivf_pq_topk", "q74_decile_stats", "g15_convex_hull",
-    "m17_gif_pixels", "q75_observed_metrics",
+    "m17_gif_pixels", "q75_observed_metrics", "q76_variant_json",
+    "g16_simplify_dp",
 ]
 
 

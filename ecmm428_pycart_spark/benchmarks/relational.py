@@ -2768,3 +2768,29 @@ def q75_observed_metrics(spark, sf_dir):
         [(m["n_rows"], round(m["qty_cents"] / 100.0, 2),
           round(m["rev_cents"] / 100.0, 2))],
         "n_rows bigint, sum_qty double, revenue double")
+
+
+# VARIANT semi-structured type (round 4; Spark 4.0+): props JSON is
+# parsed ONCE into the binary VARIANT encoding and fields are
+# extracted with variant_get — the modern engine path that replaces
+# per-access get_json_object string re-parsing (one parse per row per
+# query instead of per extraction, and the open-format binary layout
+# shreds into columnar storage). Null-safety: rows with no props stay
+# in the aggregate with a null k.
+@q("q76_variant_json", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""")
+def q76_variant_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return (v.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.max(k).alias("max_k")))

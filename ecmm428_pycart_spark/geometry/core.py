@@ -441,3 +441,51 @@ def convex_hull(geom):
     ring = lower[:-1] + upper[:-1]
     ring.append(ring[0])                    # close
     return ("Polygon", [np.asarray(ring, dtype="f8")])
+
+
+def _dp_chain(pts: np.ndarray, tol: float) -> list:
+    """Douglas-Peucker on an open chain (first/last kept). Iterative
+    stack — no recursion limits on pathological inputs."""
+    n = pts.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        seg = b - a
+        L = float(np.hypot(seg[0], seg[1]))
+        mid = pts[i + 1:j]
+        if L == 0.0:
+            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+        else:
+            d = np.abs(seg[0] * (mid[:, 1] - a[1])
+                       - seg[1] * (mid[:, 0] - a[0])) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return [tuple(p) for p in pts[keep]]
+
+
+def simplify_dp(geom, tol: float):
+    """Douglas-Peucker simplification of a Polygon (outer ring) —
+    matches GEOS `simplify` semantics for rings: anchor at vertex 0
+    and the vertex farthest from it, simplify the two chains between
+    the anchors, rejoin. Closing duplicate handled; result ring is
+    closed and keeps >= 3 distinct vertices (anchors + survivors)."""
+    if geom[0] != "Polygon":
+        raise NotImplementedError("simplify_dp: Polygon only")
+    ring = np.asarray(geom[1][0], dtype="f8")
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    d0 = np.hypot(ring[:, 0] - ring[0, 0], ring[:, 1] - ring[0, 1])
+    far = int(np.argmax(d0))
+    chain1 = _dp_chain(ring[:far + 1], tol)
+    chain2 = _dp_chain(np.vstack([ring[far:], ring[:1]]), tol)
+    out = chain1[:-1] + chain2[:-1]
+    out.append(out[0])
+    return ("Polygon", [np.asarray(out, dtype="f8")])

@@ -184,3 +184,15 @@ def st_convex_hull(wkb: pd.Series) -> pd.Series:
     for polygon inputs."""
     return wkb.map(lambda b: core.dumps(core.convex_hull(core.loads(b)))
                    if b is not None else None)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify_dp(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    """Douglas-Peucker polygon simplification (WKB -> WKB) at a
+    per-row tolerance (geometry/core.py::simplify_dp) — the
+    render/storage-reduction pass a cartographic pipeline runs before
+    shipping geometries to a figure sink."""
+    return pd.Series([
+        core.dumps(core.simplify_dp(core.loads(b), float(t)))
+        if b is not None and t is not None else None
+        for b, t in zip(wkb, tol)])

@@ -230,3 +230,28 @@ def test_convex_hull_kernel():
     with pytest.raises(ValueError):
         core.convex_hull(("Polygon", [np.asarray(
             [(0, 0), (1, 1), (0, 0)], dtype="f8")]))
+
+
+def test_simplify_dp_kernel():
+    """DP simplification: bumps below tolerance collapse to the
+    4-corner square, a tolerance below bump height keeps all 8
+    vertices, the ring stays closed, and non-polygons raise."""
+    import numpy as np
+    import pytest
+
+    from ecmm428_pycart_spark.geometry import core
+
+    s, h = 2.0, 0.2
+    ring = [(0, 0), (s / 2, -h), (s, 0), (s + h, s / 2), (s, s),
+            (s / 2, s + h), (0, s), (-h, s / 2), (0, 0)]
+    g = ("Polygon", [np.asarray(ring, dtype="f8")])
+    coarse = core.simplify_dp(g, s / 5)
+    assert core.vertices(coarse).shape[0] == 4
+    assert abs(core.area(coarse) - s * s) < 1e-9
+    fine = core.simplify_dp(g, h / 2)
+    assert core.vertices(fine).shape[0] == 8
+    assert abs(core.area(fine) - (s * s + 2 * s * h)) < 1e-9
+    r = fine[1][0]
+    assert (r[0] == r[-1]).all()            # closed ring
+    with pytest.raises(NotImplementedError):
+        core.simplify_dp(("Point", (0.0, 0.0)), 0.1)
