@@ -64,3 +64,64 @@ def kmeans(df: DataFrame, k: int, iterations: int = 5,
         centroids = _update(assigned, vec_col).localCheckpoint(eager=True)
     assigned = _assign(df, centroids, id_col, vec_col)
     return assigned.select(id_col, "cluster"), centroids
+
+
+def kmeans_grouped(df: DataFrame, k: int, iterations: int = 5,
+                   group_col: str = "grp", id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Lloyd's over MANY independent groups in one DataFrame program.
+
+    Semantically identical to running ``kmeans`` per group (same
+    deterministic init = k lowest ids per group, same round(d2,9) +
+    cluster-id tie-break, same exact-mean update), but each iteration
+    is ONE broadcast join + ONE aggregation covering every group —
+    m groups cost m× fewer Spark jobs than m sequential loops. This is
+    what makes product quantization's m per-subspace codebooks train
+    in parallel instead of serially (similarity.pq_encode).
+
+    Returns (assignments, centroids): assignments (group, id, cluster);
+    centroids (group, cluster, centroid).
+    """
+    wg = W.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    centroids = (df.withColumn("_rn", F.row_number().over(wg))
+                 .filter(F.col("_rn") <= k)
+                 .select(F.col(group_col),
+                         (F.col("_rn") - 1).alias("cluster"),
+                         F.transform(vec_col, lambda x: x.cast("double"))
+                         .alias("centroid"))
+                 .localCheckpoint(eager=True))
+
+    def assign(cents):
+        cent = cents.select(F.col(group_col).alias("_g"),
+                            F.col("cluster").alias("_c"),
+                            F.col("centroid").alias("_cv"))
+        joined = df.join(F.broadcast(cent), F.col(group_col) == F.col("_g"))
+        d2 = F.aggregate(
+            F.zip_with(vec_col, "_cv",
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        w = (W.partitionBy(group_col, id_col)
+             .orderBy(F.round(d2, 9).asc(), F.col("_c").asc()))
+        return (joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(group_col, id_col, vec_col,
+                        F.col("_c").alias("cluster")))
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        centroids = (assigned
+                     .select(group_col, "cluster",
+                             F.posexplode(vec_col).alias("pos", "val"))
+                     .groupBy(group_col, "cluster", "pos")
+                     .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                     .groupBy(group_col, "cluster")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "m"))).alias("_s"))
+                     .withColumn("centroid",
+                                 F.transform("_s", lambda s: s["m"]))
+                     .select(group_col, "cluster", "centroid")
+                     .localCheckpoint(eager=True))
+    assigned = assign(centroids)
+    return (assigned.select(group_col, id_col, "cluster"), centroids)

@@ -129,7 +129,6 @@ _BNLJ_OK = {
     "s01_cosine_topk",          # broadcast query vector
     "s03_centroid_assign",      # broadcast codebook
     "s04_ivf_probe",            # broadcast codebook
-    "s11_pq_codes",             # broadcast per-subspace codebooks
     "s12_pq_adc_rerank",        # broadcast query vector + codebooks
     "s13_ivf_pq_topk",          # broadcast query vector + codebooks (IVF-PQ)
     "s09_knn_join",             # broadcast query batch
