@@ -2413,3 +2413,35 @@ def m17_gif_pixels(spark, sf_dir):
         F.round("s.std", 4).alias("std"),
         F.col("s.p00").alias("p00"),
         F.col("s.p_last").alias("p_last"))
+
+
+# REAL multi-frame sampling (round 4): animated-GIF frames decoded
+# through the LZW codec and sampled every 2nd frame — the real-codec
+# counterpart of the video frame_sample stub (same sample-every-N
+# contract, but the frames come from an actual multi-image compressed
+# stream with extension blocks between frames). Constant-valued frames
+# (a + 10f) make each sampled frame's mean and corner pixel exact.
+@q("m18_gif_frame_sample", """
+WITH p AS (
+  SELECT doc_id, doc_id % 100 AS a, doc_id % 5 + 2 AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, a, unnest(range(0, nf)) AS frame_idx FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(CAST(a + 10 * frame_idx AS DOUBLE), 4) AS mean,
+       CAST(a + 10 * frame_idx AS INTEGER) AS p00
+FROM f WHERE frame_idx % 2 = 0
+""")
+def m18_gif_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_gif_anim_payload(F.col("doc_id")))
+    fr = payload.select(
+        "doc_id",
+        F.explode(multimodal.gif_frame_sample(F.col("payload"),
+                                              F.lit(2))).alias("f"))
+    return fr.select(
+        "doc_id", F.col("f.frame_idx").alias("frame_idx"),
+        F.round("f.mean", 4).alias("mean"),
+        F.col("f.p00").alias("p00"))

@@ -1950,3 +1950,139 @@ def synth_gif_payload(doc_id: pd.Series) -> pd.Series:
         return gif_bytes_gray([[a * x + b * y for x in range(16)]
                                for y in range(16)])
     return doc_id.map(lambda i: gen(int(i)))
+
+
+def decode_gif_frames(b: bytes) -> list:
+    """Decode EVERY image block of an animated GIF87a/89a into a list
+    of (H, W, 3) RGB arrays (full-frame images sharing the global
+    color table — the fixture writer's layout; partial-frame placement
+    and local tables raise, same policy as decode_gif_pixels)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed = struct.unpack("<HHB", b[6:11])
+    i = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    gct = np.frombuffer(b[i:i + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
+    i += 3 * gct_n
+    frames = []
+    while i < len(b):
+        tag = b[i]
+        if tag == 0x21:
+            i += 2
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif tag == 0x2C:
+            left, top, iw, ih, ipk = struct.unpack("<HHHHB",
+                                                   b[i + 1:i + 10])
+            if ipk & 0xC0:
+                raise NotImplementedError("local color table / interlace")
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("partial-frame placement")
+            i += 10
+            mcs = b[i]
+            i += 1
+            chunks = []
+            while b[i]:
+                n = b[i]
+                chunks.append(b[i + 1:i + 1 + n])
+                i += 1 + n
+            i += 1
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+            frames.append(gct[idx].reshape(ih, iw, 3))
+        elif tag == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{tag:02x}")
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return frames
+
+
+_GIF_FRAME = T.ArrayType(T.StructType([
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("p00", T.IntegerType()),
+]))
+
+
+@F.pandas_udf(_GIF_FRAME)
+def gif_frame_sample(payload: pd.Series, every: pd.Series) -> pd.Series:
+    """REAL frame sampling over an animated GIF: decode all frames,
+    keep every ``every``-th (frame 0 always), report per-kept-frame
+    red-channel mean and first pixel — the real-codec counterpart of
+    the video frame_sample_stub, exercising multi-frame LZW streams."""
+    out = []
+    for buf, ev in zip(payload, every):
+        if buf is None:
+            out.append(None)
+            continue
+        frames = decode_gif_frames(bytes(buf))
+        step = max(int(ev), 1)
+        out.append([
+            {"frame_idx": int(fi),
+             "mean": float(fr[:, :, 0].astype(np.float64).mean()),
+             "p00": int(fr[0, 0, 0])}
+            for fi, fr in enumerate(frames) if fi % step == 0])
+    return pd.Series(out)
+
+
+def gif_bytes_gray_frames(frame_rows: list) -> bytes:
+    """Multi-frame variant of gif_bytes_gray: each entry of
+    ``frame_rows`` becomes one full-frame image block (uncompressed
+    LZW stream), preceded by a minimal graphic-control extension so
+    the stream exercises extension skipping between frames."""
+    h, w = len(frame_rows[0]), len(frame_rows[0][0])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    for rows in frame_rows:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"   # GCE: 10cs delay
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        codes = [clear]
+        budget = (1 << width) - clear - 2
+        for row in rows:
+            for v in row:
+                if budget == 0:
+                    codes.append(clear)
+                    budget = (1 << width) - clear - 2
+                codes.append(int(v))
+                budget -= 1
+        codes.append(end)
+        acc = bits = 0
+        payload = bytearray()
+        for c in codes:
+            acc |= c << bits
+            bits += width
+            while bits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            payload.append(acc & 0xFF)
+        for j in range(0, len(payload), 255):
+            block = payload[j:j + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_gif_anim_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic animated GIF per doc: nf = id%5+2 full frames of
+    8x8 gray, frame f constant value (a + 10*f) with a = id%100 — so
+    every sampled frame's mean and corner pixel are the closed form
+    a + 10*f."""
+    def gen(i: int) -> bytes:
+        a, nf = i % 100, i % 5 + 2
+        return gif_bytes_gray_frames(
+            [[[a + 10 * f] * 8 for _ in range(8)] for f in range(nf)])
+    return doc_id.map(lambda i: gen(int(i)))

@@ -854,3 +854,17 @@ def test_gif_lzw_decoder_edges():
         _gif_lzw_decode(data[:1], 2, 100)
     with pytest.raises(ValueError):
         decode_gif_pixels(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_gif_multiframe_decode():
+    """Animated GIF: every image block decodes (extension blocks
+    skipped between frames), frame order preserved, sampling keeps
+    frame 0 plus every Nth."""
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_gif_frames, gif_bytes_gray_frames)
+
+    g = gif_bytes_gray_frames(
+        [[[v] * 8 for _ in range(8)] for v in (5, 15, 25, 35, 45)])
+    fr = decode_gif_frames(g)
+    assert [int(f[0, 0, 0]) for f in fr] == [5, 15, 25, 35, 45]
+    assert all(f.shape == (8, 8, 3) for f in fr)
