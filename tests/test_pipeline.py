@@ -868,3 +868,41 @@ def test_gif_multiframe_decode():
     fr = decode_gif_frames(g)
     assert [int(f[0, 0, 0]) for f in fr] == [5, 15, 25, 35, 45]
     assert all(f.shape == (8, 8, 3) for f in fr)
+
+
+def test_gif_roundtrip_property():
+    """Randomized (seeded) GIF encode->decode roundtrips: arbitrary
+    byte patterns at several shapes survive the LZW stream exactly,
+    including shapes whose pixel count straddles sub-block and
+    clear-code boundaries."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_gif_pixels, gif_bytes_gray)
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (16, 16), (13, 40), (7, 73)]:
+        img = rng.randint(0, 256, size=(h, w))
+        rows = img.tolist()
+        px = decode_gif_pixels(gif_bytes_gray(rows))
+        assert px.shape == (h, w, 3)
+        assert (px[:, :, 0] == img).all(), (h, w)
+
+
+def test_bloom_prefilter_property(spark):
+    """Randomized (seeded) Bloom membership: across several m/k
+    sizings, the prefilter NEVER drops a true member."""
+    import random
+
+    from ecmm428_pycart_spark.datapipe.dedup import (
+        bloom_build, bloom_prefilter)
+
+    rnd = random.Random(11)
+    words = [f"w{rnd.randrange(10**9)}" for _ in range(300)]
+    keys = spark.createDataFrame([(w,) for w in words[:120]], "g string")
+    probe = spark.createDataFrame([(w,) for w in words], "g string")
+    for m_bits, k in [(1 << 12, 2), (1 << 16, 3), (1 << 18, 5)]:
+        bloom = bloom_build(keys, "g", m_bits=m_bits, k=k)
+        kept = {r["g"] for r in bloom_prefilter(
+            probe, "g", bloom, m_bits=m_bits, k=k).collect()}
+        assert set(words[:120]) <= kept, (m_bits, k)
