@@ -759,9 +759,10 @@ WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 win AS (
-  SELECT doc_id, array_to_string(toks[t.i + 1 : t.i + 8], ' ') AS w
-  FROM tok CROSS JOIN range(0, 100000) t(i)
-  WHERE t.i <= len(toks) - 8
+  SELECT doc_id, array_to_string(toks[i + 1 : i + 8], ' ') AS w
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, GREATEST(len(toks) - 7, 0))) AS i
+        FROM tok)
 ),
 dup AS (
   SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) > 1

@@ -2422,14 +2422,24 @@ WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 """)
 def q69_dpp_prune(spark, sf_dir):
+    import hashlib
+    import os
     import tempfile
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long")
         .alias("price_cents"))
-    d = tempfile.mkdtemp(prefix="q69_dpp_")
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(d)
+    # deterministic per-sf path, written ONCE and reused: plan-guard
+    # tests / bench / scale_curve call every registered query
+    # repeatedly, and a fresh mkdtemp per call re-wrote the whole fact
+    # each time and accumulated unbounded /tmp copies (review finding
+    # r4)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"q69_dpp_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        orders.write.mode("overwrite") \
+            .partitionBy("o_orderpriority").parquet(d)
     fact = spark.read.parquet(d)
     dim = spark.createDataFrame(
         [("1-URGENT", 1), ("2-HIGH", 1), ("3-MEDIUM", 0),

@@ -103,10 +103,16 @@ def _sample_values(buf: bytes) -> np.ndarray:
     """Decode a payload to a flat float64 sample array via the REAL
     decoders (16-bit depths rescaled to the 8-bit range); anything
     non-image (text/unknown) is treated as raw uint8 bytes, which
-    keeps the featurizer total over arbitrary corpora."""
+    keeps the featurizer total over arbitrary corpora. Totality means
+    catching EVERY decode failure mode, not just ValueError: an
+    unsupported bit depth / progressive JPEG raises
+    NotImplementedError, a corrupt IDAT raises zlib.error, a truncated
+    chunk header raises struct.error — each falls back to raw bytes
+    instead of killing the Spark task (review finding r4)."""
     try:
         return _to_8bit_range(_decode_image(buf)).ravel()
-    except ValueError:
+    except (ValueError, NotImplementedError, zlib.error, struct.error,
+            IndexError):
         return np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
 
 
@@ -1693,14 +1699,9 @@ def synth_wav_burst_payload(doc_id: pd.Series) -> pd.Series:
     def gen(i: int) -> bytes:
         amp = i % 1000 + 1
         half = i % 250 + 50
-        tone = bytes().join(
-            struct.pack("<h", amp if j % 2 == 0 else -amp)
-            for j in range(half))
-        data = tone + b"\x00\x00" * half
-        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
-                + b"data" + struct.pack("<I", len(data)) + data)
-        return b"RIFF" + struct.pack("<I", len(body)) + body
+        samples = [amp if j % 2 == 0 else -amp for j in range(half)]
+        samples += [0] * half
+        return wav_bytes_pcm(1, 8000, samples, 16)
     return doc_id.map(lambda i: gen(int(i)))
 
 
@@ -1867,15 +1868,14 @@ def decode_gif_pixels(b: bytes) -> np.ndarray:
     raise ValueError("GIF without an image block")
 
 
-def gif_bytes_gray(rows: list) -> bytes:
-    """Encode rows of 0-255 values as a GIF89a with a 256-gray global
-    color table, using the classic 'uncompressed GIF' LZW stream:
-    every pixel is emitted as its own literal 9-bit code with a clear
+def _gif_lzw_pack(rows: list, mcs: int = 8) -> bytearray:
+    """Pack pixel rows as the classic 'uncompressed GIF' LZW stream:
+    every pixel is its own literal code at width mcs+1, with a clear
     code inserted before the table could force a width change — a
     valid stream every decoder must accept, and one that exercises
-    clear handling + table growth in ours."""
-    h, w = len(rows), len(rows[0])
-    mcs = 8
+    clear handling + table growth in ours. Shared by the single- and
+    multi-frame fixture writers (review finding r4: the packer existed
+    twice)."""
     clear, end = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
     codes = [clear]
@@ -1899,16 +1899,31 @@ def gif_bytes_gray(rows: list) -> bytes:
             bits -= 8
     if bits:
         payload.append(acc & 0xFF)
+    return payload
+
+
+def _gif_sub_blocks(payload: bytearray) -> bytearray:
+    out = bytearray()
+    for j in range(0, len(payload), 255):
+        block = payload[j:j + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    return out
+
+
+def gif_bytes_gray(rows: list) -> bytes:
+    """Encode rows of 0-255 values as a single-frame GIF89a with a
+    256-gray global color table (_gif_lzw_pack stream)."""
+    h, w = len(rows), len(rows[0])
+    mcs = 8
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)   # 256-color GCT
     out += bytes(v for g in range(256) for v in (g, g, g))
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)      # descriptor
     out.append(mcs)
-    for j in range(0, len(payload), 255):
-        block = payload[j:j + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"
+    out += _gif_sub_blocks(_gif_lzw_pack(rows, mcs))
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -2016,7 +2031,7 @@ def gif_frame_sample(payload: pd.Series, every: pd.Series) -> pd.Series:
     the video frame_sample_stub, exercising multi-frame LZW streams."""
     out = []
     for buf, ev in zip(payload, every):
-        if buf is None:
+        if buf is None or ev is None:
             out.append(None)
             continue
         frames = decode_gif_frames(bytes(buf))
@@ -2035,42 +2050,15 @@ def gif_bytes_gray_frames(frame_rows: list) -> bytes:
     LZW stream), preceded by a minimal graphic-control extension so
     the stream exercises extension skipping between frames."""
     h, w = len(frame_rows[0]), len(frame_rows[0][0])
+    mcs = 8
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
     out += bytes(v for g in range(256) for v in (g, g, g))
-    mcs = 8
-    clear, end = 1 << mcs, (1 << mcs) + 1
-    width = mcs + 1
     for rows in frame_rows:
         out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"   # GCE: 10cs delay
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
         out.append(mcs)
-        codes = [clear]
-        budget = (1 << width) - clear - 2
-        for row in rows:
-            for v in row:
-                if budget == 0:
-                    codes.append(clear)
-                    budget = (1 << width) - clear - 2
-                codes.append(int(v))
-                budget -= 1
-        codes.append(end)
-        acc = bits = 0
-        payload = bytearray()
-        for c in codes:
-            acc |= c << bits
-            bits += width
-            while bits >= 8:
-                payload.append(acc & 0xFF)
-                acc >>= 8
-                bits -= 8
-        if bits:
-            payload.append(acc & 0xFF)
-        for j in range(0, len(payload), 255):
-            block = payload[j:j + 255]
-            out.append(len(block))
-            out += block
-        out.append(0)
+        out += _gif_sub_blocks(_gif_lzw_pack(rows, mcs))
     out += b"\x3b"
     return bytes(out)
 

@@ -420,9 +420,13 @@ def ivf_pq_topk(df: DataFrame, query: DataFrame, k: int = 20,
     100 TB the three stages multiply: read nprobe/nlist of the corpus,
     at (m/4d)x the bytes, shuffling nothing but the shortlist.
 
-    Single-query contract (inherited from pq_adc_topk). Deterministic
-    end-to-end: centroids are exact per-list means, k-means (inside
-    pq_encode) uses the fixed deterministic init, ties broken on id."""
+    Single-query contract (inherited from pq_adc_topk) — enforced
+    HERE, before the probe-list computation, so the probed lists and
+    the scored query can never come from different rows of a multi-row
+    input (review finding r4). Deterministic end-to-end: centroids are
+    exact per-list means, k-means (inside pq_encode) uses the fixed
+    deterministic init, ties broken on id."""
+    query = query.limit(1)
     cents = label_centroids(df, label_col=list_col, vec_col=vec_col)
     qv = query.select(F.col(query.columns[-1]).alias("_q")) \
         if "q" not in query.columns else query.select(F.col("q").alias("_q"))

@@ -439,6 +439,8 @@ def convex_hull(geom):
             upper.pop()
         upper.append(tuple(p))
     ring = lower[:-1] + upper[:-1]
+    if len(ring) < 3:                       # all input points collinear
+        raise ValueError("convex hull degenerate: vertices are collinear")
     ring.append(ring[0])                    # close
     return ("Polygon", [np.asarray(ring, dtype="f8")])
 
@@ -487,5 +489,20 @@ def simplify_dp(geom, tol: float):
     chain1 = _dp_chain(ring[:far + 1], tol)
     chain2 = _dp_chain(np.vstack([ring[far:], ring[:1]]), tol)
     out = chain1[:-1] + chain2[:-1]
+    if len(out) < 3:
+        # both chains collapsed to their anchors: force the vertex
+        # farthest from the anchor chord back in so the result stays a
+        # valid (>= 3 distinct vertices) polygon, as the contract
+        # promises (review finding r4)
+        a, b = ring[0], ring[far]
+        seg = b - a
+        L = float(np.hypot(seg[0], seg[1]))
+        d = (np.abs(seg[0] * (ring[:, 1] - a[1])
+                    - seg[1] * (ring[:, 0] - a[0])) / L
+             if L > 0 else
+             np.hypot(ring[:, 0] - a[0], ring[:, 1] - a[1]))
+        third = int(np.argmax(d))
+        order = sorted({0, far, third})
+        out = [tuple(ring[i]) for i in order]
     out.append(out[0])
     return ("Polygon", [np.asarray(out, dtype="f8")])
