@@ -2446,3 +2446,39 @@ def m18_gif_frame_sample(spark, sf_dir):
         "doc_id", F.col("f.frame_idx").alias("frame_idx"),
         F.round("f.mean", 4).alias("mean"),
         F.col("f.p00").alias("p00"))
+
+
+# REAL video frame extraction (round 4): MJPEG-in-AVI — RIFF container
+# walk + per-frame baseline JPEG decode (multimodal.
+# decode_avi_mjpeg_frames), both stages real. Constant-block frames
+# make the DCT roundtrip exact, so every decoded frame mean equals its
+# closed-form source value; frame_sample_stub now stands in only for
+# inter-frame-predicted codecs (H.264-class).
+@q("m19_mjpeg_avi_frames", """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, nf, unnest(range(0, nf)) AS frame_idx FROM p
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(CAST(16 + ((doc_id * 7 + frame_idx * 29) % 224) AS DOUBLE), 4)
+         AS mean
+FROM f
+""")
+def m19_mjpeg_avi_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_avi_payload(F.col("doc_id")))
+    st = payload.withColumn("s",
+                            multimodal.avi_frame_stats(F.col("payload")))
+    fr = st.select("doc_id", F.col("s.width").alias("width"),
+                   F.col("s.height").alias("height"),
+                   F.col("s.n_frames").alias("n_frames"),
+                   F.explode(F.col("s.frames")).alias("f"))
+    return fr.select("doc_id", "width", "height", "n_frames",
+                     F.col("f.frame_idx").alias("frame_idx"),
+                     F.round("f.mean", 4).alias("mean"))

@@ -80,7 +80,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "st09_stream_outer_join", "q73_set_ops", "st10_stream_chained_agg",
     "s13_ivf_pq_topk", "q74_decile_stats", "g15_convex_hull",
     "m17_gif_pixels", "q75_observed_metrics", "q76_variant_json",
-    "g16_simplify_dp", "m18_gif_frame_sample",
+    "g16_simplify_dp", "m18_gif_frame_sample", "m19_mjpeg_avi_frames",
 ]
 
 

@@ -906,3 +906,29 @@ def test_bloom_prefilter_property(spark):
         kept = {r["g"] for r in bloom_prefilter(
             probe, "g", bloom, m_bits=m_bits, k=k).collect()}
         assert set(words[:120]) <= kept, (m_bits, k)
+
+
+def test_avi_mjpeg_roundtrip():
+    """MJPEG AVI: container walk finds every 00dc chunk (word-aligned
+    odd-size frames included), frame count is checked against avih,
+    and non-MJPEG streams / non-AVI RIFFs raise."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        avi_bytes_mjpeg, decode_avi_mjpeg_frames, encode_jpeg_gray)
+
+    frames = [encode_jpeg_gray(np.full((8, 8), v, dtype=np.uint8))
+              for v in (20, 120, 220)]
+    avi = avi_bytes_mjpeg(frames, 8, 8)
+    w, h, fr = decode_avi_mjpeg_frames(avi)
+    assert (w, h, len(fr)) == (8, 8, 3)
+    assert [float(f.mean()) for f in fr] == [20.0, 120.0, 220.0]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"RIFF" + _s.pack("<I", 4) + b"WAVE")
+    # declare a different vids codec -> NotImplementedError
+    bad = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg_frames(bad)
