@@ -81,6 +81,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "s13_ivf_pq_topk", "q74_decile_stats", "g15_convex_hull",
     "m17_gif_pixels", "q75_observed_metrics", "q76_variant_json",
     "g16_simplify_dp", "m18_gif_frame_sample", "m19_mjpeg_avi_frames",
+    "q77_schema_evolution", "q78_range_frame_window",
 ]
 
 

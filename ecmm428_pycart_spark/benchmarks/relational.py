@@ -2804,3 +2804,71 @@ def q76_variant_json(spark, sf_dir):
                  F.count(k).alias("n_with_k"),
                  F.sum(k).alias("sum_k"),
                  F.max(k).alias("max_k")))
+
+
+# Schema evolution on plain parquet (round 4): v1 files lack a column
+# that later v2 files carry; mergeSchema=true unions the file schemas
+# at read time and back-fills nulls for v1 rows — the lakehouse
+# add-a-column migration executed in the gate, without a table format.
+# The oracle restates the evolved read as a CASE on the writing batch.
+@q("q77_schema_evolution", """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN c_custkey % 2 = 1 THEN c_custkey END)
+            AS BIGINT) AS n_with_tier,
+       CAST(sum(CASE WHEN c_custkey % 2 = 1
+                     THEN c_custkey % 5 END) AS BIGINT) AS sum_tier
+FROM customer GROUP BY c_mktsegment
+""")
+def q77_schema_evolution(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"q77_evo_{tag}")
+    if not os.path.exists(os.path.join(d, "v2", "_SUCCESS")):
+        # v1 batch: even keys, original schema
+        (cust.filter(F.col("c_custkey") % 2 == 0)
+         .write.mode("overwrite").parquet(os.path.join(d, "v1")))
+        # v2 batch: odd keys, schema evolved with a tier column
+        (cust.filter(F.col("c_custkey") % 2 == 1)
+         .withColumn("tier", (F.col("c_custkey") % 5).cast("long"))
+         .write.mode("overwrite").parquet(os.path.join(d, "v2")))
+    evolved = (spark.read.option("mergeSchema", "true")
+               .parquet(os.path.join(d, "v1"), os.path.join(d, "v2")))
+    return (evolved.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("tier").alias("n_with_tier"),
+                 F.sum("tier").alias("sum_tier")))
+
+
+# RANGE-frame window (round 4): per customer, each order's trailing
+# 30-DAY revenue — a frame defined by VALUE distance on the ordering
+# column, not row counts (q44's ROWS frame can't express "last 30
+# days" under irregular order spacing). One shuffle on the partition
+# key; the frame scan is a per-partition sorted sweep.
+@q("q78_range_frame_window", """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trailing_cents
+FROM orders
+""")
+def q78_range_frame_window(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    # RANGE frames need a numeric ordering col in the DataFrame API:
+    # order by epoch days, frame = [-30 days, 0]
+    days = F.datediff(F.col("o_orderdate").cast("date"),
+                      F.lit("1970-01-01").cast("date"))
+    w = (W.partitionBy("o_custkey").orderBy(days.cast("long"))
+         .rangeBetween(-30, 0))
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum("cents").over(w).alias("trailing_cents")))
