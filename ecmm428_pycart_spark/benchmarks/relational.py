@@ -2872,3 +2872,39 @@ def q78_range_frame_window(spark, sf_dir):
     return (orders.select(
         "o_custkey", "o_orderkey",
         F.sum("cents").over(w).alias("trailing_cents")))
+
+
+# Custom PYTHON data source (round 4; Spark 4 DataSource API) read in
+# the gate: a partitioned deterministic generator registered from pure
+# Python (sources/pysource.py), with Spark 4.1 filter pushdown INTO
+# the Python reader — the EqualTo on grp prunes 6 of 8 input
+# partitions before any task launches (pinned by
+# test_python_datasource_prunes_partitions). The oracle replicates the
+# generator's partition arithmetic.
+@q("q79_python_datasource", """
+WITH g AS (
+  SELECT i, 'g' || ((i // 125) % 4) AS grp,
+         ((i * 37) % 1000) / 10.0 AS value
+  FROM (SELECT unnest(range(0, 1000)) AS i)
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(min(i) AS BIGINT) AS min_id, CAST(max(i) AS BIGINT) AS max_id
+FROM g WHERE grp = 'g1' GROUP BY grp
+""")
+def q79_python_datasource(spark, sf_dir):
+    from ecmm428_pycart_spark.sources.pysource import RangeDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(RangeDocsDataSource)
+    except Exception:
+        pass                      # already registered in this session
+    df = (spark.read.format("range_docs")
+          .option("n_rows", 1000).option("n_parts", 8).load())
+    return (df.filter(F.col("grp") == "g1")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id")))

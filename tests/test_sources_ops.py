@@ -462,3 +462,28 @@ def test_scd2_apply_history_invariants(spark):
     assert len(rows) == 6
     current = hist.filter(F.col("is_current")).groupBy("k").count()
     assert current.filter(F.col("count") > 1).count() == 0
+
+
+def test_python_datasource_prunes_partitions(spark):
+    """Spark 4 Python data source: the EqualTo('grp') filter is pushed
+    into the Python reader and prunes 6 of 8 input partitions before
+    launch; unsupported filters are left for Spark to re-apply."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.sources.pysource import RangeDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(RangeDocsDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("range_docs")
+          .option("n_rows", 1000).option("n_parts", 8).load())
+    g1 = df.filter(F.col("grp") == "g1")
+    assert g1.rdd.getNumPartitions() == 2          # 8 -> 2 (p=1, p=5)
+    assert g1.count() == 250
+    # a filter the source can't handle still returns correct results
+    mixed = df.filter((F.col("grp") == "g1") & (F.col("value") > 50.0))
+    want = sum(1 for i in list(range(125, 250)) + list(range(625, 750))
+               if ((i * 37) % 1000) / 10.0 > 50.0)
+    assert mixed.count() == want
