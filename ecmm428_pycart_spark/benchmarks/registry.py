@@ -82,7 +82,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "m17_gif_pixels", "q75_observed_metrics", "q76_variant_json",
     "g16_simplify_dp", "m18_gif_frame_sample", "m19_mjpeg_avi_frames",
     "q77_schema_evolution", "q78_range_frame_window",
-    "q79_python_datasource",
+    "q79_python_datasource", "st11_python_stream_source",
 ]
 
 

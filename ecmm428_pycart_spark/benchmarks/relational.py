@@ -2908,3 +2908,51 @@ def q79_python_datasource(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value"),
                  F.min("id").alias("min_id"),
                  F.max("id").alias("max_id")))
+
+
+# PYTHON streaming data source EXECUTED through Structured Streaming
+# (round 4; Spark 4 SimpleDataSourceStreamReader): micro-batches come
+# from a pure-Python offset-tracked reader (sources/pysource.py) whose
+# offsets are row indices — readBetweenOffsets can replay any batch
+# exactly, the contract checkpoint recovery relies on. The stream
+# drains 1000 rows in 128-row micro-batches into a complete-mode
+# aggregation; the oracle replicates the generator arithmetic.
+@q("st11_python_stream_source", """
+WITH g AS (
+  SELECT i, 'g' || ((i // 125) % 4) AS grp,
+         ((i * 37) % 1000) / 10.0 AS value
+  FROM (SELECT unnest(range(0, 1000)) AS i)
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM g GROUP BY grp
+""")
+def st11_python_stream_source(spark, sf_dir):
+    import time
+    import uuid
+
+    from ecmm428_pycart_spark.sources.pysource import RangeStreamDataSource
+
+    try:
+        spark.dataSource.register(RangeStreamDataSource)
+    except Exception:
+        pass
+    stream = (spark.readStream.format("range_docs_stream")
+              .option("n_rows", 1000).option("batch_rows", 128).load())
+    agg = (stream.groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"st11_{uuid.uuid4().hex[:8]}"
+    q_ = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(processingTime="0 seconds")
+          .start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q_.exception() is not None:
+            raise q_.exception()
+        rows = spark.table(name).collect()
+        if rows and sum(r["n"] for r in rows) >= 1000:
+            break
+        time.sleep(0.5)
+    q_.stop()
+    return spark.table(name)

@@ -76,3 +76,54 @@ class RangeDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RangeDocsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python STREAMING data source (Spark 4): the same extension point for
+# Structured Streaming — a pure-Python micro-batch source with
+# offset-tracked, replayable reads. `RangeStreamDataSource` emits the
+# deterministic (id, grp, value) rows in fixed-size batches up to
+# n_rows, then reports no new data; offsets are plain row indices so
+# readBetweenOffsets can replay any batch exactly (the contract that
+# makes checkpoint recovery exact-once).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class RangeStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch = int(options.get("batch_rows", 100))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST-iterator, not a generator and not a bare list: the
+        # prefetching offset cache calls next() on the returned value
+        # AND copy.copy()s it between micro-batches — list_iterator
+        # supports both, generators support neither
+        return iter([(i, f"g{(i // 125) % 4}",
+                      float((i * 37) % 1000) / 10.0)
+                     for i in range(start, end)])
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.batch, self.n_rows)
+        return self._rows(lo, hi), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["idx"], end["idx"])
+
+
+class RangeStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "range_docs_stream"
+
+    def schema(self) -> str:
+        return "id bigint, grp string, value double"
+
+    def simpleStreamReader(self, schema: StructType):
+        return RangeStreamReader(self.options)
