@@ -50,6 +50,7 @@ HEADLINE = [
     "q69_dpp_prune",
     "q71_lone_late_supplier",
     "q72_scd2_history",
+    "q78_range_frame_window",
     # dedup + text pipeline
     "d05_minhash_signature",
     "d06_minhash_lsh_jaccard",
@@ -73,6 +74,8 @@ HEADLINE = [
     "m09_jpeg_pixels",
     "m12_resize_pixels",
     "m15_audio_frames",
+    "m17_gif_pixels",
+    "m19_mjpeg_avi_frames",
     # streaming (one micro-batch-replay query per shape; st05/st07 are
     # multi-trigger by design and dominate wall time without adding signal)
     "st01_stream_hourly",
