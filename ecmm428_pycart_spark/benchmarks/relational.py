@@ -2956,3 +2956,55 @@ def st11_python_stream_source(spark, sf_dir):
         time.sleep(0.5)
     q_.stop()
     return spark.table(name)
+
+
+# PYTHON streaming SINK (round 4; Spark 4 DataSourceStreamWriter):
+# the write side of the Python extension point, executed end-to-end —
+# the st11 Python source streams into a Python sink whose tasks write
+# part files and whose DRIVER commit publishes a per-batch manifest;
+# the read-back resolves content through manifests only, so orphan
+# files from failed/retried tasks are invisible (effectively-once
+# without a table format). The oracle restates the generator closed
+# form — any lost/duplicated micro-batch changes counts or sums.
+@q("st12_python_stream_sink", """
+WITH g AS (
+  SELECT i, 'g' || ((i // 125) % 4) AS grp,
+         ((i * 37) % 1000) / 10.0 AS value
+  FROM (SELECT unnest(range(0, 1000)) AS i)
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM g GROUP BY grp
+""")
+def st12_python_stream_sink(spark, sf_dir):
+    import tempfile
+    import time
+
+    from ecmm428_pycart_spark.sources.pysource import (
+        JsonDirSinkDataSource, RangeStreamDataSource, read_json_sink)
+
+    for src in (RangeStreamDataSource, JsonDirSinkDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+    out = tempfile.mkdtemp(prefix="st12_out_")
+    ckpt = tempfile.mkdtemp(prefix="st12_ckpt_")
+    stream = (spark.readStream.format("range_docs_stream")
+              .option("n_rows", 1000).option("batch_rows", 128).load())
+    q_ = (stream.writeStream.format("range_docs_sink")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(processingTime="0 seconds")
+          .start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q_.exception() is not None:
+            raise q_.exception()
+        if read_json_sink(spark, out).count() >= 1000:
+            break
+        time.sleep(0.5)
+    q_.stop()
+    return (read_json_sink(spark, out)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

@@ -127,3 +127,96 @@ class RangeStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return RangeStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python STREAMING SINK (Spark 4 DataSourceStreamWriter): the write
+# side of the same extension point — tasks write part files, the
+# DRIVER commits a per-batch manifest listing exactly the files of
+# that batch's successful tasks. Readers resolve content through the
+# manifests only, so a failed/retried task's orphan file is invisible:
+# effectively-once without a table format (the same discipline as
+# sources/snapshots.py, per micro-batch).
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _PartFileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("range_docs_sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        rows = [row.asDict() for row in iterator]
+        os.makedirs(self.path, exist_ok=True)
+        name = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        with open(name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r, sort_keys=True) + "\n")
+        return _PartFileCommit(path=name, n_rows=len(rows))
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, f"_manifest-{batchId}.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path,
+                                     f"_manifest-{batchId}.json"))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonDirSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "range_docs_sink"
+
+    def schema(self) -> str:          # sink: schema comes from the stream
+        return "id bigint, grp string, value double"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonDirStreamWriter(self.options)
+
+
+def read_json_sink(spark, path):
+    """Batch-read a JsonDirStreamWriter output directory through its
+    manifests: only files listed by a committed batch manifest are
+    read (orphans from failed tasks are ignored)."""
+    import glob
+    import json as _json
+
+    files = []
+    for mp in sorted(glob.glob(f"{path}/_manifest-*.json")):
+        with open(mp) as f:
+            files.extend(_json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame(
+            [], "id bigint, grp string, value double")
+    return spark.read.schema("id bigint, grp string, value double") \
+        .json(files)
