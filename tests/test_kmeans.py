@@ -83,3 +83,30 @@ def test_pq_encode_reconstruction_contract(spark):
     err0 = (pq_reconstruction_error(emb, codes0, cbs0)
             .agg(F.sum("sq_err")).first()[0])
     assert err2 < err0
+
+
+def test_kmeans_grouped_matches_per_group_loop(spark):
+    """kmeans_grouped must be bit-identical to running kmeans per
+    group: same init, same tie-break, same exact means — the property
+    the grouped-PQ refactor relies on."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans, kmeans_grouped
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = (load_table(spark, "/root/testdata/sf0.001", "embeddings")
+           .select("vec_id", F.slice("embedding", 1, 8).alias("embedding")))
+    two = (emb.withColumn("grp", (F.col("vec_id") % 2).cast("int")))
+
+    ga, gc = kmeans_grouped(two, k=4, iterations=2, group_col="grp")
+    for g in (0, 1):
+        sub = two.filter(F.col("grp") == g).drop("grp")
+        a, c = kmeans(sub, k=4, iterations=2)
+        want_assign = {(r["vec_id"], r["cluster"]) for r in a.collect()}
+        got_assign = {(r["vec_id"], r["cluster"]) for r in
+                      ga.filter(F.col("grp") == g).collect()}
+        assert got_assign == want_assign, f"group {g} assignments differ"
+        want_cents = {r["cluster"]: r["centroid"] for r in c.collect()}
+        got_cents = {r["cluster"]: r["centroid"] for r in
+                     gc.filter(F.col("grp") == g).collect()}
+        assert got_cents == want_cents, f"group {g} centroids differ"
