@@ -2404,6 +2404,22 @@ def q71_lone_late_supplier(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numwait")))
 
 
+def _cached_derived_dir(prefix: str, sf_dir: str, source_table: str) -> str:
+    """Deterministic /tmp cache dir for a derived copy of a testdata
+    table, keyed by the SOURCE FILE's identity (path + mtime + size) —
+    regenerated testdata at the same path changes the key, so a stale
+    cache can never be silently reused (review finding r4b)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{source_table}.parquet")
+    st_ = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st_.st_mtime_ns}:{st_.st_size}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
 # Dynamic partition pruning EXECUTED in the gate: the orders fact is
 # written partitioned by o_orderpriority, then joined to a tiny
 # routing dim filtered to the two "hot" priorities. Catalyst inserts a
@@ -2422,21 +2438,16 @@ WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 """)
 def q69_dpp_prune(spark, sf_dir):
-    import hashlib
     import os
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long")
         .alias("price_cents"))
-    # deterministic per-sf path, written ONCE and reused: plan-guard
-    # tests / bench / scale_curve call every registered query
-    # repeatedly, and a fresh mkdtemp per call re-wrote the whole fact
-    # each time and accumulated unbounded /tmp copies (review finding
-    # r4)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"q69_dpp_{tag}")
+    # deterministic per-source path, written ONCE and reused (review
+    # finding r4); keyed by source mtime+size so regenerated testdata
+    # invalidates the cache (review finding r4b)
+    d = _cached_derived_dir("q69_dpp", sf_dir, "orders")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         orders.write.mode("overwrite") \
             .partitionBy("o_orderpriority").parquet(d)
@@ -2821,14 +2832,11 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment
 """)
 def q77_schema_evolution(spark, sf_dir):
-    import hashlib
     import os
-    import tempfile
 
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"q77_evo_{tag}")
+    d = _cached_derived_dir("q77_evo", sf_dir, "customer")
     if not os.path.exists(os.path.join(d, "v2", "_SUCCESS")):
         # v1 batch: even keys, original schema
         (cust.filter(F.col("c_custkey") % 2 == 0)
@@ -2947,12 +2955,17 @@ def st11_python_stream_source(spark, sf_dir):
           .outputMode("complete").trigger(processingTime="0 seconds")
           .start())
     deadline = time.time() + 120
-    while time.time() < deadline:
+    while True:
         if q_.exception() is not None:
             raise q_.exception()
         rows = spark.table(name).collect()
         if rows and sum(r["n"] for r in rows) >= 1000:
             break
+        if time.time() > deadline:
+            q_.stop()
+            raise TimeoutError(
+                "st11: stream drained only "
+                f"{sum(r['n'] for r in rows)}/1000 rows in 120s")
         time.sleep(0.5)
     q_.stop()
     return spark.table(name)
@@ -2996,12 +3009,29 @@ def st12_python_stream_sink(spark, sf_dir):
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(processingTime="0 seconds")
           .start())
+    def committed_rows() -> int:
+        # progress from the manifests' own row counts — plain-Python
+        # file reads, not a Spark job per poll (review finding r4b)
+        import glob
+        import json as _json
+
+        total = 0
+        for mp in glob.glob(f"{out}/_manifest-*.json"):
+            with open(mp) as f:
+                total += _json.load(f)["rows"]
+        return total
+
     deadline = time.time() + 120
-    while time.time() < deadline:
+    while True:
         if q_.exception() is not None:
             raise q_.exception()
-        if read_json_sink(spark, out).count() >= 1000:
+        if committed_rows() >= 1000:
             break
+        if time.time() > deadline:
+            q_.stop()
+            raise TimeoutError(
+                f"st12: sink committed only {committed_rows()}/1000 "
+                "rows in 120s")
         time.sleep(0.5)
     q_.stop()
     return (read_json_sink(spark, out)

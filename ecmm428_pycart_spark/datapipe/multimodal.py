@@ -2128,9 +2128,13 @@ def decode_avi_mjpeg_frames(b: bytes) -> tuple:
             tag = b[i:i + 4]
             (size,) = struct.unpack("<I", b[i + 4:i + 8])
             data_start = i + 8
+            if data_start + size > len(b):
+                raise ValueError("truncated AVI chunk")
             if tag == b"LIST":
                 walk(data_start + 4, data_start + size)
             elif tag == b"avih":
+                if size < 56:
+                    raise ValueError("truncated avih header")
                 vals = struct.unpack("<14I", b[data_start:data_start + 56])
                 meta["n_frames"], meta["w"], meta["h"] = \
                     vals[4], vals[8], vals[9]

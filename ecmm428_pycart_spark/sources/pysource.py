@@ -39,20 +39,26 @@ class RangeDocsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_parts = int(options.get("n_parts", 8))
-        self.grp_filter: str | None = None
+        # ALL pushed grp equalities (the filter list is a conjunction:
+        # claiming one and keeping only the last would return g2 rows
+        # for grp=='g1' AND grp=='g2' — review finding r4b)
+        self.grp_filters: set = set()
 
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("grp",):
-                self.grp_filter = f.value     # fully handled here
+                self.grp_filters.add(f.value)  # fully handled here
             else:
-                yield f                       # let Spark re-apply it
+                yield f                        # let Spark re-apply it
 
     def partitions(self):
+        if len(self.grp_filters) > 1:
+            return []        # conjunction of different equalities: empty
+        want = next(iter(self.grp_filters)) if self.grp_filters else None
         per = (self.n_rows + self.n_parts - 1) // self.n_parts
         parts = []
         for p in range(self.n_parts):
-            if self.grp_filter is not None and f"g{p % 4}" != self.grp_filter:
+            if want is not None and f"g{p % 4}" != want:
                 continue                      # partition pruned
             start = p * per
             end = min(start + per, self.n_rows)
@@ -60,7 +66,12 @@ class RangeDocsReader(DataSourceReader):
                 parts.append(_RangePartition(p, start, end))
         return parts
 
-    def read(self, partition: _RangePartition):
+    def read(self, partition):
+        if partition is None:
+            # Spark substitutes [None] when partitions() returns [] —
+            # an all-pruned (or empty-source) scan must yield no rows,
+            # not crash (review finding r4b)
+            return
         grp = f"g{partition.part_id % 4}"
         for i in range(partition.start, partition.end):
             yield (i, grp, float((i * 37) % 1000) / 10.0)

@@ -487,3 +487,46 @@ def test_python_datasource_prunes_partitions(spark):
     want = sum(1 for i in list(range(125, 250)) + list(range(625, 750))
                if ((i * 37) % 1000) / 10.0 > 50.0)
     assert mixed.count() == want
+
+
+def test_python_datasource_all_pruned_and_conjunction(spark):
+    """Edge cases from review: an all-pruned scan (grp that no
+    partition carries) returns 0 rows rather than crashing on the
+    [None] partition substitute, and a conjunction of two different
+    grp equalities is the empty set, not the last filter's rows."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.sources.pysource import RangeDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(RangeDocsDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("range_docs")
+          .option("n_rows", 1000).option("n_parts", 8).load())
+    assert df.filter(F.col("grp") == "g9").count() == 0
+    assert df.filter((F.col("grp") == "g1")
+                     & (F.col("grp") == "g2")).count() == 0
+
+
+def test_avi_truncation_contract():
+    """Truncated AVI chunks raise ValueError per the decoder contract,
+    not struct.error / IndexError."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        avi_bytes_mjpeg, decode_avi_mjpeg_frames, encode_jpeg_gray)
+
+    avi = avi_bytes_mjpeg(
+        [encode_jpeg_gray(np.full((8, 8), 9, dtype=np.uint8))], 8, 8)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(avi[:40])          # cut mid-avih
+    # corrupt a chunk size field to reach past the buffer
+    i = avi.index(b"00dc")
+    bad = avi[:i + 4] + _s.pack("<I", 10**6) + avi[i + 8:]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(bad)
