@@ -11,9 +11,11 @@ from ecmm428_pycart_spark.geometry.udfs import (
     st_buffer_point,
     st_centroid,
     st_centroid_xy,
+    st_convex_hull,
     st_perimeter,
     st_scale_about_centroid,
     st_shared_border_length,
+    st_simplify_dp,
     st_translate,
     st_vertices,
     st_wkb_to_wkt,
@@ -30,7 +32,8 @@ from ecmm428_pycart_spark.datapipe.similarity import cosine, dot, norm2, sign_bu
 
 __all__ = [
     "st_area", "st_bbox", "st_buffer_point", "st_centroid", "st_centroid_xy",
-    "st_perimeter", "st_scale_about_centroid", "st_shared_border_length",
+    "st_convex_hull", "st_perimeter", "st_scale_about_centroid",
+    "st_shared_border_length", "st_simplify_dp",
     "st_translate", "st_vertices", "st_wkb_to_wkt", "st_wkt_to_wkb",
     "to_int_col", "fingerprint", "token_count", "tokens", "shingle_set",
     "cosine", "dot", "norm2", "sign_bucket",
