@@ -65,6 +65,14 @@ SCALE_SET = [
     "m15_audio_frames",
     "m16_image_dhash",
     "s13_ivf_pq_topk",
+    "q73_set_ops",
+    "q75_observed_metrics",
+    "q76_variant_json",
+    "q77_schema_evolution",
+    "q78_range_frame_window",
+    "m17_gif_pixels",
+    "m18_gif_frame_sample",
+    "m19_mjpeg_avi_frames",
 ]
 
 
