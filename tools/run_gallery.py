@@ -20,7 +20,7 @@ def main():
 
     from ecmm428_pycart_spark import Cartogram, get_spark
     from ecmm428_pycart_spark.geometry import core
-    from ecmm428_pycart_spark.viz import to_svg
+    from ecmm428_pycart_spark.viz import to_png, to_svg
 
     spark = get_spark("gallery")
 
@@ -46,10 +46,13 @@ def main():
     squares = spark.createDataFrame(
         rows, "region_idx long, name string, Population double, geometry binary")
     cart = Cartogram(squares, "Population", "name", idx_field="region_idx")
-    to_svg(cart.non_contiguous(), f"{out_dir}/squares_noncon.svg",
-           label_col="name")
-    to_svg(cart.dorling(iterations=100), f"{out_dir}/squares_dorling.svg",
-           label_col="name")
+    noncon = cart.non_contiguous()
+    dorl = cart.dorling(iterations=100)
+    to_svg(noncon, f"{out_dir}/squares_noncon.svg", label_col="name")
+    to_svg(dorl, f"{out_dir}/squares_dorling.svg", label_col="name")
+    # raster twins in the reference's own output format (main.py:347)
+    to_png(noncon, f"{out_dir}/squares_noncon.png")
+    to_png(dorl, f"{out_dir}/squares_dorling.png")
 
     # 10x10 synthetic grid, both dorling modes
     side = 10
@@ -68,9 +71,10 @@ def main():
            f"{out_dir}/grid_dorling_reference.svg")
     # scalable mode pays ~seconds of fixed distributed-loop cost per
     # iteration at toy sizes; 10 iterations is plenty for the gallery
-    to_svg(gcart.dorling(iterations=10, mode="scalable"),
-           f"{out_dir}/grid_dorling_scalable.svg")
-    print(f"wrote 5 SVGs to {out_dir}")
+    scal = gcart.dorling(iterations=10, mode="scalable")
+    to_svg(scal, f"{out_dir}/grid_dorling_scalable.svg")
+    to_png(scal, f"{out_dir}/grid_dorling_scalable.png")
+    print(f"wrote gallery (5 SVGs + 3 PNGs) to {out_dir}")
 
 
 if __name__ == "__main__":
