@@ -932,3 +932,41 @@ def test_avi_mjpeg_roundtrip():
     bad = avi.replace(b"vidsMJPG", b"vidsH264", 1)
     with pytest.raises(NotImplementedError):
         decode_avi_mjpeg_frames(bad)
+
+
+def test_dhash_neardup_pairs(spark):
+    """Image near-dup pairs over dHash: a perturbed copy pairs with its
+    original at small Hamming distance, a structurally different image
+    does not, and the blocking is banded (no cartesian product)."""
+    import struct as _s
+    import zlib as _z
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        DHASH_H, DHASH_W, _filter_rows, _png_chunk, dhash_neardup_pairs,
+        image_dhash)
+
+    def png_of(fn):
+        rows = [[fn(x, y) for x in range(DHASH_W)] for y in range(DHASH_H)]
+        ihdr = _s.pack(">IIBBBBB", DHASH_W, DHASH_H, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", _z.compress(_filter_rows(rows)))
+                + _png_chunk(b"IEND", b""))
+
+    imgs = [
+        (1, png_of(lambda x, y: (3 * x + 2 * y) % 256)),
+        (2, png_of(lambda x, y: min(255, (3 * x + 2 * y) % 256
+                                    + (2 if x == 5 else 0)))),
+        (3, png_of(lambda x, y: (251 * x + 2 * y) % 256)),
+    ]
+    df = spark.createDataFrame(imgs, "doc_id int, p binary")
+    hashes = df.select("doc_id", image_dhash(F.col("p")).alias("h")) \
+        .select("doc_id", "h.hash_hi", "h.hash_lo")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dhash_neardup_pairs(hashes, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    plan = dhash_neardup_pairs(hashes)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
