@@ -2482,3 +2482,84 @@ def m19_mjpeg_avi_frames(spark, sf_dir):
     return fr.select("doc_id", "width", "height", "n_frames",
                      F.col("f.frame_idx").alias("frame_idx"),
                      F.round("f.mean", 4).alias("mean"))
+
+
+# Exact substring-window dedup REMOVAL (round 4; completes d34): d34
+# measures duplicated windows, d36 performs the Lee-et-al.-style
+# action — every token covered by ANY cross-doc duplicated 8-token
+# window is dropped, and the cleaned text is returned as an md5 (plus
+# kept counts) so the oracle hash-checks the exact surviving token
+# sequence of every document. All native exprs: window hashing is the
+# same md5 reduction as d34, coverage is a sequence-explode + distinct,
+# removal is one anti-join on (doc, position).
+@q("d36_window_dedup_removal", """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS wh
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, GREATEST(len(toks) - 7, 0))) AS i
+        FROM tok)
+),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.i + o.o + 1 AS j
+  FROM win w JOIN dup USING (wh)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+),
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS j
+  FROM tok
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.j
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+  WHERE c.j IS NULL
+)
+SELECT tok.doc_id,
+       CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       k.cleaned_md5
+FROM tok LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY j)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""")
+def d36_window_dedup_removal(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = text.tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("toks"), F.size(t).alias("n"))
+
+    idx = F.when(F.col("n") >= 8, F.sequence(F.lit(1), F.col("n") - 7)) \
+        .otherwise(F.array().cast("array<int>"))
+    win = base.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.struct(
+            i.alias("i"),
+            F.md5(F.concat_ws(" ", F.slice("toks", i, 8))).alias("wh"))))
+        .alias("w")) \
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.wh").alias("wh"))
+    dup = (win.groupBy("wh")
+           .agg(F.count_distinct("doc_id").alias("_nd"))
+           .filter(F.col("_nd") > 1).select("wh"))
+    cov = (win.join(dup, "wh", "left_semi")
+           .select("doc_id",
+                   F.explode(F.sequence(F.col("i"), F.col("i") + 7))
+                   .alias("j"))
+           .distinct())
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("j0", "tok")) \
+        .select("doc_id", (F.col("j0") + 1).alias("j"), "tok")
+    kept = tokpos.join(cov, ["doc_id", "j"], "left_anti")
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.md5(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"]))).alias("cleaned_md5")))
+    return (base.join(agg, "doc_id", "left")
+            .select("doc_id", F.col("n").cast("long").alias("n_tokens"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    "cleaned_md5"))

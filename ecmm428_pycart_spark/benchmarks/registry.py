@@ -83,7 +83,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "g16_simplify_dp", "m18_gif_frame_sample", "m19_mjpeg_avi_frames",
     "q77_schema_evolution", "q78_range_frame_window",
     "q79_python_datasource", "st11_python_stream_source",
-    "st12_python_stream_sink",
+    "st12_python_stream_sink", "d36_window_dedup_removal",
 ]
 
 
