@@ -62,6 +62,7 @@ HEADLINE = [
     "d28_ngram_jaccard",
     "d31_unigram_lm_score",
     "d35_bloom_decontaminate",
+    "d36_window_dedup_removal",
     # similarity
     "s01_cosine_topk",
     "s05_cosine_neardup",
