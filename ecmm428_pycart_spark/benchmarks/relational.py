@@ -3038,3 +3038,54 @@ def st12_python_stream_sink(spark, sf_dir):
             .groupBy("grp")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# Checkpoint recovery EXECUTED under the oracle (round 4): phase 1
+# drains the first half of a time-sliced events backlog into an
+# append-mode parquet sink and STOPS; phase 2 appends the remaining
+# slices and restarts a NEW query from the SAME checkpoint — the file
+# source's committed offsets make it process only the unseen files, so
+# the recovered sink holds every event exactly once. The aggregate
+# over the sink must equal the straight batch scan; a replayed or
+# dropped micro-batch changes counts/sums and hash-mismatches.
+@q("st13_stream_restart_resume", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""")
+def st13_stream_restart_resume(spark, sf_dir):
+    import tempfile
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    ranked = ev.withColumn("_b", F.ntile(6).over(W.orderBy("ts")))
+    slices = [ranked.filter(F.col("_b") == i).drop("_b")
+              for i in range(1, 7)]
+    src = tempfile.mkdtemp(prefix="st13_events_")
+    sink = tempfile.mkdtemp(prefix="st13_sink_")
+    ckpt = tempfile.mkdtemp(prefix="st13_ckpt_")
+
+    def run_to_completion():
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        q_ = (stream.select("event_id", "event_type", "value")
+              .writeStream.format("parquet")
+              .option("path", sink).option("checkpointLocation", ckpt)
+              .outputMode("append").trigger(availableNow=True).start())
+        q_.awaitTermination()
+
+    # phase 1: only the first half of the backlog exists
+    write_time_ordered_stream_dir(slices[:3], src)
+    run_to_completion()
+    # phase 2: later files appear; a FRESH query on the SAME
+    # checkpoint resumes from the committed offsets
+    write_time_ordered_stream_dir(slices[3:], src, start_seq=3)
+    run_to_completion()
+
+    recovered = spark.read.parquet(sink)
+    return (recovered.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

@@ -179,7 +179,8 @@ def read_upsert_state(spark: SparkSession, path: str) -> DataFrame:
             .drop("_rn", "_batch_id"))
 
 
-def write_time_ordered_stream_dir(parts, out_dir: str) -> None:
+def write_time_ordered_stream_dir(parts, out_dir: str,
+                                  start_seq: int = 0) -> None:
     """Materialize DataFrame slices as one parquet file each in
     ``out_dir``, with STRICTLY INCREASING modification times in slice
     order.
@@ -197,7 +198,7 @@ def write_time_ordered_stream_dir(parts, out_dir: str) -> None:
 
     scratch = tempfile.mkdtemp(prefix="stream_slices_")
     base = 1_600_000_000          # any fixed epoch; only ORDER matters
-    for i, part in enumerate(parts):
+    for i, part in enumerate(parts, start=start_seq):
         pdir = os.path.join(scratch, f"p{i}")
         part.coalesce(1).write.mode("overwrite").parquet(pdir)
         src = glob.glob(os.path.join(pdir, "part-*.parquet"))[0]
