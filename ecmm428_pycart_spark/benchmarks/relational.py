@@ -2569,7 +2569,13 @@ def st09_stream_outer_join(spark, sf_dir):
           0.0, None),
          (10**9 + 1, max_ts + datetime.timedelta(hours=200), -1, "error",
           0.0, None)], ev.schema)
-    ranked = ev.withColumn("_b", F.ntile(6).over(W.orderBy("ts")))
+    # event_id tiebreak: equal timestamps must bucket identically in
+    # every slice-write job, or a boundary event could be duplicated /
+    # dropped across slices (module convention; review finding r4c);
+    # localCheckpoint materializes the global sort ONCE for all writes
+    ranked = ev.withColumn(
+        "_b", F.ntile(6).over(W.orderBy("ts", "event_id"))) \
+        .localCheckpoint(eager=True)
     slices = [ranked.filter(F.col("_b") == i).drop("_b")
               for i in range(1, 7)] + [sentinel]
     d = tempfile.mkdtemp(prefix="st09_events_")
@@ -3062,7 +3068,10 @@ def st13_stream_restart_resume(spark, sf_dir):
 
     ev = (_t(spark, sf_dir, "events")
           .withColumn("ts", F.col("ts").cast("timestamp")))
-    ranked = ev.withColumn("_b", F.ntile(6).over(W.orderBy("ts")))
+    # same tiebreak + one-shot materialization discipline as st09
+    ranked = ev.withColumn(
+        "_b", F.ntile(6).over(W.orderBy("ts", "event_id"))) \
+        .localCheckpoint(eager=True)
     slices = [ranked.filter(F.col("_b") == i).drop("_b")
               for i in range(1, 7)]
     src = tempfile.mkdtemp(prefix="st13_events_")

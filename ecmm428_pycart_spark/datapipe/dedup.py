@@ -213,31 +213,60 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select(id_col, acc.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text",
-                          max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-byte band blocking (pigeonhole — any
-    pair within hamming ≤3 of a 32-bit hash shares at least one of 4
-    bytes), then exact hamming via bit_count(xor)."""
-    sh = simhash(df, id_col, text_col)
-    entries = [F.struct(
-        F.lit(b).alias("band"),
-        F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"))
-        for b in range(4)]
-    bands = (sh.select(id_col, "simhash", F.explode(F.array(*entries)).alias("_b"))
-             .select(id_col, "simhash", F.col("_b.band").alias("band"),
+def banded_hamming_pairs(hashes: DataFrame, hash_cols: list,
+                         id_col: str = "doc_id",
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by byte-band blocking over one or more 32-bit
+    hash columns: a pair within hamming <= (n_bytes - 1) must collide
+    in at least one byte band (pigeonhole), so the self-join shuffles
+    on (band, byte) buckets — never all pairs — and survivors get the
+    exact bit_count(xor) Hamming summed across the hash columns.
+
+    The pigeonhole guarantee is a HARD recall bound: asking for
+    max_hamming >= the band count would silently under-report pairs,
+    so it raises instead. Shared by text SimHash and image dHash
+    (one family, two modalities)."""
+    n_bands = 4 * len(hash_cols)
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded blocking with {n_bands} byte bands only guarantees "
+            f"recall for hamming <= {n_bands - 1}, got {max_hamming}")
+    entries = []
+    for ci, col in enumerate(hash_cols):
+        for b in range(4):
+            entries.append(F.struct(
+                F.lit(ci * 4 + b).alias("band"),
+                F.shiftright(col, b * 8).bitwiseAND(F.lit(0xFF))
+                .alias("band_val")))
+    bands = (hashes.select(id_col, *hash_cols,
+                           F.explode(F.array(*entries)).alias("_b"))
+             .select(id_col, *hash_cols, F.col("_b.band").alias("band"),
                      F.col("_b.band_val").alias("band_val")))
-    a = bands.select(F.col(id_col).alias("doc_a"),
-                     F.col("simhash").alias("sh_a"), "band", "band_val")
-    b = bands.select(F.col(id_col).alias("doc_b"),
-                     F.col("simhash").alias("sh_b"), "band", "band_val")
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_val",
+                     *[F.col(c).alias(f"_a_{c}") for c in hash_cols])
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_val",
+                     *[F.col(c).alias(f"_b_{c}") for c in hash_cols])
     cand = (a.join(b, ["band", "band_val"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .drop("band", "band_val").distinct())
+    ham = None
+    for c in hash_cols:
+        piece = F.bit_count(F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}")))
+        ham = piece if ham is None else ham + piece
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band blocking + exact
+    bit_count(xor) hamming (banded_hamming_pairs over the 32-bit
+    fingerprint)."""
+    sh = simhash(df, id_col, text_col)
+    return banded_hamming_pairs(sh, ["simhash"], id_col=id_col,
+                                max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

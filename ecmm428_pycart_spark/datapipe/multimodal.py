@@ -2202,43 +2202,15 @@ def synth_avi_payload(doc_id: pd.Series) -> pd.Series:
     return doc_id.map(lambda i: gen(int(i)))
 
 
-def dhash_neardup_pairs(hashes: "pd.DataFrame", max_hamming: int = 6,
+def dhash_neardup_pairs(hashes, max_hamming: int = 6,
                         id_col: str = "doc_id"):
-    """Image near-duplicate pairs from dHash values: byte-band blocking
-    over the 64-bit hash (pigeonhole — a pair within hamming <= 7
-    collides in at least one of 8 bytes), then exact Hamming via
-    bit_count(xor) on both 32-bit halves. Input is a DataFrame with
-    (id_col, hash_hi, hash_lo) as produced by image_dhash; the shuffle
-    key is the band byte, so candidate volume is bounded by byte-bucket
-    sizes exactly like SimHash text near-dup (dedup.
-    simhash_neardup_pairs) — one family, two modalities."""
-    entries = []
-    for b in range(4):
-        entries.append(F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("hash_lo", b * 8).bitwiseAND(F.lit(0xFF))
-            .alias("band_val")))
-        entries.append(F.struct(
-            F.lit(b + 4).alias("band"),
-            F.shiftright("hash_hi", b * 8).bitwiseAND(F.lit(0xFF))
-            .alias("band_val")))
-    bands = (hashes.select(id_col, "hash_hi", "hash_lo",
-                           F.explode(F.array(*entries)).alias("_b"))
-             .select(id_col, "hash_hi", "hash_lo",
-                     F.col("_b.band").alias("band"),
-                     F.col("_b.band_val").alias("band_val")))
-    a = bands.select(F.col(id_col).alias("doc_a"),
-                     F.col("hash_hi").alias("hi_a"),
-                     F.col("hash_lo").alias("lo_a"), "band", "band_val")
-    b_ = bands.select(F.col(id_col).alias("doc_b"),
-                      F.col("hash_hi").alias("hi_b"),
-                      F.col("hash_lo").alias("lo_b"), "band", "band_val")
-    cand = (a.join(b_, ["band", "band_val"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
-            .distinct())
-    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
-    return (cand.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    """Image near-duplicate pairs from dHash values: byte-band
+    blocking over the two 32-bit halves then exact Hamming — the
+    image-modality face of dedup.banded_hamming_pairs (pigeonhole
+    recall bound: 8 bands cover hamming <= 7; larger thresholds
+    raise there). ``hashes`` is a Spark DataFrame with
+    (id_col, hash_hi, hash_lo) as produced by image_dhash."""
+    from ecmm428_pycart_spark.datapipe.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(hashes, ["hash_hi", "hash_lo"],
+                                id_col=id_col, max_hamming=max_hamming)

@@ -970,3 +970,7 @@ def test_dhash_neardup_pairs(spark):
     plan = dhash_neardup_pairs(hashes)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # the pigeonhole recall bound is enforced, not silently violated
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dhash_neardup_pairs(hashes, max_hamming=8)
