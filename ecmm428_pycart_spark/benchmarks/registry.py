@@ -84,7 +84,7 @@ DEFERRED_TO_NEXT_ROUND = [
     "q77_schema_evolution", "q78_range_frame_window",
     "q79_python_datasource", "st11_python_stream_source",
     "st12_python_stream_sink", "d36_window_dedup_removal",
-    "st13_stream_restart_resume",
+    "st13_stream_restart_resume", "st14_stream_timeout_sessions",
 ]
 
 

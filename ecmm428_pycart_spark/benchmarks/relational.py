@@ -3098,3 +3098,76 @@ def st13_stream_restart_resume(spark, sf_dir):
     return (recovered.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# Custom stateful sessionization with EVENT-TIME TIMEOUTS executed in
+# the gate (round 4; the machinery session_window hides): open
+# sessions live in the state store with a timeout at last_event + gap,
+# in-batch gaps close inline, and each key's FINAL session is closed
+# by the watermark firing its timeout (state.hasTimedOut) — exercised
+# through a time-ordered multi-batch replay with trailing sentinel
+# batches (one to advance the watermark, one for the timeouts to
+# fire; sentinel user -1's own session never times out and is
+# filtered from the batch result). Oracle: the lag-based batch gap
+# sessionization, so a lost timeout (missing final sessions) or a
+# premature close hash-mismatches.
+@q("st14_stream_timeout_sessions", """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_last_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def st14_stream_timeout_sessions(spark, sf_dir):
+    import datetime
+    import tempfile
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, timeout_sessionize,
+        write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def sent(i, hours):
+        return spark.createDataFrame(
+            [(10**9 + i, max_ts + datetime.timedelta(hours=hours), -1,
+              "click", 0.0, None)], ev.schema)
+
+    ranked = ev.withColumn(
+        "_b", F.ntile(4).over(W.orderBy("ts", "event_id"))) \
+        .localCheckpoint(eager=True)
+    slices = [ranked.filter(F.col("_b") == i).drop("_b")
+              for i in range(1, 5)] + [sent(0, 200), sent(1, 201)]
+    d = tempfile.mkdtemp(prefix="st14_events_")
+    write_time_ordered_stream_dir(slices, d)
+
+    stream = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .withWatermark("ts", "1 hour")
+              .select("user_id", "ts", "value"))
+    sessions = timeout_sessionize(stream, gap_minutes=30)
+    name = f"st14_{uuid.uuid4().hex[:8]}"
+    q_ = (sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select("user_id", "session_start_us", "session_last_us",
+                    "n_events", F.round("sum_value", 2).alias("sum_value")))

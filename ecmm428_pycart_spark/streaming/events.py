@@ -206,3 +206,72 @@ def write_time_ordered_stream_dir(parts, out_dir: str,
         shutil.copy(src, dst)
         os.utime(dst, (base + 10 * i, base + 10 * i))
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+_TIMEOUT_SESS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start_us", T.LongType()),
+    T.StructField("session_last_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_TIMEOUT_SESS_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.DoubleType()),
+])
+
+
+def timeout_sessionize(events: DataFrame,
+                       gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUTS (applyInPandasWithState + EventTimeTimeout) —
+    the machinery session_window hides: the open session lives in the
+    state store with a timeout registered at last_event + gap, in-batch
+    gaps close sessions inline, and the final session of a key is
+    closed by the WATERMARK firing the timeout (state.hasTimedOut with
+    no new rows). This is the template for stateful logic the built-in
+    windows can't express (e.g. value-dependent gaps). State is one
+    tuple per open session; emitted rows are closed sessions only."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        closed = []
+        if state.hasTimedOut:
+            closed.append(tuple(state.get))
+            state.remove()
+        else:
+            ts = []
+            vals = []
+            for pdf in pdfs:
+                t = pdf["ts"].astype("datetime64[us]").astype("int64")
+                ts.extend(int(x) for x in t)
+                vals.extend(float(v) for v in pdf["value"].fillna(0.0))
+            order = sorted(range(len(ts)), key=lambda i: ts[i])
+            cur = list(state.get) if state.exists else None
+            for i in order:
+                t, v = ts[i], vals[i]
+                if cur is None:
+                    cur = [t, t, 1, v]
+                elif t - cur[1] <= gap_us:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += v
+                else:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1, v]
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp(cur[1] // 1000
+                                          + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [(key[0], c[0], c[1], c[2], c[3]) for c in closed],
+            columns=["user_id", "session_start_us", "session_last_us",
+                     "n_events", "sum_value"])
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, _TIMEOUT_SESS_OUT, _TIMEOUT_SESS_STATE,
+        "append", "EventTimeTimeout"))
