@@ -85,6 +85,8 @@ DEFERRED_TO_NEXT_ROUND = [
     "q79_python_datasource", "st11_python_stream_source",
     "st12_python_stream_sink", "d36_window_dedup_removal",
     "st13_stream_restart_resume", "st14_stream_timeout_sessions",
+    "q80_small_qty_revenue", "q81_market_share",
+    "q82_disjunctive_revenue", "q83_exists_priority",
 ]
 
 

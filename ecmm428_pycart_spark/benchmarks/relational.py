@@ -3171,3 +3171,214 @@ def st14_stream_timeout_sessions(spark, sf_dir):
             .filter(F.col("user_id") >= 0)
             .select("user_id", "session_start_us", "session_last_us",
                     "n_events", F.round("sum_value", 2).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+# subquery `l_quantity < 0.5 * (SELECT avg(l_quantity) ... same part)`
+# decorrelated the way a 100 TB plan wants it: ONE per-part aggregate
+# over the brand-filtered lineitems (the part filter is applied BEFORE
+# the avg, so the agg side is |parts-of-brand| rows — a fraction the
+# optimizer/AQE can broadcast), then an equi-join back. No window over
+# the fact table, no per-row subquery. Money stays in BIGINT cents
+# until the final division so both engines hash identically.
+# ---------------------------------------------------------------------------
+@q("q80_small_qty_revenue", """
+WITH pl AS (
+  SELECT l_partkey, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand IN ('Brand#13', 'Brand#42')
+),
+pavg AS (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+  FROM pl GROUP BY l_partkey
+)
+SELECT round(CAST(sum(cents) AS BIGINT) / 700.0, 2) AS avg_yearly
+FROM pl JOIN pavg ON l_partkey = a_partkey
+WHERE l_quantity < 0.5 * avg_qty
+""")
+def q80_small_qty_revenue(spark, sf_dir):
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand").isin("Brand#13", "Brand#42"))
+            .select("p_partkey"))
+    pl = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity",
+                  F.round(F.col("l_extendedprice") * 100)
+                  .cast("long").alias("cents"))
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "cents"))
+    pavg = (pl.groupBy("l_partkey")
+            .agg(F.avg("l_quantity").alias("avg_qty"))
+            .withColumnRenamed("l_partkey", "a_partkey"))
+    # pavg is |parts-of-brand| rows; left unhinted so AQE broadcasts it
+    # while it fits and degrades to a shuffle join when it no longer does.
+    small = (pl.join(pavg, F.col("l_partkey") == F.col("a_partkey"))
+             .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")))
+    return small.agg(
+        F.round(F.sum("cents") / 700.0, 2).alias("avg_yearly"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): share of NATION_7-supplied
+# revenue within the ASIA customer market, per order year. The market
+# filter (customer -> nation -> region = ASIA) reduces customers to one
+# region BEFORE the orders join; supplier nation is a broadcast dim
+# lookup; the share is a conditional-sum / sum over one groupBy — no
+# second pass, no self-join. Revenue in BIGINT cents; the final share
+# divides two BIGINTs in double, identical across engines.
+# ---------------------------------------------------------------------------
+@q("q81_market_share", """
+WITH mkt_cust AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+vol AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
+           AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN mkt_cust ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents
+                           ELSE 0 END) AS BIGINT)
+             / CAST(sum(cents) AS BIGINT)::DOUBLE, 6) AS mkt_share
+FROM vol GROUP BY o_year
+""")
+def q81_market_share(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                                "n_regionkey")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    mkt_cust = (_t(spark, sf_dir, "customer")
+                .select("c_custkey", "c_nationkey")
+                .join(F.broadcast(nation.select("n_nationkey",
+                                                "n_regionkey")),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(region),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").alias("o_year")))
+    # customer set is region-filtered (1/5 of an already-small dim);
+    # unhinted so AQE keeps it broadcast while it fits.
+    orders = (orders.join(mkt_cust,
+                          F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "o_year"))
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "supp_nation"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("cents")))
+    vol = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")))
+    share = (F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                          F.col("cents")).otherwise(F.lit(0)))
+             / F.sum("cents"))
+    return (vol.groupBy("o_year")
+            .agg(F.round(share, 6).alias("mkt_share")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (disjunctive predicate revenue): OR-of-AND branches
+# spanning both join sides. The Spark plan applies the classic Q19
+# rewrite by hand: the UNION of the part-side branch predicates
+# (brand IN (...) AND size <= 15) goes INTO the part scan — so the
+# build side is pre-shrunk and the parquet scan reads only matching
+# row groups — while the exact cross-table disjunction runs once after
+# the join. At 100 TB the difference is scanning 3 brands' parts
+# instead of all parts.
+# ---------------------------------------------------------------------------
+@q("q82_disjunctive_revenue", """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q82_disjunctive_revenue(spark, sf_dir):
+    part = (_t(spark, sf_dir, "part")
+            # union of the branch part-predicates, pushed to the scan
+            .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+                    & (F.col("p_size") >= 1) & (F.col("p_size") <= 15))
+            .select("p_partkey", "p_brand", "p_size"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("cents")))
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    qt = F.col("l_quantity")
+    branch = (
+        ((b == "Brand#12") & s.between(1, 5) & qt.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & qt.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & qt.between(20, 30)))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .filter(branch)
+            .agg(F.round(F.sum("cents") / 100.0, 2).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (order priority checking): COUNT of orders per
+# priority where EXISTS a matching lineitem — adapted to this schema
+# (no commit/receipt dates): the existence predicate is "some line of
+# the order was returned" (l_returnflag = 'R'). The EXISTS compiles to
+# a LEFT SEMI join on the order key: the lineitem side is reduced to
+# DISTINCT matching keys map-side, never materializing the multi-match
+# blowup a plain inner join + distinct would shuffle.
+# ---------------------------------------------------------------------------
+@q("q83_exists_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q83_exists_priority(spark, sf_dir):
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1996-10-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_orderpriority"))
+    returned = (_t(spark, sf_dir, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (semi_join(orders, returned, "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
