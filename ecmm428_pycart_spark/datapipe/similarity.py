@@ -444,3 +444,71 @@ def ivf_pq_topk(df: DataFrame, query: DataFrame, k: int = 20,
     return pq_adc_topk(cand, query, k=k, m=m, k_codes=k_codes,
                        shortlist=shortlist, id_col=id_col,
                        vec_col=vec_col)
+
+
+def semdedup(df: DataFrame, k: int = 8, iterations: int = 3,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering + within-cluster cosine pruning.
+
+    Matches the paper's published algorithm: cluster the embeddings,
+    rank each cluster's members by cosine similarity TO THE CENTROID
+    ascending (the paper keeps the example least like the centroid —
+    the most "extreme" representative), and prune any example whose
+    upper-triangular pairwise cosine against an EARLIER-ranked member
+    reaches the threshold — regardless of whether that earlier member
+    was itself pruned (exactly the paper's max-over-upper-triangle
+    rule, not connected components).
+
+    Deterministic for oracle/golden use: k-means is the deterministic
+    exterior loop (datapipe.kmeans), ranks order on the ROUNDED
+    centroid cosine with id tiebreak, and the prune test uses the
+    rounded pairwise cosine (convention shared with
+    cosine_neardup_pairs).
+
+    Scale shape (the reason SemDeDup beats all-pairs at 100 TB): the
+    only self-join is blocked on `cluster`, so pairwise work is
+    sum(c_i^2) not n^2 — pick k ~ n/target so cluster sizes stay
+    bounded (the paper uses 50k clusters for LAION-440M); the join key
+    is the shuffle key, centroids broadcast, and the final keep test
+    is a broadcast-able anti-join on bare ids.
+
+    Returns (id, cluster, cent_cos, keep) — `keep == False` rows are
+    the semantic duplicates to drop.
+    """
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+
+    assigned, centroids = kmeans(df, k=k, iterations=iterations,
+                                 id_col=id_col, vec_col=vec_col)
+    # assignments carry (id, cluster) only — join the vectors back
+    assigned = assigned.select(id_col, "cluster").join(
+        df.select(id_col, vec_col), id_col)
+    cent = centroids.select("cluster", "centroid")
+    ranked = (assigned.join(F.broadcast(cent), "cluster")
+              .withColumn("cent_cos",
+                          F.round(cosine(F.col(vec_col),
+                                         F.col("centroid")), 6))
+              .withColumn("rk", F.row_number().over(
+                  W.partitionBy("cluster")
+                  .orderBy(F.col("cent_cos").asc(), F.col(id_col).asc())))
+              .select(id_col, vec_col, "cluster", "cent_cos", "rk"))
+    a = ranked.select(F.col(id_col).alias("_ida"),
+                      F.col(vec_col).alias("_ea"),
+                      "cluster", F.col("rk").alias("_rka"))
+    b = ranked.select(F.col(id_col).alias("_idb"),
+                      F.col(vec_col).alias("_eb"),
+                      "cluster", F.col("rk").alias("_rkb"))
+    pruned = (a.join(b, "cluster")
+              .filter(F.col("_rka") < F.col("_rkb"))
+              .withColumn("_cos",
+                          F.round(cosine(F.col("_ea"), F.col("_eb")), 6))
+              .filter(F.col("_cos") >= threshold)
+              .select(F.col("_idb").alias(id_col))
+              .distinct())
+    return (ranked.select(id_col, "cluster", "cent_cos")
+            .join(pruned.withColumn("_p", F.lit(True)), id_col, "left")
+            .withColumn("keep", F.col("_p").isNull())
+            .drop("_p"))

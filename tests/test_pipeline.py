@@ -974,3 +974,62 @@ def test_dhash_neardup_pairs(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         dhash_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_semdedup_matches_paper_rule(spark):
+    """semdedup's keep set must equal a brute-force numpy replay of the
+    paper's algorithm (rank by centroid-cos asc, prune on any earlier-
+    ranked pairwise cos >= tau) on the SAME deterministic k-means
+    assignment — verified end-to-end on the real embeddings table."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    from ecmm428_pycart_spark.datapipe.similarity import semdedup
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # max pairwise cosine on this table is ~0.479, p99 ~0.287 — 0.3
+    # prunes a real but proper subset
+    tau = 0.3
+    out = semdedup(emb, k=4, iterations=2, threshold=tau)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()
+
+    assigned, cents = kmeans(emb, k=4, iterations=2)
+    adf = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    cmap = {r["cluster"]: np.array(r["centroid"]) for r in cents.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expect_keep = {}
+    for cl in set(adf.values()):
+        members = sorted((vid for vid, c in adf.items() if c == cl),
+                         key=lambda v: (cos(vecs[v], cmap[cl]), v))
+        for i, vid in enumerate(members):
+            dup = any(cos(vecs[vid], vecs[e]) >= tau for e in members[:i])
+            expect_keep[vid] = not dup
+            assert rows[vid]["cluster"] == cl
+
+    mismatches = {v: (rows[v]["keep"], expect_keep[v])
+                  for v in vecs if rows[v]["keep"] != expect_keep[v]}
+    assert not mismatches, f"keep-flag divergence: {mismatches}"
+    # the pruning must actually bite at this threshold on this data
+    n_pruned = sum(1 for v in rows.values() if not v["keep"])
+    assert 0 < n_pruned < len(rows)
+
+
+def test_semdedup_threshold_extremes(spark):
+    """tau > 1 keeps everything; tau <= -1 keeps exactly the rank-1
+    member of each cluster (every pair qualifies as a duplicate)."""
+    from ecmm428_pycart_spark.datapipe.similarity import semdedup
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    all_keep = semdedup(emb, k=4, iterations=1, threshold=1.01)
+    assert all_keep.filter("NOT keep").count() == 0
+    one_per = semdedup(emb, k=4, iterations=1, threshold=-1.0)
+    kept = one_per.filter("keep")
+    assert kept.count() == kept.select("cluster").distinct().count()
