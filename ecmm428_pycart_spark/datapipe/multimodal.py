@@ -2214,3 +2214,75 @@ def dhash_neardup_pairs(hashes, max_hamming: int = 6,
 
     return banded_hamming_pairs(hashes, ["hash_hi", "hash_lo"],
                                 id_col=id_col, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain audio features (round 4): a REAL numpy rfft over
+# REAL decoded PCM — the spectral sibling of the time-domain
+# wav_frame_features. The square-wave fixture is built so every output
+# has an exact closed form: the wave has c = 2^(id%5) full cycles in
+# exactly N=64 samples, so the spectral peak sits on bin c, the DC bin
+# is exactly 0 (balanced wave), and Parseval's theorem pins the
+# spectrum's total energy to sum(x^2) = N*A^2 — an end-to-end identity
+# check on the whole decode->FFT chain, stated by the oracle in plain
+# integer arithmetic.
+# ---------------------------------------------------------------------------
+
+SPECTRUM_N = 64
+
+_SPECTRUM = T.StructType([
+    T.StructField("n_fft", T.IntegerType()),
+    T.StructField("peak_bin", T.IntegerType()),
+    T.StructField("dc_mag", T.DoubleType()),
+    T.StructField("spec_energy", T.DoubleType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_square_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic square-wave WAV per doc: mono 16-bit PCM, N=64
+    samples, c = 2^(id%5) in {1,2,4,8,16} full cycles (half-period
+    h = 32/c divides N exactly), amplitude A = id%100+1. Closed forms:
+    peak_bin = c, dc_mag = 0, spectral energy (Parseval/N) = 64*A^2."""
+    def gen(i: int) -> bytes:
+        amp = i % 100 + 1
+        c = 1 << (i % 5)
+        h = 32 // c
+        samples = [amp if (j // h) % 2 == 0 else -amp
+                   for j in range(SPECTRUM_N)]
+        return wav_bytes_pcm(1, 8000, samples, 16)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_SPECTRUM)
+def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
+    """numpy rfft over channel 0: (n_fft, argmax magnitude bin
+    excluding DC, DC magnitude, Parseval energy sum|X|^2 / N over the
+    full symmetric spectrum). Ties on the peak break toward the lowest
+    bin (np.argmax), but the fixture family never ties: the square
+    wave's fundamental dominates every harmonic, and rounding noise
+    sits ~1e-8 below it."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        n = s.shape[0]
+        if n == 0:
+            rows.append((0, None, None, None))
+            continue
+        X = np.fft.rfft(s)
+        mag = np.abs(X)
+        # full-spectrum Parseval sum: interior rfft bins count twice
+        full = mag ** 2
+        w = np.full(full.shape, 2.0)
+        w[0] = 1.0
+        if n % 2 == 0:
+            w[-1] = 1.0
+        energy = float((full * w).sum() / n)
+        peak = int(np.argmax(mag[1:]) + 1) if mag.shape[0] > 1 else 0
+        rows.append((int(n), peak, float(mag[0]), energy))
+    return pd.DataFrame(rows,
+                        columns=["n_fft", "peak_bin", "dc_mag",
+                                 "spec_energy"])

@@ -1033,3 +1033,44 @@ def test_semdedup_threshold_extremes(spark):
     one_per = semdedup(emb, k=4, iterations=1, threshold=-1.0)
     kept = one_per.filter("keep")
     assert kept.count() == kept.select("cluster").distinct().count()
+
+
+def test_wav_spectrum_closed_forms(spark):
+    """decode->rfft chain against the fixture's exact closed forms:
+    peak_bin recovers the cycle count c = 2^(id%5) for every c,
+    dc_mag is 0, and Parseval energy equals 64*A^2 exactly at 4dp."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    out = (ids
+           .withColumn("payload", mm.synth_wav_square_payload("doc_id"))
+           .withColumn("s", mm.wav_spectrum_stats("payload"))
+           .select("doc_id", "s.n_fft", "s.peak_bin",
+                   F.round("s.dc_mag", 4).alias("dc_mag"),
+                   F.round("s.spec_energy", 4).alias("spec_energy"))
+           .collect())
+    assert len(out) == 40
+    seen_c = set()
+    for r in out:
+        i = r["doc_id"]
+        amp = i % 100 + 1
+        c = 1 << (i % 5)
+        seen_c.add(c)
+        assert r["n_fft"] == 64
+        assert r["peak_bin"] == c, (i, r["peak_bin"], c)
+        assert r["dc_mag"] == 0.0
+        assert r["spec_energy"] == float(64 * amp * amp)
+    assert seen_c == {1, 2, 4, 8, 16}
+
+
+def test_wav_spectrum_null_and_empty():
+    """Totality: null payload -> null row fields (no task kill)."""
+    import pandas as pd
+
+    from ecmm428_pycart_spark.datapipe.multimodal import wav_spectrum_stats
+
+    fn = wav_spectrum_stats.func
+    res = fn(pd.Series([None]))
+    assert res.iloc[0].isna().all()
