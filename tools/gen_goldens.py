@@ -77,6 +77,31 @@ def main():
                          for sub, c, nv in rows) + ",")
     print()
 
+    # s14 (round-5 registration): per-cluster SemDeDup keep/prune
+    # counts, fingerprint-dispatched like k01. The query body will be
+    # semdedup(emb, k=4, iterations=3, threshold=0.3) -> groupBy
+    # cluster agg(count, sum(keep)).
+    print("# s14_semdedup golden (n, s, cluster, n_vectors, n_kept):")
+    from ecmm428_pycart_spark.datapipe.similarity import semdedup
+    from ecmm428_pycart_spark.session import load_table
+    from pyspark.sql import functions as F
+    for sf in SFS:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{BASE}{sf}/embeddings.parquet'")
+        n, s = con.execute(
+            "SELECT count(*), round(sum(embedding[1])::DOUBLE, 4) "
+            "FROM embeddings").fetchone()
+        emb = load_table(spark, BASE + sf, "embeddings")
+        out = (semdedup(emb, k=4, iterations=3, threshold=0.3)
+               .groupBy("cluster")
+               .agg(F.count(F.lit(1)).alias("n_vectors"),
+                    F.sum(F.col("keep").cast("long")).alias("n_kept")))
+        rows = sorted(map(tuple, out.collect()))
+        print(",\n".join(f"({n}, {s!r}, {c}, {nv}, {nk})"
+                         for c, nv, nk in rows) + ",")
+    print()
+
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
         print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
         seen = set()
