@@ -2267,7 +2267,14 @@ def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
         if buf is None:
             rows.append((None, None, None, None))
             continue
-        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        try:
+            s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        except (ValueError, NotImplementedError, struct.error,
+                IndexError):
+            # corrupt/non-WAV payload degrades to a null row, never a
+            # task kill (decode-totality contract)
+            rows.append((None, None, None, None))
+            continue
         n = s.shape[0]
         if n == 0:
             rows.append((0, None, None, None))

@@ -1066,11 +1066,14 @@ def test_wav_spectrum_closed_forms(spark):
 
 
 def test_wav_spectrum_null_and_empty():
-    """Totality: null payload -> null row fields (no task kill)."""
+    """Totality: null AND corrupt payloads -> null row fields (no
+    task kill), matching the decode-totality contract of the other
+    multimodal kernels."""
     import pandas as pd
 
     from ecmm428_pycart_spark.datapipe.multimodal import wav_spectrum_stats
 
     fn = wav_spectrum_stats.func
-    res = fn(pd.Series([None]))
-    assert res.iloc[0].isna().all()
+    res = fn(pd.Series([None, b"not a wav at all",
+                        b"RIFF\x04\x00\x00\x00WAVE"]))
+    assert res.isna().all().all()
