@@ -265,8 +265,15 @@ def timeout_sessionize(events: DataFrame,
                     cur = [t, t, 1, v]
             if cur is not None:
                 state.update(tuple(cur))
-                state.setTimeoutTimestamp(cur[1] // 1000
-                                          + gap_minutes * 60 * 1000)
+                # last_event + gap, clamped above the current watermark:
+                # a session fed by an admitted-but-late event can have
+                # last_event + gap <= watermark, and registering a
+                # timeout at or below the watermark is an error that
+                # kills the query. Clamping fires the timeout on the
+                # next batch instead — same emission, no crash.
+                timeout_ms = cur[1] // 1000 + gap_minutes * 60 * 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield pd.DataFrame(
             [(key[0], c[0], c[1], c[2], c[3]) for c in closed],
             columns=["user_id", "session_start_us", "session_last_us",
