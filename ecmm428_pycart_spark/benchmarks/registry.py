@@ -67,11 +67,15 @@ DRIVER_WINDOW = [
 # ROUND-5 RECIPE (mechanical): set
 #   DRIVER_WINDOW = ["q01_pricing_summary", "g04_dorling_positions",
 #                    *DEFERRED_TO_NEXT_ROUND]   # exactly 50 entries
-# and start a fresh DEFERRED list with round-5 additions (e.g. the
-# queued s14_semdedup golden — tools/gen_goldens.py already emits it —
-# and an m20 spectral-audio query over wav_spectrum_stats). Two
-# sentinels, not three: see tests/test_gate_coverage.py
-# NEXT_ROUND_SENTINELS for the budget arithmetic.
+# AND, in tests/test_gate_coverage.py, set
+#   SENTINELS = NEXT_ROUND_SENTINELS            # drops g02 from the
+#                                               # ride-along contract
+# (test_window_keeps_sentinels otherwise still demands g02 in the
+# window). Then start a fresh DEFERRED list with round-5 additions
+# (e.g. the queued s14_semdedup golden — tools/gen_goldens.py already
+# emits it — and an m20 spectral-audio query over wav_spectrum_stats).
+# Two sentinels, not three: see NEXT_ROUND_SENTINELS for the budget
+# arithmetic.
 # All are verify_oracle-green locally; tests/test_gate_coverage.py
 # fails if any registered query is neither historically checked, in
 # the current window, nor in this list.

@@ -3244,12 +3244,12 @@ vol AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
            AS cents,
-         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
-           AS supp_nation
+         sn.n_name AS supp_nation
   FROM lineitem
   JOIN orders   ON o_orderkey = l_orderkey
   JOIN mkt_cust ON c_custkey = o_custkey
   JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
   JOIN part     ON p_partkey = l_partkey
   WHERE p_type = 'PROMO'
     AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

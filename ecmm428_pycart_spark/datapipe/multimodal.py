@@ -2288,7 +2288,9 @@ def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
         if n % 2 == 0:
             w[-1] = 1.0
         energy = float((full * w).sum() / n)
-        peak = int(np.argmax(mag[1:]) + 1) if mag.shape[0] > 1 else 0
+        # a 1-sample clip has only the DC bin — "no peak" is None, the
+        # same convention as the n == 0 row, never bin 0
+        peak = int(np.argmax(mag[1:]) + 1) if mag.shape[0] > 1 else None
         rows.append((int(n), peak, float(mag[0]), energy))
     return pd.DataFrame(rows,
                         columns=["n_fft", "peak_bin", "dc_mag",

@@ -494,7 +494,12 @@ def semdedup(df: DataFrame, k: int = 8, iterations: int = 3,
               .withColumn("rk", F.row_number().over(
                   W.partitionBy("cluster")
                   .orderBy(F.col("cent_cos").asc(), F.col(id_col).asc())))
-              .select(id_col, vec_col, "cluster", "cent_cos", "rk"))
+              .select(id_col, vec_col, "cluster", "cent_cos", "rk")
+              # ranked feeds BOTH sides of the pairwise join and the
+              # final keep join; without this the cluster-sort +
+              # row_number re-executes three times per action (the same
+              # pattern kmeans checkpoints for)
+              .localCheckpoint(eager=True))
     a = ranked.select(F.col(id_col).alias("_ida"),
                       F.col(vec_col).alias("_ea"),
                       "cluster", F.col("rk").alias("_rka"))

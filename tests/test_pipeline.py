@@ -1077,3 +1077,17 @@ def test_wav_spectrum_null_and_empty():
     res = fn(pd.Series([None, b"not a wav at all",
                         b"RIFF\x04\x00\x00\x00WAVE"]))
     assert res.isna().all().all()
+
+    # a structurally valid WAV with a zero-length data chunk takes the
+    # distinct n == 0 branch: n_fft 0, no peak/dc/energy
+    from ecmm428_pycart_spark.datapipe.multimodal import wav_bytes_pcm
+    empty = fn(pd.Series([wav_bytes_pcm(1, 8000, [], 16)])).iloc[0]
+    assert empty["n_fft"] == 0
+    assert empty[["peak_bin", "dc_mag", "spec_energy"]].isna().all()
+
+    # a 1-sample clip has only the DC bin — peak_bin is None (the "no
+    # peak" convention), never 0
+    one = fn(pd.Series([wav_bytes_pcm(1, 8000, [5], 16)])).iloc[0]
+    assert one["n_fft"] == 1
+    assert one["peak_bin"] is None
+    assert one["dc_mag"] == 5.0
