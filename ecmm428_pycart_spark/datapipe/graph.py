@@ -1,0 +1,98 @@
+"""Reusable distributed graph primitives (k-core peeling).
+
+The contiguity-graph queries already cover connected components
+(datapipe/components.py — min-label propagation with pointer jumping),
+PageRank (g10) and triangle counting (g11) inline; this module holds
+the reusable pieces that more than one caller needs, starting with
+k-core decomposition — the standard "dense enough to matter" filter a
+graph-shaped corpus pass runs before expensive per-community work
+(spam rings in link graphs, dense duplicate clusters in near-dup
+graphs).
+
+Edge convention matches ``operators.borders.get_borders``: UNDIRECTED
+graphs are materialized with each edge in BOTH directions
+(focal→neighbor and neighbor→focal), so out-degree == degree and every
+per-node aggregate is one groupBy on the source column.
+
+Execution shape (same L3 driver-loop discipline as kmeans / dorling /
+components): each peel round is one degree aggregate + two semi-joins,
+``localCheckpoint`` keeps the plan O(1) across rounds, and the only
+driver value per round is the surviving-edge count (the convergence
+probe). Rounds are bounded by the peeling depth, which for planar /
+bounded-degree graphs is small; the 1000-executor story is the same as
+components.py — narrow shuffles on the node id, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 100) -> DataFrame:
+    """Nodes of the k-core: the maximal induced subgraph where every
+    node has degree >= k.
+
+    ``edges`` must carry each undirected edge in both directions (the
+    get_borders convention). Returns a 1-column DataFrame ``node`` —
+    deterministic (pure set semantics, no tie-breaks needed).
+
+    Isolated nodes (present in the node set but with no surviving
+    edges) are by definition not in any k-core for k >= 1; callers
+    wanting k=0 semantics should union the full node set themselves.
+    """
+    if k < 1:
+        raise ValueError("k_core requires k >= 1")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("src"))
+        e2 = (e.join(keep, "src", "left_semi")
+              .join(keep.withColumnRenamed("src", "dst"), "dst",
+                    "left_semi")
+              .localCheckpoint(eager=True))
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:      # fixed point: nobody was peeled
+            break
+        n_edges = n2
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} "
+                           "rounds")
+    return e.select(F.col("src").alias("node")).distinct()
+
+
+def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 k_max: int = 16) -> DataFrame:
+    """Core number per node: the largest k such that the node belongs
+    to the k-core (0 for isolated nodes never seen in an edge — such
+    nodes don't appear in ``edges`` and therefore not in the output).
+
+    Successive peels for k = 1..k_max; a node's core number is the
+    last k whose core contained it. Cost is sum of the peel depths —
+    for the planar contiguity graphs this engine builds, k_max is
+    small (a grid's core number is <= 4 with queen adjacency <= 8).
+    Raises if the (k_max)-core is still non-empty, rather than
+    silently truncating the decomposition.
+    """
+    result = None
+    for k in range(1, k_max + 1):
+        core = k_core(edges, k, src=src, dst=dst)
+        labeled = core.select("node", F.lit(k).alias("core"))
+        if core.isEmpty():
+            # decomposition complete; empty-edges input returns the
+            # empty (node, core) frame
+            return labeled if result is None else result
+        if result is None:
+            result = labeled
+        else:
+            # later peels overwrite: keep the max k that contained it
+            result = (result.unionByName(labeled)
+                      .groupBy("node").agg(F.max("core").alias("core")))
+    raise ValueError(f"graph has a non-empty {k_max}-core; raise "
+                     "k_max to decompose it fully")

@@ -1091,3 +1091,69 @@ def test_wav_spectrum_null_and_empty():
     assert one["n_fft"] == 1
     assert one["peak_bin"] is None
     assert one["dc_mag"] == 5.0
+
+
+def _undirected_both(spark, pairs):
+    from pyspark.sql import functions as F
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_k_core_known_graph(spark):
+    """Hand-built graph with known cores: K4 clique {0,1,2,3} (core 3),
+    a triangle {4,5,6} bridged to it (core 2), and a pendant chain
+    7-8-9 (core 1)."""
+    from ecmm428_pycart_spark.datapipe.graph import core_numbers, k_core
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),   # K4
+             (4, 5), (4, 6), (5, 6),                            # triangle
+             (3, 4),                                            # bridge
+             (6, 7), (7, 8), (8, 9)]                            # chain
+    e = _undirected_both(spark, pairs)
+
+    assert {r["node"] for r in k_core(e, 3).collect()} == {0, 1, 2, 3}
+    assert {r["node"] for r in k_core(e, 2).collect()} == \
+        {0, 1, 2, 3, 4, 5, 6}
+    assert {r["node"] for r in k_core(e, 1).collect()} == set(range(10))
+    assert k_core(e, 4).isEmpty()
+
+    cores = {r["node"]: r["core"] for r in core_numbers(e).collect()}
+    assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 6: 2,
+                     7: 1, 8: 1, 9: 1}
+
+
+def test_k_core_matches_bruteforce_on_borders_graph(spark):
+    """core_numbers on the real queen-contiguity graph must equal a
+    pure-Python peel replay; every k-core member must keep degree >= k
+    inside the induced subgraph (the defining property)."""
+    from ecmm428_pycart_spark.datapipe.graph import core_numbers
+    from ecmm428_pycart_spark.operators.borders import get_borders
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+
+    grid = _customer_grid(spark, "/root/testdata/sf0.001").drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    got = {r["node"]: r["core"] for r in core_numbers(e).collect()}
+
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    expect = {}
+    k = 1
+    alive = {n for n, nb in adj.items() if nb}
+    while alive:
+        cur = set(alive)
+        while True:
+            drop = {n for n in cur
+                    if len(adj[n] & cur) < k}
+            if not drop:
+                break
+            cur -= drop
+        for n in cur:
+            expect[n] = k
+        alive = cur
+        k += 1
+        assert k < 20
+    assert got == expect
