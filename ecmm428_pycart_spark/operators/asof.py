@@ -12,6 +12,12 @@ stream, which AQE partitions by key.
 Determinism requires the right side to be unique per (key, ts) — callers
 aggregate duplicates first (otherwise *any* engine's as-of pick is
 ambiguous).
+
+Null semantics: a right row whose value column is NULL does not
+overwrite — ``last(..., ignorenulls=True)`` skips it and the carry
+falls back to the previous non-null right value (pandas ``merge_asof``
+would carry the null). Callers that need null-overwrite semantics
+should sentinel-encode nulls before the join and decode after.
 """
 
 from __future__ import annotations
