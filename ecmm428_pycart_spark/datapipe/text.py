@@ -143,3 +143,67 @@ def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
         F.floor((running - F.col("_n")) / budget).alias("pack_id"),
         F.col("_n").alias("n_tokens"),
         (running - F.col("_n")).alias("pack_offset"))
+
+
+def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    alpha: float = 0.4) -> DataFrame:
+    """Per-document Stupid Backoff bigram LM score (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the LM-quality
+    signal designed FOR distributed counting at web scale, and the
+    bigram upgrade over the unigram scorer of d31:
+
+        S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count-as-context(w_{i-1})
+                           if the bigram was seen, else
+                           alpha * count(w_i) / total_tokens
+
+    score(doc) = avg over the doc's bigram positions of ln S, rounded
+    to 6 (libm parity convention). Documents with < 2 tokens score
+    NULL (no bigram positions).
+
+    All counting is native groupBys over an exploded bigram stream the
+    `transform(sequence(...))` expression builds WITHOUT a window or
+    self-join; the denominator is the count-as-context (bigrams
+    starting with w), not the raw unigram count, so rows ending a
+    document don't deflate their final token's context.
+
+    Scale shape: the bigram-count table is vocabulary², far past
+    broadcast range at corpus scale — the score join shuffles on the
+    (w1, w2) key (plain hash join); unigram/context tables shuffle on
+    w. One pass builds all three tables from the same exploded stream.
+    """
+    t = tokens(F.col(text_col))
+    # size < 2 must yield an EMPTY array: sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark (step defaults to -1), which indexes
+    # out of bounds on a 1-token doc
+    bigram_expr = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> struct(split({text_col}, ' ')[i-1] AS w1, "
+        f"split({text_col}, ' ')[i] AS w2)) "
+        f"ELSE array() END")
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(bigram_expr)).alias("bg")) \
+        .select(id_col, F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+    uni = (df.select(F.explode(t).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    total = uni.agg(F.sum("cu").alias("total"))
+    bg_counts = (bigrams.groupBy("w1", "w2")
+                 .agg(F.count(F.lit(1)).alias("cb")))
+    ctx = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    score = F.when(
+        F.col("cb").isNotNull(),
+        F.col("cb").cast("double") / F.col("cc"),
+    ).otherwise(F.lit(alpha) * F.col("cu").cast("double") / F.col("total"))
+    scored = (bigrams
+              .join(bg_counts, ["w1", "w2"], "left")
+              .join(ctx, "w1", "left")
+              .join(uni.select(F.col("w").alias("w2"), "cu"), "w2", "left")
+              .crossJoin(F.broadcast(total))
+              .groupBy(id_col)
+              .agg(F.round(F.avg(F.log(score)), 6).alias("lm_bigram")))
+    # keep < 2-token documents as NULL-score rows rather than dropping
+    # them — a scorer that silently loses rows breaks downstream joins
+    return df.select(id_col).join(scored, id_col, "left")

@@ -1157,3 +1157,72 @@ def test_k_core_matches_bruteforce_on_borders_graph(spark):
         k += 1
         assert k < 20
     assert got == expect
+
+
+def test_bigram_lm_score_matches_python_replay(spark):
+    """Stupid Backoff scores must equal a pure-Python replay (same
+    count tables, same rule) over a real 40-doc corpus. Note: scoring
+    a corpus against its own counts can never hit the backoff branch
+    (every bigram is by definition seen), so the branch arithmetic is
+    pinned separately in test_bigram_lm_backoff_branch."""
+    import math
+
+    from ecmm428_pycart_spark.datapipe.text import bigram_lm_score
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(40).select("doc_id", "text"))
+    got = {r["doc_id"]: r["lm_bigram"]
+           for r in bigram_lm_score(docs).collect()}
+
+    rows = docs.collect()
+    uni, bg = {}, {}
+    for r in rows:
+        ws = r["text"].split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    ctx = {}
+    for (a, _b), c in bg.items():
+        ctx[a] = ctx.get(a, 0) + c
+    total = sum(uni.values())
+    for r in rows:
+        ws = r["text"].split(" ")
+        if len(ws) < 2:
+            assert got[r["doc_id"]] is None
+            continue
+        logs = []
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in bg:
+                logs.append(math.log(bg[(a, b)] / ctx[a]))
+            else:
+                logs.append(math.log(0.4 * uni[b] / total))
+        exp = round(sum(logs) / len(logs), 6)
+        assert abs(got[r["doc_id"]] - exp) <= 1e-6, (r["doc_id"],
+                                                     got[r["doc_id"]], exp)
+
+
+def test_bigram_lm_backoff_branch(spark):
+    """Hand corpus pinning the rule arithmetic (repeated bigram, hapax
+    continuation, sub-2-token NULL row): corpus bigrams ab:3, ba:1,
+    bc:1; contexts a:3, b:2."""
+    import math
+
+    from ecmm428_pycart_spark.datapipe.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_bigram"]
+           for r in bigram_lm_score(docs).collect()}
+    # corpus counts: bigrams ab:3 (two in doc1, one in doc2), ba:1,
+    # bc:1; ctx a:3... a appears as w1 in ab,ab,ab? doc1 bigrams:
+    # ab, ba, ab; doc2: ab, bc. ctx: a->3(ab)+0, b->1(ba)+1(bc)=2
+    # doc1: ln(3/3... ab: cb=3, cc(a)=3 -> 1.0; ba: 1/2; ab: 1.0
+    exp1 = round((math.log(3 / 3) + math.log(1 / 2) + math.log(3 / 3)) / 3, 6)
+    # doc2: ab: 3/3; bc: 1/2
+    exp2 = round((math.log(1.0) + math.log(1 / 2)) / 2, 6)
+    assert abs(got[1] - exp1) <= 1e-6
+    assert abs(got[2] - exp2) <= 1e-6
+    assert got[3] is None
