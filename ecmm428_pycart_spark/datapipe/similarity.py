@@ -517,3 +517,40 @@ def semdedup(df: DataFrame, k: int = 8, iterations: int = 3,
             .join(pruned.withColumn("_p", F.lit(True)), id_col, "left")
             .withColumn("keep", F.col("_p").isNull())
             .drop("_p"))
+
+
+def truncated_rerank_topk(df: DataFrame, query: DataFrame, k: int = 20,
+                          coarse_dims: int = 8, shortlist: int = 100,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Two-phase exact top-k with a truncated-dimension coarse pass —
+    the Matryoshka-representation serving pattern (Kusupati et al.
+    2022): phase 1 scores every vector on only the LEADING
+    ``coarse_dims`` dimensions (reading/computing d/coarse_dims fewer
+    bytes per row — with MRL-trained embeddings the prefix is a valid
+    low-d embedding), keeps a ``shortlist``; phase 2 re-ranks the
+    shortlist with full-dimension cosine. Unlike PQ-ADC (quantized
+    phase 1) this coarse pass is exact over the prefix, so recall
+    degrades only as much as the prefix disagrees with the full space.
+
+    Contract mirrors cosine_topk: single-query (enforced), rounded
+    scores with id tiebreaks at both phase boundaries, deterministic.
+    Phase 1 is a TakeOrderedAndProject (per-partition bottom-k +
+    merge, no global sort); phase 2 touches ``shortlist`` rows only.
+    """
+    query = query.limit(1)
+    qv = query.select(F.col(query.columns[-1]).alias("_q")) \
+        if "q" not in query.columns else query.select(F.col("q").alias("_q"))
+    coarse = F.round(
+        cosine(F.slice(F.col(vec_col), 1, coarse_dims),
+               F.slice(F.col("_q"), 1, coarse_dims)), 6)
+    short = (df.select(id_col, vec_col)
+             .crossJoin(F.broadcast(qv))
+             .withColumn("_coarse", coarse)
+             .orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
+             .limit(shortlist))
+    exact = F.round(cosine(F.col(vec_col), F.col("_q")), 6)
+    return (short.withColumn("cos", exact)
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cos"))

@@ -1226,3 +1226,33 @@ def test_bigram_lm_backoff_branch(spark):
     assert abs(got[1] - exp1) <= 1e-6
     assert abs(got[2] - exp2) <= 1e-6
     assert got[3] is None
+
+
+def test_truncated_rerank_recall_and_exactness(spark):
+    """Phase-2 scores must be the exact full-dim cosines (equal to the
+    brute-force values for every returned id); with shortlist = corpus
+    size the result must equal cosine_topk exactly; with a small
+    shortlist the coarse pass bounds recall but never corrupts scores."""
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = sim.query_vector(emb, 0)
+    brute = {r["vec_id"]: r["cos"]
+             for r in sim.cosine_topk(emb, qv, k=500).collect()}
+
+    full = sim.truncated_rerank_topk(emb, qv, k=10, coarse_dims=8,
+                                     shortlist=500).collect()
+    top = sim.cosine_topk(emb, qv, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in full] == \
+        [(r["vec_id"], r["cos"]) for r in top]
+
+    small = sim.truncated_rerank_topk(emb, qv, k=10, coarse_dims=8,
+                                      shortlist=40).collect()
+    assert len(small) == 10
+    for r in small:
+        assert r["cos"] == brute[r["vec_id"]]
+    # scores are sorted and the floor can only drop vs the exact top-k
+    assert [r["cos"] for r in small] == \
+        sorted((r["cos"] for r in small), reverse=True)
+    assert small[-1]["cos"] <= top[-1]["cos"]
