@@ -68,7 +68,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
 
 
 def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
-                 k_max: int = 16) -> DataFrame:
+                 k_max: int = 16, max_rounds: int = 100) -> DataFrame:
     """Core number per node: the largest k such that the node belongs
     to the k-core (0 for isolated nodes never seen in an edge — such
     nodes don't appear in ``edges`` and therefore not in the output).
@@ -79,10 +79,20 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     small (a grid's core number is <= 4 with queen adjacency <= 8).
     Raises if the (k_max)-core is still non-empty, rather than
     silently truncating the decomposition.
+
+    Peel-depth warning (measured on the sf0.1 customer grid): proving
+    a core EMPTY can be the expensive step — the 5-core peel of an
+    L x L queen grid erodes through CORNERS only (ring-interior nodes
+    keep degree 5 when the ring above them goes), so the peel runs
+    ~2L rounds, not ~L/2. On large low-degeneracy graphs prefer fixed
+    small-k `k_core` calls (one or two rounds each) over a full
+    decomposition, and size `max_rounds` to the expected erosion
+    depth when the emptiness proof is genuinely needed.
     """
     result = None
     for k in range(1, k_max + 1):
-        core = k_core(edges, k, src=src, dst=dst)
+        core = k_core(edges, k, src=src, dst=dst,
+                      max_rounds=max_rounds)
         labeled = core.select("node", F.lit(k).alias("core"))
         if core.isEmpty():
             # decomposition complete; empty-edges input returns the

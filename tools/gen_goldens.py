@@ -102,6 +102,29 @@ def main():
                          for c, nv, nk in rows) + ",")
     print()
 
+    # g17 (round-5 registration): core-number histogram of the
+    # customer-grid contiguity graph, fingerprinted by customer count.
+    # Query body: core_numbers(borders edges).groupBy("core").count().
+    print("# g17_k_core golden (n_cust, core, n_nodes):")
+    from pyspark.sql import functions as F
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import core_numbers
+    from ecmm428_pycart_spark.operators.borders import get_borders
+    for sf in SFS:
+        con = duckdb.connect()
+        n_cust, = con.execute(
+            f"SELECT count(*) FROM '{BASE}{sf}/customer.parquet'").fetchone()
+        grid = _customer_grid(spark, BASE + sf).drop("value")
+        borders, _ = get_borders(grid, "region_idx", "geometry",
+                                 idx_field="region_idx")
+        e = borders.select(F.col("focal").alias("src"),
+                           F.col("neighbor").alias("dst"))
+        hist = sorted(map(tuple, core_numbers(e).groupBy("core")
+                          .agg(F.count(F.lit(1)).alias("n_nodes"))
+                          .collect()))
+        print(",\n".join(f"({n_cust}, {c}, {n})" for c, n in hist) + ",")
+    print()
+
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
         print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
         seen = set()
