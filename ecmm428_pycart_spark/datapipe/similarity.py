@@ -554,3 +554,15 @@ def truncated_rerank_topk(df: DataFrame, query: DataFrame, k: int = 20,
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "cos"))
+
+
+def semdedup_auto_k(n_vectors: int, target_cluster_size: int = 1024,
+                    min_k: int = 4, max_k: int = 1 << 20) -> int:
+    """The k knob for semdedup at scale, mirroring auto_bits: constant
+    expected cluster size keeps the within-cluster pairwise work at
+    ~n * target per pass instead of n²/k with a fixed k (the measured
+    growth in SCALING.md's queued-op curves). The paper's 50k clusters
+    for 440M embeddings is this rule at target ≈ 8.8k."""
+    if n_vectors <= target_cluster_size * min_k:
+        return min_k
+    return min(max_k, -(-n_vectors // target_cluster_size))  # ceil

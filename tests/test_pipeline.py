@@ -1256,3 +1256,12 @@ def test_truncated_rerank_recall_and_exactness(spark):
     assert [r["cos"] for r in small] == \
         sorted((r["cos"] for r in small), reverse=True)
     assert small[-1]["cos"] <= top[-1]["cos"]
+
+
+def test_semdedup_auto_k():
+    from ecmm428_pycart_spark.datapipe.similarity import semdedup_auto_k
+    assert semdedup_auto_k(500) == 4                      # floor
+    assert semdedup_auto_k(1_000_000) == 977              # ~1k occupancy
+    assert semdedup_auto_k(440_000_000,
+                           target_cluster_size=8800) == 50_000  # the paper
+    assert semdedup_auto_k(10**12, target_cluster_size=1) == 1 << 20  # cap
