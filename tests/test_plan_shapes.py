@@ -464,3 +464,17 @@ def test_q60_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan
     joins = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in joins
+
+
+def test_q80_window_decorrelation_no_self_join(spark):
+    """q80's correlated-avg decorrelation is a WINDOW over the
+    brand-filtered fact, not an aggregate-plus-self-join: the plan must
+    contain a Window node, no SortMergeJoin, and exactly one lineitem
+    scan (the join form scanned it twice)."""
+    from ecmm428_pycart_spark.benchmarks.registry import get_queries
+    df = get_queries()["q80_small_qty_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert df.count() == 1
