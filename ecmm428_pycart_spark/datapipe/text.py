@@ -207,3 +207,57 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
     # keep < 2-token documents as NULL-score rows rather than dropping
     # them — a scorer that silently loses rows breaks downstream joins
     return df.select(id_col).join(scored, id_col, "left")
+
+
+def bm25_topk(df: DataFrame, query_text: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 retrieval via the inverted-index join — the sparse-retrieval
+    shape that serves web-scale search (Robertson & Zaragoza 2009):
+
+        score(d, q) = sum over unique q terms t of
+          idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+        idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))   (Lucene form)
+
+    Plan shape (the reason BM25 scales where dense brute-force can't):
+    the postings table (term, doc, tf) is built by one exploded groupBy;
+    the query's terms — a literal handful — broadcast-join INTO the
+    postings, so only the query terms' posting lists are ever read or
+    shuffled, ~|terms| * avg-postings rows instead of the corpus. Doc
+    stats (N, avgdl) ride along as a 1-row broadcast. Top-k is a
+    TakeOrderedAndProject with the id tiebreak, scores rounded to 6
+    (cross-engine convention).
+
+    Duplicate query terms are deduped (standard bag-of-words query);
+    documents matching no term don't appear.
+    """
+    terms = sorted(set(query_text.split(" ")) - {""})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    postings = (toks.groupBy(id_col, "w")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg("dl").alias("avgdl"))
+    dfreq = (postings.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("df")))
+    qterms = F.array(*[F.lit(t) for t in terms])
+    matched = (postings
+               .filter(F.array_contains(qterms, F.col("w")))
+               .join(dfreq.filter(F.array_contains(qterms, F.col("w"))),
+                     "w")
+               .join(doclen, id_col)
+               .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf")
+                  + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (matched
+            .groupBy(id_col)
+            .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -1265,3 +1265,63 @@ def test_semdedup_auto_k():
     assert semdedup_auto_k(440_000_000,
                            target_cluster_size=8800) == 50_000  # the paper
     assert semdedup_auto_k(10**12, target_cluster_size=1) == 1 << 20  # cap
+
+
+def test_bm25_matches_python_replay(spark):
+    """BM25 scores must equal a pure-Python replay (Lucene idf form,
+    same k1/b) over a real 60-doc corpus, including the top-k cut with
+    id tiebreaks."""
+    import math
+
+    from ecmm428_pycart_spark.datapipe.text import bm25_topk
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(60).select("doc_id", "text"))
+    query = "table scan join"
+    got = [(r["doc_id"], r["bm25"])
+           for r in bm25_topk(docs, query, k=15).collect()]
+
+    rows = docs.collect()
+    n_docs = len(rows)
+    lens = {r["doc_id"]: len(r["text"].split(" ")) for r in rows}
+    avgdl = sum(lens.values()) / n_docs
+    terms = sorted(set(query.split(" ")))
+    tf = {}
+    dfreq = {t: 0 for t in terms}
+    for r in rows:
+        ws = r["text"].split(" ")
+        for t in terms:
+            c = ws.count(t)
+            if c:
+                tf[(r["doc_id"], t)] = c
+                dfreq[t] += 1
+    scores = {}
+    for (d, t), c in tf.items():
+        idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        part = idf * c * 2.2 / (c + 1.2 * (1 - 0.75 + 0.75 * lens[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + part
+    exp = sorted(((round(s, 6), d) for d, s in scores.items()),
+                 key=lambda x: (-x[0], x[1]))[:15]
+    assert got == [(d, s) for s, d in exp]
+    assert len(got) == 15 and got[0][1] > got[-1][1]
+
+
+def test_bm25_contracts(spark):
+    """Empty query raises; duplicate query terms score once; docs
+    without any term are absent."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a a a"), (3, "z z z")],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, "")
+    once = {r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, "a", k=10).collect()}
+    twice = {r["doc_id"]: r["bm25"]
+             for r in bm25_topk(docs, "a a", k=10).collect()}
+    assert once == twice
+    assert 3 not in once and set(once) == {1, 2}
