@@ -261,3 +261,70 @@ def bm25_topk(df: DataFrame, query_text: str, k: int = 10,
             .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def heavy_hitter_tokens(df: DataFrame, support: float = 0.001,
+                        k_counters: int | None = None,
+                        text_col: str = "text") -> DataFrame:
+    """Tokens with true frequency >= support * total_tokens, found at
+    scale with a Misra-Gries sketch + exact confirm.
+
+    The mechanism (why this beats a full vocabulary groupBy at 100 TB):
+    each partition summarizes its token stream into <= k_counters
+    (token, count) pairs in one pass and O(k) memory (Misra-Gries:
+    decrement-all on overflow). Partial counters UNDERESTIMATE by at
+    most N_p / k per partition, so the summed sketch c(t) satisfies
+    true(t) - N/k <= c(t) <= true(t); with k = ceil(2 / support) every
+    true heavy hitter clears the candidate bar c >= (support - 1/k)*N
+    — no false negatives, by theorem. The candidate set (tiny)
+    broadcast-joins back into one more stream pass for EXACT counts,
+    so the output is deterministic and identical to the brute-force
+    `HAVING count >= support * N` — which is exactly what the oracle
+    states — while only sketch rows and candidate counts ever shuffle.
+
+    Returns (token, n_occurrences), exact, for all true heavy hitters.
+    """
+    import pandas as pd
+
+    if not (0 < support < 1):
+        raise ValueError("support must be in (0, 1)")
+    if k_counters is None:
+        k_counters = max(16, int(2.0 / support) + 1)
+    k = k_counters
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    # decrement-all; drop zeros (the MG overflow step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"w": list(counters),
+                            "c": list(counters.values())})
+
+    partials = toks.mapInPandas(mg_sketch, "w string, c long")
+    totals = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    cand = (partials.groupBy("w").agg(F.sum("c").alias("c"))
+            .crossJoin(F.broadcast(totals))
+            .filter(F.col("c") >=
+                    (F.lit(support) - 1.0 / k) * F.col("n_tokens"))
+            .select("w"))
+    exact = (toks.join(F.broadcast(cand), "w")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n_occurrences"))
+             .crossJoin(F.broadcast(totals))
+             .filter(F.col("n_occurrences")
+                     >= F.lit(support) * F.col("n_tokens"))
+             .select(F.col("w").alias("token"), "n_occurrences"))
+    return exact

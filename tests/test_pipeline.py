@@ -1325,3 +1325,41 @@ def test_bm25_contracts(spark):
              for r in bm25_topk(docs, "a a", k=10).collect()}
     assert once == twice
     assert 3 not in once and set(once) == {1, 2}
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The sketch+confirm output must EQUAL the brute-force
+    `count >= support * N` set (exact counts included) on the real
+    corpus — the no-false-negatives theorem made testable; also pin a
+    tiny-k stress where the sketch alone would be maximally lossy."""
+    from ecmm428_pycart_spark.datapipe.text import heavy_hitter_tokens
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = [w for r in docs.select("text").collect()
+            for w in r["text"].split(" ")]
+    n = len(toks)
+    from collections import Counter
+    cnt = Counter(toks)
+    for support in (0.01, 0.03):
+        expect = {w: c for w, c in cnt.items() if c >= support * n}
+        got = {r["token"]: r["n_occurrences"]
+               for r in heavy_hitter_tokens(docs, support=support).collect()}
+        assert got == expect, (support, len(got), len(expect))
+        assert got  # the corpus vocabulary is small; hitters must exist
+
+    # k barely above the theorem floor still yields the exact set
+    got = {r["token"]: r["n_occurrences"]
+           for r in heavy_hitter_tokens(docs, support=0.02,
+                                        k_counters=101).collect()}
+    assert got == {w: c for w, c in cnt.items() if c >= 0.02 * n}
+
+
+def test_heavy_hitters_support_validation(spark):
+    import pytest as _pytest
+    from ecmm428_pycart_spark.datapipe.text import heavy_hitter_tokens
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        heavy_hitter_tokens(docs, support=0.0)
+    with _pytest.raises(ValueError):
+        heavy_hitter_tokens(docs, support=1.5)
