@@ -566,3 +566,41 @@ def semdedup_auto_k(n_vectors: int, target_cluster_size: int = 1024,
     if n_vectors <= target_cluster_size * min_k:
         return min_k
     return min(max_k, -(-n_vectors // target_cluster_size))  # ceil
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard way
+    to combine heterogeneous retrievers (BM25 postings + dense ANN)
+    into one hybrid ranking without score calibration:
+
+        rrf(d) = sum over lists containing d of 1 / (c + rank_i(d))
+
+    Each input is (id, <score col>) — its LAST column is taken as the
+    score, ranked descending with the id tiebreak (the convention every
+    retriever in this package emits). Missing-from-a-list contributes
+    nothing. Ranks are computed per list with a window over the
+    (small, already top-k'd) candidate lists — fusion cost is
+    O(sum of list lengths), independent of corpus size; rrf rounded
+    to 6 for cross-engine parity.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    from pyspark.sql import Window as W
+
+    contribs = []
+    for r in rankings:
+        score = F.col(r.columns[-1])
+        contribs.append(
+            r.select(F.col(id_col), score.alias("_s"))
+            .withColumn("_rank", F.row_number().over(
+                W.orderBy(F.col("_s").desc(), F.col(id_col).asc())))
+            .select(id_col,
+                    (1.0 / (F.lit(c) + F.col("_rank"))).alias("_rrf")))
+    allc = contribs[0]
+    for other in contribs[1:]:
+        allc = allc.unionByName(other)
+    return (allc.groupBy(id_col)
+            .agg(F.round(F.sum("_rrf"), 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -1363,3 +1363,41 @@ def test_heavy_hitters_support_validation(spark):
         heavy_hitter_tokens(docs, support=0.0)
     with _pytest.raises(ValueError):
         heavy_hitter_tokens(docs, support=1.5)
+
+
+def test_rrf_fuse_hybrid_search(spark):
+    """Fuse a real BM25 list and a real dense-cosine list (doc_id and
+    vec_id share the 0..499 key space at sf0.001) and check against a
+    pure-Python RRF replay; a doc in both lists must outrank one with
+    a single equally-ranked appearance."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.datapipe.text import bm25_topk
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sparse = bm25_topk(docs, "table scan join", k=20)
+    dense = (sim.cosine_topk(emb, sim.query_vector(emb, 0), k=20)
+             .select(F.col("vec_id").alias("doc_id"), "cos"))
+    got = [(r["doc_id"], r["rrf"])
+           for r in sim.rrf_fuse([sparse, dense], k=15).collect()]
+
+    def ranks(rows):
+        ordered = sorted(rows, key=lambda x: (-x[1], x[0]))
+        return {d: i + 1 for i, (d, _) in enumerate(ordered)}
+    rs = ranks([(r["doc_id"], r["bm25"]) for r in sparse.collect()])
+    rd = ranks([(r["doc_id"], r["cos"]) for r in dense.collect()])
+    scores = {}
+    for r in (rs, rd):
+        for d, rk in r.items():
+            scores[d] = scores.get(d, 0.0) + 1.0 / (60 + rk)
+    exp = sorted(((round(s, 6), d) for d, s in scores.items()),
+                 key=lambda x: (-x[0], x[1]))[:15]
+    assert got == [(d, s) for s, d in exp]
+    both = set(rs) & set(rd)
+    only = set(rs) ^ set(rd)
+    if both and only:
+        best_both = max(scores[d] for d in both)
+        assert best_both > 1.0 / 61  # beats any single first-place entry
