@@ -328,3 +328,81 @@ def heavy_hitter_tokens(df: DataFrame, support: float = 0.001,
                      >= F.lit(support) * F.col("n_tokens"))
              .select(F.col("w").alias("token"), "n_occurrences"))
     return exact
+
+
+def _bpe_adjacent_pairs(syms) -> Column:
+    """(a, b) structs for adjacent symbol pairs; empty for len < 2."""
+    idx = F.sequence(F.lit(1), F.size(syms) - 1)
+    pairs = F.transform(
+        idx, lambda i: F.struct(F.element_at(syms, i).alias("a"),
+                                F.element_at(syms, i + 1).alias("b")))
+    return F.when(F.size(syms) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _bpe_merge_pair(syms, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) —
+    an aggregate() fold, so the replace is a native expression. The
+    overlap case ('a a a' under merge (a,a)) resolves left-first, the
+    same way Sennrich's non-overlapping regex replace does."""
+    # try_element_at: ANSI mode makes element_at(-1) THROW on the empty
+    # initial accumulator; the try_ variant yields null -> no match
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
+                     text_col: str = "text", end_token: str = "</w>",
+                     min_freq: int = 2):
+    """REAL byte-pair-encoding merge learning (Sennrich et al. 2016) —
+    the step the d13 "BPE-ish" regex approximates — run distributed:
+
+    - the corpus collapses to a WORD-FREQUENCY table first (one
+      groupBy), so every subsequent pass costs |vocabulary|, not
+      |corpus| — the same reduction every production BPE trainer uses
+      (at 100 TB you additionally learn on a sampled/top-N vocab and
+      apply everywhere; the apply side is `_bpe_merge_pair`, map-side);
+    - each merge step is one exploded pair-count aggregate + a 1-row
+      argmax collect (count desc, then (a, b) lexicographic — fully
+      deterministic), then a native-expression merge fold over the
+      symbol arrays, localCheckpoint-ed so the plan stays O(1);
+    - stops early when the best pair's frequency < min_freq (merging
+      hapax pairs memorizes noise).
+
+    Returns (merges, vocab): the ordered merge list [(a, b), ...] and
+    the final (word, freq, syms) DataFrame.
+    """
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    vocab = (words.withColumn(
+        "syms", F.concat(chars, F.array(F.lit(end_token))))
+        .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "freq", F.explode(_bpe_adjacent_pairs(F.col("syms"))).alias("p"))
+        best = (pairs.groupBy(F.col("p.a").alias("a"),
+                              F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0]["c"] < min_freq:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = (vocab.withColumn(
+            "syms", _bpe_merge_pair(F.col("syms"), a, b))
+            .localCheckpoint(eager=True))
+    return merges, vocab

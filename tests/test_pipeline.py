@@ -1401,3 +1401,74 @@ def test_rrf_fuse_hybrid_search(spark):
     if both and only:
         best_both = max(scores[d] for d in both)
         assert best_both > 1.0 / 61  # beats any single first-place entry
+
+
+def test_bpe_merges_match_sennrich_replay(spark):
+    """learn_bpe_merges must reproduce the classic Sennrich reference
+    algorithm exactly — merge list AND final word segmentations — on
+    the real corpus, under the same (count desc, pair lexicographic)
+    tiebreak."""
+    from collections import Counter
+
+    from ecmm428_pycart_spark.datapipe.text import learn_bpe_merges
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(50).select("text"))
+    merges, vocab = learn_bpe_merges(docs, n_merges=12)
+    got_syms = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+
+    freqs = Counter(w for r in docs.collect()
+                    for w in r["text"].split(" ") if w)
+    vocab_py = {w: tuple(list(w) + ["</w>"]) for w in freqs}
+
+    def stats():
+        c = Counter()
+        for w, syms in vocab_py.items():
+            for pair in zip(syms, syms[1:]):
+                c[pair] += freqs[w]
+        return c
+
+    def merge(pair):
+        a, b = pair
+        for w, syms in vocab_py.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab_py[w] = tuple(out)
+
+    exp_merges = []
+    for _ in range(12):
+        st = stats()
+        if not st:
+            break
+        best = min(st.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        exp_merges.append(best[0])
+        merge(best[0])
+
+    assert merges == exp_merges, (merges, exp_merges)
+    assert len(merges) == 12          # corpus is repetitive enough
+    assert got_syms == vocab_py
+    # at least one word actually got a multi-char symbol
+    assert any(len(s) > 1 for syms in got_syms.values()
+               for s in syms if s != "</w>")
+
+
+def test_bpe_overlap_and_min_freq(spark):
+    """Greedy left-first overlap ('a a a' -> 'aa a') and the min_freq
+    early stop."""
+    from ecmm428_pycart_spark.datapipe.text import learn_bpe_merges
+
+    docs = spark.createDataFrame([("aaa aaa xyz",)], "text string")
+    merges, vocab = learn_bpe_merges(docs, n_merges=10, min_freq=2)
+    # (a,a) is the only pair with freq >= 2: count 4 from two 'aaa'
+    # words (left-first: aa+a per word) -> after merge, ('aa','a')
+    # has freq 2 -> merges again; then 'aaa</w>' pair freq 2 -> etc.
+    assert merges[0] == ("a", "a")
+    syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert syms["xyz"] == ["x", "y", "z", "</w>"]  # hapax: untouched
