@@ -45,10 +45,19 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         raise ValueError("k_core requires k >= 1")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .localCheckpoint(eager=True))
+    return _peel(e, k, max_rounds).select(
+        F.col("src").alias("node")).distinct()
+
+
+def _peel(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Peel a checkpointed (src, dst) edge frame to its k-core edge
+    set. Convergence is checked AFTER each round's update, so a peel
+    that empties (or fixes) the graph on exactly the last budgeted
+    round is convergence, not an error."""
     n_edges = e.count()
     for _ in range(max_rounds):
         if n_edges == 0:
-            break
+            return e
         keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
                 .filter(F.col("d") >= k)
                 .select("src"))
@@ -57,14 +66,13 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
                     "left_semi")
               .localCheckpoint(eager=True))
         n2 = e2.count()
+        converged = n2 == 0 or n2 == n_edges
         e = e2
-        if n2 == n_edges:      # fixed point: nobody was peeled
-            break
         n_edges = n2
-    else:
-        raise RuntimeError(f"k_core did not converge in {max_rounds} "
-                           "rounds")
-    return e.select(F.col("src").alias("node")).distinct()
+        if converged:
+            return e
+    raise RuntimeError(f"k_core did not converge in {max_rounds} "
+                       "rounds")
 
 
 def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -90,9 +98,14 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     depth when the emptiness proof is genuinely needed.
     """
     result = None
+    # chain the peels: the (k+1)-core of G equals the (k+1)-core of
+    # G's k-core, so each iteration starts from the previous core's
+    # surviving edges instead of re-peeling the full graph
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
     for k in range(1, k_max + 1):
-        core = k_core(edges, k, src=src, dst=dst,
-                      max_rounds=max_rounds)
+        e = _peel(e, k, max_rounds)
+        core = e.select(F.col("src").alias("node")).distinct()
         labeled = core.select("node", F.lit(k).alias("core"))
         if core.isEmpty():
             # decomposition complete; empty-edges input returns the

@@ -519,6 +519,14 @@ def semdedup(df: DataFrame, k: int = 8, iterations: int = 3,
             .drop("_p"))
 
 
+def _safe_cosine(a, b) -> Column:
+    """cosine() that maps a zero-norm side to -2.0 (below any real
+    cosine) instead of ANSI's DIVIDE_BY_ZERO / non-ANSI's NaN."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
+        F.lit(-2.0))
+
+
 def truncated_rerank_topk(df: DataFrame, query: DataFrame, k: int = 20,
                           coarse_dims: int = 8, shortlist: int = 100,
                           id_col: str = "vec_id",
@@ -541,15 +549,20 @@ def truncated_rerank_topk(df: DataFrame, query: DataFrame, k: int = 20,
     query = query.limit(1)
     qv = query.select(F.col(query.columns[-1]).alias("_q")) \
         if "q" not in query.columns else query.select(F.col("q").alias("_q"))
-    coarse = F.round(
-        cosine(F.slice(F.col(vec_col), 1, coarse_dims),
-               F.slice(F.col("_q"), 1, coarse_dims)), 6)
+    # try_divide + coalesce: an all-zero prefix makes the coarse
+    # cosine 0/0, which under ANSI (Spark 4 default) is a
+    # DIVIDE_BY_ZERO task kill, and with ANSI off a NaN that sorts
+    # ABOVE every real value descending and floods the shortlist.
+    # Null it out and rank it below any real cosine instead.
+    coarse = F.round(_safe_cosine(
+        F.slice(F.col(vec_col), 1, coarse_dims),
+        F.slice(F.col("_q"), 1, coarse_dims)), 6)
     short = (df.select(id_col, vec_col)
              .crossJoin(F.broadcast(qv))
              .withColumn("_coarse", coarse)
              .orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
              .limit(shortlist))
-    exact = F.round(cosine(F.col(vec_col), F.col("_q")), 6)
+    exact = F.round(_safe_cosine(F.col(vec_col), F.col("_q")), 6)
     return (short.withColumn("cos", exact)
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)

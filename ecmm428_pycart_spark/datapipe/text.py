@@ -145,52 +145,75 @@ def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
         (running - F.col("_n")).alias("pack_offset"))
 
 
+def adjacent_pairs(arr) -> Column:
+    """(a, b) structs for adjacent elements of an array column; empty
+    for arrays shorter than 2. The guard matters: sequence(1, 0) is
+    the DESCENDING [1, 0] in Spark (step defaults to -1), which would
+    index out of bounds on a 1-element array. Shared by the bigram LM
+    stream and the BPE pair counter."""
+    idx = F.sequence(F.lit(1), F.size(arr) - 1)
+    pairs = F.transform(
+        idx, lambda i: F.struct(F.element_at(arr, i).alias("a"),
+                                F.element_at(arr, i + 1).alias("b")))
+    return F.when(F.size(arr) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>"))
+
+
 def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    alpha: float = 0.4) -> DataFrame:
+                    alpha: float = 0.4,
+                    ref: DataFrame | None = None) -> DataFrame:
     """Per-document Stupid Backoff bigram LM score (Brants et al. 2007,
     "Large Language Models in Machine Translation") — the LM-quality
     signal designed FOR distributed counting at web scale, and the
     bigram upgrade over the unigram scorer of d31:
 
         S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count-as-context(w_{i-1})
-                           if the bigram was seen, else
+                           if the REFERENCE corpus saw the bigram, else
                            alpha * count(w_i) / total_tokens
+
+    Count tables come from ``ref`` (the training corpus); ``df`` is the
+    corpus being scored. With the default ``ref=None`` the corpus
+    scores against its own counts — in that case every bigram is by
+    definition seen and the backoff never fires (self-scoring is the
+    d31-style quality-signal mode); pass a held-out or last-week ``ref``
+    to score genuinely unseen continuations through the backoff. A w2
+    unseen even as a unigram in ``ref`` scores NULL for that position
+    and is excluded from the average (strict OOV).
 
     score(doc) = avg over the doc's bigram positions of ln S, rounded
     to 6 (libm parity convention). Documents with < 2 tokens score
     NULL (no bigram positions).
 
-    All counting is native groupBys over an exploded bigram stream the
-    `transform(sequence(...))` expression builds WITHOUT a window or
-    self-join; the denominator is the count-as-context (bigrams
-    starting with w), not the raw unigram count, so rows ending a
-    document don't deflate their final token's context.
+    All counting is native groupBys over an exploded adjacent_pairs
+    stream (no window, no self-join); the denominator is the
+    count-as-context (bigrams starting with w), not the raw unigram
+    count, so rows ending a document don't deflate their final token's
+    context.
 
     Scale shape: the bigram-count table is vocabulary², far past
     broadcast range at corpus scale — the score join shuffles on the
     (w1, w2) key (plain hash join); unigram/context tables shuffle on
     w. One pass builds all three tables from the same exploded stream.
     """
-    t = tokens(F.col(text_col))
-    # size < 2 must yield an EMPTY array: sequence(1, 0) is the
-    # DESCENDING [1, 0] in Spark (step defaults to -1), which indexes
-    # out of bounds on a 1-token doc
-    bigram_expr = (
-        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> struct(split({text_col}, ' ')[i-1] AS w1, "
-        f"split({text_col}, ' ')[i] AS w2)) "
-        f"ELSE array() END")
-    bigrams = df.select(
-        F.col(id_col),
-        F.explode(F.expr(bigram_expr)).alias("bg")) \
-        .select(id_col, F.col("bg.w1").alias("w1"),
-                F.col("bg.w2").alias("w2"))
-    uni = (df.select(F.explode(t).alias("w"))
+    if ref is None:
+        ref = df
+
+    def bigram_stream(frame, with_id):
+        cols = [F.col(id_col)] if with_id else []
+        return (frame.select(
+            *cols,
+            F.explode(adjacent_pairs(tokens(F.col(text_col))))
+            .alias("bg"))
+            .select(*cols, F.col("bg.a").alias("w1"),
+                    F.col("bg.b").alias("w2")))
+
+    bigrams = bigram_stream(df, with_id=True)
+    uni = (ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
     total = uni.agg(F.sum("cu").alias("total"))
-    bg_counts = (bigrams.groupBy("w1", "w2")
+    bg_counts = (bigram_stream(ref, with_id=False)
+                 .groupBy("w1", "w2")
                  .agg(F.count(F.lit(1)).alias("cb")))
     ctx = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
     score = F.when(
@@ -290,6 +313,14 @@ def heavy_hitter_tokens(df: DataFrame, support: float = 0.001,
         raise ValueError("support must be in (0, 1)")
     if k_counters is None:
         k_counters = max(16, int(2.0 / support) + 1)
+    if k_counters <= 1.0 / support:
+        # MG only guarantees presence when true(t) > N/k; with
+        # k <= 1/support a true heavy hitter can be decremented out of
+        # every sketch and silently vanish from the "exact" output
+        raise ValueError(
+            f"k_counters={k_counters} breaks the no-false-negative "
+            f"guarantee for support={support}: need k > 1/support "
+            f"(= {1.0 / support:.0f})")
     k = k_counters
 
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -332,12 +363,7 @@ def heavy_hitter_tokens(df: DataFrame, support: float = 0.001,
 
 def _bpe_adjacent_pairs(syms) -> Column:
     """(a, b) structs for adjacent symbol pairs; empty for len < 2."""
-    idx = F.sequence(F.lit(1), F.size(syms) - 1)
-    pairs = F.transform(
-        idx, lambda i: F.struct(F.element_at(syms, i).alias("a"),
-                                F.element_at(syms, i + 1).alias("b")))
-    return F.when(F.size(syms) >= 2, pairs).otherwise(
-        F.array().cast("array<struct<a:string,b:string>>"))
+    return adjacent_pairs(syms)
 
 
 def _bpe_merge_pair(syms, a: str, b: str) -> Column:

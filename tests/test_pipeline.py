@@ -1204,28 +1204,38 @@ def test_bigram_lm_score_matches_python_replay(spark):
 
 
 def test_bigram_lm_backoff_branch(spark):
-    """Hand corpus pinning the rule arithmetic (repeated bigram, hapax
-    continuation, sub-2-token NULL row): corpus bigrams ab:3, ba:1,
-    bc:1; contexts a:3, b:2."""
+    """Both branches via a REFERENCE corpus (self-scoring can never
+    back off — every bigram is seen in its own counts). Ref 'a b a b c'
+    has bigrams ab:2, ba:1, bc:1 (ctx a:2, b:2), unigrams a:2 b:2 c:1
+    (total 5). Scoring 'a c b' against it: (a,c) unseen -> backoff
+    0.4*cu(c)/5; (c,b) unseen -> backoff 0.4*cu(b)/5. Scoring 'a z'
+    -> (a,z) with z OOV -> NULL position -> NULL doc score; 1-token
+    doc -> NULL."""
     import math
 
     from ecmm428_pycart_spark.datapipe.text import bigram_lm_score
 
+    ref = spark.createDataFrame([(0, "a b a b c")],
+                                "doc_id long, text string")
     docs = spark.createDataFrame(
-        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        [(1, "a b a c b"), (2, "a z"), (3, "solo")],
         "doc_id long, text string")
     got = {r["doc_id"]: r["lm_bigram"]
-           for r in bigram_lm_score(docs).collect()}
-    # corpus counts: bigrams ab:3 (two in doc1, one in doc2), ba:1,
-    # bc:1; ctx a:3... a appears as w1 in ab,ab,ab? doc1 bigrams:
-    # ab, ba, ab; doc2: ab, bc. ctx: a->3(ab)+0, b->1(ba)+1(bc)=2
-    # doc1: ln(3/3... ab: cb=3, cc(a)=3 -> 1.0; ba: 1/2; ab: 1.0
-    exp1 = round((math.log(3 / 3) + math.log(1 / 2) + math.log(3 / 3)) / 3, 6)
-    # doc2: ab: 3/3; bc: 1/2
-    exp2 = round((math.log(1.0) + math.log(1 / 2)) / 2, 6)
+           for r in bigram_lm_score(docs, ref=ref).collect()}
+    # doc1 positions: (a,b) seen 2/2; (b,a) seen 1/2; (a,c) backoff
+    # 0.4*1/5; (c,b) backoff 0.4*2/5
+    exp1 = round((math.log(2 / 2) + math.log(1 / 2)
+                  + math.log(0.4 * 1 / 5) + math.log(0.4 * 2 / 5)) / 4, 6)
     assert abs(got[1] - exp1) <= 1e-6
-    assert abs(got[2] - exp2) <= 1e-6
-    assert got[3] is None
+    assert got[2] is None     # OOV continuation -> strict NULL
+    assert got[3] is None     # no bigram positions
+    # alpha must actually matter when the backoff fires
+    got2 = {r["doc_id"]: r["lm_bigram"]
+            for r in bigram_lm_score(docs, ref=ref, alpha=0.1).collect()}
+    assert got2[1] < got[1]
+    # self-scoring mode: identical to before (backoff unreachable)
+    self_scored = bigram_lm_score(docs).collect()
+    assert len(self_scored) == 3
 
 
 def test_truncated_rerank_recall_and_exactness(spark):
@@ -1472,3 +1482,47 @@ def test_bpe_overlap_and_min_freq(spark):
     assert merges[0] == ("a", "a")
     syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert syms["xyz"] == ["x", "y", "z", "</w>"]  # hapax: untouched
+
+
+def test_k_core_converges_on_exact_round_budget(spark):
+    """A peel that empties the graph on exactly the last budgeted round
+    is convergence, not a RuntimeError (review finding)."""
+    from ecmm428_pycart_spark.datapipe.graph import k_core
+
+    e = _undirected_both(spark, [(0, 1), (1, 2)])   # chain 0-1-2
+    assert k_core(e, 2, max_rounds=1).isEmpty()
+
+
+def test_heavy_hitters_rejects_lossy_k(spark):
+    """k_counters <= 1/support would break the no-false-negative
+    guarantee — must raise, not silently drop hitters."""
+    import pytest as _pytest
+    from ecmm428_pycart_spark.datapipe.text import heavy_hitter_tokens
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no-false-negative"):
+        heavy_hitter_tokens(docs, support=0.02, k_counters=50)
+
+
+def test_truncated_rerank_zero_prefix_vectors(spark):
+    """Vectors whose leading coarse dims are all zero give a NaN coarse
+    cosine; the nanvl guard must rank them BELOW real candidates, and
+    phase-2 scores must stay exact full-dim cosines."""
+    from pyspark.sql import functions as F
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+
+    # ids 0..3: informative prefix; ids 100..149: zero prefix but
+    # full-dim-identical to the query (the decoys that would flood the
+    # shortlist if NaN sorted first)
+    rows = [(0, [1.0] * 16), (1, [1.0] * 8 + [0.0] * 8),
+            (2, [0.5] * 16), (3, [-1.0] * 16)]
+    rows += [(100 + i, [0.0] * 8 + [1.0] * 8) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = sim.query_vector(emb, 0)
+    out = sim.truncated_rerank_topk(emb, qv, k=3, coarse_dims=8,
+                                    shortlist=4).collect()
+    ids = [r["vec_id"] for r in out]
+    # the 4 informative-prefix vectors own the shortlist; zero-prefix
+    # decoys (NaN coarse) must not evict them
+    assert set(ids) <= {0, 1, 2, 3}
+    assert ids[0] == 0 and out[0]["cos"] == 1.0
+    assert all(r["cos"] == r["cos"] for r in out)  # no NaN leaks

@@ -102,13 +102,15 @@ def main():
                          for c, nv, nk in rows) + ",")
     print()
 
-    # g17 (round-5 registration): core-number histogram of the
+    # g17 (round-5 registration): FIXED-k core sizes of the
     # customer-grid contiguity graph, fingerprinted by customer count.
-    # Query body: core_numbers(borders edges).groupBy("core").count().
-    print("# g17_k_core golden (n_cust, core, n_nodes):")
+    # Fixed k (3, 4) per the ROUND5_QUEUE plan — a full core_numbers
+    # at sf0.1 needs the ~2L-round corner-erosion peel to prove the
+    # 5-core empty (graph.py docstring) and exceeds any sane budget.
+    print("# g17_k_core golden (n_cust, k, n_nodes):")
     from pyspark.sql import functions as F
     from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
-    from ecmm428_pycart_spark.datapipe.graph import core_numbers
+    from ecmm428_pycart_spark.datapipe.graph import k_core
     from ecmm428_pycart_spark.operators.borders import get_borders
     for sf in SFS:
         con = duckdb.connect()
@@ -119,10 +121,8 @@ def main():
                                  idx_field="region_idx")
         e = borders.select(F.col("focal").alias("src"),
                            F.col("neighbor").alias("dst"))
-        hist = sorted(map(tuple, core_numbers(e).groupBy("core")
-                          .agg(F.count(F.lit(1)).alias("n_nodes"))
-                          .collect()))
-        print(",\n".join(f"({n_cust}, {c}, {n})" for c, n in hist) + ",")
+        for k in (3, 4):
+            print(f"({n_cust}, {k}, {k_core(e, k).count()}),")
     print()
 
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
