@@ -432,3 +432,68 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
             "syms", _bpe_merge_pair(F.col("syms"), a, b))
             .localCheckpoint(eager=True))
     return merges, vocab
+
+
+def hashing_tf(df: DataFrame, dim: int = 64, id_col: str = "doc_id",
+               text_col: str = "text", idf: bool = False,
+               l2_normalize: bool = False) -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors — gives every
+    document a fixed-width `embedding array<double>` WITHOUT a model
+    or a vocabulary pass, bridging the documents table into the whole
+    similarity stack (cosine_topk / semdedup / LSH / k-NN all consume
+    the output directly). Same construction as Spark MLlib's HashingTF
+    but with deterministic cross-engine hashing (md5-derived bucket,
+    not JVM murmur) and a dense array output.
+
+    bucket(token) = first 8 md5 hex chars mod dim; value = token count
+    (optionally scaled by the standard smoothed idf
+    ln((N+1)/(df+1)) + 1, computed per BUCKET — hash-collision
+    semantics, exactly what feature hashing means); optionally
+    l2-normalized so downstream cosine is a plain dot product.
+
+    Plan shape: explode -> groupBy (id, bucket) -> one groupBy(id)
+    building the dense vector via an aggregate over collected (bucket,
+    value) structs — two shuffles on the doc id, map-side combine on
+    both, output |docs| rows of dim doubles. No vocabulary table at
+    any point: the reason the trick survives 100 TB corpora with
+    unbounded vocabularies.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    bucket = (F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+              .cast("long") % dim).cast("int")
+    toks = (df.select(id_col,
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .filter(F.col("w") != ""))
+    bycell = (toks.withColumn("b", bucket)
+              .groupBy(id_col, "b")
+              .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    if idf:
+        n_docs = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
+        dfreq = (bycell.groupBy("b")
+                 .agg(F.count(F.lit(1)).alias("df")))
+        bycell = (bycell.join(F.broadcast(dfreq), "b")
+                  .withColumn(
+                      "v", F.col("v")
+                      * (F.log((F.lit(float(n_docs)) + 1.0)
+                               / (F.col("df") + 1.0)) + 1.0))
+                  .drop("df"))
+    cells = F.array_agg(F.struct("b", "v")).alias("cells")
+    dense = F.aggregate(
+        "cells",
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, c: F.transform(
+            acc, lambda x, i: F.when(i == c["b"], x + c["v"])
+            .otherwise(x)))
+    out = (bycell.groupBy(id_col).agg(cells)
+           .withColumn("embedding", dense)
+           .drop("cells"))
+    if l2_normalize:
+        nrm = F.sqrt(F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x * x))
+        out = out.withColumn(
+            "embedding",
+            F.transform("embedding",
+                        lambda x: F.coalesce(F.try_divide(x, nrm),
+                                             F.lit(0.0))))
+    return out

@@ -1526,3 +1526,63 @@ def test_truncated_rerank_zero_prefix_vectors(spark):
     assert set(ids) <= {0, 1, 2, 3}
     assert ids[0] == 0 and out[0]["cos"] == 1.0
     assert all(r["cos"] == r["cos"] for r in out)  # no NaN leaks
+
+
+def test_hashing_tf_matches_python_replay(spark):
+    """Dense hashed-TF vectors must equal a pure-Python replay (md5
+    bucketing, collision-summed counts) on real docs; l2 mode must
+    yield unit norms; idf must down-weight ubiquitous buckets."""
+    import hashlib
+    import math
+
+    from ecmm428_pycart_spark.datapipe.text import hashing_tf
+    from ecmm428_pycart_spark.session import load_table
+
+    dim = 32
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(40).select("doc_id", "text"))
+    got = {r["doc_id"]: list(r["embedding"])
+           for r in hashing_tf(docs, dim=dim).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+
+    rows = docs.collect()
+    for r in rows:
+        vec = [0.0] * dim
+        for w in r["text"].split(" "):
+            if w:
+                vec[bucket(w)] += 1.0
+        assert got[r["doc_id"]] == vec, r["doc_id"]
+
+    unit = hashing_tf(docs, dim=dim, l2_normalize=True).collect()
+    for r in unit:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-9
+
+    plain = {r["doc_id"]: r["embedding"]
+             for r in hashing_tf(docs, dim=dim).collect()}
+    weighted = {r["doc_id"]: r["embedding"]
+                for r in hashing_tf(docs, dim=dim, idf=True).collect()}
+    # smoothed idf >= 1 always, == 1 only for buckets hit by every doc
+    assert any(weighted[d][i] > plain[d][i]
+               for d in plain for i in range(dim) if plain[d][i])
+
+
+def test_hashing_tf_feeds_similarity_stack(spark):
+    """The bridge contract: hashed doc vectors drop straight into
+    cosine_topk, and a doc's nearest neighbor by hashed-TF cosine is
+    itself."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe import similarity as sim
+    from ecmm428_pycart_spark.datapipe.text import hashing_tf
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(60).select("doc_id", "text"))
+    emb = (hashing_tf(docs, dim=64, l2_normalize=True)
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    qv = sim.query_vector(emb, 5)
+    top = sim.cosine_topk(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["cos"] == 1.0
