@@ -2295,3 +2295,69 @@ def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows,
                         columns=["n_fft", "peak_bin", "dc_mag",
                                  "spec_energy"])
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank energies (round 4): the standard ASR front-end feature
+# on top of the real decode->rfft chain — triangle filters spaced
+# uniformly on the mel scale (Slaney-style mel = 2595 log10(1 + f/700)),
+# applied to the power spectrum, log-compressed. Deterministic (the
+# bank depends only on n_fft/sr/n_mels), so round-5 can golden it.
+# ---------------------------------------------------------------------------
+
+_MEL = T.ArrayType(T.DoubleType())
+
+
+def mel_filterbank(n_fft: int, sr: int, n_mels: int) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangle filter matrix: peaks uniform in
+    mel between 0 and sr/2, each triangle spanning its neighbors'
+    peaks. Pure numpy; identical on driver and executors."""
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    peaks_mel = np.linspace(0.0, to_mel(sr / 2.0), n_mels + 2)
+    peaks_hz = from_mel(peaks_mel)
+    bin_hz = np.arange(n_bins) * (sr / n_fft)
+    bank = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = peaks_hz[m], peaks_hz[m + 1], peaks_hz[m + 2]
+        up = (bin_hz - lo) / max(mid - lo, 1e-12)
+        down = (hi - bin_hz) / max(hi - mid, 1e-12)
+        bank[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return bank
+
+
+@F.pandas_udf(_MEL)
+def wav_mel_energies(payload: pd.Series) -> pd.Series:
+    """log10(1 + mel-filtered power spectrum) of channel 0 — the
+    8-band fingerprint a speech/audio pipeline aggregates, dedups, or
+    clusters on. Null/corrupt payloads degrade to null (totality
+    contract); sub-2-sample clips yield an empty array."""
+    out = []
+    for buf in payload:
+        if buf is None:
+            out.append(None)
+            continue
+        try:
+            _ch, sr, _n, _dur = _wav_meta_one(bytes(buf))
+            if sr is None:
+                out.append(None)
+                continue
+            s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        except (ValueError, NotImplementedError, struct.error,
+                IndexError):
+            out.append(None)
+            continue
+        n = s.shape[0]
+        if n < 2:
+            out.append([])
+            continue
+        power = np.abs(np.fft.rfft(s)) ** 2
+        bank = mel_filterbank(n, sr, 8)
+        out.append([float(x) for x in
+                    np.log10(1.0 + bank @ power)])
+    return pd.Series(out)

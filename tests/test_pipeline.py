@@ -1586,3 +1586,44 @@ def test_hashing_tf_feeds_similarity_stack(spark):
     qv = sim.query_vector(emb, 5)
     top = sim.cosine_topk(emb, qv, k=3).collect()
     assert top[0]["vec_id"] == 5 and top[0]["cos"] == 1.0
+
+
+def test_wav_mel_energies_replay_and_properties(spark):
+    """Mel energies must equal a pure-numpy replay of the same
+    decode->rfft->triangle-bank->log chain on the square-wave fixture;
+    louder clips (same shape) must have >= energies bandwise, and
+    corrupt payloads degrade to null."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = (ids.withColumn("payload",
+                          mm.synth_wav_square_payload("doc_id"))
+           .withColumn("mel", mm.wav_mel_energies("payload"))
+           .collect())
+    assert len(out) == 12
+    for r in out:
+        i = r["doc_id"]
+        amp = i % 100 + 1
+        c = 1 << (i % 5)
+        h = 32 // c
+        s = np.array([amp if (j // h) % 2 == 0 else -amp
+                      for j in range(64)], dtype=np.float64)
+        power = np.abs(np.fft.rfft(s)) ** 2
+        bank = mm.mel_filterbank(64, 8000, 8)
+        exp = np.log10(1.0 + bank @ power)
+        assert np.allclose(np.array(r["mel"]), exp, rtol=1e-12), i
+        assert len(r["mel"]) == 8
+
+    # amplitude monotonicity: scale the same clip 2x -> every band >=
+    fn = mm.wav_mel_energies.func
+    quiet = mm.wav_bytes_pcm(1, 8000, [10, -10] * 32, 16)
+    loud = mm.wav_bytes_pcm(1, 8000, [20, -20] * 32, 16)
+    q, l = fn(pd.Series([quiet, loud]))
+    assert all(b >= a for a, b in zip(q, l))
+    # totality
+    bad = fn(pd.Series([None, b"junk"]))
+    assert bad.iloc[0] is None and bad.iloc[1] is None
