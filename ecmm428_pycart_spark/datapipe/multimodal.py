@@ -2361,3 +2361,69 @@ def wav_mel_energies(payload: pd.Series) -> pd.Series:
         out.append([float(x) for x in
                     np.log10(1.0 + bank @ power)])
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level augmentation ops (round 4): flips / 90-degree rotation
+# over REALLY decoded pixels — the training-time augmentation family,
+# map-side per payload like every other kernel here. The summary
+# output (dims + corner pixels + mean) makes the geometry checkable in
+# closed form on the gradient fixture: pixel(x, y) = base + x + y, so
+# e.g. flip_h's top-left pixel is base + (w-1) exactly.
+# ---------------------------------------------------------------------------
+
+_AUG_STATS = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("first_px", T.DoubleType()),
+    T.StructField("last_px", T.DoubleType()),
+    T.StructField("pixel_mean", T.DoubleType()),
+])
+
+_AUG_OPS = ("identity", "flip_h", "flip_v", "rot90")
+
+
+def _augment_array(px: np.ndarray, op: str) -> np.ndarray:
+    if op == "identity":
+        return px
+    if op == "flip_h":
+        return px[:, ::-1]
+    if op == "flip_v":
+        return px[::-1, :]
+    if op == "rot90":                 # clockwise
+        return px.T[:, ::-1]
+    raise ValueError(f"unknown augmentation {op!r}; "
+                     f"supported: {_AUG_OPS}")
+
+
+def augment_pixel_stats(op: str):
+    """Returns a pandas UDF computing (w, h, first_px, last_px, mean)
+    of the op-augmented REAL decode of an image payload. Op validated
+    eagerly on the driver; decode failures degrade to null rows."""
+    if op not in _AUG_OPS:
+        raise ValueError(f"unknown augmentation {op!r}; "
+                         f"supported: {_AUG_OPS}")
+
+    @F.pandas_udf(_AUG_STATS)
+    def stats(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in payload:
+            if buf is None:
+                rows.append((None, None, None, None, None))
+                continue
+            try:
+                px = _to_8bit_range(_decode_image(bytes(buf)))
+            except (ValueError, NotImplementedError, zlib.error,
+                    struct.error, IndexError):
+                rows.append((None, None, None, None, None))
+                continue
+            if px.ndim == 3:          # grayscale decoders emit (h, w, 1)
+                px = px[:, :, 0]
+            a = _augment_array(px, op)
+            rows.append((int(a.shape[1]), int(a.shape[0]),
+                         float(a[0, 0]), float(a[-1, -1]),
+                         float(a.mean())))
+        return pd.DataFrame(rows, columns=["width", "height",
+                                           "first_px", "last_px",
+                                           "pixel_mean"])
+    return stats

@@ -1627,3 +1627,54 @@ def test_wav_mel_energies_replay_and_properties(spark):
     # totality
     bad = fn(pd.Series([None, b"junk"]))
     assert bad.iloc[0] is None and bad.iloc[1] is None
+
+
+def test_augment_pixel_stats_closed_forms(spark):
+    """Augmented-decode geometry against the gradient fixture's closed
+    forms (pixel(x,y) = base + x + y): corners and dims per op, mean
+    invariant under every op, plus involution (double flip == identity)
+    and the unknown-op driver-side error."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    payload = ids.withColumn(
+        "payload", mm.synth_png_gradient_payload("doc_id"))
+    got = {}
+    for op in ("identity", "flip_h", "flip_v", "rot90"):
+        fn = mm.augment_pixel_stats(op)
+        got[op] = {r["doc_id"]: r for r in
+                   payload.withColumn("s", fn("payload"))
+                   .select("doc_id", "s.*").collect()}
+    for i in range(16):
+        w, h, base = i % 64 + 1, i % 32 + 1, i % 128
+        mean = base + (w - 1) / 2.0 + (h - 1) / 2.0
+        ident = got["identity"][i]
+        assert (ident["width"], ident["height"]) == (w, h)
+        assert ident["first_px"] == base
+        assert ident["last_px"] == base + (w - 1) + (h - 1)
+        fh = got["flip_h"][i]
+        assert fh["first_px"] == base + (w - 1)
+        assert fh["last_px"] == base + (h - 1)
+        fv = got["flip_v"][i]
+        assert fv["first_px"] == base + (h - 1)
+        assert fv["last_px"] == base + (w - 1)
+        r90 = got["rot90"][i]
+        assert (r90["width"], r90["height"]) == (h, w)
+        # rot90 cw: out(0,0) = in(h-1, 0) -> base + (h-1)
+        assert r90["first_px"] == base + (h - 1)
+        for op in got:
+            assert abs(got[op][i]["pixel_mean"] - mean) < 1e-9, op
+
+    import numpy as np
+    a = np.arange(12).reshape(3, 4)
+    for op in ("flip_h", "flip_v"):
+        assert (mm._augment_array(mm._augment_array(a, op), op) == a).all()
+    assert (mm._augment_array(
+        mm._augment_array(mm._augment_array(
+            mm._augment_array(a, "rot90"), "rot90"), "rot90"),
+        "rot90") == a).all()
+    with _pytest.raises(ValueError, match="unknown augmentation"):
+        mm.augment_pixel_stats("flip_x")
