@@ -2308,10 +2308,16 @@ def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
 _MEL = T.ArrayType(T.DoubleType())
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def mel_filterbank(n_fft: int, sr: int, n_mels: int) -> np.ndarray:
     """(n_mels, n_fft//2 + 1) triangle filter matrix: peaks uniform in
     mel between 0 and sr/2, each triangle spanning its neighbors'
-    peaks. Pure numpy; identical on driver and executors."""
+    peaks. Pure numpy; identical on driver and executors. lru_cache:
+    clips sharing (n_fft, sr) reuse one bank per executor instead of
+    rebuilding it per payload (callers must not mutate the result)."""
     def to_mel(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
 
