@@ -1,0 +1,370 @@
+"""Round-5 registration queue: the six TPC-H plan shapes the registry
+does not yet carry (Q2, Q9, Q11, Q14, Q16, Q20), completing all 22.
+
+NOT collected by ``registry._modules()`` this round: round 5's 50-slot
+driver window is exactly full with the deferred backlog (see
+``registry.DEFERRED_TO_NEXT_ROUND`` and docs/ROUND5_QUEUE.md), so these
+register in round 5 and gate in round 6. Until then the hard signal is
+``tests/test_queued_queries.py``, which runs every entry here against
+its DuckDB oracle with the driver's own canonicalization (column-sorted,
+row-sorted, 9-digit float normalization).
+
+Schema adaptations (the driver's star schema has no partsupp table and
+no l_shipmode/commitdate): the part-supplier "offer" relation is derived
+from lineitem (distinct l_partkey x l_suppkey), supply cost is a fixed
+fraction of p_retailprice, and Q16's "customer complaints" exclusion
+keys on s_name. Each docstring states the plan shape and its 100 TB
+rationale; conventions (cents-BIGINT money, identical aliases, rounded
+doubles only at output, deterministic tiebreaks) follow
+benchmarks/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ecmm428_pycart_spark.operators.relational import semi_join
+from ecmm428_pycart_spark.session import load_table as _t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (minimum-cost supplier): for every small part, the
+# EUROPE suppliers whose best unit price equals the part's minimum unit
+# price. The correlated `= (SELECT min(...) ... same part)` subquery is
+# decorrelated into aggregate-then-join: per-(part, supplier) min unit
+# price, per-part min over those, equi-join back on (part, exact
+# price). All three dimension tables (supplier/nation/region) broadcast
+# into the lineitem scan, so the only shuffle is the two-level groupBy
+# on (l_partkey, l_suppkey) — map-side partial min, no self-join of the
+# fact table. Unit price stays an UNROUNDED double through min and the
+# equality match (both engines compute bit-identical IEEE quotients
+# from the same parquet values); rounding happens only at output.
+# TakeOrderedAndProject handles the ORDER BY+LIMIT without a global
+# sort. Ref parity note: reference has no partsupp analogue; offers are
+# derived from observed lineitem sales.
+# ---------------------------------------------------------------------------
+@q("q84_min_cost_supplier", """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem JOIN eu_supp ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, min(unit_price) AS best FROM offers GROUP BY 1)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_type, round(best, 4) AS best_price
+FROM offers
+JOIN best USING (l_partkey)
+JOIN eu_supp ON eu_supp.s_suppkey = offers.l_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE unit_price = best AND p_size <= 10
+ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+LIMIT 100
+""")
+def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    eu_supp = (_t(spark, sf_dir, "supplier")
+               .join(F.broadcast(nation),
+                     F.col("n_nationkey") == F.col("s_nationkey"))
+               .join(F.broadcast(region),
+                     F.col("r_regionkey") == F.col("n_regionkey"))
+               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offers = (_t(spark, sf_dir, "lineitem")
+              .select("l_partkey", "l_suppkey",
+                      (F.col("l_extendedprice") / F.col("l_quantity"))
+                      .alias("up"))
+              .join(F.broadcast(eu_supp.select("s_suppkey")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("up").alias("unit_price")))
+    best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("best"))
+    # part filter is per-partkey, so pushing it below `best` is
+    # equivalent and prunes the dimension before the broadcast
+    small_part = (_t(spark, sf_dir, "part")
+                  .filter(F.col("p_size") <= 10)
+                  .select("p_partkey", "p_type"))
+    return (offers
+            .join(best, "l_partkey")
+            .filter(F.col("unit_price") == F.col("best"))
+            .join(F.broadcast(small_part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(eu_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                    "n_name", "p_partkey", "p_type",
+                    F.round("best", 4).alias("best_price"))
+            .orderBy(F.col("s_acctbal").desc(), F.col("s_name").asc(),
+                     F.col("p_partkey").asc())
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape (product-type profit): profit per supplier nation per
+# order year over a part-name LIKE filter. Supply cost is modeled as
+# 60% of p_retailprice (no partsupp in this schema). The LIKE-filtered
+# part and the supplier->nation lookup broadcast into the lineitem
+# scan; the one real shuffle is the orderkey join to orders for the
+# year (fact-fact, sort-merge, AQE-coalesced) followed by the 2-column
+# groupBy. Profit is computed per-row in cents (round half-away is
+# identical in Spark HALF_UP and DuckDB for the same IEEE input) and
+# summed as BIGINT so both engines hash identically.
+# ---------------------------------------------------------------------------
+@q("q85_product_profit", """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+""")
+def q85_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_part = (_t(spark, sf_dir, "part")
+                .filter(F.col("p_name").like("%red%"))
+                .select("p_partkey", "p_retailprice"))
+    supp_nation = (_t(spark, sf_dir, "supplier")
+                   .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                         F.col("n_nationkey") == F.col("s_nationkey"))
+                   .select("s_suppkey", "n_name"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(red_part),
+                F.col("p_partkey") == F.col("l_partkey"))
+          .join(F.broadcast(supp_nation),
+                F.col("s_suppkey") == F.col("l_suppkey"))
+          .select(F.col("n_name").alias("nation"), "l_orderkey",
+                  F.round((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))
+                           - 0.6 * F.col("p_retailprice")
+                           * F.col("l_quantity")) * 100)
+                  .cast("long").alias("profit_cents")))
+    return (li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("profit_cents") / 100.0, 2)
+                 .alias("sum_profit"))
+            .orderBy(F.col("nation").asc(), F.col("o_year").desc()))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape (important stock): parts whose revenue from a 2-nation
+# supplier group exceeds 1.5x the mean part value — the global-scalar
+# HAVING. Two passes over the SAME per-part aggregate (never the fact
+# table): pass 1 groups lineitem by partkey (map-side partial sums);
+# pass 2 reduces that small aggregate to a 1-row mean and broadcasts it
+# back as a single-row BroadcastNestedLoopJoin — the documented O(1)-row
+# BNLJ pattern (_BNLJ_OK; add this name to the allowlist when it
+# registers). The threshold compares exact BIGINT cents against the
+# exact double mean, no row-level rounding.
+# ---------------------------------------------------------------------------
+@q("q86_important_stock", """
+WITH val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS part_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY 1
+),
+thr AS (SELECT 1.5 * avg(part_cents) AS cut FROM val)
+SELECT l_partkey, round(part_cents / 100.0, 2) AS part_value
+FROM val, thr
+WHERE part_cents > cut
+ORDER BY part_value DESC, l_partkey ASC
+""")
+def q86_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp_supp = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(
+                    _t(spark, sf_dir, "nation")
+                    .filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+                    F.col("n_nationkey") == F.col("s_nationkey"))
+                .select("s_suppkey"))
+    val = (_t(spark, sf_dir, "lineitem")
+           .join(F.broadcast(grp_supp),
+                 F.col("s_suppkey") == F.col("l_suppkey"))
+           .select("l_partkey",
+                   F.round(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 100)
+                   .cast("long").alias("cents"))
+           .groupBy("l_partkey")
+           .agg(F.sum("cents").alias("part_cents")))
+    thr = val.agg((1.5 * F.avg("part_cents")).alias("cut"))
+    return (val.join(F.broadcast(thr))
+            .filter(F.col("part_cents") > F.col("cut"))
+            .select("l_partkey",
+                    F.round(F.col("part_cents") / 100.0, 2)
+                    .alias("part_value"))
+            .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc()))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (promo revenue): percentage of one month's revenue
+# from PROMO-type parts — conditional-sum / sum in ONE aggregation over
+# one broadcast-joined scan (no second pass, no self-join). The
+# l_shipdate month predicate pushes into the parquet scan; part is a
+# broadcast dim. Cents-BIGINT numerator and denominator; one double
+# division at the end, rounded identically.
+# ---------------------------------------------------------------------------
+@q("q87_promo_revenue", """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           ELSE 0 END) AS BIGINT)
+       / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""")
+def q87_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+          .select("l_partkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                  .cast("long").alias("cents")))
+    joined = li.join(F.broadcast(part),
+                     F.col("p_partkey") == F.col("l_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO",
+                         F.col("cents")).otherwise(F.lit(0).cast("long")))
+    return joined.agg(
+        F.round(100.0 * promo / F.sum("cents"), 4)
+        .alias("promo_revenue_pct"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (supplier relationship): distinct supplier counts per
+# (brand, type, size) over filtered parts, excluding a NOT-IN supplier
+# set. The part-supplier relation is DISTINCT (l_partkey, l_suppkey)
+# from lineitem — dedup'd map-side before the exchange; the part filter
+# and the exclusion both broadcast (the NOT IN becomes an inner join
+# against the pre-filtered complement — suppliers are a dimension, so
+# the complement is cheap; at 100 TB with a fact-sized exclusion list
+# this would flip to a broadcast anti-join, same plan family). The
+# count(DISTINCT) runs on (group keys, suppkey) — Spark expands to a
+# two-level aggregate with partial dedup, no row explosion.
+# ---------------------------------------------------------------------------
+@q("q88_supplier_relationship", """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_name NOT LIKE '%7'),
+sel_part AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+    AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN sel_part ON p_partkey = l_partkey
+JOIN ok_supp ON s_suppkey = l_suppkey
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""")
+def q88_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel_part = (_t(spark, sf_dir, "part")
+                .filter((F.col("p_brand") != "Brand#13")
+                        & (F.col("p_type") != "MEDIUM")
+                        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+                .select("p_partkey", "p_brand", "p_type", "p_size"))
+    ok_supp = (_t(spark, sf_dir, "supplier")
+               .filter(~F.col("s_name").like("%7"))
+               .select("s_suppkey"))
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    return (pairs
+            .join(F.broadcast(sel_part),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(ok_supp),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+                     F.col("p_type").asc(), F.col("p_size").asc()))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (potential part promotion): suppliers in a 3-nation
+# group who shipped more than a threshold quantity of any small part in
+# a 2-year window — the nested IN/EXISTS chain as a cascade of
+# aggregates and LEFT SEMI joins, never materializing a fact-fact
+# join. lineitem is filtered by date (scan pushdown) and by the
+# broadcast small-part keys, aggregated per (part, supplier) with
+# map-side partials, thresholded, reduced to DISTINCT supplier keys
+# map-side, then semi-joined into the supplier dimension. l_quantity
+# values are integral doubles, so the sum is exact in both engines; no
+# rounding needed in the threshold compare.
+# ---------------------------------------------------------------------------
+@q("q89_part_promotion", """
+WITH small_part AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN small_part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+heavy AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 40),
+grp AS (SELECT n_nationkey, n_name FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12'))
+SELECT s_name, n_name
+FROM supplier
+JOIN heavy ON l_suppkey = s_suppkey
+JOIN grp ON n_nationkey = s_nationkey
+ORDER BY s_name ASC
+""")
+def q89_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_part = (_t(spark, sf_dir, "part")
+                  .filter(F.col("p_name").like("small%"))
+                  .select("p_partkey"))
+    shipped = (_t(spark, sf_dir, "lineitem")
+               .filter((F.col("l_shipdate")
+                        >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                       & (F.col("l_shipdate")
+                          < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+               .join(F.broadcast(small_part),
+                     F.col("p_partkey") == F.col("l_partkey"))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum("l_quantity").alias("qty")))
+    heavy = (shipped.filter(F.col("qty") > 40)
+             .select("l_suppkey").distinct())
+    grp = (_t(spark, sf_dir, "nation")
+           .filter(F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12"))
+           .select("n_nationkey", "n_name"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(grp),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    return (semi_join(supp, heavy.withColumnRenamed("l_suppkey", "s_suppkey"),
+                      "s_suppkey")
+            .select("s_name", "n_name")
+            .orderBy(F.col("s_name").asc()))

@@ -1,0 +1,89 @@
+"""Hard-signal pre-validation for the round-5 registration queue
+(benchmarks/queued.py): every queued query runs on Spark AND its DuckDB
+oracle at sf0.001 with the driver-gate canonicalization (column-sorted,
+row-sorted, 9-digit float normalization) — the same compare
+tools/verify_oracle.py replicates. A queued entry that fails here would
+fail the driver gate the round it registers, so this keeps the queue
+honest before it ever reaches the window.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _queued_names():
+    from ecmm428_pycart_spark.benchmarks import queued
+    return sorted(queued.QUERIES)
+
+
+@pytest.mark.parametrize("name", _queued_names())
+def test_queued_query_matches_oracle(spark, duck, name):
+    from ecmm428_pycart_spark.benchmarks import queued
+    df = queued.QUERIES[name](spark, SF_DIR)
+    sql = queued.ORACLES[name]
+    assert sql is not None, f"{name} queued without an oracle"
+    sp_cols = df.columns
+    sp_rows = [tuple(r) for r in df.collect()]
+    rel = duck.sql(sql)
+    du_cols = list(rel.columns)
+    du_rows = rel.fetchall()
+    assert sorted(sp_cols) == sorted(du_cols)
+    assert len(sp_rows) == len(du_rows), \
+        f"{name}: spark {len(sp_rows)} rows vs oracle {len(du_rows)}"
+    assert len(sp_rows) > 0, f"{name}: empty result proves nothing"
+    assert _canon(sp_rows, sp_cols) == _canon(du_rows, du_cols)
+
+
+def test_queue_is_not_registered_yet():
+    """The rotation invariant requires these to stay OUT of the
+    registry until round 5 (window budget arithmetic in
+    tests/test_gate_coverage.py); registering one early would orphan it
+    from the 2-round gate contract."""
+    from ecmm428_pycart_spark.benchmarks import queued
+    from ecmm428_pycart_spark.benchmarks.registry import get_queries
+    overlap = set(queued.QUERIES) & set(get_queries())
+    assert not overlap, f"queued queries already registered: {overlap}"
