@@ -497,3 +497,53 @@ def hashing_tf(df: DataFrame, dim: int = 64, id_col: str = "doc_id",
                         lambda x: F.coalesce(F.try_divide(x, nrm),
                                              F.lit(0.0))))
     return out
+
+
+def bpe_encode(df: DataFrame, merges, id_col: str = "doc_id",
+               text_col: str = "text", end_token: str = "</w>",
+               checkpoint_every: int = 4) -> DataFrame:
+    """Apply an ordered BPE merge list (from ``learn_bpe_merges``) to
+    every document — the APPLY half of the tokenizer story, run the way
+    a 100 TB tokenization job amortizes it:
+
+    - encode each DISTINCT word once (the corpus collapses to its
+      vocabulary before any merge work — Zipf makes this table orders
+      of magnitude smaller than the corpus);
+    - each merge is the same native greedy-left fold the trainer uses
+      (``_bpe_merge_pair``: no Python UDF), with a localCheckpoint
+      every ``checkpoint_every`` merges so the expression tree stays
+      bounded however long the merge list is;
+    - one shuffle join hands the encoded segmentation back to the
+      (doc, position) word stream, and one groupBy(doc) reassembles
+      order via an array_sort over (pos, syms) structs.
+
+    Documents with no tokens keep a row with an empty token array (the
+    totality contract the d-series expects). Returns
+    ``(id_col, tokens array<string>, n_subtokens int)``.
+    """
+    word_stream = (df.select(
+        id_col,
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    enc = (word_stream.select("word").distinct()
+           .withColumn("syms",
+                       F.concat(chars, F.array(F.lit(end_token)))))
+    for i, (a, b) in enumerate(merges):
+        enc = enc.withColumn("syms", _bpe_merge_pair(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint(eager=True)
+    assembled = (word_stream.join(enc, "word")
+                 .groupBy(id_col)
+                 .agg(F.flatten(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "syms"))),
+                     lambda s: s["syms"])).alias("tokens")))
+    return (df.select(id_col).distinct()
+            .join(assembled, id_col, "left")
+            .select(id_col,
+                    F.coalesce("tokens", F.array().cast("array<string>"))
+                    .alias("tokens"))
+            .withColumn("n_subtokens", F.size("tokens")))

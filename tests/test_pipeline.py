@@ -1678,3 +1678,64 @@ def test_augment_pixel_stats_closed_forms(spark):
         "rot90") == a).all()
     with _pytest.raises(ValueError, match="unknown augmentation"):
         mm.augment_pixel_stats("flip_x")
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """bpe_encode must produce EXACTLY the segmentation a pure-Python
+    Sennrich-style encoder yields under the same learned merge list on
+    the live corpus — order preserved, empty docs total."""
+    from ecmm428_pycart_spark.datapipe.text import (bpe_encode,
+                                                    learn_bpe_merges)
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(50).select("doc_id", "text"))
+    merges, _ = learn_bpe_merges(docs, n_merges=12)
+    assert len(merges) == 12
+
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_subtokens"])
+           for r in bpe_encode(docs, merges).collect()}
+
+    def encode_word(w):
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    exp = {}
+    for r in docs.collect():
+        toks = []
+        for w in r["text"].split(" "):
+            if w:
+                toks.extend(encode_word(w))
+        exp[r["doc_id"]] = (toks, len(toks))
+    assert got == exp
+    # the merges actually did something: some doc has a multi-char token
+    assert any(len(t) > 1 and t != "</w>" for toks, _ in got.values()
+               for t in toks)
+
+
+def test_bpe_encode_edge_cases(spark):
+    """Empty merge list = pure char split; tokenless docs keep a row
+    with an empty array."""
+    from ecmm428_pycart_spark.datapipe.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ba"), (2, ""), (3, "a")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_subtokens"])
+           for r in bpe_encode(docs, []).collect()}
+    assert got[1] == (["a", "b", "</w>", "b", "a", "</w>"], 6)
+    assert got[2] == ([], 0)
+    assert got[3] == (["a", "</w>"], 2)
+    # one merge chain: (a,b) then (ab,</w>)
+    got2 = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode(docs, [("a", "b"), ("ab", "</w>")],
+                                checkpoint_every=1).collect()}
+    assert got2[1] == ["ab</w>", "b", "a", "</w>"]

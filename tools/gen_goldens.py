@@ -125,6 +125,27 @@ def main():
             print(f"({n_cust}, {k}, {k_core(e, k).count()}),")
     print()
 
+    # d42 (round-5 registration): learn-then-encode BPE over the full
+    # documents table, reduced to corpus-level totals. Dispatch
+    # fingerprint is (count, total text length) — sf0.001 and sf0.01
+    # both have 500 docs, so the count alone cannot disambiguate.
+    print("# d42_bpe_encode golden (n_docs, total_chars, "
+          "total_subtokens, n_distinct_symbols):")
+    from ecmm428_pycart_spark.datapipe.text import (bpe_encode,
+                                                    learn_bpe_merges)
+    for sf in SFS:
+        docs = load_table(spark, BASE + sf, "documents").select(
+            "doc_id", "text")
+        n_docs, n_chars = docs.agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))).first()
+        merges, _ = learn_bpe_merges(docs, n_merges=12)
+        enc = bpe_encode(docs, merges)
+        total = enc.agg(F.sum("n_subtokens")).first()[0]
+        n_sym = (enc.select(F.explode("tokens").alias("t"))
+                 .agg(F.countDistinct("t")).first()[0])
+        print(f"({n_docs}, {n_chars}, {total}, {n_sym}),")
+    print()
+
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
         print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
         seen = set()
