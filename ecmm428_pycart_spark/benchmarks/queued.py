@@ -368,3 +368,59 @@ def q89_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "s_suppkey")
             .select("s_name", "n_name")
             .orderBy(F.col("s_name").asc()))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the customer-grid contiguity graph
+# (queen adjacency) — the per-node density signal community detection
+# starts from. Spark side: one degree aggregate + the shared
+# degree-ordered per_node_triangles pass (datapipe/graph.py; hub-safe:
+# oriented out-degree is O(sqrt(|E|))). Oracle: the same grid-adjacency
+# edge CTE g11 uses, brute-force wedge counting — affordable in DuckDB
+# at oracle scale, which is the point of having Spark do it the
+# oriented way.
+# ---------------------------------------------------------------------------
+@q("g18_clustering_coeff", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS k, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY s),
+tri AS (
+  SELECT x.k, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT e1.a AS x1, e1.b AS y, e2.b AS z
+    FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) t, LATERAL (VALUES (t.x1), (t.y), (t.z)) AS x(k)
+  GROUP BY x.k
+)
+SELECT CAST(deg.k AS BIGINT) AS region_idx, degree,
+       coalesce(n_triangles, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN round(2.0 * coalesce(n_triangles, 0)
+                       / (degree * (degree - 1.0)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tri ON tri.k = deg.k
+""")
+def g18_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import clustering_coefficient
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select("focal", "neighbor")
+    return (clustering_coefficient(und, "focal", "neighbor")
+            .withColumnRenamed("node", "region_idx"))

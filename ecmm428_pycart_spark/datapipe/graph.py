@@ -119,3 +119,86 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
                       .groupBy("node").agg(F.max("core").alias("core")))
     raise ValueError(f"graph has a non-empty {k_max}-core; raise "
                      "k_max to decompose it fully")
+
+
+def per_node_triangles(edges: DataFrame, src: str = "src",
+                       dst: str = "dst") -> DataFrame:
+    """Triangles through each node, via degree-ordered edge
+    orientation — the classic shuffle-bounded formulation (each
+    triangle is enumerated exactly once at its lowest-(degree, id)
+    apex, then credited to all three corners), lifted from
+    g11_triangle_count so other callers (clustering coefficient,
+    community pre-filters) share it.
+
+    ``edges`` must carry each undirected edge in BOTH directions (the
+    get_borders convention). Returns ``(node, n_triangles)`` — only
+    nodes in >= 1 triangle appear; join against a degree table for
+    totality. Wedge work is sum over nodes of (oriented out-degree
+    choose 2); orientation by (degree, id) bounds out-degree by
+    O(sqrt(|E|)) on any graph — the reason this survives skewed 100 TB
+    link graphs where a naive neighbor-pair explode blows up on hub
+    nodes.
+    """
+    und = edges.select(F.col(src).alias("focal"),
+                       F.col(dst).alias("neighbor"))
+    deg = und.groupBy("focal").agg(F.count(F.lit(1)).alias("d"))
+    canon = (und.filter(F.col("focal") < F.col("neighbor"))
+             .join(deg.select(F.col("focal"), F.col("d").alias("da")),
+                   "focal")
+             .join(deg.select(F.col("focal").alias("neighbor"),
+                              F.col("d").alias("db")), "neighbor"))
+    a_lo = (F.struct(F.col("da").alias("d"), F.col("focal").alias("k"))
+            < F.struct(F.col("db").alias("d"),
+                       F.col("neighbor").alias("k")))
+    dire = (canon.select(
+        F.when(a_lo, F.col("focal")).otherwise(F.col("neighbor"))
+        .alias("src"),
+        F.when(a_lo, F.col("neighbor")).otherwise(F.col("focal"))
+        .alias("dst"),
+        F.when(a_lo, F.col("db")).otherwise(F.col("da")).alias("dst_d"))
+        .localCheckpoint(eager=True))
+    e1, e2 = dire.alias("e1"), dire.alias("e2")
+    wedges = (e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.struct(F.col("e1.dst_d").alias("d"),
+                    F.col("e1.dst").alias("k"))
+           < F.struct(F.col("e2.dst_d").alias("d"),
+                      F.col("e2.dst").alias("k"))))
+        .select(F.col("e1.src").alias("apex"),
+                F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v")))
+    closing = dire.select(F.col("src").alias("u"),
+                          F.col("dst").alias("v"))
+    tris = wedges.join(closing, ["u", "v"], "left_semi")
+    corners = tris.select(F.explode(F.array("apex", "u", "v"))
+                          .alias("node"))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node:
+    ``2 * triangles / (degree * (degree - 1))``, 0.0 for degree < 2 —
+    the per-node density signal community detection and spam-ring
+    scoring start from.
+
+    One degree aggregate + the shared ``per_node_triangles`` pass; the
+    left join keeps every node total (triangle-less nodes get 0.0).
+    Coefficient rounded to 6 places so cross-engine float division
+    hashes identically. Returns
+    ``(node, degree, n_triangles, coeff)``.
+    """
+    deg = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.count(F.lit(1)).alias("degree")))
+    tri = per_node_triangles(edges, src, dst)
+    d = F.col("degree").cast("double")
+    return (deg.join(tri, "node", "left")
+            .withColumn("n_triangles",
+                        F.coalesce("n_triangles", F.lit(0).cast("long")))
+            .withColumn(
+                "coeff",
+                F.when(F.col("degree") >= 2,
+                       F.round(2.0 * F.col("n_triangles")
+                               / (d * (d - 1)), 6))
+                .otherwise(F.lit(0.0))))

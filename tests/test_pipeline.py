@@ -1739,3 +1739,53 @@ def test_bpe_encode_edge_cases(spark):
             for r in bpe_encode(docs, [("a", "b"), ("ab", "</w>")],
                                 checkpoint_every=1).collect()}
     assert got2[1] == ["ab</w>", "b", "a", "</w>"]
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Known graph: K4 plus a pendant. K4 nodes touching the pendant
+    keep coeff < 1; pure K4 nodes are fully connected (coeff 1.0);
+    the pendant has degree 1 -> 0.0 by contract."""
+    from ecmm428_pycart_spark.datapipe.graph import clustering_coefficient
+
+    und = [(a, b) for a in range(4) for b in range(4) if a != b]
+    und += [(0, 4), (4, 0)]
+    e = spark.createDataFrame(und, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in clustering_coefficient(e).collect()}
+    # node 0: degree 4 (three K4 peers + pendant), 3 triangles ->
+    # 2*3/(4*3) = 0.5
+    assert got[0] == (4, 3, 0.5)
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_matches_bruteforce_on_borders(spark):
+    """On the real sf0.001 customer-grid contiguity graph, the oriented
+    triangle pass must equal a pure-Python brute force over the same
+    edge list."""
+    from itertools import combinations
+
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import clustering_coefficient
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, "/root/testdata/sf0.001").drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select("focal", "neighbor")
+    edges = {(r["focal"], r["neighbor"]) for r in und.collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    for n, nbrs in adj.items():
+        t = sum(1 for u, v in combinations(sorted(nbrs), 2)
+                if (u, v) in edges)
+        d = len(nbrs)
+        exp[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d >= 2
+                  else 0.0)
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in clustering_coefficient(
+               und, "focal", "neighbor").collect()}
+    assert got == exp
