@@ -424,3 +424,68 @@ def g18_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = borders.select("focal", "neighbor")
     return (clustering_coefficient(und, "focal", "neighbor")
             .withColumnRenamed("node", "region_idx"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020) over the
+# documents table: Stupid Backoff bigram LM scores -> exact tercile
+# cuts -> head/middle/tail triage counts. Composes the validated d37
+# scoring pipeline with ONE exact percentile aggregate over the
+# per-doc score table (|docs| doubles), broadcast back as a 1-row
+# join; classification is map-side. At real 100 TB-of-docs scale the
+# cuts come from percentile_approx or a calibration sample (CCNet's
+# own procedure) — documented in text.perplexity_buckets.
+# ---------------------------------------------------------------------------
+@q("d43_perplexity_buckets", """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS i(i)
+  WHERE len(ws) >= 2
+),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(cu) AS total FROM uni),
+bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cb) AS cc FROM bgc GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         round(avg(ln(CASE WHEN bgc.cb IS NOT NULL
+                           THEN bgc.cb::DOUBLE / ctx.cc
+                           ELSE 0.4 * uni.cu::DOUBLE / tot.total END)), 6)
+           AS lm_bigram
+  FROM bg
+  LEFT JOIN bgc USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON uni.w = bg.w2
+  CROSS JOIN tot
+  GROUP BY bg.doc_id
+),
+alldocs AS (
+  SELECT t.doc_id, scored.lm_bigram
+  FROM t LEFT JOIN scored USING (doc_id)
+),
+thr AS (
+  SELECT quantile_cont(lm_bigram, 1.0/3) AS t_lo,
+         quantile_cont(lm_bigram, 2.0/3) AS t_hi
+  FROM alldocs
+),
+lab AS (
+  SELECT CASE WHEN lm_bigram IS NULL THEN 'unscored'
+              WHEN lm_bigram < t_lo THEN 'tail'
+              WHEN lm_bigram < t_hi THEN 'middle'
+              ELSE 'head' END AS bucket,
+         lm_bigram
+  FROM alldocs, thr
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lm_bigram), 6) AS avg_lm
+FROM lab GROUP BY bucket
+""")
+def d43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (perplexity_buckets(docs)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("lm_bigram"), 6).alias("avg_lm")))

@@ -547,3 +547,49 @@ def bpe_encode(df: DataFrame, merges, id_col: str = "doc_id",
                     F.coalesce("tokens", F.array().cast("array<string>"))
                     .alias("tokens"))
             .withColumn("n_subtokens", F.size("tokens")))
+
+
+def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
+                       id_col: str = "doc_id", text_col: str = "text",
+                       alpha: float = 0.4,
+                       ref: DataFrame | None = None) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score
+    every document with the Stupid Backoff bigram LM, then split the
+    corpus into head / middle / tail by exact score quantiles —
+    the standard pre-training data triage (keep head, sample middle,
+    drop tail).
+
+    ``fractions`` are the two ascending cut points (default thirds).
+    Buckets: ``tail`` = score below the lower cut, ``middle`` in
+    between, ``head`` at or above the upper cut — CCNet orders by
+    perplexity where LOW is good; our score is avg log-probability
+    where HIGH is good, so head = highest scores. Documents with < 2
+    tokens score NULL and land in ``unscored`` (kept total, like the
+    scorer itself).
+
+    Scale shape: scoring is the bigram_lm_score pass; the quantiles are
+    ONE exact percentile aggregate over the per-document score table
+    (|docs| doubles, not corpus tokens) broadcast back as a 1-row
+    join — the calibration path. At 100 TB-of-docs scale swap the
+    exact percentile for percentile_approx (same plan, bounded state)
+    or calibrate the two cut constants on a sample, CCNet's own
+    procedure; classification itself is map-side either way.
+    Comparisons use the ROUNDED (6-place) scores on both engines so
+    the bucket edges are engine-stable.
+    """
+    lo, hi = fractions
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError("fractions must be ascending in (0, 1)")
+    scored = bigram_lm_score(df, id_col=id_col, text_col=text_col,
+                             alpha=alpha, ref=ref)
+    thr = scored.agg(
+        F.percentile("lm_bigram", F.lit(lo)).alias("t_lo"),
+        F.percentile("lm_bigram", F.lit(hi)).alias("t_hi"))
+    return (scored.join(F.broadcast(thr))
+            .withColumn(
+                "bucket",
+                F.when(F.col("lm_bigram").isNull(), "unscored")
+                .when(F.col("lm_bigram") < F.col("t_lo"), "tail")
+                .when(F.col("lm_bigram") < F.col("t_hi"), "middle")
+                .otherwise("head"))
+            .drop("t_lo", "t_hi"))

@@ -1789,3 +1789,38 @@ def test_clustering_coefficient_matches_bruteforce_on_borders(spark):
            for r in clustering_coefficient(
                und, "focal", "neighbor").collect()}
     assert got == exp
+
+
+def test_perplexity_buckets_contracts(spark):
+    """Tercile cuts on a hand corpus: every doc keeps a row, buckets
+    partition by the exact cut points, short docs land in 'unscored',
+    and fraction validation rejects bad input."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.text import (bigram_lm_score,
+                                                    perplexity_buckets)
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i % 4 + 1)) for i in range(9)]
+        + [(9, "solo")],
+        "doc_id long, text string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 10
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["lm_bigram"])
+    assert by_bucket.pop("unscored") == [None]
+    # ordering invariant: max(tail) < min(middle) <= max(middle) <
+    # min(head) can tie at cut points but never cross
+    if "tail" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["tail"]) <= min(by_bucket["middle"])
+    if "middle" in by_bucket and "head" in by_bucket:
+        assert max(by_bucket["middle"]) <= min(by_bucket["head"])
+    # scores must be exactly the scorer's output (composition, not a
+    # re-derivation)
+    exp = {r["doc_id"]: r["lm_bigram"]
+           for r in bigram_lm_score(docs).collect()}
+    got = {r["doc_id"]: r["lm_bigram"] for r in out}
+    assert got == exp
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, fractions=(0.7, 0.3))
