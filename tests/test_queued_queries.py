@@ -87,3 +87,34 @@ def test_queue_is_not_registered_yet():
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
     overlap = set(queued.QUERIES) & set(get_queries())
     assert not overlap, f"queued queries already registered: {overlap}"
+
+
+# queued queries with a legitimate O(1)-row identity-broadcast build
+# side (same contract as test_plan_shapes._BNLJ_OK; fold these into
+# that allowlist when the queue registers)
+_QUEUED_BNLJ_OK = {
+    "q86_important_stock",      # 1-row mean-value threshold
+    "d43_perplexity_buckets",   # 1-row percentile cut pair
+    "g18_clustering_coeff",     # 1-row grid side length (_customer_grid,
+                                # same build side as g11/g12/g13)
+}
+
+
+def test_queued_plan_guards(spark):
+    """Queued queries meet the same physical-plan bar as registered
+    ones BEFORE they reach the gate: no CartesianProduct, no
+    row-at-a-time Python (BatchEvalPython), BNLJ only on the
+    documented 1-row build sides."""
+    from ecmm428_pycart_spark.benchmarks import queued
+    offenders = {}
+    for name, fn in sorted(queued.QUERIES.items()):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        bad = [p for p in ("CartesianProduct", "BatchEvalPython")
+               if p in plan]
+        if ("BroadcastNestedLoopJoin" in plan
+                and name not in _QUEUED_BNLJ_OK):
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale anti-patterns found: {offenders}"
