@@ -489,3 +489,68 @@ def d43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("lm_bigram"), 6).alias("avg_lm")))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA projection (datapipe/pca.py): top-4 principal
+# components of the embeddings table via one mapInPandas moment pass +
+# driver eigensolve, projections map-side. SQL cannot eigensolve, so
+# the oracle is a golden VALUES table dispatched on the per-sf
+# embeddings fingerprint (count, rounded sum of the leading dim) —
+# the k01/s11 pattern; the projection itself is numpy-replay-pinned
+# and layout-determinism-pinned in tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+@q("s18_pca_project", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+g(n, s, label, n_vectors, sum_pc1, sum_abs) AS (VALUES
+(500, -1.464, 0, 56, -0.0523, 32.1978),
+(500, -1.464, 1, 47, -0.458, 25.5695),
+(500, -1.464, 2, 54, 1.5954, 27.4228),
+(500, -1.464, 3, 43, -1.678, 22.8076),
+(500, -1.464, 4, 48, -0.8118, 26.3257),
+(500, -1.464, 5, 51, 0.5655, 27.657),
+(500, -1.464, 6, 42, 0.6792, 18.886),
+(500, -1.464, 7, 50, -0.8458, 25.9332),
+(500, -1.464, 8, 46, -1.1121, 24.5687),
+(500, -1.464, 9, 63, 2.1179, 31.9746),
+(500, 1.0824, 0, 50, -0.4635, 25.7059),
+(500, 1.0824, 1, 46, -0.9292, 25.828),
+(500, 1.0824, 2, 47, 0.9534, 23.8187),
+(500, 1.0824, 3, 59, -0.1094, 30.2579),
+(500, 1.0824, 4, 52, 0.4054, 27.2824),
+(500, 1.0824, 5, 44, 1.093, 23.5328),
+(500, 1.0824, 6, 46, -0.6962, 23.4419),
+(500, 1.0824, 7, 53, -0.5674, 27.0195),
+(500, 1.0824, 8, 49, -0.9402, 26.3561),
+(500, 1.0824, 9, 54, 1.2542, 28.713),
+(2000, 1.5308, 0, 199, 0.3468, 88.6148),
+(2000, 1.5308, 1, 182, -1.9669, 83.3479),
+(2000, 1.5308, 2, 218, -2.2429, 105.9088),
+(2000, 1.5308, 3, 201, 3.6023, 88.4594),
+(2000, 1.5308, 4, 196, 2.8119, 89.4413),
+(2000, 1.5308, 5, 189, -3.6312, 88.9379),
+(2000, 1.5308, 6, 194, 2.3086, 90.5515),
+(2000, 1.5308, 7, 211, -0.8886, 98.8576),
+(2000, 1.5308, 8, 218, 0.6744, 98.2269),
+(2000, 1.5308, 9, 192, -1.0145, 83.5885)
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(sum_pc1 AS DOUBLE) AS sum_pc1,
+       CAST(sum_abs AS DOUBLE) AS sum_abs
+FROM g JOIN fp USING (n, s)
+""")
+def s18_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (pca_project(emb, k=4)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sum(F.col("pca")[0]), 4).alias("sum_pc1"),
+                 F.round(F.sum(F.aggregate(
+                     "pca", F.lit(0.0), lambda a, x: a + F.abs(x))), 4)
+                 .alias("sum_abs")))

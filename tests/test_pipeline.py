@@ -1824,3 +1824,61 @@ def test_perplexity_buckets_contracts(spark):
     assert got == exp
     with _pytest.raises(ValueError):
         perplexity_buckets(docs, fractions=(0.7, 0.3))
+
+
+def test_pca_matches_numpy_replay(spark):
+    """pca_fit/pca_project on the real embeddings table must match a
+    single-node numpy PCA (same covariance rounding + sign convention)
+    to the projection's rounding quantum."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.pca import pca_fit, pca_project
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, evar = pca_fit(emb, k=4)
+
+    x = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in emb.select("embedding").collect()])
+    mu = x.mean(axis=0)
+    cov = np.round(np.cov(x.T, bias=True), 8)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    exp_comps = evecs[:, order].T
+    for row in exp_comps:
+        j = np.argmax(np.abs(row))
+        if row[j] < 0:
+            row *= -1
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(evar, evals[order], atol=1e-7)
+    assert np.allclose(comps, exp_comps, atol=1e-6)
+    # explained variance sorted descending and positive
+    assert all(evar[i] >= evar[i + 1] for i in range(3)) and evar[-1] > 0
+
+    got = {r["vec_id"]: np.asarray(r["pca"]) for r in pca_project(
+        emb, k=4, fitted=(mean, comps, evar)).collect()}
+    exp_proj = np.round((x - mu) @ exp_comps.T, 6)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], exp_proj[i], atol=2e-6)
+
+
+def test_pca_layout_determinism(spark):
+    """The covariance-rounding contract: different partition layouts
+    must produce IDENTICAL (not merely close) projections."""
+    from ecmm428_pycart_spark.datapipe.pca import pca_fit, pca_project
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {r["vec_id"]: tuple(r["pca"])
+         for r in pca_project(emb.repartition(1), k=3).collect()}
+    b = {r["vec_id"]: tuple(r["pca"])
+         for r in pca_project(emb.repartition(13), k=3).collect()}
+    assert a == b
+    # k validation + empty input
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pca_fit(emb, k=0)
+    with _pytest.raises(ValueError):
+        pca_fit(emb.filter("vec_id < 0"), k=2)
