@@ -554,3 +554,29 @@ def s18_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.aggregate(
                      "pca", F.lit(0.0), lambda a, x: a + F.abs(x))), 4)
                  .alias("sum_abs")))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the corpus head (text.zipf_fit): the
+# vocabulary collapses via one groupBy, a distributed TakeOrdered keeps
+# the top-1000, and the regression is the native regr_* aggregates —
+# the only global window runs over <= 1000 rows. Both engines share the
+# same OLS closed forms, so the oracle is plain SQL.
+# ---------------------------------------------------------------------------
+@q("d44_zipf_fit", """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+  FROM counts ORDER BY c DESC, w ASC LIMIT 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_fit,
+       round(regr_slope(ln(c), ln(r)), 6) AS slope,
+       round(regr_intercept(ln(c), ln(r)), 6) AS intercept,
+       round(regr_r2(ln(c), ln(r)), 6) AS r2
+FROM head
+""")
+def d44_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))

@@ -103,19 +103,25 @@ def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding",
 
 def pca_project(df: DataFrame, k: int, vec_col: str = "embedding",
                 out_col: str = "pca", decimals: int = 6,
-                fitted=None) -> DataFrame:
+                fitted=None, whiten: bool = False,
+                eps: float = 1e-9) -> DataFrame:
     """Project every row onto the top-k principal components
     (``out_col`` = array<double> length k, rounded to ``decimals`` for
     cross-run/engine stability). ``fitted`` reuses a ``pca_fit`` result
     (fit on a sample, project everywhere — the 100 TB pattern); default
-    fits on ``df`` itself. Map-side only after the fit: the (k x d)
-    component matrix rides the closure, no joins, no shuffle."""
-    mean, comps, _ = fitted if fitted is not None else pca_fit(
+    fits on ``df`` itself. ``whiten=True`` scales each coordinate by
+    1/sqrt(eigenvalue + eps) so components come out unit-variance —
+    the preprocessing OPQ-style rotations and Mahalanobis-ish scoring
+    assume. Map-side only after the fit: the (k x d) component matrix
+    rides the closure, no joins, no shuffle."""
+    mean, comps, evar = fitted if fitted is not None else pca_fit(
         df, k, vec_col)
     import pandas as pd
 
     m = mean.copy()
     c = comps.T.copy()  # (d, k)
+    if whiten:
+        c = c / np.sqrt(np.asarray(evar) + eps)
 
     def project(batches):
         for pdf in batches:

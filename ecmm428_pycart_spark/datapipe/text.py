@@ -593,3 +593,38 @@ def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
                 .when(F.col("lm_bigram") < F.col("t_hi"), "middle")
                 .otherwise("head"))
             .drop("t_lo", "t_hi"))
+
+
+def zipf_fit(df: DataFrame, top_n: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """OLS fit of the Zipf rank-frequency law over the corpus head:
+    ln(freq) ~ slope * ln(rank) + intercept on the ``top_n``
+    most-frequent tokens (count-desc, token-asc tiebreak). The head
+    restriction is both the statistical convention (Zipf holds in the
+    head; the tail is noise) and the scale discipline: the global rank
+    is assigned AFTER a distributed TakeOrdered reduces the vocabulary
+    to top_n rows, so the only global window runs over <= top_n rows,
+    never over the full vocabulary. The regression itself is native
+    ``regr_slope``/``regr_intercept``/``regr_r2`` aggregates (one
+    pass, both engines implement the same closed forms).
+
+    Returns one row: (n_fit, slope, intercept, r2), rounded to 6.
+    A head with a single distinct frequency (zero-variance target)
+    fits slope 0 with r2 = 1.0 — Spark and DuckDB agree on that
+    convention (pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    counts = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+              .filter(F.col("w") != "")
+              .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    head = (counts.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(top_n)
+            .withColumn("r", F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w").asc()))))
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+    return head.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.round(F.regr_slope(lc, lr), 6).alias("slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"))

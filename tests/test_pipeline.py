@@ -1882,3 +1882,43 @@ def test_pca_layout_determinism(spark):
         pca_fit(emb, k=0)
     with _pytest.raises(ValueError):
         pca_fit(emb.filter("vec_id < 0"), k=2)
+
+
+def test_pca_whiten_unit_variance(spark):
+    """Whitened projections must have ~unit per-component variance on
+    the fitting corpus (definition of whitening)."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.pca import pca_project
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = np.asarray([r["pca"] for r in
+                    pca_project(emb, k=3, whiten=True).collect()])
+    assert np.allclose(p.var(axis=0), 1.0, atol=1e-4)
+
+
+def test_zipf_fit_known_distribution(spark):
+    """Synthetic exact-Zipf corpus (freq = K / rank) must fit slope
+    ~ -1 with r2 ~ 1; degenerate one-frequency head yields NULL
+    slope/r2 (regr contracts)."""
+    from ecmm428_pycart_spark.datapipe.text import zipf_fit
+
+    rows = []
+    # token t_r appears round(120/r) times, r = 1..12 -> ln f = ln 120
+    # - ln r exactly (up to rounding of counts)
+    words = []
+    for r in range(1, 13):
+        words += [f"t{r:02d}"] * max(1, round(120 / r))
+    rows.append((0, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    row = zipf_fit(docs, top_n=12).collect()[0]
+    assert row["n_fit"] == 12
+    assert abs(row["slope"] + 1.0) < 0.05, row
+    assert row["r2"] > 0.999
+    deg = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    drow = zipf_fit(deg).collect()[0]
+    # constant ln(freq): slope 0, intercept ln(1)=0, and BOTH engines
+    # define r2 = 1.0 here (zero residual on a zero-variance target)
+    assert (drow["n_fit"], drow["slope"], drow["intercept"],
+            drow["r2"]) == (4, 0.0, 0.0, 1.0)
