@@ -580,3 +580,62 @@ def d44_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecmm428_pycart_spark.datapipe.text import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (similarity.mmr_topk, Carbonell & Goldstein
+# 1998): distributed exact-cosine shortlist (broadcast query,
+# TakeOrdered) + bounded greedy selection over <= 100 candidates
+# (per-query kernel, pq_adc_topk's collect contract). Iterative greedy
+# is not SQL-expressible, so the oracle is a fingerprint-dispatched
+# golden; the selection itself is replay-pinned (same rounding and
+# min-id tiebreaks) in tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+@q("s19_mmr_topk", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+g(n, s, rank, vec_id, cos, mmr) AS (VALUES
+(500, -1.464, 1, 0, 1.0, 0.7),
+(500, -1.464, 2, 17, 0.334456, 0.133782),
+(500, -1.464, 3, 225, 0.315127, 0.126051),
+(500, -1.464, 4, 12, 0.311027, 0.124411),
+(500, -1.464, 5, 483, 0.300451, 0.12018),
+(500, -1.464, 6, 260, 0.298669, 0.119468),
+(500, -1.464, 7, 73, 0.297238, 0.118895),
+(500, -1.464, 8, 347, 0.274508, 0.109803),
+(500, -1.464, 9, 402, 0.2745, 0.1098),
+(500, -1.464, 10, 299, 0.268713, 0.107485),
+(500, 1.0824, 1, 0, 1.0, 0.7),
+(500, 1.0824, 2, 365, 0.369994, 0.147998),
+(500, 1.0824, 3, 334, 0.362722, 0.145089),
+(500, 1.0824, 4, 387, 0.331139, 0.132456),
+(500, 1.0824, 5, 423, 0.296934, 0.118774),
+(500, 1.0824, 6, 73, 0.295434, 0.118174),
+(500, 1.0824, 7, 320, 0.287861, 0.115144),
+(500, 1.0824, 8, 464, 0.276628, 0.110651),
+(500, 1.0824, 9, 190, 0.281795, 0.104891),
+(500, 1.0824, 10, 483, 0.2567, 0.10268),
+(2000, 1.5308, 1, 0, 1.0, 0.7),
+(2000, 1.5308, 2, 1204, 0.406472, 0.162589),
+(2000, 1.5308, 3, 291, 0.391932, 0.156773),
+(2000, 1.5308, 4, 1020, 0.375988, 0.150395),
+(2000, 1.5308, 5, 510, 0.344458, 0.137783),
+(2000, 1.5308, 6, 1511, 0.328782, 0.131513),
+(2000, 1.5308, 7, 144, 0.324319, 0.129728),
+(2000, 1.5308, 8, 1407, 0.319136, 0.127654),
+(2000, 1.5308, 9, 142, 0.311258, 0.124503),
+(2000, 1.5308, 10, 794, 0.310833, 0.124333)
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cos AS DOUBLE) AS cos, CAST(mmr AS DOUBLE) AS mmr
+FROM g JOIN fp USING (n, s)
+""")
+def s19_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.similarity import (mmr_topk,
+                                                          query_vector)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, query_vector(emb, 0), k=10, shortlist=100,
+                    lam=0.7)

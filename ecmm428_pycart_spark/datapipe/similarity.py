@@ -617,3 +617,69 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60,
             .agg(F.round(F.sum("_rrf"), 6).alias("rrf"))
             .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def mmr_topk(df: DataFrame, query: DataFrame, k: int = 10,
+             shortlist: int = 100, lam: float = 0.5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): pick k results balancing query relevance against redundancy
+    with what's already picked —
+
+        MMR = argmax_d [ lam * cos(d, q)
+                         - (1 - lam) * max_{s in S} cos(d, s) ]
+
+    Two-phase, the way every production retrieval stack runs it: the
+    DISTRIBUTED phase is an exact cosine shortlist (broadcast query,
+    one pass, TakeOrdered — cosine_topk's plan) that bounds the
+    candidate set; the greedy selection then runs on the driver over
+    those <= ``shortlist`` vectors (the same bounded-single-result
+    contract as pq_adc_topk's single-query collect — this is a
+    per-query kernel, not a corpus pass). Scores are rounded to 6
+    before comparison with smallest-id tiebreaks, so the selection is
+    engine- and layout-deterministic.
+
+    Returns (rank 1..k, id, cos, mmr) in selection order. ``lam=1``
+    degenerates to pure relevance (= cosine_topk order).
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > shortlist:
+        raise ValueError("k cannot exceed the shortlist size")
+    cand = (df.crossJoin(F.broadcast(query))
+            .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("q")), 6))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(shortlist)
+            .select(id_col, vec_col, "cos")
+            .collect())
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"rank int, {id_col} long, cos double, mmr double")
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["cos"] for r in cand])
+    x = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cand])
+    nrm = np.linalg.norm(x, axis=1)
+    nrm[nrm == 0] = 1.0
+    xn = x / nrm[:, None]
+    sims = np.round(xn @ xn.T, 6)  # candidate-candidate cosines
+    picked, max_sim = [], np.full(len(cand), -np.inf)
+    avail = np.ones(len(cand), dtype=bool)
+    out = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        if picked:
+            mmr = np.round(lam * rel - (1 - lam) * max_sim, 6)
+        else:
+            mmr = np.round(lam * rel, 6)
+        mmr_masked = np.where(avail, mmr, -np.inf)
+        best = mmr_masked.max()
+        # smallest id among ties
+        tie = [i for i in np.flatnonzero(mmr_masked == best)]
+        j = min(tie, key=lambda i: ids[i])
+        picked.append(j)
+        avail[j] = False
+        out.append((rank, ids[j], float(rel[j]), float(mmr[j])))
+        max_sim = np.maximum(max_sim, sims[j])
+    return df.sparkSession.createDataFrame(
+        out, f"rank int, {id_col} long, cos double, mmr double")

@@ -1922,3 +1922,57 @@ def test_zipf_fit_known_distribution(spark):
     # define r2 = 1.0 here (zero residual on a zero-variance target)
     assert (drow["n_fit"], drow["slope"], drow["intercept"],
             drow["r2"]) == (4, 0.0, 0.0, 1.0)
+
+
+def test_mmr_topk_replay_and_contracts(spark):
+    """MMR on the real embeddings: (a) lam=1 reduces to cosine_topk's
+    ranking; (b) a pure-Python greedy replay under the same rounding
+    and tiebreaks matches exactly; (c) diversification actually kicks
+    in for small lam (selection differs from pure relevance)."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.similarity import (cosine_topk,
+                                                          mmr_topk,
+                                                          query_vector)
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = query_vector(emb, 0)
+
+    pure = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    lam1 = [r["vec_id"] for r in
+            mmr_topk(emb, q, k=10, shortlist=50, lam=1.0).collect()]
+    assert lam1 == pure
+
+    got = [(r["rank"], r["vec_id"], r["cos"], r["mmr"]) for r in
+           mmr_topk(emb, q, k=8, shortlist=40, lam=0.4).collect()]
+
+    # replay
+    cand = sorted(
+        ((r["vec_id"], r["cos"], np.asarray(r["embedding"], float))
+         for r in emb.crossJoin(q.select("q")).selectExpr(
+             "vec_id", "embedding",
+             "round(aggregate(zip_with(embedding, q, (x, y) -> x * y),"
+             " 0D, (a, x) -> a + x) / (sqrt(aggregate(embedding, 0D,"
+             " (a, x) -> a + x * x)) * sqrt(aggregate(q, 0D, (a, x) ->"
+             " a + x * x))), 6) AS cos").collect()),
+        key=lambda t: (-t[1], t[0]))[:40]
+    ids = [c[0] for c in cand]
+    rel = np.array([c[1] for c in cand])
+    x = np.array([c[2] for c in cand])
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+    sims = np.round(xn @ xn.T, 6)
+    max_sim = np.full(len(cand), -np.inf)
+    avail = np.ones(len(cand), bool)
+    exp = []
+    for rank in range(1, 9):
+        mmr = (np.round(0.4 * rel - 0.6 * max_sim, 6)
+               if rank > 1 else np.round(0.4 * rel, 6))
+        mm = np.where(avail, mmr, -np.inf)
+        ties = np.flatnonzero(mm == mm.max())
+        j = min(ties, key=lambda i: ids[i])
+        exp.append((rank, ids[j], float(rel[j]), float(mmr[j])))
+        avail[j] = False
+        max_sim = np.maximum(max_sim, sims[j])
+    assert got == exp
+    assert [g[1] for g in got] != pure[:8]  # diversification changed it
