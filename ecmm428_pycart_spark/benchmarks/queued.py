@@ -639,3 +639,38 @@ def s19_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_topk(emb, query_vector(emb, 0), k=10, shortlist=100,
                     lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (similarity.hard_negatives): for 20 anchor
+# vectors, the top-5 most-similar DIFFERENT-label corpus vectors —
+# knn_join with a map-side label-mismatch pair_filter (anchors
+# broadcast, corpus never shuffles, two-phase top-k). Brute-force SQL
+# oracle over the same rounded cosine + id tiebreaks.
+# ---------------------------------------------------------------------------
+@q("s20_hard_negatives", """
+WITH a AS (
+  SELECT vec_id AS q_id, embedding AS q, label AS a_label
+  FROM embeddings WHERE vec_id < 20
+),
+sc AS (
+  SELECT a.q_id, a.a_label, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      a.q::DOUBLE[]), 6) AS cos
+  FROM embeddings e, a
+  WHERE e.vec_id <> a.q_id AND e.label <> a.a_label
+),
+r AS (
+  SELECT q_id, a_label, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT q_id, a_label, vec_id, cos, rank FROM r WHERE rank <= 5
+""")
+def s20_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return hard_negatives(emb, anchors, k=5)

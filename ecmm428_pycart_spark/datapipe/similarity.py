@@ -205,7 +205,8 @@ def cosine_neardup_pairs_banded(df: DataFrame, threshold: float = 0.30,
 
 def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q",
+             pair_filter=None) -> DataFrame:
     """Batch k-NN join: exact top-k corpus neighbours for EVERY query in
     a (small) query batch — the bulk-retrieval primitive behind
     retrieval-augmented dataset construction.
@@ -220,10 +221,17 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
     carries O(k·parts) rows per query into the final shuffle instead of
     the whole corpus. Approximate variants (sign-LSH buckets, IVF lists)
     bound the *scored* set the same way s02/s04 do.
+
+    ``pair_filter``: optional Column predicate over (corpus row x query
+    row) applied before scoring — e.g. a label-mismatch constraint for
+    hard-negative mining. It prunes map-side, inside the same pass.
     """
     from pyspark.sql import Window as W
     scored = (df.crossJoin(F.broadcast(queries))
-              .filter(F.col(id_col) != F.col(q_id_col))
+              .filter(F.col(id_col) != F.col(q_id_col)))
+    if pair_filter is not None:
+        scored = scored.filter(pair_filter)
+    scored = (scored
               .withColumn("cos", F.round(
                   cosine(F.col(vec_col), F.col(q_vec_col)), 6))
               .select(q_id_col, id_col, "cos"))
@@ -683,3 +691,31 @@ def mmr_topk(df: DataFrame, query: DataFrame, k: int = 10,
         max_sim = np.maximum(max_sim, sims[j])
     return df.sparkSession.createDataFrame(
         out, f"rank int, {id_col} long, cos double, mmr double")
+
+
+def hard_negatives(df: DataFrame, anchors: DataFrame | None = None,
+                   k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually teach a metric model something (Schroff et
+    al. 2015's semi-hard insight, batch form).
+
+    Pure composition: ``knn_join`` with a label-mismatch
+    ``pair_filter``, so the corpus never shuffles (anchors broadcast,
+    mismatch pruned map-side, two-phase top-k). ``anchors`` defaults to
+    the corpus rows themselves — pass a small sampled frame at real
+    scale (the broadcast bound is the anchor count, exactly knn_join's
+    contract). Returns (q_id, a_label, vec_id, cos, rank).
+    """
+    if anchors is None:
+        anchors = df
+    q = anchors.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q"),
+                       F.col(label_col).alias("a_label"))
+    out = knn_join(df, q, k=k, id_col=id_col, vec_col=vec_col,
+                   pair_filter=F.col(label_col) != F.col("a_label"))
+    # re-attach the anchor label (broadcast of the same small frame)
+    return (out.join(F.broadcast(q.select("q_id", "a_label")), "q_id")
+            .select("q_id", "a_label", id_col, "cos", "rank"))

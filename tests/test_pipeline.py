@@ -1976,3 +1976,38 @@ def test_mmr_topk_replay_and_contracts(spark):
         max_sim = np.maximum(max_sim, sims[j])
     assert got == exp
     assert [g[1] for g in got] != pure[:8]  # diversification changed it
+
+
+def test_hard_negatives_bruteforce_replay(spark):
+    """Hard negatives on the real embeddings (anchors = first 10 ids)
+    must equal a numpy brute force: top-5 cosine among different-label
+    vectors, rounded-cosine ordering with id tiebreak."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.similarity import hard_negatives
+    from ecmm428_pycart_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    got = [(r["q_id"], r["rank"], r["vec_id"], r["cos"], r["a_label"])
+           for r in hard_negatives(emb, anchors, k=5).collect()]
+    got.sort()
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    x = np.asarray([np.asarray(r["embedding"], float) for r in rows])
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+    exp = []
+    for a_i, a in enumerate(ids):
+        if a >= 10:
+            continue
+        cos = np.round(xn @ xn[a_i], 6)
+        cand = [(float(cos[i]), ids[i]) for i in range(len(ids))
+                if ids[i] != a and labels[ids[i]] != labels[a]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (c, vid) in enumerate(cand[:5], 1):
+            exp.append((a, rk, vid, c, labels[a]))
+    exp.sort()
+    assert got == exp

@@ -97,6 +97,8 @@ _QUEUED_BNLJ_OK = {
     "d43_perplexity_buckets",   # 1-row percentile cut pair
     "g18_clustering_coeff",     # 1-row grid side length (_customer_grid,
                                 # same build side as g11/g12/g13)
+    "s20_hard_negatives",       # broadcast 20-row anchor batch (same
+                                # contract as s09_knn_join)
 }
 
 
