@@ -674,3 +674,42 @@ def s20_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 20)
     return hard_negatives(emb, anchors, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (text.temperature_mix, the mT5
+# recipe): one aggregation to per-source token counts (a dimension,
+# driver-side like a codebook), rates broadcast back, md5-hash keeps
+# map-side. Rates rounded to 6 so Python/JVM/DuckDB pow parity holds.
+# ---------------------------------------------------------------------------
+@q("d45_temperature_mix", """
+WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+c AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_s FROM d GROUP BY 1),
+t AS (SELECT sum(pow(n_s, 0.3)) AS tot FROM c),
+r AS (SELECT source,
+             round(least(1.0, 20000 * pow(n_s, 0.3) / tot / n_s), 6)
+               AS rate
+      FROM c, t),
+k AS (
+  SELECT d.source, rate, n_tok,
+         ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) + 0.5) / 4294967296.0) < rate AS keep
+  FROM d JOIN r USING (source)
+)
+SELECT source, rate,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(n_tok) FILTER (keep), 0) AS BIGINT)
+         AS tokens_kept
+FROM k GROUP BY 1, 2
+""")
+def d45_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, budget_tokens=20000, alpha=0.3)
+    return (out.groupBy("source", "rate")
+            .agg(F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+                 F.coalesce(F.sum(F.when(F.col("keep"),
+                                         F.col("n_tokens"))),
+                            F.lit(0)).cast("long").alias("tokens_kept")))

@@ -628,3 +628,44 @@ def zipf_fit(df: DataFrame, top_n: int = 1000,
         F.round(F.regr_slope(lc, lr), 6).alias("slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"))
+
+
+def temperature_mix(df: DataFrame, budget_tokens: int,
+                    alpha: float = 0.3, source_col: str = "source",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Temperature-based source mixing (the mT5 / multilingual-corpus
+    recipe, Xue et al. 2021): sample each source s with probability
+    p_s ∝ n_s^alpha (alpha < 1 upweights small sources), scaled to a
+    total token ``budget_tokens``, keeping documents via a
+    DETERMINISTIC md5 hash draw — so the sample is reproducible,
+    engine-independent, and join-stable (the d10/d24 convention).
+
+    Per source: rate_s = min(1, budget * p_s / n_s), rounded to 6 (libm
+    pow parity across engines); a doc is kept iff its 32-bit md5
+    uniform < rate_s. Sources whose computed rate saturates at 1 are
+    kept whole (run more epochs on them downstream, the paper's move).
+
+    Scale shape: ONE aggregation collapses the corpus to per-source
+    token counts (|sources| rows — a dimension, collected driver-side
+    like a codebook); rates ride a broadcast join; the keep decision is
+    map-side. Returns the input columns + (n_tokens, rate, keep).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    n_tok = token_count(F.col(text_col)).cast("long")
+    counts = (df.groupBy(source_col)
+              .agg(F.sum(n_tok).alias("n_s"))
+              .collect())
+    tot = sum(r["n_s"] ** alpha for r in counts)
+    rates = [(r[source_col],
+              round(min(1.0, budget_tokens * (r["n_s"] ** alpha)
+                        / tot / r["n_s"]), 6))
+             for r in counts]
+    rates_df = df.sparkSession.createDataFrame(
+        rates, f"{source_col} string, rate double")
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("long") + 0.5) / F.lit(4294967296.0))
+    return (df.withColumn("n_tokens", n_tok)
+            .join(F.broadcast(rates_df), source_col)
+            .withColumn("keep", u < F.col("rate")))

@@ -2011,3 +2011,35 @@ def test_hard_negatives_bruteforce_replay(spark):
             exp.append((a, rk, vid, c, labels[a]))
     exp.sort()
     assert got == exp
+
+
+def test_temperature_mix_properties(spark):
+    """alpha=1 gives every source the SAME rate (pure proportional);
+    alpha<1 gives the smaller source a strictly higher rate; keeps are
+    deterministic (re-run identical); budget validation."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.text import temperature_mix
+
+    rows = ([(i, "w " * 200, "big") for i in range(50)]
+            + [(1000 + i, "w " * 20, "small") for i in range(10)])
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+
+    r1 = {r["source"]: r["rate"] for r in temperature_mix(
+        docs, 2000, alpha=1.0).select("source", "rate").distinct().collect()}
+    assert r1["big"] == r1["small"]
+
+    r03 = {r["source"]: r["rate"] for r in temperature_mix(
+        docs, 2000, alpha=0.3).select("source", "rate").distinct().collect()}
+    assert r03["small"] > r03["big"]
+
+    a = sorted((r["doc_id"], r["keep"]) for r in
+               temperature_mix(docs, 2000).collect())
+    b = sorted((r["doc_id"], r["keep"]) for r in
+               temperature_mix(docs, 2000).collect())
+    assert a == b and any(k for _, k in a) and not all(k for _, k in a)
+
+    with _pytest.raises(ValueError):
+        temperature_mix(docs, 0)
