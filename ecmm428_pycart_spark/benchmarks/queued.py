@@ -713,3 +713,35 @@ def d45_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum(F.when(F.col("keep"),
                                          F.col("n_tokens"))),
                             F.lit(0)).cast("long").alias("tokens_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Tar-shard export round-trip (sources/shards.py): write the documents
+# table as 4 WebDataset-style tar shards (deterministic md5 shard
+# assignment, canonical tar bytes), read them back distributed
+# (binaryFile + tar walk), and aggregate per shard. The oracle computes
+# the same per-shard totals straight from the table — any loss or
+# corruption in the write->read chain breaks the hash match. ASCII
+# corpus, so char length == utf-8 byte length on both sides.
+# ---------------------------------------------------------------------------
+@q("m23_tar_shard_roundtrip", """
+SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS UBIGINT) % 4 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+""")
+def m23_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.shards import (read_tar_shards,
+                                                     write_tar_shards)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="m23_shards_")
+    write_tar_shards(docs, out, n_shards=4)
+    back = read_tar_shards(spark, out)
+    return (back.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length(F.col("data").cast("string")))
+                 .alias("n_chars")))

@@ -530,3 +530,69 @@ def test_avi_truncation_contract():
     bad = avi[:i + 4] + _s.pack("<I", 10**6) + avi[i + 8:]
     with pytest.raises(ValueError):
         decode_avi_mjpeg_frames(bad)
+
+
+def test_tar_shard_export_roundtrip(spark, tmp_path):
+    """write_tar_shards: deterministic md5 shard assignment, canonical
+    tar bytes (two exports byte-identical), manifest totals match, and
+    read_tar_shards round-trips every payload."""
+    import hashlib
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.shards import (read_tar_shards,
+                                                     write_tar_shards)
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(100).select("doc_id", "text"))
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    r1 = {r["shard"]: (r["n_rows"], r["sha256"])
+          for r in write_tar_shards(docs, d1, n_shards=4).collect()}
+    r2 = {r["shard"]: (r["n_rows"], r["sha256"])
+          for r in write_tar_shards(docs, d2, n_shards=4).collect()}
+    assert r1 == r2 and len(r1) == 4          # determinism + all shards
+
+    man = json.load(open(f"{d1}/_manifest.json"))
+    assert man["total_rows"] == 100 == man["total_entries"]
+    assert sum(n for n, _ in r1.values()) == 100
+
+    # shard assignment law: md5(id) first-8-hex mod n
+    exp_shard = {r["doc_id"]: int(hashlib.md5(
+        str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 4
+        for r in docs.collect()}
+    back = read_tar_shards(spark, d1)
+    got = {int(r["name"][:-4]): (r["shard"], r["data"].decode())
+           for r in back.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(texts)
+    for did, (sh, txt) in got.items():
+        assert sh == exp_shard[did] and txt == texts[did]
+
+
+def test_tar_shard_binary_and_nulls(spark, tmp_path):
+    """Binary payload columns write raw; null payloads drop the entry
+    but keep the row counted; bad inputs raise."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.sources.shards import (read_tar_shards,
+                                                     write_tar_shards)
+
+    rows = [(1, b"\x00\xffPNG", "one"), (2, None, "two"), (3, b"x", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, img binary, caption string")
+    out = str(tmp_path / "mm")
+    res = write_tar_shards(
+        df, out, n_shards=2,
+        payload_cols={"img": "bin", "caption": "txt"}).collect()
+    assert sum(r["n_rows"] for r in res) == 3
+    assert sum(r["n_entries"] for r in res) == 4  # 2 imgs + 2 captions
+    back = {(r["shard"], r["name"]): bytes(r["data"])
+            for r in read_tar_shards(spark, out).collect()}
+    assert len(back) == 4
+    assert any(v == b"\x00\xffPNG" for v in back.values())
+    with _pytest.raises(ValueError):
+        write_tar_shards(df, out, n_shards=0)
+    with _pytest.raises(ValueError):
+        write_tar_shards(df, out, payload_cols={"nope": "txt"})
