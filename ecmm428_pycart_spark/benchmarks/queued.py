@@ -745,3 +745,37 @@ def m23_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.length(F.col("data").cast("string")))
                  .alias("n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split (text.leakage_safe_split): split
+# decision hashes the order-insensitive content fingerprint, so
+# duplicate documents can never straddle the boundary. Map-side only —
+# no shuffle, no RNG; the oracle replays the same md5 arithmetic.
+# ---------------------------------------------------------------------------
+@q("d46_leakage_safe_split", """
+WITH keyed AS (
+  SELECT source,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split(text, ' '))), ' ')) AS fp,
+         CASE WHEN ((CAST(concat('0x', substr(md5(md5(array_to_string(
+                    list_sort(list_distinct(string_split(text, ' '))),
+                    ' '))), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)
+                   < 0.2
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+FROM keyed GROUP BY 1, 2
+""")
+def d46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (fingerprint,
+                                                    leakage_safe_split)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs, test_frac=0.2)
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(fingerprint(F.col("text")))
+                 .alias("n_distinct")))

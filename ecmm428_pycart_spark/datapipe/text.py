@@ -669,3 +669,29 @@ def temperature_mix(df: DataFrame, budget_tokens: int,
     return (df.withColumn("n_tokens", n_tok)
             .join(F.broadcast(rates_df), source_col)
             .withColumn("keep", u < F.col("rate")))
+
+
+def leakage_safe_split(df: DataFrame, test_frac: float = 0.1,
+                       key_col: str | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Train/test split that cannot leak duplicates across the
+    boundary: the split decision hashes a CONTENT key, not the row id,
+    so every copy (and token-reordering) of the same document lands on
+    the same side — the hygiene step C4/Pile-style corpora apply
+    before held-out evaluation means anything.
+
+    Default key is ``fingerprint(text)`` (order-insensitive exact-dup
+    cluster); pass ``key_col`` to split by a precomputed cluster id
+    instead (e.g. connected-component labels from near-dup pairs, the
+    stronger variant). Assignment: 32-bit md5 uniform of the key <
+    test_frac → 'test', else 'train' — deterministic, engine-portable,
+    map-side after one hash (no shuffle, no RNG seed to disagree on).
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError("test_frac must be in (0, 1)")
+    key = F.col(key_col) if key_col else fingerprint(F.col(text_col))
+    u = ((F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+          .cast("long") + 0.5) / F.lit(4294967296.0))
+    return df.withColumn("split", F.when(u < test_frac, "test")
+                         .otherwise("train"))

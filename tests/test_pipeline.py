@@ -2043,3 +2043,26 @@ def test_temperature_mix_properties(spark):
 
     with _pytest.raises(ValueError):
         temperature_mix(docs, 0)
+
+
+def test_leakage_safe_split_no_dup_straddle(spark):
+    """Exact duplicates and token-reorderings of the same doc must land
+    in the SAME split; fraction lands near test_frac; validation."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.text import leakage_safe_split
+
+    base = [(i, f"alpha beta w{i} gamma") for i in range(200)]
+    dups = [(1000 + i, t) for i, t in base[:50]]          # exact copies
+    reord = [(2000 + i, " ".join(reversed(t.split())))    # reorderings
+             for i, t in base[:50]]
+    docs = spark.createDataFrame(base + dups + reord,
+                                 "doc_id long, text string")
+    out = leakage_safe_split(docs, test_frac=0.25).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    for i in range(50):
+        assert split_of[i] == split_of[1000 + i] == split_of[2000 + i]
+    frac = sum(1 for r in out if r["split"] == "test") / len(out)
+    assert 0.1 < frac < 0.4
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, test_frac=1.5)
