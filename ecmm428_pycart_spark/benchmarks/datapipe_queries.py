@@ -1763,8 +1763,7 @@ FROM k ORDER BY es_key DESC, doc_id LIMIT 50
 def d24_weighted_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     w = F.size(F.split("text", " ")).cast("bigint")
-    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                 16, 10).cast("long") + 0.5) / F.lit(4294967296.0))
+    u = text.md5_uniform(F.col("doc_id"))
     k = docs.select("doc_id", w.alias("n_tokens"),
                     F.round(F.pow(u, 1.0 / w), 9).alias("es_key"))
     return k.orderBy(F.col("es_key").desc(), "doc_id").limit(50)

@@ -43,11 +43,16 @@ def _moment_partials(vec_col: str, d: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"pca_fit: NULL value in '{vec_col}' — filter "
+                    "nulls before fitting")
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if x.shape[1] != d:
+            if x.ndim != 2 or x.shape[1] != d:
                 raise ValueError(
-                    f"embedding dim {x.shape[1]} != expected {d}")
+                    f"pca_fit: ragged or wrong-width '{vec_col}' "
+                    f"(expected uniform dim {d})")
             n += x.shape[0]
             s += x.sum(axis=0)
             outer += x.T @ x
@@ -69,9 +74,10 @@ def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding",
     descending eigenvalue, explained_var (k,) the matching eigenvalues
     of the (population, 1/n) covariance. Deterministic across partition
     layouts per the module contract."""
-    head = df.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError("pca_fit on an empty DataFrame")
+    head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if head is None:
+        raise ValueError(
+            f"pca_fit: no non-null '{vec_col}' values to fit on")
     d = len(head[0])
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}]")
@@ -121,7 +127,9 @@ def pca_project(df: DataFrame, k: int, vec_col: str = "embedding",
     m = mean.copy()
     c = comps.T.copy()  # (d, k)
     if whiten:
-        c = c / np.sqrt(np.asarray(evar) + eps)
+        # covariance rounding can nudge a ~0 eigenvalue slightly
+        # negative; clamp so sqrt never yields NaN columns
+        c = c / np.sqrt(np.maximum(np.asarray(evar), 0.0) + eps)
 
     def project(batches):
         for pdf in batches:

@@ -656,6 +656,8 @@ def mmr_topk(df: DataFrame, query: DataFrame, k: int = 10,
         raise ValueError("lam must be in [0, 1]")
     if k > shortlist:
         raise ValueError("k cannot exceed the shortlist size")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"rank int, {id_col} {id_type}, cos double, mmr double"
     cand = (df.crossJoin(F.broadcast(query))
             .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("q")), 6))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -663,8 +665,7 @@ def mmr_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .select(id_col, vec_col, "cos")
             .collect())
     if not cand:
-        return df.sparkSession.createDataFrame(
-            [], f"rank int, {id_col} long, cos double, mmr double")
+        return df.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in cand]
     rel = np.array([r["cos"] for r in cand])
     x = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cand])
@@ -689,8 +690,7 @@ def mmr_topk(df: DataFrame, query: DataFrame, k: int = 10,
         avail[j] = False
         out.append((rank, ids[j], float(rel[j]), float(mmr[j])))
         max_sim = np.maximum(max_sim, sims[j])
-    return df.sparkSession.createDataFrame(
-        out, f"rank int, {id_col} long, cos double, mmr double")
+    return df.sparkSession.createDataFrame(out, out_schema)
 
 
 def hard_negatives(df: DataFrame, anchors: DataFrame | None = None,

@@ -86,6 +86,27 @@ def fingerprint(col) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+def md5_uniform(col) -> Column:
+    """Deterministic uniform draw in (0, 1): first 8 md5 hex chars of
+    the stringified column, as (h + 0.5) / 2^32 — the repo's
+    engine-portable RNG contract (hash sampling d10, weighted
+    reservoir d24, temperature mixing, leakage-safe splits). ONE
+    definition: the DuckDB mirror is
+    ``(CAST(concat('0x', substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS
+    UBIGINT) + 0.5) / 4294967296.0``; change both or neither."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ((F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+             .cast("long") + 0.5) / F.lit(4294967296.0))
+
+
+def md5_bucket(col, n: int) -> Column:
+    """Deterministic bucket in [0, n): same md5 prefix, mod n (shard
+    assignment, hash splits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long") % n).cast("int")
+
+
 def chunk_documents(df: DataFrame, window: int = 50, stride: int = 40,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Sliding-window token chunking — the pre-tokenization split every
@@ -654,21 +675,33 @@ def temperature_mix(df: DataFrame, budget_tokens: int,
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     n_tok = token_count(F.col(text_col)).cast("long")
+    # rates stay ENGINE-SIDE end-to-end (per-source aggregate -> 1-row
+    # total broadcast -> F.round): Spark's HALF_UP round matches the
+    # DuckDB oracle's, where a driver-side Python round() (half-even)
+    # could flip a 6th-decimal knife edge. NULL token sums (all-null
+    # texts) coalesce to 0 -> rate 0.0 (nothing measurable to keep).
     counts = (df.groupBy(source_col)
-              .agg(F.sum(n_tok).alias("n_s"))
-              .collect())
-    tot = sum(r["n_s"] ** alpha for r in counts)
-    rates = [(r[source_col],
-              round(min(1.0, budget_tokens * (r["n_s"] ** alpha)
-                        / tot / r["n_s"]), 6))
-             for r in counts]
-    rates_df = df.sparkSession.createDataFrame(
-        rates, f"{source_col} string, rate double")
-    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                 16, 10).cast("long") + 0.5) / F.lit(4294967296.0))
+              .agg(F.coalesce(F.sum(n_tok), F.lit(0)).alias("n_s")))
+    tot = counts.agg(F.sum(F.pow("n_s", alpha)).alias("tot"))
+    rates_df = (counts.join(F.broadcast(tot))
+                .withColumn(
+                    "rate",
+                    F.when(F.col("n_s") > 0,
+                           F.round(F.least(
+                               F.lit(1.0),
+                               budget_tokens * F.pow("n_s", alpha)
+                               / F.col("tot") / F.col("n_s")), 6))
+                    .otherwise(F.lit(0.0)))
+                .select(source_col, "rate"))
+    # null-safe equi-join so NULL-source rows keep their row (matched
+    # to the NULL-key rate) instead of silently vanishing
     return (df.withColumn("n_tokens", n_tok)
-            .join(F.broadcast(rates_df), source_col)
-            .withColumn("keep", u < F.col("rate")))
+            .join(F.broadcast(rates_df.withColumnRenamed(
+                source_col, "_mix_src")),
+                F.col(source_col).eqNullSafe(F.col("_mix_src")))
+            .drop("_mix_src")
+            .withColumn("keep", md5_uniform(F.col(id_col))
+                        < F.col("rate")))
 
 
 def leakage_safe_split(df: DataFrame, test_frac: float = 0.1,
@@ -691,7 +724,6 @@ def leakage_safe_split(df: DataFrame, test_frac: float = 0.1,
     if not 0.0 < test_frac < 1.0:
         raise ValueError("test_frac must be in (0, 1)")
     key = F.col(key_col) if key_col else fingerprint(F.col(text_col))
-    u = ((F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-          .cast("long") + 0.5) / F.lit(4294967296.0))
-    return df.withColumn("split", F.when(u < test_frac, "test")
-                         .otherwise("train"))
+    return df.withColumn(
+        "split", F.when(md5_uniform(key) < test_frac, "test")
+        .otherwise("train"))

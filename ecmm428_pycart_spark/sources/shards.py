@@ -31,9 +31,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def shard_key(id_col, n_shards: int):
-    """Deterministic shard id: first 8 md5 hex chars of the id mod n."""
-    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                   16, 10).cast("long") % n_shards).cast("int")
+    """Deterministic shard id: first 8 md5 hex chars of the id mod n
+    (the shared md5_bucket contract)."""
+    from ecmm428_pycart_spark.datapipe.text import md5_bucket
+    return md5_bucket(id_col, n_shards)
 
 
 def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
@@ -77,8 +78,15 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
                     v = row[col]
                     if v is None:
                         continue
-                    data = v.encode("utf-8") if isinstance(v, str) \
-                        else bytes(v)
+                    if isinstance(v, str):
+                        data = v.encode("utf-8")
+                    elif isinstance(v, (bytes, bytearray, memoryview)):
+                        data = bytes(v)
+                    else:
+                        # bytes(int) would silently emit zero-fill
+                        raise TypeError(
+                            f"payload column {col!r} must be string "
+                            f"or binary, got {type(v).__name__}")
                     info = tarfile.TarInfo(name=f"{row[id_col]}.{ext}")
                     info.size = len(data)
                     info.mtime = 0
@@ -134,9 +142,12 @@ def read_tar_shards(spark, out_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"shard": [], "name": [], "data": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                shard = int(os.path.basename(path)[6:11])
+                base = os.path.basename(path)
+                shard = int(base[len("shard-"):-len(".tar")])
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
                     for m in tar.getmembers():
+                        if not m.isreg():
+                            continue  # extractfile(None-deref) guard
                         out["shard"].append(shard)
                         out["name"].append(m.name)
                         out["data"].append(tar.extractfile(m).read())

@@ -2066,3 +2066,34 @@ def test_leakage_safe_split_no_dup_straddle(spark):
     assert 0.1 < frac < 0.4
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, test_frac=1.5)
+
+
+def test_temperature_mix_null_source_and_pca_whiten_guard(spark):
+    """Review-pass regressions: NULL-source rows survive the rate join
+    (null-safe equi-join) with a usable rate; whiten never emits NaN
+    even when covariance rounding nudges a zero eigenvalue negative."""
+    import math
+
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.pca import pca_project
+    from ecmm428_pycart_spark.datapipe.text import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f g", None), (3, "h i", None)],
+        "doc_id long, text string, source string")
+    out = temperature_mix(docs, 100).collect()
+    assert len(out) == 3                       # nothing dropped
+    null_rows = [r for r in out if r["source"] is None]
+    assert len(null_rows) == 2
+    assert all(r["rate"] is not None and not math.isnan(r["rate"])
+               for r in out)
+
+    # rank-deficient embeddings: 2 informative dims + 2 constant dims,
+    # whiten with k up to the rank boundary must stay finite
+    rows = [(i, [float(i % 7), float((3 * i) % 5), 1.0, 2.0])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = np.asarray([r["pca"] for r in
+                    pca_project(emb, k=4, whiten=True).collect()])
+    assert np.isfinite(p).all()

@@ -99,6 +99,8 @@ _QUEUED_BNLJ_OK = {
                                 # same build side as g11/g12/g13)
     "s20_hard_negatives",       # broadcast 20-row anchor batch (same
                                 # contract as s09_knn_join)
+    "d45_temperature_mix",      # 1-row pow-sum total broadcast into the
+                                # per-source rate computation
 }
 
 
