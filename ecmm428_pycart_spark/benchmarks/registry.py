@@ -71,10 +71,15 @@ DRIVER_WINDOW = [
 #   SENTINELS = NEXT_ROUND_SENTINELS            # drops g02 from the
 #                                               # ride-along contract
 # (test_window_keeps_sentinels otherwise still demands g02 in the
-# window). Then start a fresh DEFERRED list with round-5 additions
-# (e.g. the queued s14_semdedup golden — tools/gen_goldens.py already
-# emits it — and an m20 spectral-audio query over wav_spectrum_stats).
-# Two sentinels, not three: see NEXT_ROUND_SENTINELS for the budget
+# window). Then start a fresh DEFERRED list with round-5 additions:
+# add `queued` to _modules() below (benchmarks/queued.py already holds
+# 18 oracle-validated entries — see docs/ROUND5_QUEUE.md) and put its
+# query names plus the library-op registrations from the queue table
+# (s14_semdedup golden via tools/gen_goldens.py, m20 spectral audio,
+# d37-d42, m21/m22, g17, s15/s16, d39) into the new DEFERRED list.
+# When registering queued.py, fold tests/test_queued_queries.py's
+# _QUEUED_BNLJ_OK entries into test_plan_shapes._BNLJ_OK. Two
+# sentinels, not three: see NEXT_ROUND_SENTINELS for the budget
 # arithmetic.
 # All are verify_oracle-green locally; tests/test_gate_coverage.py
 # fails if any registered query is neither historically checked, in
