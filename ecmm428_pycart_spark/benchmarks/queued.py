@@ -779,3 +779,39 @@ def d46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct(fingerprint(F.col("text")))
                  .alias("n_distinct")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (dedup.source_contamination): one
+# explode+distinct to (source, 3-gram), self-join on the shingle key
+# (fan-out bounded by C(sources, 2) — sources are a dimension), then
+# containment vs the smaller side. Plain SQL oracle.
+# ---------------------------------------------------------------------------
+@q("d47_source_contamination", """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS g
+  FROM t, unnest(range(1, len(ws) - 1)) AS i(i)
+  WHERE len(ws) >= 3
+),
+tot AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(ta.n_shingles, tb.n_shingles), 6)
+         AS containment
+FROM ov
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b
+WHERE n_shared >= 10
+""")
+def d47_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import source_contamination
+
+    return source_contamination(_t(spark, sf_dir, "documents"))

@@ -328,3 +328,48 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame,
                        & (F.col(b).bitwiseAND(F.col(m)) != 0))
                .drop(w, m, b))
     return out
+
+
+def source_contamination(df: DataFrame, n: int = 3,
+                         min_shared: int = 10,
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Cross-source n-gram contamination matrix: for every source pair,
+    the number of shared distinct word n-grams and the containment
+    ratio (shared / smaller side) — the corpus-forensics pass that
+    catches one source republishing another (mirrors, scrapes, eval
+    benchmarks leaking into crawl slices) before anything trains.
+
+    Plan: one explode+distinct collapses the corpus to (source,
+    shingle) — the heavy reduction, map-side combined; the pair
+    overlap is a self-join on the shingle key. Join fan-out per
+    shingle is bounded by C(n_sources, 2): sources are a dimension
+    (tens-hundreds), so the output and the per-key work stay bounded
+    no matter how big the corpus gets. ``min_shared`` prunes the
+    long tail of coincidental overlaps. Containment (not Jaccard)
+    because a small source fully copied into a huge one should score
+    ~1, not ~0. Returns (src_a, src_b, n_shared, containment),
+    src_a < src_b.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    sh = (df.select(F.col(source_col).alias("src"),
+                    F.explode(shingle_set(F.col(text_col), n)).alias("g"))
+          .distinct())
+    tot = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("src").alias("src_a"), "g")
+    b = sh.select(F.col("src").alias("src_b"), "g")
+    ov = (a.join(b, "g")
+          .filter(F.col("src_a") < F.col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(F.count(F.lit(1)).alias("n_shared"))
+          .filter(F.col("n_shared") >= min_shared))
+    ta = tot.select(F.col("src").alias("src_a"),
+                    F.col("n_shingles").alias("na"))
+    tb = tot.select(F.col("src").alias("src_b"),
+                    F.col("n_shingles").alias("nb"))
+    return (ov.join(F.broadcast(ta), "src_a")
+            .join(F.broadcast(tb), "src_b")
+            .select("src_a", "src_b", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.least("na", "nb"), 6).alias("containment")))

@@ -2097,3 +2097,26 @@ def test_temperature_mix_null_source_and_pca_whiten_guard(spark):
     p = np.asarray([r["pca"] for r in
                     pca_project(emb, k=4, whiten=True).collect()])
     assert np.isfinite(p).all()
+
+
+def test_source_contamination_planted_copy(spark):
+    """Plant a full copy of one source inside another: containment of
+    the copied pair ~1.0; unrelated sources stay below min_shared or
+    score low; n validation."""
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.dedup import source_contamination
+
+    a_docs = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}", "A")
+              for i in range(30)]
+    b_docs = [(100 + i, t, "B") for i, (_, t, _) in enumerate(a_docs)]
+    c_docs = [(200 + i, f"x{i} y{i} z{i} w{i} v{i}", "C")
+              for i in range(30)]
+    df = spark.createDataFrame(a_docs + b_docs + c_docs,
+                               "doc_id long, text string, source string")
+    rows = {(r["src_a"], r["src_b"]): (r["n_shared"], r["containment"])
+            for r in source_contamination(df, min_shared=5).collect()}
+    assert rows[("A", "B")][1] == 1.0          # full copy detected
+    assert ("A", "C") not in rows and ("B", "C") not in rows
+    with _pytest.raises(ValueError):
+        source_contamination(df, n=0)
