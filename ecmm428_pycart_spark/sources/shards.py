@@ -37,9 +37,31 @@ def shard_key(id_col, n_shards: int):
     return md5_bucket(id_col, n_shards)
 
 
+def shard_fingerprints(df: DataFrame, n_shards: int,
+                       id_col: str = "doc_id",
+                       payload_cols: dict[str, str] | None = None) -> DataFrame:
+    """Per-shard content fingerprint WITHOUT building any tar: md5 over
+    the sorted (id:payload-md5) lines of the shard. Purely relational
+    (explode-free aggregate over the rows the shard would contain), so
+    an incremental export can decide which shards changed by comparing
+    against the previous manifest before touching bytes."""
+    payload_cols = dict(payload_cols or {"text": "txt"})
+    line = F.concat_ws(":", F.col(id_col).cast("string"),
+                       *[F.coalesce(F.md5(F.col(c).cast("binary")),
+                                    F.lit("-"))
+                         for c in payload_cols])
+    return (df.select(F.col(id_col), line.alias("_line"))
+            .withColumn("shard", shard_key(id_col, n_shards))
+            .groupBy("shard")
+            .agg(F.md5(F.concat_ws(
+                "\n", F.array_sort(F.collect_list("_line"))))
+                .alias("content_fp")))
+
+
 def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
                      id_col: str = "doc_id",
-                     payload_cols: dict[str, str] | None = None) -> DataFrame:
+                     payload_cols: dict[str, str] | None = None,
+                     incremental: bool = False) -> DataFrame:
     """Export ``df`` as ``shard-{i:05d}.tar`` files under ``out_dir``.
 
     ``payload_cols`` maps column -> entry extension (default
@@ -48,8 +70,15 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
     the shard. Null payloads are skipped (entry absent, id still
     counted in the manifest's n_rows).
 
+    ``incremental=True`` compares per-shard content fingerprints
+    (``shard_fingerprints``; computed without building tars) against
+    the existing manifest and rebuilds ONLY the shards whose contents
+    changed — the re-export cost tracks the delta, not the corpus.
+    Unchanged shards keep their files and manifest rows (canonical tar
+    bytes make the skip exact, not heuristic).
+
     Returns the per-shard result DataFrame (shard, n_rows, n_entries,
-    n_bytes, sha256) — the same rows recorded in
+    n_bytes, sha256) covering ALL shards — the same rows recorded in
     ``{out_dir}/_manifest.json``.
     """
     if n_shards < 1:
@@ -60,9 +89,29 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
         raise ValueError(f"payload columns not in DataFrame: {missing}")
     os.makedirs(out_dir, exist_ok=True)
 
+    fps = {r["shard"]: r["content_fp"] for r in shard_fingerprints(
+        df, n_shards, id_col, payload_cols).collect()}
+    prev_rows: dict[int, dict] = {}
+    if incremental:
+        man_path = os.path.join(out_dir, "_manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                prev = json.load(f)
+            if (prev.get("n_shards") == n_shards
+                    and prev.get("payload_cols") == payload_cols):
+                for row in prev.get("shards", []):
+                    sh = row["shard"]
+                    if (row.get("content_fp") == fps.get(sh)
+                            and os.path.exists(os.path.join(
+                                out_dir, f"shard-{sh:05d}.tar"))):
+                        prev_rows[sh] = row
+
     cols = [id_col, *payload_cols]
     keyed = (df.select(*cols)
              .withColumn("shard", shard_key(id_col, n_shards)))
+    if prev_rows:
+        skip = sorted(prev_rows)
+        keyed = keyed.filter(~F.col("shard").isin(skip))
     items = list(payload_cols.items())
 
     def build(pdf):
@@ -106,16 +155,22 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
             "sha256": [hashlib.sha256(payload).hexdigest()],
         })
 
-    result = (keyed.groupBy("shard").applyInPandas(
+    built = (keyed.groupBy("shard").applyInPandas(
         build,
         schema="shard int, n_rows long, n_entries long, n_bytes long, "
                "sha256 string")
-        .orderBy("shard").collect())
+        .collect())
+    rows = {r["shard"]: {**r.asDict(), "content_fp": fps[r["shard"]]}
+            for r in built}
+    for sh, row in prev_rows.items():
+        rows[sh] = {k: row[k] for k in ("shard", "n_rows", "n_entries",
+                                        "n_bytes", "sha256", "content_fp")}
+    result = [rows[sh] for sh in sorted(rows)]
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
         "payload_cols": payload_cols,
-        "shards": [r.asDict() for r in result],
+        "shards": result,
         "total_rows": sum(r["n_rows"] for r in result),
         "total_entries": sum(r["n_entries"] for r in result),
     }
@@ -123,9 +178,18 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    # drop stale shard files the new manifest no longer references
+    # (docs deleted from a shard, or n_shards reduced between runs)
+    import glob as _glob
+    live = {f"shard-{r['shard']:05d}.tar" for r in result}
+    for path in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        if os.path.basename(path) not in live:
+            os.remove(path)
     return df.sparkSession.createDataFrame(
-        result, "shard int, n_rows long, n_entries long, n_bytes long, "
-                "sha256 string")
+        [(r["shard"], r["n_rows"], r["n_entries"], r["n_bytes"],
+          r["sha256"]) for r in result],
+        "shard int, n_rows long, n_entries long, n_bytes long, "
+        "sha256 string")
 
 
 def read_tar_shards(spark, out_dir: str) -> DataFrame:

@@ -596,3 +596,69 @@ def test_tar_shard_binary_and_nulls(spark, tmp_path):
         write_tar_shards(df, out, n_shards=0)
     with _pytest.raises(ValueError):
         write_tar_shards(df, out, payload_cols={"nope": "txt"})
+
+
+def test_tar_shard_incremental_reexport(spark, tmp_path):
+    """incremental=True rebuilds ONLY the shards whose content changed:
+    re-export of identical data rewrites nothing (mtimes untouched),
+    a one-doc edit rewrites exactly that doc's shard, and the manifest
+    stays complete and correct throughout."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.shards import (shard_key,
+                                                     write_tar_shards)
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(80).select("doc_id", "text"))
+    out = str(tmp_path / "inc")
+    r0 = {r["shard"]: r["sha256"]
+          for r in write_tar_shards(docs, out, n_shards=4).collect()}
+    paths = {i: os.path.join(out, f"shard-{i:05d}.tar") for i in range(4)}
+    mt0 = {i: os.path.getmtime(p) for i, p in paths.items()}
+
+    # identical re-export: nothing rebuilt
+    r1 = {r["shard"]: r["sha256"] for r in write_tar_shards(
+        docs, out, n_shards=4, incremental=True).collect()}
+    assert r1 == r0
+    assert {i: os.path.getmtime(p) for i, p in paths.items()} == mt0
+
+    # edit one doc -> exactly its shard rewritten
+    edited_id = 7
+    tgt = [r["s"] for r in docs.filter(F.col("doc_id") == edited_id)
+           .select(shard_key("doc_id", 4).alias("s")).collect()][0]
+    docs2 = docs.withColumn(
+        "text", F.when(F.col("doc_id") == edited_id,
+                       F.lit("EDITED")).otherwise(F.col("text")))
+    r2 = {r["shard"]: r["sha256"] for r in write_tar_shards(
+        docs2, out, n_shards=4, incremental=True).collect()}
+    mt2 = {i: os.path.getmtime(p) for i, p in paths.items()}
+    assert r2[tgt] != r0[tgt]
+    for i in range(4):
+        if i != tgt:
+            assert r2[i] == r0[i] and mt2[i] == mt0[i]
+    assert mt2[tgt] > mt0[tgt]
+    man = json.load(open(f"{out}/_manifest.json"))
+    assert man["total_rows"] == 80 and len(man["shards"]) == 4
+    assert all("content_fp" in r for r in man["shards"])
+
+
+def test_tar_shard_stale_file_cleanup(spark, tmp_path):
+    """Re-export with fewer shards (or shards emptied of docs) removes
+    the unreferenced tar files instead of leaving stale data."""
+    import os
+
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.sources.shards import write_tar_shards
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(40).select("doc_id", "text"))
+    out = str(tmp_path / "stale")
+    write_tar_shards(docs, out, n_shards=6)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 6
+    write_tar_shards(docs, out, n_shards=2)
+    left = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert left == ["shard-00000.tar", "shard-00001.tar"]
