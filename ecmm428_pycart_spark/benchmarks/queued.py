@@ -815,3 +815,47 @@ def d47_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecmm428_pycart_spark.datapipe.dedup import source_contamination
 
     return source_contamination(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE learn-then-encode (text.learn_bpe_merges +
+# text.bpe_encode): 12 merges learned on the corpus vocabulary, applied
+# to every document, reduced to corpus totals. The merge/encode chain
+# is not SQL-expressible; the oracle is a golden dispatched on the
+# (count, total chars) documents fingerprint (sf0.001 and sf0.01 both
+# have 500 docs, so count alone cannot disambiguate). Regenerate via
+# tools/gen_goldens.py; the kernel is Sennrich-replay-pinned in
+# tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+@q("d42_bpe_encode", """
+WITH fp AS (
+  SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS ch
+  FROM documents
+),
+g(n, ch, total_subtokens, n_distinct_symbols) AS (VALUES
+(500, 153156, 119825, 34),
+(500, 149174, 116798, 35),
+(5000, 1485576, 1165005, 35)
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(ch AS BIGINT) AS total_chars,
+       CAST(total_subtokens AS BIGINT) AS total_subtokens,
+       CAST(n_distinct_symbols AS BIGINT) AS n_distinct_symbols
+FROM g JOIN fp USING (n, ch)
+""")
+def d42_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (bpe_encode,
+                                                    learn_bpe_merges)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = learn_bpe_merges(docs, n_merges=12)
+    enc = bpe_encode(docs, merges)
+    stats = enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subtokens").alias("total_subtokens"))
+    nsym = (enc.select(F.explode("tokens").alias("t"))
+            .agg(F.countDistinct("t").alias("n_distinct_symbols")))
+    chars = _t(spark, sf_dir, "documents").agg(
+        F.sum(F.length("text")).alias("total_chars"))
+    return (stats.join(F.broadcast(chars)).join(F.broadcast(nsym))
+            .select("n_docs", "total_chars", "total_subtokens",
+                    "n_distinct_symbols"))

@@ -101,6 +101,8 @@ _QUEUED_BNLJ_OK = {
                                 # contract as s09_knn_join)
     "d45_temperature_mix",      # 1-row pow-sum total broadcast into the
                                 # per-source rate computation
+    "d42_bpe_encode",           # three 1-row aggregates (totals +
+                                # fingerprint) zipped into one row
 }
 
 

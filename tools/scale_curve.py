@@ -78,11 +78,12 @@ SCALE_SET = [
 
 def main():
     names = sys.argv[1:] or SCALE_SET
-    from ecmm428_pycart_spark.benchmarks import get_queries
+    from ecmm428_pycart_spark.benchmarks import get_queries, queued
     from ecmm428_pycart_spark.session import get_spark
 
     spark = get_spark("scale-curve")
-    qs = get_queries()
+    qs = dict(get_queries())
+    qs.update(queued.QUERIES)  # round-5 queue is measurable too
 
     # warm JVM + python workers on the smallest sf so per-cell numbers
     # measure the work, not process startup
