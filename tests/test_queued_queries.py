@@ -124,3 +124,36 @@ def test_queued_plan_guards(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale anti-patterns found: {offenders}"
+
+
+def test_queued_tpch_plan_properties(spark):
+    """The specific physical properties the new TPC-H shapes claim in
+    their docstrings, asserted from the executed plan: q87's month
+    filter reaches the lineitem scan, q84/q85 broadcast every
+    dimension (no fact-fact SortMergeJoin except q85's single orders
+    join), q89's EXISTS chain compiles to a LEFT SEMI join."""
+    from ecmm428_pycart_spark.benchmarks import queued
+
+    def plan(name):
+        return (queued.QUERIES[name](spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    p87 = plan("q87_promo_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p87
+    assert "BroadcastHashJoin" in p87
+
+    p84 = plan("q84_min_cost_supplier")
+    # exactly ONE non-broadcast join: offers x per-part best (two
+    # aggregates of the fact — neither side is broadcastable at
+    # scale); every dimension is a BroadcastHashJoin
+    assert p84.count("SortMergeJoin") == 1
+    assert "TakeOrderedAndProject" in p84    # ORDER BY+LIMIT w/o global sort
+
+    p85 = plan("q85_product_profit")
+    # exactly one fact-fact join (orders for the year); everything else
+    # broadcast
+    assert p85.count("SortMergeJoin") <= 1
+    assert "BroadcastHashJoin" in p85
+
+    p89 = plan("q89_part_promotion")
+    assert "LeftSemi" in p89
