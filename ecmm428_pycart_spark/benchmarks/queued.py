@@ -859,3 +859,38 @@ def d42_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stats.join(F.broadcast(chars)).join(F.broadcast(nsym))
             .select("n_docs", "total_chars", "total_subtokens",
                     "n_distinct_symbols"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (datapipe/funnel.py): ordered view->click->purchase
+# completion over the events table's first 4 days — one shuffle to
+# per-user sorted event arrays, a native fold advances the
+# (matched, last_ts) accumulator, then a tiny depth histogram. The
+# oracle is the per-step min-ts CTE chain (identical earliest-match
+# semantics; strict ts ordering makes same-timestamp order moot).
+# ---------------------------------------------------------------------------
+@q("q90_funnel_steps", """
+WITH ev AS (SELECT * FROM events
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 1 AS step_idx, 'view' AS step,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""")
+def q90_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import funnel
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts")
+                  < F.lit("2024-01-05 00:00:00").cast("timestamp")))
+    return funnel(ev, ["view", "click", "purchase"])

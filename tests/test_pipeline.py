@@ -2120,3 +2120,42 @@ def test_source_contamination_planted_copy(spark):
     assert ("A", "C") not in rows and ("B", "C") not in rows
     with _pytest.raises(ValueError):
         source_contamination(df, n=0)
+
+
+def test_funnel_hand_cases(spark):
+    """Hand-built event streams pin the matching semantics: in-order
+    completes, out-of-order doesn't, same-timestamp steps do NOT chain
+    (strict ordering), repeated steps use the earliest match, and a
+    user missing step 1 contributes to no step."""
+    from ecmm428_pycart_spark.datapipe.funnel import funnel
+
+    def ev(eid, ts, uid, t):
+        return (eid, f"2024-01-01 00:{ts:02d}:00", uid, t)
+
+    rows = [
+        # u1: clean in-order funnel
+        ev(1, 1, 1, "view"), ev(2, 2, 1, "click"), ev(3, 3, 1, "purchase"),
+        # u2: purchase BEFORE click -> depth 2 only
+        ev(4, 1, 2, "view"), ev(5, 2, 2, "purchase"), ev(6, 3, 2, "click"),
+        # u3: click at the SAME ts as view -> strict ordering blocks it
+        ev(7, 1, 3, "view"), ev(8, 1, 3, "click"),
+        # u4: no view at all -> depth 0
+        ev(9, 1, 4, "click"), ev(10, 2, 4, "purchase"),
+        # u5: early view matched greedily, later click+purchase chain
+        ev(11, 1, 5, "view"), ev(12, 5, 5, "view"),
+        ev(13, 6, 5, "click"), ev(14, 7, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, t) for e, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id",
+                 "event_type")
+    got = {r["step_idx"]: r["n_users"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    # views: u1 u2 u3 u5 = 4; click-after-view: u1 u2 u5 = 3;
+    # purchase-after-click: u1 u5 = 2
+    assert got == {1: 4, 2: 3, 3: 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, [])
