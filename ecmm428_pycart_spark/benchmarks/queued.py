@@ -894,3 +894,43 @@ def q90_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("ts")
                   < F.lit("2024-01-05 00:00:00").cast("timestamp")))
     return funnel(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (funnel.rfm_segments): per-user recency/frequency/
+# monetary + ntile quartile scores, aggregated to the segment grid.
+# The ntiles run over the REDUCED user table (exact, oracle-parity;
+# the documented billions-of-users path swaps them for
+# percentile_approx cuts). Anchor "now" = corpus max ts, 1-row
+# broadcast.
+# ---------------------------------------------------------------------------
+@q("q91_rfm_segments", """
+WITH anchor AS (SELECT max(ts) AS mx FROM events),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+                        CAST(mx AS DATE)) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0 END), 2) AS monetary
+  FROM events, anchor GROUP BY user_id, mx
+),
+scored AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+  FROM rfm
+)
+SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+       CAST(m AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(monetary), 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+""")
+def q91_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import rfm_segments
+
+    out = rfm_segments(_t(spark, sf_dir, "events"))
+    return (out.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("monetary"), 4).alias("avg_monetary")))

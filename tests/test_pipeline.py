@@ -2159,3 +2159,31 @@ def test_funnel_hand_cases(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_rfm_segments_hand_case(spark):
+    """Tiny hand corpus pins the scoring directions: the user with the
+    latest activity / most events / biggest purchases scores 1 on each
+    axis; non-purchase values never count toward monetary."""
+    from ecmm428_pycart_spark.datapipe.funnel import rfm_segments
+
+    rows = [
+        # u1: recent, busy, big spender
+        (1, "2024-01-10 00:00:00", 1, "purchase", 100.0),
+        (2, "2024-01-10 01:00:00", 1, "purchase", 100.0),
+        (3, "2024-01-10 02:00:00", 1, "view", 999.0),
+        # u2: stale, quiet, views only
+        (4, "2024-01-01 00:00:00", 2, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id",
+                 "event_type", "value")
+    got = {r["user_id"]: r.asDict() for r in
+           rfm_segments(df, quartiles=2).collect()}
+    assert got[1]["recency_days"] == 0 and got[2]["recency_days"] == 9
+    assert got[1]["frequency"] == 3 and got[2]["frequency"] == 1
+    assert got[1]["monetary"] == 200.0 and got[2]["monetary"] == 0.0
+    assert (got[1]["r"], got[1]["f"], got[1]["m"]) == (1, 1, 1)
+    assert (got[2]["r"], got[2]["f"], got[2]["m"]) == (2, 2, 2)

@@ -103,6 +103,7 @@ _QUEUED_BNLJ_OK = {
                                 # per-source rate computation
     "d42_bpe_encode",           # three 1-row aggregates (totals +
                                 # fingerprint) zipped into one row
+    "q91_rfm_segments",         # 1-row max-ts anchor broadcast
 }
 
 
