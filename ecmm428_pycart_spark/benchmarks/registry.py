@@ -72,8 +72,9 @@ DRIVER_WINDOW = [
 #                                               # ride-along contract
 # (test_window_keeps_sentinels otherwise still demands g02 in the
 # window). Then start a fresh DEFERRED list with round-5 additions:
-# add `queued` to _modules() below (benchmarks/queued.py already holds
-# 18 oracle-validated entries — see docs/ROUND5_QUEUE.md) and put its
+# add `queued` to _modules() below (benchmarks/queued.py holds the
+# oracle-validated entries — count them with `len(queued.QUERIES)`,
+# listed in docs/ROUND5_QUEUE.md) and put its
 # query names plus the library-op registrations from the queue table
 # (s14_semdedup golden via tools/gen_goldens.py, m20 spectral audio,
 # d37-d42, m21/m22, g17, s15/s16, d39) into the new DEFERRED list.

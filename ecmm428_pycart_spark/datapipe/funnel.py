@@ -52,21 +52,27 @@ def funnel(events: DataFrame, steps: list[str],
         "es", init,
         lambda acc, e: F.when(
             (acc["matched"] < len(steps))
+            & e["ts"].isNotNull()   # a null-ts event can never match:
+            # it would void the strict-ordering constraint for every
+            # later event and diverge from the min-ts SQL semantics
             & (e["t"] == F.element_at(step_arr, acc["matched"] + 1))
             & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
             F.struct((acc["matched"] + 1).alias("matched"),
                      e["ts"].alias("last_ts"))
         ).otherwise(acc))
     depth = arr.select(fold["matched"].alias("depth"))
-    # one tiny aggregation: users at depth >= i for each step i
-    counts = depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
-    out = None
-    for i, s in enumerate(steps, start=1):
-        row = counts.filter(F.col("depth") >= i).agg(
-            F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
-            F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
-        out = row if out is None else out.unionByName(row)
-    return out
+    # ONE aggregation row holds every step's count (sum of depth >= i
+    # indicators), exploded to (step_idx, step, n_users) — a per-step
+    # union would replicate the whole scan->fold pipeline k times
+    counts = depth.agg(*[
+        F.coalesce(F.sum((F.col("depth") >= i).cast("long")), F.lit(0))
+        .alias(f"_n{i}") for i in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"_n{i}").alias("n_users"))
+        for i, s in enumerate(steps, start=1)])
+    return (counts.select(F.explode(rows).alias("_r"))
+            .select("_r.step_idx", "_r.step", "_r.n_users"))
 
 
 def rfm_segments(events: DataFrame, quartiles: int = 4,

@@ -89,10 +89,13 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
         raise ValueError(f"payload columns not in DataFrame: {missing}")
     os.makedirs(out_dir, exist_ok=True)
 
-    fps = {r["shard"]: r["content_fp"] for r in shard_fingerprints(
-        df, n_shards, id_col, payload_cols).collect()}
     prev_rows: dict[int, dict] = {}
     if incremental:
+        # the fingerprint pre-pass is inherent ONLY to the skip
+        # decision; a plain export computes each shard's fp inside
+        # build() from the rows it already holds (no extra scan)
+        fps = {r["shard"]: r["content_fp"] for r in shard_fingerprints(
+            df, n_shards, id_col, payload_cols).collect()}
         man_path = os.path.join(out_dir, "_manifest.json")
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -121,11 +124,14 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
         pdf = pdf.sort_values(id_col)
         buf = io.BytesIO()
         n_entries = 0
+        fp_lines = []
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
+                hashes = []
                 for col, ext in items:
                     v = row[col]
                     if v is None:
+                        hashes.append("-")
                         continue
                     if isinstance(v, str):
                         data = v.encode("utf-8")
@@ -136,6 +142,7 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
                         raise TypeError(
                             f"payload column {col!r} must be string "
                             f"or binary, got {type(v).__name__}")
+                    hashes.append(hashlib.md5(data).hexdigest())
                     info = tarfile.TarInfo(name=f"{row[id_col]}.{ext}")
                     info.size = len(data)
                     info.mtime = 0
@@ -143,7 +150,10 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
                     info.mode = 0o644
                     tar.addfile(info, io.BytesIO(data))
                     n_entries += 1
+                fp_lines.append(":".join([str(row[id_col]), *hashes]))
         payload = buf.getvalue()
+        content_fp = hashlib.md5(
+            "\n".join(sorted(fp_lines)).encode("utf-8")).hexdigest()
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -153,15 +163,15 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
             "shard": [shard], "n_rows": [len(pdf)],
             "n_entries": [n_entries], "n_bytes": [len(payload)],
             "sha256": [hashlib.sha256(payload).hexdigest()],
+            "content_fp": [content_fp],
         })
 
     built = (keyed.groupBy("shard").applyInPandas(
         build,
         schema="shard int, n_rows long, n_entries long, n_bytes long, "
-               "sha256 string")
+               "sha256 string, content_fp string")
         .collect())
-    rows = {r["shard"]: {**r.asDict(), "content_fp": fps[r["shard"]]}
-            for r in built}
+    rows = {r["shard"]: r.asDict() for r in built}
     for sh, row in prev_rows.items():
         rows[sh] = {k: row[k] for k in ("shard", "n_rows", "n_entries",
                                         "n_bytes", "sha256", "content_fp")}

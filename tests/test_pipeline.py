@@ -2187,3 +2187,28 @@ def test_rfm_segments_hand_case(spark):
     assert got[1]["monetary"] == 200.0 and got[2]["monetary"] == 0.0
     assert (got[1]["r"], got[1]["f"], got[1]["m"]) == (1, 1, 1)
     assert (got[2]["r"], got[2]["f"], got[2]["m"]) == (2, 2, 2)
+
+
+def test_funnel_null_ts_and_single_pass_plan(spark):
+    """Null-timestamp events never match a step (they would void the
+    strict-ordering constraint and diverge from the min-ts SQL
+    semantics), and the plan reads the events exactly once (no
+    per-step union replication)."""
+    from ecmm428_pycart_spark.datapipe.funnel import funnel
+
+    rows = [(1, None, 1, "view"), (2, "2024-01-01 00:00:30", 1, "purchase"),
+            (3, "2024-01-01 00:01:00", 1, "click"),
+            (4, "2024-01-01 00:00:00", 2, "view"),
+            (5, "2024-01-01 00:00:10", 2, "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id",
+                 "event_type")
+    got = {r["step_idx"]: r["n_users"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    # u1's null-ts view matches nothing -> depth 0; u2 completes 2 steps
+    assert got == {1: 1, 2: 1, 3: 0}
+    plan = funnel(df, ["view", "click", "purchase"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Union" not in plan
