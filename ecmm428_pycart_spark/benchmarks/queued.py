@@ -934,3 +934,32 @@ def q91_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.round(F.avg("monetary"), 4).alias("avg_monetary")))
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink roundtrip (sources/sinks.py write_xml/read_xml —
+# Spark 4 native spark-xml): write the customer table as XML, read it
+# back WITH an explicit schema (no inference scan), aggregate per
+# nation/segment. The oracle computes the same aggregate straight from
+# the table, so any element loss or type corruption in the XML chain
+# breaks the hash match.
+# ---------------------------------------------------------------------------
+@q("q92_xml_roundtrip", """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY 1, 2
+""")
+def q92_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.sinks import read_xml, write_xml
+
+    cust = _t(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="q92_xml_")
+    write_xml(cust, path, row_tag="customer")
+    back = read_xml(spark, path, row_tag="customer",
+                    schema=cust.schema)
+    return (back.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))

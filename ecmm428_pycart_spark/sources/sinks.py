@@ -46,3 +46,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
 
 def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML sink (Spark 4 native spark-xml): one element per row under
+    ``row_tag``. Interchange format for legacy feeds (PubMed,
+    Wikipedia dumps, SEC filings) — the read side is where XML
+    matters for a corpus pipeline; the writer closes the roundtrip so
+    the format is oracle-checkable."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(spark, path: str, row_tag: str = "row",
+             schema=None) -> DataFrame:
+    """XML source. Pass an explicit ``schema`` in production — without
+    one Spark runs a full inference scan first (double read), and
+    sampled inference on a 100 TB dump can mistype rare fields. Ad-hoc
+    exploration can omit it."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

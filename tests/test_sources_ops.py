@@ -662,3 +662,16 @@ def test_tar_shard_stale_file_cleanup(spark, tmp_path):
     write_tar_shards(docs, out, n_shards=2)
     left = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
     assert left == ["shard-00000.tar", "shard-00001.tar"]
+
+
+def test_xml_roundtrip_types_and_nulls(spark, tmp_path):
+    """XML write->read with explicit schema preserves longs, doubles,
+    strings, and NULLs (absent elements) exactly."""
+    from ecmm428_pycart_spark.sources.sinks import read_xml, write_xml
+
+    rows = [(1, "alpha", 1.5), (2, None, -0.25), (3, "gamma", None)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    path = str(tmp_path / "xml")
+    write_xml(df, path, row_tag="rec")
+    back = read_xml(spark, path, row_tag="rec", schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
