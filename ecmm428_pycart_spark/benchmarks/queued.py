@@ -963,3 +963,28 @@ def q92_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("c_nationkey", "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling engagement (funnel.rolling_active_users): DAU / trailing-7d
+# WAU / stickiness per day. The (day, user) distinct reduction explodes
+# into its 7 trailing window memberships MAP-SIDE (constant fan-out —
+# no day-range join, no BNLJ), then one count-distinct per window day.
+# ---------------------------------------------------------------------------
+@q("q93_rolling_actives", """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT dau.day, dau, wau, round(dau / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+""")
+def q93_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"))

@@ -117,3 +117,41 @@ def rfm_segments(events: DataFrame, quartiles: int = 4,
     for name, w in by.items():
         rfm = rfm.withColumn(name, F.ntile(quartiles).over(w))
     return rfm
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         id_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """DAU / rolling-WAU / stickiness per day — the engagement triple
+    every events dashboard leads with: for each day, distinct daily
+    actives, distinct actives over the trailing ``window_days``, and
+    their ratio.
+
+    Scale shape: the corpus collapses to DISTINCT (day, user) first
+    (the big reduction); each such row then EXPLODES into its
+    ``window_days`` trailing window memberships map-side — a constant
+    fan-out that replaces the day-range join entirely (no BNLJ, no
+    replicated day grid), and the rolling distinct is a plain
+    groupBy(window_day) count-distinct. Days with no events at all are
+    absent (a semi-join against observed days also drops the phantom
+    trailing windows past the corpus end); leading days carry partial
+    windows, as dashboards report them. Ratio rounds to 6.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    du = (events.select(F.col(ts_col).cast("date").alias("day"),
+                        F.col(id_col).alias("u")).distinct())
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    exploded = (du.select(
+        F.explode(F.sequence(
+            F.col("day"),
+            F.date_add(F.col("day"), window_days - 1))).alias("day"),
+        "u")
+        .join(days, "day", "left_semi"))
+    wau = (exploded.groupBy("day")
+           .agg(F.countDistinct("u").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), 6)
+                    .alias("stickiness")))

@@ -2212,3 +2212,27 @@ def test_funnel_null_ts_and_single_pass_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
     assert "Union" not in plan
+
+
+def test_rolling_active_users_hand_case(spark):
+    """Hand case: u1 active on days 1 and 5, u2 on day 1 only. Day-5
+    WAU (window days -1..5) counts both; day-1 stickiness is 1.0;
+    gap days are absent; validation."""
+    import datetime
+
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.funnel import rolling_active_users
+
+    rows = [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 11:00:00", 2),
+            (3, "2024-01-05 09:00:00", 1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id")
+    got = {r["day"].isoformat(): (r["dau"], r["wau"], r["stickiness"])
+           for r in rolling_active_users(df).collect()}
+    assert got == {"2024-01-01": (2, 2, 1.0),
+                   "2024-01-05": (1, 2, 0.5)}
+    assert datetime.date(2024, 1, 3).isoformat() not in got
+    with _pytest.raises(ValueError):
+        rolling_active_users(df, window_days=0)
