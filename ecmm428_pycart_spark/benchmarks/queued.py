@@ -988,3 +988,39 @@ def q93_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecmm428_pycart_spark.datapipe.funnel import rolling_active_users
 
     return rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (funnel.funnel_conversion_stats): same
+# single-pass fold as q90 with a first-match timestamp in the
+# accumulator; completers reduce to (n, avg/min/max seconds). Oracle:
+# the min-ts CTE chain's s1->s3 difference (greedy matching provably
+# yields the same earliest completion times).
+# ---------------------------------------------------------------------------
+@q("q94_funnel_latency", """
+WITH ev AS (SELECT * FROM events
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+conv AS (
+  SELECT CAST(date_diff('second', s1.t, s3.t) AS BIGINT) AS seconds
+  FROM s3 JOIN s1 USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(avg(seconds), 2) AS avg_seconds,
+       min(seconds) AS min_seconds, max(seconds) AS max_seconds
+FROM conv
+""")
+def q94_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import funnel_conversion_stats
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts")
+                  < F.lit("2024-01-05 00:00:00").cast("timestamp")))
+    return funnel_conversion_stats(ev, ["view", "click", "purchase"])

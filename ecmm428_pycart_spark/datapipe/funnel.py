@@ -155,3 +155,57 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
             .select("day", "dau", "wau",
                     F.round(F.col("dau") / F.col("wau"), 6)
                     .alias("stickiness")))
+
+
+def funnel_conversion_stats(events: DataFrame, steps: list[str],
+                            id_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            order_col: str = "event_id") -> DataFrame:
+    """Time-to-convert for funnel completers: for users who finish all
+    ``steps`` (same earliest-match strict-ordering semantics as
+    ``funnel``), the seconds between their step-1 match and their final
+    step's match, reduced to (n_converted, avg_seconds, min_seconds,
+    max_seconds) — the latency half of every funnel dashboard.
+
+    Same single-pass plan as ``funnel`` with one more accumulator
+    field (the first match's timestamp). Durations are exact integer
+    seconds (timestamp difference), so the aggregate hashes identically
+    cross-engine.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = (events.filter(F.col(type_col).isin(list(steps)))
+          .select(id_col,
+                  F.struct(F.col(ts_col).alias("ts"),
+                           F.col(order_col).alias("oid"),
+                           F.col(type_col).alias("t")).alias("e")))
+    arr = (ev.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list("e")).alias("es")))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(F.lit(0).alias("matched"),
+                    F.lit(None).cast("timestamp").alias("first_ts"),
+                    F.lit(None).cast("timestamp").alias("last_ts"))
+    fold = F.aggregate(
+        "es", init,
+        lambda acc, e: F.when(
+            (acc["matched"] < len(steps))
+            & e["ts"].isNotNull()
+            & (e["t"] == F.element_at(step_arr, acc["matched"] + 1))
+            & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
+            F.struct((acc["matched"] + 1).alias("matched"),
+                     F.coalesce(acc["first_ts"], e["ts"])
+                     .alias("first_ts"),
+                     e["ts"].alias("last_ts"))
+        ).otherwise(acc))
+    done = (arr.select(fold.alias("f"))
+            .filter(F.col("f.matched") >= len(steps))
+            .select((F.unix_timestamp("f.last_ts")
+                     - F.unix_timestamp("f.first_ts"))
+                    .alias("seconds")))
+    return done.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("seconds"), 2).alias("avg_seconds"),
+        F.coalesce(F.min("seconds"), F.lit(None).cast("long"))
+        .alias("min_seconds"),
+        F.coalesce(F.max("seconds"), F.lit(None).cast("long"))
+        .alias("max_seconds"))

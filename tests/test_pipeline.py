@@ -2236,3 +2236,31 @@ def test_rolling_active_users_hand_case(spark):
     assert datetime.date(2024, 1, 3).isoformat() not in got
     with _pytest.raises(ValueError):
         rolling_active_users(df, window_days=0)
+
+
+def test_funnel_conversion_stats_hand_case(spark):
+    """Known durations: u1 converts in 120s, u5 in 2s (greedy earliest
+    view); non-completers excluded; empty-completer frame yields a
+    0-count row with null stats."""
+    from ecmm428_pycart_spark.datapipe.funnel import funnel_conversion_stats
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        (4, "2024-01-01 00:00:00", 2, "view"),      # never completes
+        (11, "2024-01-01 00:00:00", 5, "view"),     # greedy first view
+        (12, "2024-01-01 00:00:30", 5, "view"),
+        (13, "2024-01-01 00:00:01", 5, "click"),
+        (14, "2024-01-01 00:00:02", 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id",
+                 "event_type")
+    r = funnel_conversion_stats(df, ["view", "click", "purchase"]).first()
+    assert (r["n_converted"], r["min_seconds"], r["max_seconds"]) == (2, 2, 120)
+    assert r["avg_seconds"] == 61.0
+    empty = funnel_conversion_stats(
+        df.filter("user_id = 2"), ["view", "click", "purchase"]).first()
+    assert empty["n_converted"] == 0 and empty["avg_seconds"] is None
