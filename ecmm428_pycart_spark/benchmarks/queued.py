@@ -1024,3 +1024,71 @@ def q94_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("ts")
                   < F.lit("2024-01-05 00:00:00").cast("timestamp")))
     return funnel_conversion_stats(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# STREAMING funnel (streaming.events.funnel_stream): the q90 semantics
+# executed through Structured Streaming — per-user (matched, last_ts)
+# state in applyInPandasWithState, update-mode depth emissions over a
+# 4-slice time-ordered replay (cross-batch state exercised), final
+# counts from the monotone per-user max depth. Shares q90's min-ts
+# CTE-chain oracle: the streaming path must land on EXACTLY the batch
+# answer.
+# ---------------------------------------------------------------------------
+@q("st15_stream_funnel", """
+WITH ev AS (SELECT * FROM events
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 1 AS step_idx, 'view' AS step,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""")
+def st15_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as _W
+
+    from ecmm428_pycart_spark.streaming.events import (
+        funnel_stream, read_events_stream, write_time_ordered_stream_dir)
+
+    steps = ["view", "click", "purchase"]
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts")
+                  < F.lit("2024-01-05 00:00:00").cast("timestamp")))
+    ranked = ev.withColumn(
+        "_b", F.ntile(4).over(_W.orderBy("ts", "event_id")))         .localCheckpoint(eager=True)
+    slices = [ranked.filter(F.col("_b") == i).drop("_b")
+              for i in range(1, 5)]
+    d = tempfile.mkdtemp(prefix="st15_events_")
+    write_time_ordered_stream_dir(slices, d)
+
+    stream = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("event_type").isin(steps))
+              .select("user_id", "ts", "event_id", "event_type"))
+    name = f"st15_{uuid.uuid4().hex[:8]}"
+    q_ = (funnel_stream(stream, steps).writeStream
+          .format("memory").queryName(name)
+          .outputMode("update").trigger(availableNow=True).start())
+    q_.awaitTermination()
+    depth = (spark.table(name).groupBy("user_id")
+             .agg(F.max("depth").alias("depth")))
+    counts = depth.agg(*[
+        F.coalesce(F.sum((F.col("depth") >= i).cast("long")), F.lit(0))
+        .alias(f"_n{i}") for i in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"_n{i}").alias("n_users"))
+        for i, s in enumerate(steps, start=1)])
+    return (counts.select(F.explode(rows).alias("_r"))
+            .select("_r.step_idx", "_r.step", "_r.n_users"))

@@ -282,3 +282,64 @@ def timeout_sessionize(events: DataFrame,
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, _TIMEOUT_SESS_OUT, _TIMEOUT_SESS_STATE,
         "append", "EventTimeTimeout"))
+
+
+_FUNNEL_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("depth", T.IntegerType()),
+])
+_FUNNEL_STATE = T.StructType([
+    T.StructField("matched", T.IntegerType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """STREAMING funnel: per-user ordered-step matching as a custom
+    stateful operator (applyInPandasWithState, NoTimeout) — the
+    real-time counterpart of ``datapipe.funnel.funnel`` with identical
+    earliest-match strict-ordering semantics. State is two numbers per
+    user (steps matched, last matched event-time in micros); depth is
+    MONOTONE, so each batch emits the user's current depth in update
+    mode and the latest value per user is simply the max.
+
+    Parity contract: equal to the batch fold when each user's events
+    ARRIVE in event-time order (the replay harness's
+    write_time_ordered_stream_dir guarantees it; in production,
+    in-order per-key delivery is the usual log-compaction guarantee).
+    Late out-of-order events are matched in arrival order — the honest
+    streaming semantics; replaying the log through the batch operator
+    is the reconciliation path, exactly how production funnel engines
+    handle it.
+
+    ``events`` needs (user_id, ts, event_id, event_type). Emits
+    (user_id, depth) updates; aggregate downstream.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        rows = []
+        for pdf in pdfs:
+            t = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for ts_us, oid, typ, ok in zip(
+                    t, pdf["event_id"], pdf["event_type"],
+                    pdf["ts"].notna()):
+                if ok:
+                    rows.append((int(ts_us), int(oid), str(typ)))
+        rows.sort()
+        matched, last_us = (tuple(state.get) if state.exists
+                            else (0, -1))
+        for ts_us, _oid, typ in rows:
+            if (matched < k and typ == steps[matched]
+                    and (matched == 0 or ts_us > last_us)):
+                matched += 1
+                last_us = ts_us
+        state.update((matched, last_us))
+        yield pd.DataFrame([(key[0], matched)],
+                           columns=["user_id", "depth"])
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, _FUNNEL_OUT, _FUNNEL_STATE, "update", "NoTimeout"))

@@ -305,3 +305,46 @@ def test_foreach_batch_upsert_idempotent_retry(spark, tmp_path):
     assert state == {("2024-01-01", "click"): (7, 4.5),
                      ("2024-01-01", "error"): (1, 9.0),
                      ("2024-01-02", "click"): (2, 2.0)}
+
+
+def test_funnel_stream_matches_batch(spark):
+    """Streaming funnel over a 3-slice time-ordered replay must land on
+    exactly the batch funnel's step counts (cross-batch state: users'
+    funnels span slices)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.funnel import funnel
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .filter(F.col("ts") < F.lit("2024-01-08 00:00:00")
+                  .cast("timestamp")))
+    steps = ["view", "click", "purchase"]
+    ranked = ev.withColumn(
+        "_b", F.ntile(3).over(W.orderBy("ts", "event_id"))) \
+        .localCheckpoint(eager=True)
+    slices = [ranked.filter(F.col("_b") == i).drop("_b")
+              for i in range(1, 4)]
+    d = tempfile.mkdtemp(prefix="funnel_stream_")
+    se.write_time_ordered_stream_dir(slices, d)
+
+    stream = (se.read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("event_type").isin(steps))
+              .select("user_id", "ts", "event_id", "event_type"))
+    name = f"fs_{uuid.uuid4().hex[:8]}"
+    q = (se.funnel_stream(stream, steps).writeStream
+         .format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    depth = (spark.table(name).groupBy("user_id")
+             .agg(F.max("depth").alias("depth")))
+    got = {i: depth.filter(F.col("depth") >= i).count()
+           for i in (1, 2, 3)}
+    want = {r["step_idx"]: r["n_users"]
+            for r in funnel(ev, steps).collect()}
+    assert got == want and got[1] > got[3] >= 0
+    # multiple micro-batches actually ran (update rows accumulate)
+    assert spark.table(name).count() > depth.count()
