@@ -1092,3 +1092,97 @@ def st15_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, s in enumerate(steps, start=1)])
     return (counts.select(F.explode(rows).alias("_r"))
             .select("_r.step_idx", "_r.step", "_r.n_users"))
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP composition — the full training-data curation chain in one
+# DataFrame program: exact dedup (keep canonical) -> bigram-LM tercile
+# triage (drop tail + unscored) -> temperature-sampled source mixing
+# (budget 12k tokens) -> leakage-safe train/test split -> per-split
+# corpus accounting. Every stage is an already-oracle-validated
+# library op (d01/d43/d45/d46 semantics); the oracle chains their SQL
+# forms, so a semantic drift in ANY stage breaks the hash match.
+# ---------------------------------------------------------------------------
+@q("q95_curation_pipeline", """
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+corpus AS (
+  SELECT d.* FROM documents d JOIN canon USING (doc_id)
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+bg AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS i(i) WHERE len(ws) >= 2
+),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(cu) AS total FROM uni),
+bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cb) AS cc FROM bgc GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         round(avg(ln(CASE WHEN bgc.cb IS NOT NULL
+                           THEN bgc.cb::DOUBLE / ctx.cc
+                           ELSE 0.4 * uni.cu::DOUBLE / tot.total END)), 6)
+           AS lm
+  FROM bg LEFT JOIN bgc USING (w1, w2) LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON uni.w = bg.w2 CROSS JOIN tot GROUP BY bg.doc_id
+),
+lm_docs AS (SELECT t.doc_id, scored.lm
+            FROM t LEFT JOIN scored USING (doc_id)),
+thr AS (SELECT quantile_cont(lm, 1.0/3) AS t_lo,
+               quantile_cont(lm, 2.0/3) AS t_hi FROM lm_docs),
+triaged AS (
+  SELECT doc_id FROM lm_docs, thr
+  WHERE lm IS NOT NULL AND lm >= t_lo
+),
+kept1 AS (SELECT c.* FROM corpus c JOIN triaged USING (doc_id)),
+dtok AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+         FROM kept1),
+c2 AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_s
+       FROM dtok GROUP BY 1),
+t2 AS (SELECT sum(pow(n_s, 0.3)) AS tt FROM c2),
+r2 AS (SELECT source,
+              round(least(1.0, 12000 * pow(n_s, 0.3) / tt / n_s), 6)
+                AS rate FROM c2, t2),
+mixed AS (
+  SELECT dtok.doc_id, dtok.source, dtok.n_tok
+  FROM dtok JOIN r2 USING (source)
+  WHERE ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          AS UBIGINT) + 0.5) / 4294967296.0) < rate
+),
+final AS (
+  SELECT m.source, m.n_tok,
+         CASE WHEN ((CAST(concat('0x', substr(md5(md5(array_to_string(
+                    list_sort(list_distinct(string_split(k.text, ' '))),
+                    ' '))), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)
+                   < 0.1
+              THEN 'test' ELSE 'train' END AS split
+  FROM mixed m JOIN kept1 k USING (doc_id)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM final GROUP BY split
+""")
+def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import exact_dup_groups
+    from ecmm428_pycart_spark.datapipe.text import (leakage_safe_split,
+                                                    perplexity_buckets,
+                                                    temperature_mix)
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = (exact_dup_groups(docs)
+             .select(F.col("canonical_id").alias("doc_id")))
+    corpus = docs.join(canon, "doc_id", "left_semi")
+    keep = (perplexity_buckets(corpus)
+            .filter(F.col("bucket").isin("middle", "head"))
+            .select("doc_id"))
+    kept1 = corpus.join(keep, "doc_id", "left_semi")
+    mixed = temperature_mix(kept1, budget_tokens=12000).filter("keep")
+    final = leakage_safe_split(mixed, test_frac=0.1)
+    return (final.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.countDistinct("source").alias("n_sources")))

@@ -104,6 +104,8 @@ _QUEUED_BNLJ_OK = {
     "d42_bpe_encode",           # three 1-row aggregates (totals +
                                 # fingerprint) zipped into one row
     "q91_rfm_segments",         # 1-row max-ts anchor broadcast
+    "q95_curation_pipeline",    # inherits d43's percentile-cut and
+                                # d45's pow-sum 1-row broadcasts
 }
 
 
