@@ -1081,17 +1081,11 @@ def st15_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .format("memory").queryName(name)
           .outputMode("update").trigger(availableNow=True).start())
     q_.awaitTermination()
+    from ecmm428_pycart_spark.datapipe.funnel import step_counts
+
     depth = (spark.table(name).groupBy("user_id")
              .agg(F.max("depth").alias("depth")))
-    counts = depth.agg(*[
-        F.coalesce(F.sum((F.col("depth") >= i).cast("long")), F.lit(0))
-        .alias(f"_n{i}") for i in range(1, len(steps) + 1)])
-    rows = F.array(*[
-        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
-                 F.col(f"_n{i}").alias("n_users"))
-        for i, s in enumerate(steps, start=1)])
-    return (counts.select(F.explode(rows).alias("_r"))
-            .select("_r.step_idx", "_r.step", "_r.n_users"))
+    return step_counts(depth, steps)
 
 
 # ---------------------------------------------------------------------------

@@ -28,13 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def funnel(events: DataFrame, steps: list[str],
-           id_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type",
-           order_col: str = "event_id") -> DataFrame:
-    """Completion counts per funnel step: (step_idx 1-based, step,
-    n_users) where n_users = users whose event stream contains the
-    steps in order (strictly increasing timestamps)."""
+def _funnel_fold(events: DataFrame, steps: list[str], id_col: str,
+                 ts_col: str, type_col: str, order_col: str) -> DataFrame:
+    """Shared matching pipeline (type prune -> per-key sorted event
+    array -> earliest-match strict-ordering fold). ONE definition of
+    the load-bearing semantics, used by ``funnel`` and
+    ``funnel_conversion_stats`` — a fix applied here fixes both.
+    Returns one row per key with (matched, first_ts, last_ts)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     # scan only the funnel's event types — the first and biggest prune
@@ -47,6 +47,7 @@ def funnel(events: DataFrame, steps: list[str],
            .agg(F.array_sort(F.collect_list("e")).alias("es")))
     step_arr = F.array(*[F.lit(s) for s in steps])
     init = F.struct(F.lit(0).alias("matched"),
+                    F.lit(None).cast("timestamp").alias("first_ts"),
                     F.lit(None).cast("timestamp").alias("last_ts"))
     fold = F.aggregate(
         "es", init,
@@ -58,14 +59,22 @@ def funnel(events: DataFrame, steps: list[str],
             & (e["t"] == F.element_at(step_arr, acc["matched"] + 1))
             & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
             F.struct((acc["matched"] + 1).alias("matched"),
+                     F.coalesce(acc["first_ts"], e["ts"])
+                     .alias("first_ts"),
                      e["ts"].alias("last_ts"))
         ).otherwise(acc))
-    depth = arr.select(fold["matched"].alias("depth"))
-    # ONE aggregation row holds every step's count (sum of depth >= i
-    # indicators), exploded to (step_idx, step, n_users) — a per-step
-    # union would replicate the whole scan->fold pipeline k times
+    return arr.select(F.col(id_col), fold.alias("f"))         .select(id_col, "f.matched", "f.first_ts", "f.last_ts")
+
+
+def step_counts(depth: DataFrame, steps: list[str],
+                depth_col: str = "depth") -> DataFrame:
+    """(step_idx 1-based, step, n_users) from a per-key depth frame:
+    ONE aggregation row holds every step's count (sum of depth >= i
+    indicators), exploded — a per-step union would replicate the
+    upstream pipeline k times. Shared by the batch and streaming
+    funnels so their output conventions cannot drift."""
     counts = depth.agg(*[
-        F.coalesce(F.sum((F.col("depth") >= i).cast("long")), F.lit(0))
+        F.coalesce(F.sum((F.col(depth_col) >= i).cast("long")), F.lit(0))
         .alias(f"_n{i}") for i in range(1, len(steps) + 1)])
     rows = F.array(*[
         F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
@@ -73,6 +82,19 @@ def funnel(events: DataFrame, steps: list[str],
         for i, s in enumerate(steps, start=1)])
     return (counts.select(F.explode(rows).alias("_r"))
             .select("_r.step_idx", "_r.step", "_r.n_users"))
+
+
+def funnel(events: DataFrame, steps: list[str],
+           id_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           order_col: str = "event_id") -> DataFrame:
+    """Completion counts per funnel step: (step_idx 1-based, step,
+    n_users) where n_users = users whose event stream contains the
+    steps in order (strictly increasing timestamps)."""
+    folded = _funnel_fold(events, steps, id_col, ts_col, type_col,
+                          order_col)
+    return step_counts(folded.select(F.col("matched").alias("depth")),
+                       steps)
 
 
 def rfm_segments(events: DataFrame, quartiles: int = 4,
@@ -172,40 +194,14 @@ def funnel_conversion_stats(events: DataFrame, steps: list[str],
     seconds (timestamp difference), so the aggregate hashes identically
     cross-engine.
     """
-    if not steps:
-        raise ValueError("steps must be non-empty")
-    ev = (events.filter(F.col(type_col).isin(list(steps)))
-          .select(id_col,
-                  F.struct(F.col(ts_col).alias("ts"),
-                           F.col(order_col).alias("oid"),
-                           F.col(type_col).alias("t")).alias("e")))
-    arr = (ev.groupBy(id_col)
-           .agg(F.array_sort(F.collect_list("e")).alias("es")))
-    step_arr = F.array(*[F.lit(s) for s in steps])
-    init = F.struct(F.lit(0).alias("matched"),
-                    F.lit(None).cast("timestamp").alias("first_ts"),
-                    F.lit(None).cast("timestamp").alias("last_ts"))
-    fold = F.aggregate(
-        "es", init,
-        lambda acc, e: F.when(
-            (acc["matched"] < len(steps))
-            & e["ts"].isNotNull()
-            & (e["t"] == F.element_at(step_arr, acc["matched"] + 1))
-            & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
-            F.struct((acc["matched"] + 1).alias("matched"),
-                     F.coalesce(acc["first_ts"], e["ts"])
-                     .alias("first_ts"),
-                     e["ts"].alias("last_ts"))
-        ).otherwise(acc))
-    done = (arr.select(fold.alias("f"))
-            .filter(F.col("f.matched") >= len(steps))
-            .select((F.unix_timestamp("f.last_ts")
-                     - F.unix_timestamp("f.first_ts"))
+    folded = _funnel_fold(events, steps, id_col, ts_col, type_col,
+                          order_col)
+    done = (folded.filter(F.col("matched") >= len(steps))
+            .select((F.unix_timestamp("last_ts")
+                     - F.unix_timestamp("first_ts"))
                     .alias("seconds")))
     return done.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.avg("seconds"), 2).alias("avg_seconds"),
-        F.coalesce(F.min("seconds"), F.lit(None).cast("long"))
-        .alias("min_seconds"),
-        F.coalesce(F.max("seconds"), F.lit(None).cast("long"))
-        .alias("max_seconds"))
+        F.min("seconds").alias("min_seconds"),
+        F.max("seconds").alias("max_seconds"))

@@ -91,13 +91,16 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
 
     prev_rows: dict[int, dict] = {}
     if incremental:
-        # the fingerprint pre-pass is inherent ONLY to the skip
-        # decision; a plain export computes each shard's fp inside
-        # build() from the rows it already holds (no extra scan)
-        fps = {r["shard"]: r["content_fp"] for r in shard_fingerprints(
-            df, n_shards, id_col, payload_cols).collect()}
         man_path = os.path.join(out_dir, "_manifest.json")
         if os.path.exists(man_path):
+            # the fingerprint pre-pass is inherent ONLY to the skip
+            # decision (and only when there is a manifest to skip
+            # against); a plain or first export computes each shard's
+            # fp inside build() from rows it already holds — no extra
+            # scan
+            fps = {r["shard"]: r["content_fp"]
+                   for r in shard_fingerprints(
+                       df, n_shards, id_col, payload_cols).collect()}
             with open(man_path) as f:
                 prev = json.load(f)
             if (prev.get("n_shards") == n_shards

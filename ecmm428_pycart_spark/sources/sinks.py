@@ -64,7 +64,11 @@ def read_xml(spark, path: str, row_tag: str = "row",
     one Spark runs a full inference scan first (double read), and
     sampled inference on a 100 TB dump can mistype rare fields. Ad-hoc
     exploration can omit it."""
-    r = spark.read.format("xml").option("rowTag", row_tag)
+    # spark-xml strips surrounding whitespace by default, silently
+    # corrupting whitespace-significant text payloads — disable it so
+    # the write/read roundtrip is actually lossless
+    r = (spark.read.format("xml").option("rowTag", row_tag)
+         .option("ignoreSurroundingSpaces", "false"))
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)

@@ -328,7 +328,11 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
                     t, pdf["event_id"], pdf["event_type"],
                     pdf["ts"].notna()):
                 if ok:
-                    rows.append((int(ts_us), int(oid), str(typ)))
+                    # null event_id arrives as NaN (pandas widens to
+                    # float64); -1 sorts it before real ids, mirroring
+                    # the batch fold's nulls-first struct sort
+                    o = -1 if pd.isna(oid) else int(oid)
+                    rows.append((int(ts_us), o, str(typ)))
         rows.sort()
         matched, last_us = (tuple(state.get) if state.exists
                             else (0, -1))

@@ -669,7 +669,8 @@ def test_xml_roundtrip_types_and_nulls(spark, tmp_path):
     strings, and NULLs (absent elements) exactly."""
     from ecmm428_pycart_spark.sources.sinks import read_xml, write_xml
 
-    rows = [(1, "alpha", 1.5), (2, None, -0.25), (3, "gamma", None)]
+    rows = [(1, "alpha", 1.5), (2, None, -0.25), (3, "gamma", None),
+            (4, "  padded  ", 0.0)]   # surrounding whitespace survives
     df = spark.createDataFrame(rows, "id long, name string, score double")
     path = str(tmp_path / "xml")
     write_xml(df, path, row_tag="rec")
