@@ -1169,7 +1169,11 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     canon = (exact_dup_groups(docs)
              .select(F.col("canonical_id").alias("doc_id")))
-    corpus = docs.join(canon, "doc_id", "left_semi")
+    # the deduped corpus feeds three downstream branches (LM scoring,
+    # the triage semi-join, the mixing/split chain) — materialize it
+    # once so the dedup aggregation doesn't re-run per branch
+    corpus = (docs.join(canon, "doc_id", "left_semi")
+              .localCheckpoint(eager=True))
     keep = (perplexity_buckets(corpus)
             .filter(F.col("bucket").isin("middle", "head"))
             .select("doc_id"))
