@@ -1184,3 +1184,47 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.countDistinct("source").alias("n_sources")))
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (the inverse of q68's pivot): wide per-nation measure
+# columns back to long (nation, measure, value) rows via the native
+# df.unpivot — one narrow map-side transform after the aggregate, no
+# shuffle of its own. Measures are exact integer units (qty, discount
+# and tax in basis points) so both engines hash identically.
+# ---------------------------------------------------------------------------
+@q("q96_unpivot_measures", """
+WITH wide AS (
+  SELECT n_name,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty,
+         CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           AS total_disc_bp,
+         CAST(sum(CAST(round(l_tax * 10000) AS BIGINT)) AS BIGINT)
+           AS total_tax_bp
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, measure, value FROM wide
+UNPIVOT (value FOR measure IN (total_qty, total_disc_bp, total_tax_bp))
+""")
+def q96_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp_nation = (_t(spark, sf_dir, "supplier")
+                   .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                         F.col("n_nationkey") == F.col("s_nationkey"))
+                   .select("s_suppkey", "n_name"))
+    wide = (_t(spark, sf_dir, "lineitem")
+            .join(F.broadcast(supp_nation),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.round("l_quantity").cast("long"))
+                 .alias("total_qty"),
+                 F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+                 .alias("total_disc_bp"),
+                 F.sum(F.round(F.col("l_tax") * 10000).cast("long"))
+                 .alias("total_tax_bp")))
+    return wide.unpivot(
+        ["n_name"], ["total_qty", "total_disc_bp", "total_tax_bp"],
+        "measure", "value")
