@@ -1228,3 +1228,61 @@ def q96_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_name"], ["total_qty", "total_disc_bp", "total_tax_bp"],
         "measure", "value")
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join (Catalyst runtime filters): a selective
+# orders-side predicate injects a bloom_filter aggregate on the build
+# side and a might_contain pre-filter into the LINEITEM scan side of
+# the sort-merge join — the row-group-skipping shape that matters when
+# neither side broadcasts at 100 TB. The query pins the configs that
+# make injection deterministic at test scale (forced SMJ, zeroed scan
+# threshold) and restores them; results are strategy-independent, so
+# the oracle is the plain join SQL. Plan injection is asserted by
+# test_queued_queries.test_q97_bloom_filter_injected.
+# ---------------------------------------------------------------------------
+@q("q97_runtime_bloom_join", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS total_price
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""")
+def q97_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        urgent = (_t(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_orderkey", "o_orderpriority"))
+        li = (_t(spark, sf_dir, "lineitem")
+              .select("l_orderkey",
+                      F.round(F.col("l_extendedprice") * 100)
+                      .cast("long").alias("cents")))
+        out = (li.join(urgent, F.col("o_orderkey") == F.col("l_orderkey"))
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.round(F.sum("cents") / 100.0, 2)
+                    .alias("total_price")))
+        # force execution under the pinned configs (the gate collects
+        # later, after this function restored them; the VALUES are
+        # strategy-independent so that is safe — the plan assertion in
+        # tests runs inside its own config scope)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -160,3 +160,38 @@ def test_queued_tpch_plan_properties(spark):
 
     p89 = plan("q89_part_promotion")
     assert "LeftSemi" in p89
+
+
+def test_q97_bloom_filter_injected(spark):
+    """Under q97's pinned configs, the optimizer must actually inject
+    the runtime Bloom filter (bloom_filter aggregate on the orders
+    side, might_contain on the lineitem side)."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        urgent = (load_table(spark, SF_DIR, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_orderkey"))
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+        j = li.join(urgent, F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
