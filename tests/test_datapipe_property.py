@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the continuation-session
+data-pipeline kernels — invariants that must hold for ARBITRARY
+corpora/event streams, not just the fixtures. Few examples per test
+(each example is a Spark job), but each example is adversarial in
+shape: empty docs, repeated words, overlapping merges, out-of-order
+events."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+words = st.text(alphabet="ab", min_size=1, max_size=4)
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=8).map(" ".join),
+    min_size=1, max_size=8)
+
+
+@given(docs=docs_strategy,
+       merges=st.lists(st.tuples(st.sampled_from("ab"),
+                                 st.sampled_from(["a", "b", "</w>"])),
+                       max_size=4))
+@settings(max_examples=8, deadline=None)
+def test_bpe_encode_reconstructs_input(spark, docs, merges):
+    """For ANY corpus and ANY merge list, splitting each doc's encoded
+    token stream at '</w>' boundaries reconstructs exactly the doc's
+    words — BPE must never lose or reorder characters."""
+    from ecmm428_pycart_spark.datapipe.text import bpe_encode
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in bpe_encode(df, merges, checkpoint_every=2).collect()}
+    for i, text in enumerate(docs):
+        stream = "".join(got[i])
+        rebuilt = [w for w in stream.split("</w>") if w != ""]
+        assert rebuilt == [w for w in text.split(" ") if w], (
+            docs, merges, got[i])
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),                      # user
+              st.integers(0, 120),                    # seconds offset
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=0, max_size=30)
+
+
+@given(evs=events_strategy)
+@settings(max_examples=8, deadline=None)
+def test_funnel_counts_never_increase(spark, evs):
+    """For ANY event stream, step counts are non-increasing in step
+    index (completing step i+1 implies completing step i), bounded by
+    the user count, and conversion stats count == the last step's
+    count."""
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        funnel, funnel_conversion_stats)
+
+    rows = [(i, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", u, t)
+            for i, (u, s, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS timestamp) ts", "user_id",
+                 "event_type")
+    steps = ["view", "click", "purchase"]
+    got = {r["step_idx"]: r["n_users"] for r in funnel(df, steps).collect()}
+    n_users = len({u for u, _, _ in evs})
+    assert got[1] >= got[2] >= got[3] >= 0
+    assert got[1] <= n_users
+    conv = funnel_conversion_stats(df, steps).first()
+    assert conv["n_converted"] == got[3]
+
+
+@given(docs=st.lists(st.tuples(st.lists(words, min_size=1, max_size=6)
+                               .map(" ".join),
+                               st.sampled_from(["s0", "s1", "s2"])),
+                     min_size=1, max_size=12),
+       budget=st.integers(1, 500))
+@settings(max_examples=8, deadline=None)
+def test_temperature_mix_invariants(spark, docs, budget):
+    """For ANY corpus and budget: rates lie in [0, 1] (rounded), every
+    input row survives with a keep flag (totality), and keep decisions
+    are a pure function of (doc_id, rate)."""
+    from ecmm428_pycart_spark.datapipe.text import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(docs)],
+        "doc_id long, text string, source string")
+    out = temperature_mix(df, budget).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert 0.0 <= r["rate"] <= 1.0
+    again = temperature_mix(df, budget).collect()
+    assert sorted((r["doc_id"], r["keep"]) for r in out) == \
+        sorted((r["doc_id"], r["keep"]) for r in again)
