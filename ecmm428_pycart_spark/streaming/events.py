@@ -347,3 +347,63 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
 
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, _FUNNEL_OUT, _FUNNEL_STATE, "update", "NoTimeout"))
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf-based state-server
+    protocol; this container ships no python google.protobuf, so the
+    operator below is environment-gated (same convention as the
+    PIL-less multimodal decoders: real implementation, gated test)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def tws_running_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value) through Spark 4's NEW
+    arbitrary-stateful API (``transformWithStateInPandas`` +
+    ``StatefulProcessor`` with a typed ValueState) — the successor of
+    applyInPandasWithState that ``running_user_stats`` uses; both
+    operators compute the same thing so their parity is checkable
+    where the protocol's protobuf dependency exists
+    (tests/test_streaming.py skips cleanly here). Requires the RocksDB
+    state store provider (set by the caller or session conf)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    if not _tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs python protobuf, which "
+            "this environment does not provide")
+
+    out = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([T.StructField("n", T.LongType()),
+                                 T.StructField("s", T.DoubleType())])
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self.state.get() if self.state.exists()
+                    else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self.state.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [s]})
+
+        def close(self):
+            pass
+
+    return (events.select("user_id", "value")
+            .groupBy("user_id").transformWithStateInPandas(
+                RunningStats(), outputStructType=out,
+                outputMode="Update", timeMode="None"))

@@ -348,3 +348,41 @@ def test_funnel_stream_matches_batch(spark):
     assert got == want and got[1] > got[3] >= 0
     # multiple micro-batches actually ran (update rows accumulate)
     assert spark.table(name).count() > depth.count()
+
+
+def test_tws_running_stats_parity_or_gated(spark, events_dir):
+    """Spark 4 transformWithStateInPandas running stats: where the
+    protobuf protocol dependency exists, results must equal the batch
+    aggregate; in this container (no python protobuf) the operator
+    must refuse with a clear NotImplementedError — never a deep
+    executor crash."""
+    import uuid
+
+    from ecmm428_pycart_spark.streaming.events import (_tws_available,
+                                                       tws_running_stats)
+
+    stream = se.read_events_stream(spark, events_dir)
+    if not _tws_available():
+        with pytest.raises(NotImplementedError):
+            tws_running_stats(stream)
+        pytest.skip("python protobuf absent; transformWithState gated")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider")
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (tws_running_stats(stream).writeStream.format("memory")
+         .queryName(name).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+           for r in spark.table(name).groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("sum_value").alias("sum_value")).collect()}
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
+                 .alias("s")).collect()}
+    assert got == want
