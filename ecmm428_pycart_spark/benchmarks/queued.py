@@ -1230,6 +1230,15 @@ def q96_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure", "value")
 
 
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
 # ---------------------------------------------------------------------------
 # Runtime Bloom-filter join (Catalyst runtime filters): a selective
 # orders-side predicate injects a bloom_filter aggregate on the build
@@ -1251,17 +1260,9 @@ WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
 """)
 def q97_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    conf = {
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
-            "10GB",
-        "spark.sql.optimizer.runtime.bloomFilter"
-        ".applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
+    from ecmm428_pycart_spark.session import pinned_confs
+
+    with pinned_confs(spark, BLOOM_CONFS):
         urgent = (_t(spark, sf_dir, "orders")
                   .filter(F.col("o_orderpriority") == "1-URGENT")
                   .select("o_orderkey", "o_orderpriority"))
@@ -1274,15 +1275,14 @@ def q97_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_lines"),
                     F.round(F.sum("cents") / 100.0, 2)
                     .alias("total_price")))
-        # force execution under the pinned configs (the gate collects
-        # later, after this function restored them; the VALUES are
-        # strategy-independent so that is safe — the plan assertion in
-        # tests runs inside its own config scope)
+        # SELF-CHECK then execute while the configs are pinned: a
+        # checkpoint alone would silently hide a lost injection from
+        # every downstream plan inspection; failing loudly here makes
+        # the gate itself the regression guard
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime Bloom filter was NOT injected under the "
+                "pinned configs — q97's premise regressed")
         out = out.localCheckpoint(eager=True)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return out

@@ -71,3 +71,28 @@ def register_views(spark: SparkSession, sf_dir: str,
     (Catalyst produces the same plans either way)."""
     for name in tables or TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def pinned_confs(spark, confs: dict):
+    """Set session confs for a scope and restore them exactly
+    (re-unsetting keys that had no explicit value) — the
+    save/set/try/finally dance pinned-strategy queries and tests
+    otherwise hand-roll. The subtlety this centralizes:
+    ``spark.conf.get(k, None)`` returns the DEFAULT for known keys,
+    so restoring must distinguish "was explicitly set" from "was
+    default" via the unset path only when get returned None."""
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -163,24 +163,16 @@ def test_queued_tpch_plan_properties(spark):
 
 
 def test_q97_bloom_filter_injected(spark):
-    """Under q97's pinned configs, the optimizer must actually inject
-    the runtime Bloom filter (bloom_filter aggregate on the orders
-    side, might_contain on the lineitem side)."""
+    """Under q97's pinned configs (shared BLOOM_CONFS + the
+    pinned_confs contextmanager), the optimizer must inject the
+    runtime Bloom filter; q97 itself also self-checks and raises if
+    injection regresses, so the gate run doubles as this guard."""
     from pyspark.sql import functions as F
 
-    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.benchmarks.queued import BLOOM_CONFS
+    from ecmm428_pycart_spark.session import load_table, pinned_confs
 
-    conf = {
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
-            "10GB",
-        "spark.sql.optimizer.runtime.bloomFilter"
-        ".applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
+    with pinned_confs(spark, BLOOM_CONFS):
         urgent = (load_table(spark, SF_DIR, "orders")
                   .filter(F.col("o_orderpriority") == "1-URGENT")
                   .select("o_orderkey"))
@@ -189,9 +181,3 @@ def test_q97_bloom_filter_injected(spark):
         plan = j._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
         assert "might_contain" in plan, plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -366,19 +366,24 @@ def test_tws_running_stats_parity_or_gated(spark, events_dir):
         with pytest.raises(NotImplementedError):
             tws_running_stats(stream)
         pytest.skip("python protobuf absent; transformWithState gated")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state"
-        ".RocksDBStateStoreProvider")
-    name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = (tws_running_stats(stream).writeStream.format("memory")
-         .queryName(name).outputMode("update")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+    from ecmm428_pycart_spark.session import pinned_confs
+
+    with pinned_confs(spark, {
+            "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state"
+            ".RocksDBStateStoreProvider"}):
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (tws_running_stats(stream).writeStream.format("memory")
+             .queryName(name).outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    # F.round on BOTH sides (HALF_UP parity, the convention
+    # test_running_user_stats_stateful documents)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
            for r in spark.table(name).groupBy("user_id")
            .agg(F.max("n_events").alias("n_events"),
-                F.max("sum_value").alias("sum_value")).collect()}
+                F.round(F.max("sum_value"), 2).alias("sum_value"))
+           .collect()}
     want = {r["user_id"]: (r["n"], r["s"])
             for r in load_table(spark, SF_DIR, "events")
             .groupBy("user_id")
