@@ -573,7 +573,9 @@ def bpe_encode(df: DataFrame, merges, id_col: str = "doc_id",
 def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
                        id_col: str = "doc_id", text_col: str = "text",
                        alpha: float = 0.4,
-                       ref: DataFrame | None = None) -> DataFrame:
+                       ref: DataFrame | None = None,
+                       exact: bool = True,
+                       approx_accuracy: int = 10000) -> DataFrame:
     """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score
     every document with the Stupid Backoff bigram LM, then split the
     corpus into head / middle / tail by exact score quantiles —
@@ -592,9 +594,10 @@ def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
     ONE exact percentile aggregate over the per-document score table
     (|docs| doubles, not corpus tokens) broadcast back as a 1-row
     join — the calibration path. At 100 TB-of-docs scale swap the
-    exact percentile for percentile_approx (same plan, bounded state)
-    or calibrate the two cut constants on a sample, CCNet's own
-    procedure; classification itself is map-side either way.
+    exact percentile for ``exact=False`` (percentile_approx — same
+    plan, bounded sketch state) or calibrate the two cut constants on
+    a sample, CCNet's own procedure; classification itself is
+    map-side either way.
     Comparisons use the ROUNDED (6-place) scores on both engines so
     the bucket edges are engine-stable.
     """
@@ -603,9 +606,18 @@ def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
         raise ValueError("fractions must be ascending in (0, 1)")
     scored = bigram_lm_score(df, id_col=id_col, text_col=text_col,
                              alpha=alpha, ref=ref)
-    thr = scored.agg(
-        F.percentile("lm_bigram", F.lit(lo)).alias("t_lo"),
-        F.percentile("lm_bigram", F.lit(hi)).alias("t_hi"))
+    if exact:
+        pct = [F.percentile("lm_bigram", F.lit(lo)).alias("t_lo"),
+               F.percentile("lm_bigram", F.lit(hi)).alias("t_hi")]
+    else:
+        # the billions-of-docs path: bounded-state sketch cuts (same
+        # plan shape, same downstream classification; bucket edges can
+        # move by the sketch's rank error only)
+        pct = [F.percentile_approx("lm_bigram", F.lit(lo),
+                                   F.lit(approx_accuracy)).alias("t_lo"),
+               F.percentile_approx("lm_bigram", F.lit(hi),
+                                   F.lit(approx_accuracy)).alias("t_hi")]
+    thr = scored.agg(*pct)
     return (scored.join(F.broadcast(thr))
             .withColumn(
                 "bucket",

@@ -2264,3 +2264,27 @@ def test_funnel_conversion_stats_hand_case(spark):
     empty = funnel_conversion_stats(
         df.filter("user_id = 2"), ["view", "click", "purchase"]).first()
     assert empty["n_converted"] == 0 and empty["avg_seconds"] is None
+
+
+def test_perplexity_buckets_approx_mode(spark):
+    """exact=False (the documented 100 TB path) must agree with the
+    exact cuts everywhere except possibly AT the bucket edges — on a
+    corpus of distinct scores, identical partitions."""
+    from ecmm428_pycart_spark.datapipe.text import perplexity_buckets
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(200).select("doc_id", "text"))
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(docs).collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in perplexity_buckets(docs, exact=False).collect()}
+    diff = [k for k in exact if exact[k] != approx[k]]
+    # percentile_approx returns an ACTUAL data value (nearest rank, no
+    # interpolation), so docs sitting exactly at a cut can flip bucket
+    # even with zero rank error — bounded by the number of edges
+    assert len(diff) <= 2, diff
+    # and any flip is between ADJACENT buckets, never tail<->head
+    order = {"tail": 0, "middle": 1, "head": 2}
+    for k in diff:
+        assert abs(order[exact[k]] - order[approx[k]]) == 1
