@@ -1286,3 +1286,45 @@ def q97_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pinned configs — q97's premise regressed")
         out = out.localCheckpoint(eager=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bucketed batch k-NN (similarity.ann_knn_join): every query in a
+# 10-vector batch scores ONLY its 8-bit sign-LSH bucket — ~n/256 rows
+# scanned per query instead of n — then the same two-phase top-k as
+# the exact knn_join. The oracle replays the sign-bit bucketing in
+# SQL, so the approximation itself (not just the arithmetic) is
+# hash-checked.
+# ---------------------------------------------------------------------------
+@q("s21_ann_knn_join", """WITH corpus AS (
+  SELECT vec_id, embedding, (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q FROM embeddings
+  WHERE vec_id < 10
+),
+qb AS (SELECT q_id, q, (CASE WHEN q[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN q[2] > 0 THEN 2 ELSE 0 END) + (CASE WHEN q[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN q[4] > 0 THEN 8 ELSE 0 END) + (CASE WHEN q[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN q[6] > 0 THEN 32 ELSE 0 END) + (CASE WHEN q[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN q[8] > 0 THEN 128 ELSE 0 END) AS bucket
+       FROM qs),
+sc AS (
+  SELECT qb.q_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      qb.q::DOUBLE[]), 6) AS cos
+  FROM corpus c JOIN qb USING (bucket)
+  WHERE c.vec_id <> qb.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
+""")
+def s21_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.similarity import ann_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q")))
+    return ann_knn_join(emb, qs, k=5)

@@ -719,3 +719,38 @@ def hard_negatives(df: DataFrame, anchors: DataFrame | None = None,
     # re-attach the anchor label (broadcast of the same small frame)
     return (out.join(F.broadcast(q.select("q_id", "a_label")), "q_id")
             .select("q_id", "a_label", id_col, "cos", "rank"))
+
+
+def ann_knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
+                 bits: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", q_id_col: str = "q_id",
+                 q_vec_col: str = "q") -> DataFrame:
+    """Approximate batch k-NN: each query scores ONLY its sign-LSH
+    bucket — the bounded-scan batch sibling of ``ann_sign_lsh_topk``
+    and the scale path ``knn_join``'s docstring promises. The corpus
+    is bucketed once (native sign bits); the bucketed query batch
+    broadcasts, so the join is a hash join on the bucket key touching
+    ~n/2^bits rows per query instead of n; the two-phase partial
+    top-k then mirrors the exact join. Recall follows the s02/s07
+    story (near neighbours agree on most leading sign bits; widen
+    with multiprobe or more tables when it matters). Returns
+    (q_id, id, cos, rank).
+    """
+    from pyspark.sql import Window as W
+    bucketed = df.withColumn("bucket", sign_bucket(vec_col, bits))
+    qb = queries.withColumn("bucket", sign_bucket(q_vec_col, bits))
+    scored = (bucketed.join(F.broadcast(qb), "bucket")
+              .filter(F.col(id_col) != F.col(q_id_col))
+              .withColumn("cos", F.round(
+                  cosine(F.col(vec_col), F.col(q_vec_col)), 6))
+              .select(q_id_col, id_col, "cos"))
+    part = scored.withColumn("_p", F.spark_partition_id())
+    w1 = W.partitionBy(q_id_col, "_p").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    partial = (part.withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= k))
+    w2 = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                         F.col(id_col).asc())
+    return (partial.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))

@@ -2288,3 +2288,33 @@ def test_perplexity_buckets_approx_mode(spark):
     order = {"tail": 0, "middle": 1, "head": 2}
     for k in diff:
         assert abs(order[exact[k]] - order[approx[k]]) == 1
+
+
+def test_ann_knn_join_subset_of_exact(spark):
+    """The bucketed batch k-NN returns a SUBSET of each query's
+    bucket-restricted candidates, every returned neighbour shares the
+    query's sign bucket, and results under-approximate (never
+    contradict) the exact knn_join: any common (q, neighbour) pair has
+    the same cosine."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.similarity import (ann_knn_join,
+                                                          knn_join,
+                                                          sign_bucket)
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q")))
+    approx = {(r["q_id"], r["vec_id"]): r["cos"]
+              for r in ann_knn_join(emb, qs, k=5).collect()}
+    exact = {(r["q_id"], r["vec_id"]): r["cos"]
+             for r in knn_join(emb, qs, k=5).collect()}
+    for pair, c in approx.items():
+        if pair in exact:
+            assert exact[pair] == c
+    buckets = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", sign_bucket("embedding", 8).alias("b")).collect()}
+    for (q, v) in approx:
+        assert buckets[q] == buckets[v]
