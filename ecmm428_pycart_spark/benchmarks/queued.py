@@ -1328,3 +1328,60 @@ def s21_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q")))
     return ann_knn_join(emb, qs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Reference-corpus LM scoring with the backoff UNDER the oracle
+# (text.bigram_lm_score(ref=..., with_backoff_count=True)): even-id
+# docs train the counts, odd-id docs are scored — unseen bigrams take
+# the Stupid Backoff path and n_backoff PROVES the branch fires (it is
+# > 0 for several docs at every sf); strict-OOV positions drop out of
+# the average on both engines.
+# ---------------------------------------------------------------------------
+@q("d48_lm_reference_scoring", """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+tst AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tst),
+bg AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS i(i)
+  WHERE len(ws) >= 2
+),
+rt AS (SELECT string_split(text, ' ') AS ws FROM ref),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM rt) GROUP BY w),
+tot AS (SELECT sum(cu) AS total FROM uni),
+bgc AS (
+  SELECT ws[i.i] AS w1, ws[i.i + 1] AS w2, count(*) AS cb
+  FROM rt, unnest(range(1, len(ws))) AS i(i)
+  WHERE len(ws) >= 2 GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(cb) AS cc FROM bgc GROUP BY 1),
+pos AS (
+  SELECT bg.doc_id,
+         CASE WHEN bgc.cb IS NOT NULL THEN ln(bgc.cb::DOUBLE / ctx.cc)
+              WHEN uni.cu IS NOT NULL
+                THEN ln(0.4 * uni.cu::DOUBLE / tot.total)
+              ELSE NULL END AS lp,
+         CASE WHEN bgc.cb IS NULL AND uni.cu IS NOT NULL
+              THEN 1 ELSE 0 END AS backoff
+  FROM bg
+  LEFT JOIN bgc USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON uni.w = bg.w2
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, round(avg(lp), 6) AS lm_bigram,
+         CAST(sum(backoff) AS BIGINT) AS n_backoff
+  FROM pos GROUP BY doc_id
+)
+SELECT t.doc_id, scored.lm_bigram, coalesce(scored.n_backoff, 0) AS n_backoff
+FROM t LEFT JOIN scored USING (doc_id)
+""")
+def d48_lm_reference_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tst = docs.filter(F.col("doc_id") % 2 == 1)
+    return bigram_lm_score(tst, ref=ref, with_backoff_count=True)

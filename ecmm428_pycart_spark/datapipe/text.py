@@ -183,7 +183,8 @@ def adjacent_pairs(arr) -> Column:
 def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     alpha: float = 0.4,
-                    ref: DataFrame | None = None) -> DataFrame:
+                    ref: DataFrame | None = None,
+                    with_backoff_count: bool = False) -> DataFrame:
     """Per-document Stupid Backoff bigram LM score (Brants et al. 2007,
     "Large Language Models in Machine Translation") — the LM-quality
     signal designed FOR distributed counting at web scale, and the
@@ -241,16 +242,28 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
         F.col("cb").isNotNull(),
         F.col("cb").cast("double") / F.col("cc"),
     ).otherwise(F.lit(alpha) * F.col("cu").cast("double") / F.col("total"))
+    aggs = [F.round(F.avg(F.log(score)), 6).alias("lm_bigram")]
+    if with_backoff_count:
+        # how often the Stupid Backoff actually fired (bigram unseen in
+        # ref, unigram seen) — the observability hook that lets a gate
+        # oracle prove the branch executes, not just that scores match
+        aggs.append(F.sum(
+            F.when(F.col("cb").isNull() & F.col("cu").isNotNull(), 1)
+            .otherwise(0)).alias("n_backoff"))
     scored = (bigrams
               .join(bg_counts, ["w1", "w2"], "left")
               .join(ctx, "w1", "left")
               .join(uni.select(F.col("w").alias("w2"), "cu"), "w2", "left")
               .crossJoin(F.broadcast(total))
               .groupBy(id_col)
-              .agg(F.round(F.avg(F.log(score)), 6).alias("lm_bigram")))
+              .agg(*aggs))
     # keep < 2-token documents as NULL-score rows rather than dropping
     # them — a scorer that silently loses rows breaks downstream joins
-    return df.select(id_col).join(scored, id_col, "left")
+    out = df.select(id_col).join(scored, id_col, "left")
+    if with_backoff_count:
+        out = out.withColumn(
+            "n_backoff", F.coalesce("n_backoff", F.lit(0).cast("long")))
+    return out
 
 
 def bm25_topk(df: DataFrame, query_text: str, k: int = 10,
