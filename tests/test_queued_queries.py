@@ -106,6 +106,8 @@ _QUEUED_BNLJ_OK = {
     "q91_rfm_segments",         # 1-row max-ts anchor broadcast
     "q95_curation_pipeline",    # inherits d43's percentile-cut and
                                 # d45's pow-sum 1-row broadcasts
+    "d48_lm_reference_scoring",  # 1-row ref-corpus token total (the
+                                 # d31/d14 IDF-denominator pattern)
 }
 
 
