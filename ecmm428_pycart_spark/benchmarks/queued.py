@@ -1385,3 +1385,35 @@ def d48_lm_reference_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     tst = docs.filter(F.col("doc_id") % 2 == 1)
     return bigram_lm_score(tst, ref=ref, with_backoff_count=True)
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (the first-order Markov view of user
+# journeys): lag() over (user, event-time) — the window partitions on
+# the user key, so state per partition is one row and the shuffle is
+# the same per-user repartition every sessionization already pays.
+# Deterministic under ts ties via the event_id tiebreak.
+# ---------------------------------------------------------------------------
+@q("q98_event_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2
+""")
+def q98_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (_t(spark, sf_dir, "events")
+           .select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev")))
+    return (seq.filter(F.col("prev").isNotNull())
+            .groupBy(F.col("prev").alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
