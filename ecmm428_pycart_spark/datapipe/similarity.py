@@ -203,6 +203,26 @@ def cosine_neardup_pairs_banded(df: DataFrame, threshold: float = 0.30,
             .select("vec_a", "vec_b", "cos"))
 
 
+def _two_phase_topk(scored: DataFrame, k: int, q_id_col: str,
+                    id_col: str) -> DataFrame:
+    """Shared two-phase top-k over a (q_id, id, cos) scored stream:
+    partial top-k inside each scan partition (window keyed by (query,
+    partition id)), then the global top-k over the k*parts survivors —
+    the few-groups-skew dodge both the exact and bucketed batch k-NN
+    joins rely on. ONE definition so their tiebreaks cannot drift."""
+    from pyspark.sql import Window as W
+    part = scored.withColumn("_p", F.spark_partition_id())
+    w1 = W.partitionBy(q_id_col, "_p").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    partial = (part.withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= k))
+    w2 = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                         F.col(id_col).asc())
+    return (partial.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
 def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q",
@@ -226,7 +246,6 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
     row) applied before scoring — e.g. a label-mismatch constraint for
     hard-negative mining. It prunes map-side, inside the same pass.
     """
-    from pyspark.sql import Window as W
     scored = (df.crossJoin(F.broadcast(queries))
               .filter(F.col(id_col) != F.col(q_id_col)))
     if pair_filter is not None:
@@ -235,16 +254,7 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("cos", F.round(
                   cosine(F.col(vec_col), F.col(q_vec_col)), 6))
               .select(q_id_col, id_col, "cos"))
-    part = scored.withColumn("_p", F.spark_partition_id())
-    w1 = W.partitionBy(q_id_col, "_p").orderBy(F.col("cos").desc(),
-                                               F.col(id_col).asc())
-    partial = (part.withColumn("_rn", F.row_number().over(w1))
-               .filter(F.col("_rn") <= k))
-    w2 = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
-                                         F.col(id_col).asc())
-    return (partial.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select(q_id_col, id_col, "cos", "rank"))
+    return _two_phase_topk(scored, k, q_id_col, id_col)
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",
@@ -736,7 +746,6 @@ def ann_knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
     with multiprobe or more tables when it matters). Returns
     (q_id, id, cos, rank).
     """
-    from pyspark.sql import Window as W
     bucketed = df.withColumn("bucket", sign_bucket(vec_col, bits))
     qb = queries.withColumn("bucket", sign_bucket(q_vec_col, bits))
     scored = (bucketed.join(F.broadcast(qb), "bucket")
@@ -744,13 +753,4 @@ def ann_knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("cos", F.round(
                   cosine(F.col(vec_col), F.col(q_vec_col)), 6))
               .select(q_id_col, id_col, "cos"))
-    part = scored.withColumn("_p", F.spark_partition_id())
-    w1 = W.partitionBy(q_id_col, "_p").orderBy(F.col("cos").desc(),
-                                               F.col(id_col).asc())
-    partial = (part.withColumn("_rn", F.row_number().over(w1))
-               .filter(F.col("_rn") <= k))
-    w2 = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
-                                         F.col(id_col).asc())
-    return (partial.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select(q_id_col, id_col, "cos", "rank"))
+    return _two_phase_topk(scored, k, q_id_col, id_col)

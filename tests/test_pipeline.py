@@ -2318,3 +2318,20 @@ def test_ann_knn_join_subset_of_exact(spark):
         "vec_id", sign_bucket("embedding", 8).alias("b")).collect()}
     for (q, v) in approx:
         assert buckets[q] == buckets[v]
+
+
+def test_d48_backoff_branch_actually_fires(spark):
+    """Guard against vacuous d48 oracle compares: the even/odd
+    train/score split must leave genuinely unseen bigrams, so the
+    summed backoff count is strictly positive at test scale."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.text import bigram_lm_score
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = bigram_lm_score(docs.filter(F.col("doc_id") % 2 == 1),
+                          ref=docs.filter(F.col("doc_id") % 2 == 0),
+                          with_backoff_count=True)
+    total = out.agg(F.sum("n_backoff")).first()[0]
+    assert total and total > 0

@@ -7,14 +7,15 @@ live implementations on every pytest run."""
 
 from __future__ import annotations
 
-import math
 import os
 import re
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF_DIR = "/root/testdata/sf0.01"   # the scale the doc's claims cite
+# the scale the doc's claims cite; overridable like the sibling file
+SF_DIR = os.environ.get("SPARK_GRAFT_QUEUE_SQL_SF",
+                        "/root/testdata/sf0.01")
 
 
 def _doc_sql(name: str) -> str:
@@ -35,20 +36,14 @@ def duck():
     con.close()
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(round(v, 9))
-    return v
-
-
 def _cmp(df, rel):
-    sp = sorted(tuple(_norm(x) for x in r) for r in
-                (tuple(r) for r in df.collect()))
-    du = sorted(tuple(_norm(x) for x in r) for r in rel.fetchall())
-    assert list(df.columns) == list(rel.columns) or \
-        sorted(df.columns) == sorted(rel.columns)
+    # the gate canonicalization, shared with the queued-oracle tests
+    # (column-sorted, row-sorted, None-safe, 9-digit floats)
+    from tests.test_queued_queries import _canon
+    sp_cols, du_cols = df.columns, list(rel.columns)
+    assert sorted(sp_cols) == sorted(du_cols), (sp_cols, du_cols)
+    sp = _canon([tuple(r) for r in df.collect()], sp_cols)
+    du = _canon(rel.fetchall(), du_cols)
     assert sp == du, (sp[:3], du[:3])
 
 
