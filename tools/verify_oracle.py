@@ -5,6 +5,10 @@ given sf dir, then compares row count, column names, and an
 order-insensitive value comparison (columns sorted by name, rows sorted).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+       python tools/verify_oracle.py --queued [sf_dir] [query_name ...]
+
+--queued sweeps benchmarks/queued.py (the round-5 registration queue)
+instead of the registered registry — same compare, same exit code.
 """
 
 from __future__ import annotations
@@ -84,8 +88,12 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    use_queued = "--queued" in args
+    if use_queued:
+        args = [a for a in args if a != "--queued"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as ent
     from ecmm428_pycart_spark.session import get_spark
@@ -96,8 +104,12 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = ent.queries()
-    oracles = ent.oracle_sql()
+    if use_queued:
+        from ecmm428_pycart_spark.benchmarks import queued
+        qs, oracles = dict(queued.QUERIES), dict(queued.ORACLES)
+    else:
+        qs = ent.queries()
+        oracles = ent.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
