@@ -1417,3 +1417,36 @@ def q98_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("prev").alias("from_type"),
                      F.col("event_type").alias("to_type"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# WAV 2x linear-resample stats (multimodal.wav_resample2_stats over
+# the square-wave fixture): the sample-rate-normalization kernel with
+# a fully closed-form oracle — interpolated midpoints at the square
+# wave's edges are EXACT zeros, so n_zero = 2*cycles - 1 and
+# sum_abs = amp * (128 - 2*cycles), straight arithmetic on doc_id.
+# ---------------------------------------------------------------------------
+@q("m24_wav_resample", """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 100 + 1 AS DOUBLE) AS amp,
+         CAST(power(2, doc_id % 5) AS BIGINT) AS c
+  FROM documents
+)
+SELECT doc_id, 64 AS n_in, 127 AS n_out,
+       CAST(2 * c - 1 AS INTEGER) AS n_zero,
+       round(amp * (128 - 2 * c), 4) AS sum_abs
+FROM base
+""")
+def m24_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        synth_wav_square_payload, wav_resample2_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (docs
+            .withColumn("_w", synth_wav_square_payload(F.col("doc_id")))
+            .withColumn("_s", wav_resample2_stats(F.col("_w")))
+            .select("doc_id", F.col("_s.n_in").alias("n_in"),
+                    F.col("_s.n_out").alias("n_out"),
+                    F.col("_s.n_zero").alias("n_zero"),
+                    F.col("_s.sum_abs").alias("sum_abs")))

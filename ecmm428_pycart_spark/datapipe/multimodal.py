@@ -2433,3 +2433,52 @@ def augment_pixel_stats(op: str):
                                            "first_px", "last_px",
                                            "pixel_mean"])
     return stats
+
+
+_RESAMPLE = T.StructType([
+    T.StructField("n_in", T.IntegerType()),
+    T.StructField("n_out", T.IntegerType()),
+    T.StructField("n_zero", T.IntegerType()),
+    T.StructField("sum_abs", T.DoubleType()),
+])
+
+
+def resample_linear(samples: "np.ndarray", factor: float) -> "np.ndarray":
+    """Linear-interpolation resample of a 1-D PCM channel by ``factor``
+    (>1 upsamples): output positions k/factor for k = 0 ..
+    floor((n-1)*factor) — endpoints preserved, O(n) numpy, the
+    sample-rate normalization step (16 kHz-ing a corpus) every audio
+    front-end runs before featurization. Linear interp is the honest
+    baseline (alias-free band-limited sinc is a windowed-filter
+    extension of the same shape)."""
+    n = len(samples)
+    if n == 0 or factor <= 0:
+        return samples[:0].astype(np.float64)
+    pos = np.arange(0, (n - 1) * factor + 1) / factor
+    return np.interp(pos, np.arange(n), samples.astype(np.float64))
+
+
+@F.pandas_udf(_RESAMPLE)
+def wav_resample2_stats(payload: pd.Series) -> pd.DataFrame:
+    """Decode channel 0 and 2x-upsample via ``resample_linear``,
+    reduced to closed-form-checkable stats (zero crossings land
+    EXACTLY on interpolated midpoints of the square fixture: n_zero =
+    2*cycles - 1, sum_abs = amp*(128 - 2*cycles)). Corrupt payloads
+    degrade to the null row (decode-totality contract)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        try:
+            s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+        except (ValueError, NotImplementedError, struct.error,
+                IndexError):
+            rows.append((None, None, None, None))
+            continue
+        y = resample_linear(s, 2.0)
+        rows.append((int(len(s)), int(len(y)),
+                     int(np.sum(y == 0.0)),
+                     float(round(np.sum(np.abs(y)), 4))))
+    return pd.DataFrame(rows, columns=["n_in", "n_out", "n_zero",
+                                       "sum_abs"])

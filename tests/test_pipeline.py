@@ -2335,3 +2335,35 @@ def test_d48_backoff_branch_actually_fires(spark):
                           with_backoff_count=True)
     total = out.agg(F.sum("n_backoff")).first()[0]
     assert total and total > 0
+
+
+def test_resample_linear_kernel():
+    """factor=1 is identity; downsampling halves length; endpoints
+    always preserved; empty input total."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.multimodal import resample_linear
+
+    x = np.array([0.0, 1.0, 4.0, 9.0, 16.0])
+    np.testing.assert_array_equal(resample_linear(x, 1.0), x)
+    half = resample_linear(x, 0.5)
+    np.testing.assert_array_equal(half, [0.0, 4.0, 16.0])
+    up = resample_linear(x, 2.0)
+    assert len(up) == 9 and up[0] == x[0] and up[-1] == x[-1]
+    np.testing.assert_allclose(up[1], 0.5)   # midpoint interp
+    assert len(resample_linear(x[:0], 2.0)) == 0
+
+
+def test_wav_resample_corrupt_payload_nulls(spark):
+    """Corrupt WAV bytes degrade to the null row, never an executor
+    exception (the decode-totality contract)."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.multimodal import wav_resample2_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFgarbage")), (2, None)],
+        "doc_id long, w binary")
+    got = (df.withColumn("s", wav_resample2_stats(F.col("w")))
+           .select("doc_id", "s.n_out").collect())
+    assert {(r["doc_id"], r["n_out"]) for r in got} == {(1, None), (2, None)}
