@@ -1450,3 +1450,69 @@ def m24_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_s.n_out").alias("n_out"),
                     F.col("_s.n_zero").alias("n_zero"),
                     F.col("_s.sum_abs").alias("sum_abs")))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC diff (sources/snapshots.py): write version 1, apply
+# q65's deterministic change rules, write version 2, then classify
+# every key added/removed/changed/unchanged by full-outer-joining the
+# two READ-BACK versions — the change-data-feed a lakehouse consumer
+# derives between any two time-travel points. Oracle reconstructs
+# both versions with the same arithmetic straight from the table, so
+# a snapshot-store corruption or version mixup breaks the hash.
+# ---------------------------------------------------------------------------
+@q("q99_snapshot_diff", """
+WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+v2 AS (
+  SELECT k, CASE WHEN k % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal
+  FROM v1 WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k + 1000000, 500.0 FROM v1 WHERE k % 5 = 0
+),
+j AS (
+  SELECT coalesce(v1.k, v2.k) AS k, v1.bal AS b1, v2.bal AS b2
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+),
+labeled AS (
+  SELECT CASE WHEN b1 IS NULL THEN 'added'
+              WHEN b2 IS NULL THEN 'removed'
+              WHEN b1 <> b2 THEN 'changed'
+              ELSE 'unchanged' END AS op,
+         coalesce(b2, b1) AS bal
+  FROM j
+)
+SELECT op, CAST(count(*) AS BIGINT) AS n,
+       round(sum(bal), 2) AS total_bal
+FROM labeled GROUP BY op
+""")
+def q99_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ecmm428_pycart_spark.sources.snapshots import (read_snapshot,
+                                                        write_snapshot)
+
+    base = tempfile.mkdtemp(prefix="q99_snap_")
+    k = F.col("k")
+    v1 = (_t(spark, sf_dir, "customer")
+          .select(F.col("c_custkey").alias("k"),
+                  F.col("c_acctbal").alias("bal")))
+    write_snapshot(v1, base)
+    v2 = (v1.filter(k % 7 != 0)
+          .withColumn("bal", F.when(k % 3 == 0, F.col("bal") + 100.0)
+                      .otherwise(F.col("bal")))
+          .unionByName(v1.filter(k % 5 == 0)
+                       .select((k + 1000000).alias("k"),
+                               F.lit(500.0).alias("bal"))))
+    write_snapshot(v2, base)
+    a = read_snapshot(spark, base, version=1)         .select("k", F.col("bal").alias("b1"))
+    b = read_snapshot(spark, base, version=2)         .select("k", F.col("bal").alias("b2"))
+    j = a.join(b, "k", "full_outer")
+    labeled = j.select(
+        F.when(F.col("b1").isNull(), "added")
+        .when(F.col("b2").isNull(), "removed")
+        .when(F.col("b1") != F.col("b2"), "changed")
+        .otherwise("unchanged").alias("op"),
+        F.coalesce("b2", "b1").alias("bal"))
+    return (labeled.groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("bal"), 2).alias("total_bal")))
