@@ -32,6 +32,7 @@ metadata independently with plain arithmetic.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Iterator
@@ -2238,6 +2239,18 @@ _SPECTRUM = T.StructType([
 ])
 
 
+def _decode_ch0_or_none(buf):
+    """Channel 0 as float64, or None for corrupt/unsupported payloads —
+    ONE definition of the decode-totality exception contract shared by
+    the WAV-stats UDFs (spectrum, resample)."""
+    if buf is None:
+        return None
+    try:
+        return decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+
+
 @F.pandas_udf(T.BinaryType())
 def synth_wav_square_payload(doc_id: pd.Series) -> pd.Series:
     """Deterministic square-wave WAV per doc: mono 16-bit PCM, N=64
@@ -2267,10 +2280,8 @@ def wav_spectrum_stats(payload: pd.Series) -> pd.DataFrame:
         if buf is None:
             rows.append((None, None, None, None))
             continue
-        try:
-            s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
-        except (ValueError, NotImplementedError, struct.error,
-                IndexError):
+        s = _decode_ch0_or_none(buf)
+        if s is None:
             # corrupt/non-WAV payload degrades to a null row, never a
             # task kill (decode-totality contract)
             rows.append((None, None, None, None))
@@ -2451,10 +2462,17 @@ def resample_linear(samples: "np.ndarray", factor: float) -> "np.ndarray":
     front-end runs before featurization. Linear interp is the honest
     baseline (alias-free band-limited sinc is a windowed-filter
     extension of the same shape)."""
+    if factor <= 0:
+        # no semantics exist for this; an empty return would launder a
+        # caller's rate-ratio bug into plausible-looking empty clips
+        raise ValueError("resample factor must be positive")
     n = len(samples)
-    if n == 0 or factor <= 0:
+    if n == 0:
         return samples[:0].astype(np.float64)
-    pos = np.arange(0, (n - 1) * factor + 1) / factor
+    # k = 0 .. floor((n-1)*factor) EXACTLY — naive arange((n-1)*f + 1)
+    # overshoots by one clamped duplicate whenever (n-1)*f is fractional
+    k_max = int(math.floor((n - 1) * factor))
+    pos = np.arange(k_max + 1) / factor
     return np.interp(pos, np.arange(n), samples.astype(np.float64))
 
 
@@ -2470,10 +2488,8 @@ def wav_resample2_stats(payload: pd.Series) -> pd.DataFrame:
         if buf is None:
             rows.append((None, None, None, None))
             continue
-        try:
-            s = decode_wav_samples(bytes(buf))[:, 0].astype(np.float64)
-        except (ValueError, NotImplementedError, struct.error,
-                IndexError):
+        s = _decode_ch0_or_none(buf)
+        if s is None:
             rows.append((None, None, None, None))
             continue
         y = resample_linear(s, 2.0)

@@ -2367,3 +2367,24 @@ def test_wav_resample_corrupt_payload_nulls(spark):
     got = (df.withColumn("s", wav_resample2_stats(F.col("w")))
            .select("doc_id", "s.n_out").collect())
     assert {(r["doc_id"], r["n_out"]) for r in got} == {(1, None), (2, None)}
+
+
+def test_resample_linear_fractional_factors():
+    """The k = 0..floor((n-1)*factor) length contract holds for
+    FRACTIONAL factors (the 44.1k->48k shape), with no clamped
+    endpoint duplicate; factor <= 0 raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.multimodal import resample_linear
+
+    x = np.array([0.0, 1.0, 2.0, 3.0])
+    up = resample_linear(x, 1.5)          # floor(3*1.5)=4 -> 5 samples
+    assert len(up) == 5
+    np.testing.assert_allclose(up, [0.0, 2/3, 4/3, 2.0, 8/3])
+    down = resample_linear(x, 0.5)        # floor(3*0.5)=1 -> 2 samples
+    np.testing.assert_array_equal(down, [0.0, 2.0])
+    with _pytest.raises(ValueError):
+        resample_linear(x, 0.0)
+    with _pytest.raises(ValueError):
+        resample_linear(x, -1.0)
