@@ -332,21 +332,30 @@ def s07_ann_multiprobe(spark, sf_dir):
 
 
 # Symmetric per-vector int8 quantization (4x storage shrink before
-# indexing); compared as the full quantized array + scale.
+# indexing); compared as the full quantized vector + scale. GATE-SHAPE
+# NOTE (VERDICT r4 #1): the driver's canonicalizer sorts raw pandas
+# columns and crashes on array-typed outputs ("unhashable type:
+# 'list'"), so the registered query serializes qvec to a CSV string on
+# BOTH sides — value-lossless for integers — while quantize_int8 keeps
+# its array<int> API for library callers.
 @q("s08_int8_quantize", """
 SELECT vec_id,
        round(mx / 127.0, 9) AS scale,
-       CASE WHEN mx > 0
+       array_to_string(CASE WHEN mx > 0
             THEN list_transform(embedding,
                                 x -> CAST(round(x::DOUBLE * 127.0 / mx, 0) AS INTEGER))
-            ELSE list_transform(embedding, x -> 0) END AS qvec
+            ELSE list_transform(embedding, x -> 0) END, ',') AS qvec_csv
 FROM (SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
       FROM embeddings)
 """)
 def s08_int8_quantize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb)
+    q8 = similarity.quantize_int8(emb)
+    return q8.select(
+        "vec_id", "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+         .alias("qvec_csv"))
 
 
 # ---------------------------------------------------------------------------
@@ -1352,9 +1361,16 @@ def d16_stratified_sample(spark, sf_dir):
 # NOTE the `+ 0` after every round that can hit a negative-near-zero
 # value: DuckDB's round keeps IEEE -0.0 while Spark's BigDecimal-based
 # round returns +0.0; adding positive zero normalizes both to +0.0.
+# GATE-SHAPE NOTE (VERDICT r4 #1): the driver canonicalizer crashes on
+# array-typed output columns, so head3 is serialized to a CSV of
+# 1e4-scaled integers on BOTH sides (round(x,4)*10000 is within 1e-9 of
+# an integer, so the final round-to-int agrees between engines and the
+# -0.0 quirk vanishes in the integer domain).
 @q("s06_array_ops", """
 SELECT vec_id,
-       list_transform(embedding[1:3], x -> round(x::DOUBLE, 4) + 0) AS head3,
+       array_to_string(list_transform(embedding[1:3],
+           x -> CAST(round(round(x::DOUBLE, 4) * 10000, 0) AS BIGINT)), ',')
+         AS head3_csv,
        round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) + 0 AS max_dim,
        round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) + 0 AS min_dim,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
@@ -1365,9 +1381,12 @@ def s06_array_ops(spark, sf_dir):
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
-        F.transform(F.slice("embedding", 1, 3),
-                    lambda x: F.round(x.cast("double"), 4) + F.lit(0.0))
-         .alias("head3"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(F.round(x.cast("double"), 4) * 10000, 0)
+                           .cast("bigint").cast("string")),
+            ",").alias("head3_csv"),
         (F.round(F.array_max(dbl), 4) + F.lit(0.0)).alias("max_dim"),
         (F.round(F.array_min(dbl), 4) + F.lit(0.0)).alias("min_dim"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"))

@@ -28,37 +28,58 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # sentinels (green in r3; canaries against a regression of the
-    # already-proven surface)
-    "q01_pricing_summary", "g02_queen_borders", "g04_dorling_positions",
-    # similarity: IVF, codebook assign, near-dup, multiprobe, int8,
-    # banded near-dup, PQ encode + ADC re-rank
-    "s03_centroid_assign", "s04_ivf_probe", "s05_cosine_neardup",
-    "s07_ann_multiprobe", "s08_int8_quantize", "s10_neardup_banded",
-    "s11_pq_codes", "s12_pq_adc_rerank",
-    # multimodal: meta plumbing, REAL featurize (round-4 kernel), frame
-    # sampling, WAV samples, MP4 meta, color JPEG, palette/Adam7 PNG
-    # (new), box-filter resize (new)
-    "m01_multimodal_meta", "m02_decode_features", "m05_frame_sample",
-    "m07_wav_samples", "m08_video_meta", "m10_color_jpeg",
-    "m11_palette_png", "m12_resize_pixels",
-    # streaming: foreachBatch idempotent upsert, stream-static enrich
-    "st07_stream_foreach_upsert", "st08_stream_static_enrich",
-    # text/dedup pipeline
-    "d11_vocab_topk", "d12_bigram_stats", "d13_bpeish_token_count",
-    "d14_tfidf_top_terms", "d17_pii_scrub", "d18_dedup_canonical",
-    "d23_token_entropy", "d24_weighted_sample", "d26_repetition_ratio",
-    "d27_source_mix", "d28_ngram_jaccard", "d29_segment_dup_rate",
-    "d30_gopher_rules", "d31_unigram_lm_score", "d33_token_drift",
-    # geo / graph: triangle count, k-NN spatial, point-in-polygon,
-    # 2.5k-region dorling (new)
-    "g11_triangle_count", "g12_knn_spatial", "g13_point_in_polygon",
-    "g14_dorling_grid2500",
-    # composed pipeline + window/layout/lakehouse relational surface
-    "q41_e3_pipeline", "q44_trailing_window", "q46_equidepth_hist",
-    "q52_shipping_priority", "q60_bucketed_colocated_join",
-    "q61_batch_merge_scd1", "q62_compaction_roundtrip",
-    "q63_bilateral_shipping", "q65_time_travel", "q66_cohort_retention",
+    # ROUND-5 ROTATION: the deferred backlog + two sentinels (see
+    # NEXT_ROUND_SENTINELS budget arithmetic in tests/test_gate_coverage.py)
+    "s08_int8_quantize",
+    "g04_dorling_positions",
+    "q53_local_supplier_volume",
+    "q54_returned_items",
+    "q55_late_shipment_priority",
+    "q56_large_volume_customers",
+    "q57_order_count_distribution",
+    "q58_dormant_high_balance",
+    "q64_priority_mix",
+    "d10_hash_sample",
+    "d16_stratified_sample",
+    "d20_doc_chunks",
+    "d21_seq_packing",
+    "s06_array_ops",
+    "m13_wav_bitdepths",
+    "d34_window_dedup",
+    "m14_png16_pixels",
+    "q67_rollup_revenue",
+    "q68_pivot_year_flag",
+    "q69_dpp_prune",
+    "q70_top_supplier",
+    "q71_lone_late_supplier",
+    "q72_scd2_history",
+    "m15_audio_frames",
+    "d35_bloom_decontaminate",
+    "m16_image_dhash",
+    "st09_stream_outer_join",
+    "q73_set_ops",
+    "st10_stream_chained_agg",
+    "s13_ivf_pq_topk",
+    "q74_decile_stats",
+    "g15_convex_hull",
+    "m17_gif_pixels",
+    "q75_observed_metrics",
+    "q76_variant_json",
+    "g16_simplify_dp",
+    "m18_gif_frame_sample",
+    "m19_mjpeg_avi_frames",
+    "q77_schema_evolution",
+    "q78_range_frame_window",
+    "q79_python_datasource",
+    "st11_python_stream_source",
+    "st12_python_stream_sink",
+    "d36_window_dedup_removal",
+    "st13_stream_restart_resume",
+    "st14_stream_timeout_sessions",
+    "q80_small_qty_revenue",
+    "q81_market_share",
+    "q82_disjunctive_revenue",
+    "q83_exists_priority",
 ]
 
 # Never-driver-checked queries that did NOT fit this round's 50-slot
@@ -86,26 +107,39 @@ DRIVER_WINDOW = [
 # fails if any registered query is neither historically checked, in
 # the current window, nor in this list.
 DEFERRED_TO_NEXT_ROUND = [
-    "q53_local_supplier_volume", "q54_returned_items",
-    "q55_late_shipment_priority", "q56_large_volume_customers",
-    "q57_order_count_distribution", "q58_dormant_high_balance",
-    "q64_priority_mix", "d10_hash_sample", "d16_stratified_sample",
-    "d20_doc_chunks", "d21_seq_packing", "s06_array_ops",
-    # added after the round-4 window froze; verify_oracle-green locally
-    "m13_wav_bitdepths", "d34_window_dedup", "m14_png16_pixels",
-    "q67_rollup_revenue", "q68_pivot_year_flag", "q69_dpp_prune",
-    "q70_top_supplier", "q71_lone_late_supplier", "q72_scd2_history",
-    "m15_audio_frames", "d35_bloom_decontaminate", "m16_image_dhash",
-    "st09_stream_outer_join", "q73_set_ops", "st10_stream_chained_agg",
-    "s13_ivf_pq_topk", "q74_decile_stats", "g15_convex_hull",
-    "m17_gif_pixels", "q75_observed_metrics", "q76_variant_json",
-    "g16_simplify_dp", "m18_gif_frame_sample", "m19_mjpeg_avi_frames",
-    "q77_schema_evolution", "q78_range_frame_window",
-    "q79_python_datasource", "st11_python_stream_source",
-    "st12_python_stream_sink", "d36_window_dedup_removal",
-    "st13_stream_restart_resume", "st14_stream_timeout_sessions",
-    "q80_small_qty_revenue", "q81_market_share",
-    "q82_disjunctive_revenue", "q83_exists_priority",
+    # round-4 continuation queue (benchmarks/queued.py), registered round 5,
+    # gated round 6 — every entry oracle-validated at all three sfs + local[7]
+    "d42_bpe_encode",
+    "d43_perplexity_buckets",
+    "d44_zipf_fit",
+    "d45_temperature_mix",
+    "d46_leakage_safe_split",
+    "d47_source_contamination",
+    "d48_lm_reference_scoring",
+    "g18_clustering_coeff",
+    "m23_tar_shard_roundtrip",
+    "m24_wav_resample",
+    "q84_min_cost_supplier",
+    "q85_product_profit",
+    "q86_important_stock",
+    "q87_promo_revenue",
+    "q88_supplier_relationship",
+    "q89_part_promotion",
+    "q90_funnel_steps",
+    "q91_rfm_segments",
+    "q92_xml_roundtrip",
+    "q93_rolling_actives",
+    "q94_funnel_latency",
+    "q95_curation_pipeline",
+    "q96_unpivot_measures",
+    "q97_runtime_bloom_join",
+    "q98_event_transitions",
+    "q99_snapshot_diff",
+    "s18_pca_project",
+    "s19_mmr_topk",
+    "s20_hard_negatives",
+    "s21_ann_knn_join",
+    "st15_stream_funnel",
 ]
 
 
@@ -121,8 +155,9 @@ def _collect():
 def _modules():
     # hard imports: a failure here must propagate — silently dropping a
     # module would remove entire query families from the correctness gate
-    from ecmm428_pycart_spark.benchmarks import datapipe_queries, geo_queries
-    return [relational, datapipe_queries, geo_queries]
+    from ecmm428_pycart_spark.benchmarks import (datapipe_queries, geo_queries,
+                                                 queued)
+    return [relational, datapipe_queries, geo_queries, queued]
 
 
 def _window_first(d: dict) -> dict:

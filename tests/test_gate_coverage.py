@@ -26,16 +26,15 @@ import os
 GATE_CAP = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# §2 sentinels that ride every window as canaries for the
-# previously-proven surface (relational core, queen borders, dorling).
-SENTINELS = {"q01_pricing_summary", "g02_queen_borders",
-             "g04_dorling_positions"}
+# Window ride-alongs. Round 5: g04 is the §2 canary (geo macro
+# surface); s08 takes q01's slot per VERDICT r4 #2 — the only
+# never-green query (its r4 err was the driver's array canonicalizer
+# crash, fixed by the scalar reshape) must be driver-proven this round.
+# q01 stays registered and is 4x driver-green (r1-r4).
+SENTINELS = {"s08_int8_quantize", "g04_dorling_positions"}
 
-# Round 5's window is fully booked by the deferred backlog (round 4
-# added ~50 queries against a 47-slot/round gate budget), so round 5
-# rides TWO sentinels: q01 (relational core) and g04 (the geo macro
-# surface; g02's queen-border machinery is additionally covered by the
-# historically-checked g07). 48 deferred + 2 = exactly GATE_CAP.
+# Round 6's window: the round-5 deferred backlog (31 queued + the
+# newly registered library ops) + these two multiply-green sentinels.
 NEXT_ROUND_SENTINELS = {"q01_pricing_summary", "g04_dorling_positions"}
 
 
@@ -102,6 +101,48 @@ def test_window_names_all_have_oracles():
     oracles = get_oracle_sql()
     missing = [n for n in _window() if n not in oracles]
     assert not missing, f"gated queries without oracle SQL: {missing}"
+
+
+def test_window_outputs_are_scalar_typed():
+    """No array/struct/map-typed column may reach the driver gate.
+
+    The DRIVER's canonicalizer sorts raw pandas columns;
+    ``sort_values`` on a list column throws ``TypeError: unhashable
+    type: 'list'`` (the s08_int8_quantize red in CORRECTNESS_r04).
+    tools/verify_oracle.py tuple-izes lists and so MASKS the class —
+    this guard closes the divergence (VERDICT r4 #1b). We check the
+    DuckDB side of every window oracle via DESCRIBE (plan-only, no
+    execution): the driver's schema compare forces the Spark side to
+    match the oracle, so a scalar oracle schema implies a scalar gate
+    row on both sides.
+    """
+    import duckdb
+
+    from ecmm428_pycart_spark.benchmarks.registry import get_oracle_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = get_oracle_sql()
+    offenders = []
+    for name in _window():
+        sql = oracles.get(name)
+        if sql is None:  # caught by test_window_names_all_have_oracles
+            continue
+        for row in con.execute(f"DESCRIBE {sql}").fetchall():
+            col, typ = row[0], row[1]
+            t = typ.upper()
+            if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "array/struct/map-typed columns in driver-gate outputs (the "
+        f"driver canonicalizer crashes on these): {offenders} — "
+        "serialize to scalars on both sides (array_to_string / "
+        "concat_ws) or posexplode to rows")
 
 
 def test_full_registry_still_contains_everything():

@@ -132,6 +132,15 @@ _BNLJ_OK = {
     "s12_pq_adc_rerank",        # broadcast query vector + codebooks
     "s13_ivf_pq_topk",          # broadcast query vector + codebooks (IVF-PQ)
     "s09_knn_join",             # broadcast query batch
+    "d42_bpe_encode",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "d43_perplexity_buckets",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "d45_temperature_mix",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "d48_lm_reference_scoring",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "g18_clustering_coeff",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "q86_important_stock",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "q91_rfm_segments",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "q95_curation_pipeline",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "s20_hard_negatives",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
 }
 
 

@@ -85,8 +85,9 @@ def test_queue_is_not_registered_yet():
     from the 2-round gate contract."""
     from ecmm428_pycart_spark.benchmarks import queued
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
-    overlap = set(queued.QUERIES) & set(get_queries())
-    assert not overlap, f"queued queries already registered: {overlap}"
+    # round 5: the queue IS the new deferred backlog
+    missing = set(queued.QUERIES) - set(get_queries())
+    assert not missing, f"queued queries not registered: {missing}"
 
 
 # queued queries with a legitimate O(1)-row identity-broadcast build

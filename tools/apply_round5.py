@@ -46,7 +46,11 @@ def main():
     from ecmm428_pycart_spark.benchmarks.registry import (
         DEFERRED_TO_NEXT_ROUND, DRIVER_WINDOW)
 
-    new_window = ["q01_pricing_summary", "g04_dorling_positions",
+    # VERDICT r4 #2: q01 (4x driver-green r1-r4) gives up its sentinel
+    # slot to s08_int8_quantize — the only never-green query (its r4 err
+    # was the driver's array canonicalizer crash, now fixed by the
+    # scalar reshape) — so the fix is driver-proven this round.
+    new_window = ["s08_int8_quantize", "g04_dorling_positions",
                   *DEFERRED_TO_NEXT_ROUND]
     assert len(new_window) == 50, len(new_window)
     new_deferred = sorted(queued.QUERIES)
@@ -91,11 +95,11 @@ def main():
         REPO, "ecmm428_pycart_spark/benchmarks/registry.py"), "w").write(reg)
     print("  edited registry.py")
 
-    # 2. sentinels
+    # 2. sentinels (VERDICT r4 #2: s08 takes q01's slot)
     edit("tests/test_gate_coverage.py",
          'SENTINELS = {"q01_pricing_summary", "g02_queen_borders",\n'
          '             "g04_dorling_positions"}',
-         'SENTINELS = {"q01_pricing_summary", "g04_dorling_positions"}')
+         'SENTINELS = {"s08_int8_quantize", "g04_dorling_positions"}')
 
     # 3a. the queue is now registered: guard flips to full-overlap
     edit("tests/test_queued_queries.py",
