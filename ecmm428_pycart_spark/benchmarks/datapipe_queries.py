@@ -2581,3 +2581,410 @@ def d36_window_dedup_removal(spark, sf_dir):
             .select("doc_id", F.col("n").cast("long").alias("n_tokens"),
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     "cleaned_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 library-op registrations (docs/ROUND5_QUEUE.md table): each
+# SQL block below was pre-validated against the live implementation at
+# sf0.01 at the end of round 4 and is replay-pinned by
+# tests/test_round5_queue_sql.py, which parses the same blocks out of
+# the doc and re-runs the gate compare on every pytest run.
+# ---------------------------------------------------------------------------
+
+# Bigram language model scoring (CCNet-style quality signal): per-doc
+# mean log P(w2|w1) with Stupid Backoff (0.4 * unigram MLE) for unseen
+# bigrams. Two corpus-level aggregates (bigram counts, unigram counts)
+# + one broadcast-friendly scoring join — no per-row Python.
+@q("d37_bigram_lm", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS i(i)
+  WHERE len(ws) >= 2
+),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(cu) AS total FROM uni),
+bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cb) AS cc FROM bgc GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         round(avg(ln(CASE WHEN bgc.cb IS NOT NULL
+                           THEN bgc.cb::DOUBLE / ctx.cc
+                           ELSE 0.4 * uni.cu::DOUBLE / tot.total END)), 6)
+           AS lm_bigram
+  FROM bg
+  LEFT JOIN bgc USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON uni.w = bg.w2
+  CROSS JOIN tot
+  GROUP BY bg.doc_id
+)
+SELECT t.doc_id, scored.lm_bigram
+FROM t LEFT JOIN scored USING (doc_id)
+""")
+def d37_bigram_lm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_score(docs)
+
+
+# BM25 retrieval via the inverted-index join (Lucene idf form,
+# k1=1.2, b=0.75): only the query terms' posting lists are read or
+# shuffled — the sparse-retrieval shape that serves web-scale search.
+@q("d38_bm25", """
+WITH terms AS (SELECT unnest(['join', 'scan', 'table']) AS w),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+postings AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY 1),
+matched AS (
+  SELECT p.doc_id, p.tf, d.df, l.dl, s.n_docs, s.avgdl
+  FROM postings p
+  JOIN terms t USING (w)
+  JOIN dfreq d USING (w)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS bm25
+FROM matched
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""")
+def d38_bm25(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "table scan join", k=20)
+
+
+# Heavy hitters (Misra-Gries sketch + exact confirm): tokens with true
+# frequency >= support * total. The sketch bounds per-partition state;
+# the confirm pass touches only surviving candidates, so the oracle's
+# brute-force HAVING is exactly the sketch+confirm output.
+@q("d39_heavy_hitters", """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+n AS (SELECT count(*) AS total FROM toks)
+SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks, n
+GROUP BY w, n.total
+HAVING count(*) >= 0.01 * n.total
+""")
+def d39_heavy_hitters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.heavy_hitter_tokens(docs, support=0.01)
+
+
+# Feature hashing (hashing-TF): md5-hex bucketing shared bit-for-bit
+# with DuckDB, reduced to per-doc (nnz, total, l2) because the dense
+# vector itself is array-typed (gate outputs must be scalar).
+@q("d41_hashing_tf", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 64 AS b,
+         count(*)::DOUBLE AS v
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS nnz,
+       round(sum(v), 4) AS total,
+       round(sqrt(sum(v * v)), 4) AS l2
+FROM cells GROUP BY doc_id
+""")
+def d41_hashing_tf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vecs = text.hashing_tf(docs, dim=64)
+    return vecs.select(
+        "doc_id",
+        F.size(F.filter("embedding", lambda x: x != 0.0)).alias("nnz"),
+        F.round(F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x), 4).alias("total"),
+        F.round(F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                                   lambda a, x: a + x * x)), 4)
+         .alias("l2"))
+
+
+# Truncated re-rank (the dimension-truncation ANN pattern): coarse
+# cosine on the leading 8 dims bounds a 100-row shortlist, exact
+# cosine re-ranks only that shortlist — two passes, no index build.
+@q("s15_truncated_rerank", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT vec_id, embedding,
+         round(list_cosine_similarity(embedding[1:8]::DOUBLE[],
+                                      qe[1:8]::DOUBLE[]), 6) AS c
+  FROM embeddings, q
+),
+short AS (
+  SELECT vec_id, embedding FROM coarse
+  ORDER BY c DESC, vec_id ASC LIMIT 100
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6)
+         AS cos
+FROM short, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+""")
+def s15_truncated_rerank(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.truncated_rerank_topk(
+        emb, similarity.query_vector(emb, 0), k=10,
+        coarse_dims=8, shortlist=100)
+    return out.select("vec_id", "cos")
+
+
+# Reciprocal Rank Fusion (Cormack et al. 2009) of a real sparse (BM25)
+# and a real dense (cosine) retriever — the hybrid-search fusion every
+# RAG data stack runs; doc_id and vec_id share the key space. Fusion
+# cost is O(sum of list lengths), independent of corpus size.
+@q("s16_rrf_hybrid", """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+postings AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY 1),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS bm25
+  FROM postings p
+  JOIN (SELECT unnest(['join', 'scan', 'table']) AS w) t USING (w)
+  JOIN dfreq USING (w)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 20
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      qe::DOUBLE[]), 6) AS cos
+  FROM embeddings, qv
+  ORDER BY cos DESC, vec_id ASC
+  LIMIT 20
+),
+ranked AS (
+  SELECT doc_id,
+         1.0 / (60 + row_number()
+                OVER (ORDER BY bm25 DESC, doc_id ASC)) AS contrib
+  FROM bm
+  UNION ALL
+  SELECT doc_id,
+         1.0 / (60 + row_number()
+                OVER (ORDER BY cos DESC, doc_id ASC)) AS contrib
+  FROM dense
+)
+SELECT doc_id, round(sum(contrib), 6) AS rrf
+FROM ranked GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+""")
+def s16_rrf_hybrid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = text.bm25_topk(docs, "table scan join", k=20)
+    dense = (similarity.cosine_topk(emb, similarity.query_vector(emb, 0),
+                                    k=20)
+             .select(F.col("vec_id").alias("doc_id"), "cos"))
+    return similarity.rrf_fuse([sparse, dense], k=10)
+
+
+# Audio spectral analysis over the REAL decode->rfft chain: the
+# square-wave fixture's spectrum has closed forms (fundamental at bin
+# c = 2^(id%5), zero DC, Parseval energy 64*A^2), so the oracle is
+# plain arithmetic on doc_id — end-to-end: a decode or FFT bug shifts
+# a form and reddens the hash.
+@q("m20_audio_spectrum", """
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS n_fft,
+       CAST(power(2, doc_id % 5) AS INTEGER) AS peak_bin,
+       CAST(0.0 AS DOUBLE) AS dc_mag,
+       round((64.0 * (doc_id % 100 + 1) * (doc_id % 100 + 1))::DOUBLE, 4)
+         AS spec_energy
+FROM documents
+""")
+def m20_audio_spectrum(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_square_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.wav_spectrum_stats(F.col("payload")))
+    return st.select(
+        "doc_id", F.col("s.n_fft").alias("n_fft"),
+        F.col("s.peak_bin").alias("peak_bin"),
+        F.round("s.dc_mag", 4).alias("dc_mag"),
+        F.round("s.spec_energy", 4).alias("spec_energy"))
+
+
+# Pixel-level augmentations (flip_h / flip_v / rot90) over the REAL
+# PNG decode, all four ops in one unioned gate query. The gradient
+# fixture pixel(x,y) = base + x + y makes every corner/mean closed
+# form: flip_h's first pixel is base + (w-1), rot90 swaps the dims,
+# and the mean is augmentation-invariant.
+@q("m22_augmentations", """
+WITH base AS (
+  SELECT doc_id, doc_id % 128 AS b,
+         doc_id % 64 + 1 AS w, doc_id % 32 + 1 AS h
+  FROM documents
+),
+ops AS (SELECT unnest(['identity', 'flip_h', 'flip_v', 'rot90']) AS op)
+SELECT doc_id, op,
+       CAST(CASE WHEN op = 'rot90' THEN h ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN op = 'rot90' THEN w ELSE h END AS INTEGER) AS height,
+       round((CASE op WHEN 'identity' THEN b
+                      WHEN 'flip_h' THEN b + w - 1
+                      ELSE b + h - 1 END)::DOUBLE, 4) AS first_px,
+       round((CASE op WHEN 'identity' THEN b + w + h - 2
+                      WHEN 'flip_h' THEN b + h - 1
+                      ELSE b + w - 1 END)::DOUBLE, 4) AS last_px,
+       round(b + (w - 1) / 2.0 + (h - 1) / 2.0, 4) AS pixel_mean
+FROM base, ops
+""")
+def m22_augmentations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png_gradient_payload(F.col("doc_id")))
+    parts = []
+    for op in ("identity", "flip_h", "flip_v", "rot90"):
+        st = payload.withColumn(
+            "s", multimodal.augment_pixel_stats(op)(F.col("payload")))
+        parts.append(st.select(
+            "doc_id", F.lit(op).alias("op"),
+            F.col("s.width").alias("width"),
+            F.col("s.height").alias("height"),
+            F.round("s.first_px", 4).alias("first_px"),
+            F.round("s.last_px", 4).alias("last_px"),
+            F.round("s.pixel_mean", 4).alias("pixel_mean")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# SemDeDup (Abbas et al. 2023): semantic dedup = k-means clustering +
+# within-cluster cosine pruning, reduced to per-cluster (n_vectors,
+# n_kept). Iterative k-means is SQL-inexpressible, so the oracle is a
+# golden table fingerprint-dispatched like k01 (count + rounded sum of
+# the leading dimension); values regenerate byte-identically via
+# tools/gen_goldens.py.
+@q("s14_semdedup", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+golden AS (
+  SELECT * FROM (VALUES
+    (500, -1.464, 0, 96, 53), (500, -1.464, 1, 139, 70),
+    (500, -1.464, 2, 140, 77), (500, -1.464, 3, 125, 73),
+    (500, 1.0824, 0, 120, 64), (500, 1.0824, 1, 112, 56),
+    (500, 1.0824, 2, 147, 63), (500, 1.0824, 3, 121, 68),
+    (2000, 1.5308, 0, 499, 113), (2000, 1.5308, 1, 486, 89),
+    (2000, 1.5308, 2, 530, 113), (2000, 1.5308, 3, 485, 103)
+  ) AS g(n, s, cluster, n_vectors, n_kept)
+)
+SELECT cluster::INTEGER AS cluster, n_vectors::BIGINT AS n_vectors,
+       n_kept::BIGINT AS n_kept
+FROM golden JOIN fp ON golden.n = fp.n AND golden.s::DOUBLE = fp.s
+""")
+def s14_semdedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb, k=4, iterations=3, threshold=0.3)
+    return (out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept")))
+
+
+# REAL BPE merge learning (Sennrich et al. 2016) — the ordered merge
+# list itself as (merge_rank, lhs, rhs) rows. Iterative argmax loop is
+# SQL-inexpressible; golden dispatched on (count, total text length)
+# ((500, x) count ties between sf0.001/sf0.01 make the char total part
+# of the key). The 1-2 rank swaps across sfs are real count-tie
+# lexicographic breaks, replay-pinned by test_pipeline; values
+# regenerate byte-identically via tools/gen_goldens.py.
+@q("d40_bpe_merges", """
+WITH fp AS (
+  SELECT count(*) AS n, sum(length(text)) AS ch FROM documents
+),
+golden AS (
+  SELECT * FROM (VALUES
+    (500, 153156, 1, 'e', 'r'), (500, 153156, 2, 'e', '</w>'),
+    (500, 153156, 3, 'n', '</w>'), (500, 153156, 4, 'o', 'r'),
+    (500, 153156, 5, 't', '</w>'), (500, 153156, 6, 'er', '</w>'),
+    (500, 153156, 7, 'o', 'w'), (500, 153156, 8, 'ow', '</w>'),
+    (500, 153156, 9, 'l', 'u'), (500, 153156, 10, 'i', 'n'),
+    (500, 153156, 11, 'y', '</w>'), (500, 153156, 12, 'a', 'r'),
+    (500, 149174, 1, 'e', 'r'), (500, 149174, 2, 'e', '</w>'),
+    (500, 149174, 3, 'n', '</w>'), (500, 149174, 4, 'er', '</w>'),
+    (500, 149174, 5, 'o', 'w'), (500, 149174, 6, 'ow', '</w>'),
+    (500, 149174, 7, 'o', 'r'), (500, 149174, 8, 's', 't'),
+    (500, 149174, 9, 'h', '</w>'), (500, 149174, 10, 'a', 't'),
+    (500, 149174, 11, 'l', 'u'), (500, 149174, 12, 'i', 'n'),
+    (5000, 1485576, 1, 'e', '</w>'), (5000, 1485576, 2, 'e', 'r'),
+    (5000, 1485576, 3, 'i', 'n'), (5000, 1485576, 4, 'o', 'r'),
+    (5000, 1485576, 5, 's', 't'), (5000, 1485576, 6, 'er', '</w>'),
+    (5000, 1485576, 7, 'o', 'w'), (5000, 1485576, 8, 'ow', '</w>'),
+    (5000, 1485576, 9, 't', 'a'), (5000, 1485576, 10, 'l', 'u'),
+    (5000, 1485576, 11, 'a', 'r'), (5000, 1485576, 12, 'p', 'ar')
+  ) AS g(n, ch, merge_rank, lhs, rhs)
+)
+SELECT merge_rank::INTEGER AS merge_rank, lhs, rhs
+FROM golden JOIN fp ON golden.n = fp.n AND golden.ch = fp.ch
+""")
+def d40_bpe_merges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = text.learn_bpe_merges(docs, n_merges=12)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string")
+
+
+# Mel filterbank energies (the standard ASR front-end feature) over
+# the REAL decode->rfft chain, reduced to per-band corpus stats. The
+# mel vector itself is array-typed (gate outputs must be scalar) and
+# per-doc energies depend only on (amp, c) = (id%100+1, 2^(id%5)) —
+# 100 joint classes that repeat identically at every sf — so per-band
+# max/min/n_distinct (over the 6-rounded energies; order-independent,
+# layout-deterministic, unlike a float sum) are sf-invariant goldens
+# and only n_docs scales. Golden values regenerate via
+# tools/gen_goldens.py; the mel bank's irrational coefficients make a
+# closed-form SQL oracle impossible.
+@q("m21_mel_energies", """
+WITH fp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+golden AS (
+  SELECT * FROM (VALUES
+    (0, 7.064591, 0.0, 41), (1, 6.888327, 0.0, 61),
+    (2, 6.925154, 0.0, 61), (3, 7.148963, 0.0, 61),
+    (4, 6.48305, 0.0, 81), (5, 7.120577, 0.0, 81),
+    (6, 6.862126, 1.248018, 100), (7, 6.401262, 0.0, 81)
+  ) AS g(band, max_e, min_e, n_distinct)
+)
+SELECT band::INTEGER AS band, fp.n_docs,
+       max_e::DOUBLE AS max_e, min_e::DOUBLE AS min_e,
+       n_distinct::BIGINT AS n_distinct
+FROM golden, fp
+""")
+def m21_mel_energies(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mel = (docs.withColumn(
+        "payload", multimodal.synth_wav_square_payload(F.col("doc_id")))
+        .select("doc_id",
+                multimodal.wav_mel_energies(F.col("payload")).alias("mel")))
+    ex = (mel.select("doc_id", F.posexplode("mel").alias("band", "e"))
+          .withColumn("er", F.round("e", 6)))
+    return (ex.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("er").alias("max_e"),
+                 F.min("er").alias("min_e"),
+                 F.countDistinct("er").alias("n_distinct")))

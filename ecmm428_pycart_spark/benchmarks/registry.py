@@ -140,6 +140,13 @@ DEFERRED_TO_NEXT_ROUND = [
     "s20_hard_negatives",
     "s21_ann_knn_join",
     "st15_stream_funnel",
+    # round-5 library-op registrations (docs/ROUND5_QUEUE.md table) —
+    # oracle-verified at sf0.001/0.01/0.1 on registration
+    "s14_semdedup", "s15_truncated_rerank", "s16_rrf_hybrid",
+    "d37_bigram_lm", "d38_bm25", "d39_heavy_hitters",
+    "d40_bpe_merges", "d41_hashing_tf",
+    "m20_audio_spectrum", "m21_mel_energies", "m22_augmentations",
+    "g17_k_core",
 ]
 
 

@@ -127,9 +127,14 @@ def test_window_outputs_are_scalar_typed():
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    from ecmm428_pycart_spark.benchmarks.registry import (
+        DEFERRED_TO_NEXT_ROUND)
+
     oracles = get_oracle_sql()
     offenders = []
-    for name in _window():
+    # deferred entries form the next window — guard them now, not a
+    # round later
+    for name in [*_window(), *DEFERRED_TO_NEXT_ROUND]:
         sql = oracles.get(name)
         if sql is None:  # caught by test_window_names_all_have_oracles
             continue

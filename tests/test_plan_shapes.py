@@ -132,6 +132,11 @@ _BNLJ_OK = {
     "s12_pq_adc_rerank",        # broadcast query vector + codebooks
     "s13_ivf_pq_topk",          # broadcast query vector + codebooks (IVF-PQ)
     "s09_knn_join",             # broadcast query batch
+    "d37_bigram_lm",            # 1-row corpus token total (backoff)
+    "d38_bm25",                 # 1-row (n_docs, avgdl) doc stats
+    "d39_heavy_hitters",        # 1-row total-token count (support cut)
+    "s15_truncated_rerank",     # broadcast query vector
+    "s16_rrf_hybrid",           # query vector + 1-row BM25 doc stats
     "d42_bpe_encode",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "d43_perplexity_buckets",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "d45_temperature_mix",  # see tests/test_queued_queries._QUEUED_BNLJ_OK

@@ -146,6 +146,35 @@ def main():
         print(f"({n_docs}, {n_chars}, {total}, {n_sym}),")
     print()
 
+    # m21 (round-5 registration): per-band corpus stats of the mel
+    # energies. Per-doc energies depend only on (amp, c) — 100 joint
+    # classes identical at every sf — so band max/min/n_distinct are
+    # sf-invariant and only n_docs scales (the oracle cross-joins the
+    # 8-row golden with count(*)). max/min/count-distinct over
+    # 6-rounded energies are float-order-independent, unlike a sum.
+    print("# m21_mel_energies golden (band, max_e, min_e, n_distinct) "
+          "— assert sf-invariant:")
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        synth_wav_square_payload, wav_mel_energies)
+    per_sf = {}
+    for sf in SFS:
+        docs = load_table(spark, BASE + sf, "documents").select("doc_id")
+        mel = (docs.withColumn("payload",
+                               synth_wav_square_payload(F.col("doc_id")))
+               .select(wav_mel_energies(F.col("payload")).alias("mel")))
+        ex = (mel.select(F.posexplode("mel").alias("band", "e"))
+              .withColumn("er", F.round("e", 6)))
+        out = (ex.groupBy("band")
+               .agg(F.max("er").alias("max_e"), F.min("er").alias("min_e"),
+                    F.countDistinct("er").alias("n_distinct"))
+               .orderBy("band"))
+        per_sf[sf] = [tuple(r) for r in out.collect()]
+    assert per_sf["0.001"] == per_sf["0.01"] == per_sf["0.1"], \
+        "m21 band stats are not sf-invariant — golden oracle invalid"
+    print(",\n".join(f"({b}, {mx!r}, {mn!r}, {nd})"
+                     for b, mx, mn, nd in per_sf["0.001"]) + ",")
+    print()
+
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
         print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
         seen = set()
