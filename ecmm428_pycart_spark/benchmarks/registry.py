@@ -147,6 +147,9 @@ DEFERRED_TO_NEXT_ROUND = [
     "d40_bpe_merges", "d41_hashing_tf",
     "m20_audio_spectrum", "m21_mel_energies", "m22_augmentations",
     "g17_k_core",
+    # m05 re-gates in round 6: its round-4 green attested the retired
+    # byte-slicing stub, not the round-5 REAL AVI-decode frame sampler
+    "m05_frame_sample",
 ]
 
 

@@ -42,15 +42,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-# Video-codec pixel decode needs pyav (absent from this container).
-# PNG (incl. palette + Adam7), baseline JPEG (gray + 4:2:0 color), and
-# WAV PCM decode do NOT — decode_png_pixels / decode_jpeg_gray /
-# decode_jpeg_color / wav_sample_stats below are real stdlib+numpy
-# implementations, and decode_features / resize_image run on their
-# decoded pixel arrays. The flag now gates only the VIDEO frame-pixel
-# path (frame_sample_stub).
-REAL_VIDEO_DECODER_AVAILABLE = False
-REAL_DECODERS_AVAILABLE = REAL_VIDEO_DECODER_AVAILABLE  # back-compat alias
+# Inter-frame-predicted video codecs (H.264-class) need pyav (absent
+# from this container) and raise NotImplementedError inside
+# decode_avi_mjpeg_frames. Everything else decodes for REAL: PNG
+# (incl. palette + Adam7), baseline JPEG (gray + 4:2:0 color), GIF
+# LZW, WAV PCM, and MJPEG-in-AVI video — so frame_sample (round 5,
+# replacing the round-1 byte-slicing stub) runs a genuine container
+# walk + per-frame JPEG decode.
 
 # [mean, std, min, max] / 255 + 4-bin histogram fractions
 FEATURE_DIM = 8
@@ -217,30 +215,55 @@ def binary_to_ints(b: pd.Series) -> pd.Series:
                  else [int(x) for x in bytes(v)])
 
 
-_FRAMES_SCHEMA = ("doc_id long, frame_index int, frame binary")
+_SAMPLED_FRAMES = ("doc_id long, sample_index int, frame_idx int, "
+                   "width int, height int, mean double")
 
 
-def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64,
-                      frame_len: int = 16, max_frames: int = 4) -> DataFrame:
-    """Video frame-sampling plumbing: payload → up to ``max_frames``
-    evenly spaced byte slices, one output row per frame (the
-    explode-shaped contract a real pyav sampler would have)."""
+def frame_sample(df: DataFrame, every_n: int = 2,
+                 max_frames: int = 4) -> DataFrame:
+    """REAL video frame sampling (round 5 — retires the round-1
+    byte-slicing stub): walk the AVI/RIFF container, decode every
+    retained frame with the real baseline-JPEG decoder
+    (decode_avi_mjpeg_frames), and keep every ``every_n``-th decoded
+    frame up to ``max_frames`` — the thinning step a training pipeline
+    runs to turn video into model-ready frames. Explode-shaped output:
+    one row per SAMPLED frame, (sample_index, source frame_idx, dims,
+    pixel mean). Corrupt / non-AVI / non-MJPEG payloads contribute no
+    rows (the explode-shaped face of the decode-totality contract);
+    inter-frame-predicted codecs raise inside the decoder and need
+    pyav, which this container lacks. Arrow-batched mapInPandas:
+    per-payload work, embarrassingly parallel, no shuffle."""
+    if every_n <= 0:
+        raise ValueError("frame_sample: every_n must be positive")
+    if max_frames <= 0:
+        raise ValueError("frame_sample: max_frames must be positive")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, sidx, fidx, ws, hs, means = [], [], [], [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(buf)
-                if REAL_VIDEO_DECODER_AVAILABLE:
-                    raise NotImplementedError("real sampling requires pyav")
-                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
-                    start = i * every_n_bytes
+                if buf is None:
+                    continue
+                try:
+                    w, h, frames = decode_avi_mjpeg_frames(bytes(buf))
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError):
+                    continue
+                for s, f in enumerate(range(0, len(frames), every_n)):
+                    if s >= max_frames:
+                        break
                     ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(b[start:start + frame_len])
-            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs,
-                                "frame": frames})
+                    sidx.append(s)
+                    fidx.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(
+                        float(frames[f].astype(np.float64).mean()))
+            yield pd.DataFrame({"doc_id": ids, "sample_index": sidx,
+                                "frame_idx": fidx, "width": ws,
+                                "height": hs, "mean": means})
 
-    return df.mapInPandas(run, schema=_FRAMES_SCHEMA)
+    return df.mapInPandas(run, schema=_SAMPLED_FRAMES)
 
 
 # ---------------------------------------------------------------------------
@@ -2028,8 +2051,8 @@ _GIF_FRAME = T.ArrayType(T.StructType([
 def gif_frame_sample(payload: pd.Series, every: pd.Series) -> pd.Series:
     """REAL frame sampling over an animated GIF: decode all frames,
     keep every ``every``-th (frame 0 always), report per-kept-frame
-    red-channel mean and first pixel — the real-codec counterpart of
-    the video frame_sample_stub, exercising multi-frame LZW streams."""
+    red-channel mean and first pixel — the GIF sibling of the AVI
+    frame_sample, exercising multi-frame LZW streams."""
     out = []
     for buf, ev in zip(payload, every):
         if buf is None or ev is None:
@@ -2081,9 +2104,9 @@ def synth_gif_anim_payload(doc_id: pd.Series) -> pd.Series:
 # REAL video: MJPEG-in-AVI (round 4). AVI is a RIFF container; MJPEG
 # stores each video frame as a complete baseline JPEG — which this
 # module already decodes for real. Container walk + per-frame JPEG
-# decode = actual video frame extraction with no stubbed stage, for
-# one genuine video format (the frame_sample_stub remains only for
-# inter-frame-predicted codecs like H.264).
+# decode = actual video frame extraction with no stubbed stage
+# (frame_sample above runs its sampling contract on this same path;
+# inter-frame-predicted codecs like H.264 raise — they need pyav).
 # ---------------------------------------------------------------------------
 
 def avi_bytes_mjpeg(frames: list, width: int, height: int,

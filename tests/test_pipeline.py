@@ -63,7 +63,7 @@ def test_multimodal_resize_and_frames(spark):
     from pyspark.sql import functions as F
 
     from ecmm428_pycart_spark.datapipe.multimodal import (
-        attach_binary_payload, frame_sample_stub, resize_image,
+        frame_sample, resize_image, synth_avi_payload,
         synth_png_gradient_min4_payload)
     from ecmm428_pycart_spark.session import load_table
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
@@ -88,13 +88,29 @@ def test_multimodal_resize_and_frames(spark):
                            + (y0 + y1 - 1) / 2.0) + 0.5)
                 assert got[oy * 4 + ox] == exp, (i, ox, oy)
 
-    mm = attach_binary_payload(docs)
-    frames = frame_sample_stub(mm).collect()
-    assert len(frames) >= 20
+    # REAL frame sampling (round 5): AVI walk + per-frame MJPEG decode,
+    # every-2nd thinning capped at 4 — each sampled mean has the m19
+    # closed form, and the sampled index set replays exactly
+    avi = docs.select(
+        "doc_id", synth_avi_payload(F.col("doc_id")).alias("payload"))
+    frames = frame_sample(avi, every_n=2, max_frames=4).collect()
     by_doc = {}
     for r in frames:
-        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
-    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["frame_idx"] == 2 * r["sample_index"]
+        exp = 16 + ((r["doc_id"] * 7 + r["frame_idx"] * 29) % 224)
+        assert abs(r["mean"] - exp) < 1e-9, (r["doc_id"], r["frame_idx"])
+        by_doc.setdefault(r["doc_id"], []).append(r["sample_index"])
+    for doc_id, sidx in by_doc.items():
+        nf = doc_id % 4 + 2
+        assert sorted(sidx) == list(range(min(-(-nf // 2), 4)))
+    assert len(by_doc) == 20
+
+    # corrupt / non-AVI payloads contribute no rows (totality contract)
+    junk = docs.select(
+        "doc_id",
+        F.encode(F.lit("not an avi stream"), "utf-8").alias("payload"))
+    assert frame_sample(junk).count() == 0
 
 
 def test_geojson_fixup_removal_union(spark):
