@@ -898,11 +898,13 @@ def q90_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # RFM segmentation (funnel.rfm_segments): per-user recency/frequency/
-# monetary + ntile quartile scores, aggregated to the segment grid.
-# The ntiles run over the REDUCED user table (exact, oracle-parity;
-# the documented billions-of-users path swaps them for
-# percentile_approx cuts). Anchor "now" = corpus max ts, 1-row
-# broadcast.
+# monetary + quartile scores, aggregated to the segment grid. Scoring
+# is percentile-cut classification (VERDICT r4 #6 — the ntile global
+# window is gone): one 1-row quantile aggregate over the reduced user
+# table, broadcast back, map-side bucket = 1 + cuts-strictly-below on
+# the per-dimension badness key (ties share a bucket). Anchor "now" =
+# corpus max ts, 1-row broadcast. Cuts are 6-rounded on both engines
+# so the bucket edges are engine-stable.
 # ---------------------------------------------------------------------------
 @q("q91_rfm_segments", """
 WITH anchor AS (SELECT max(ts) AS mx FROM events),
@@ -915,12 +917,27 @@ rfm AS (
                         ELSE 0 END), 2) AS monetary
   FROM events, anchor GROUP BY user_id, mx
 ),
-scored AS (
-  SELECT *,
-         ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
-         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
-         ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+cuts AS (
+  SELECT round(quantile_cont(recency_days, 0.25), 6) AS r0,
+         round(quantile_cont(recency_days, 0.50), 6) AS r1,
+         round(quantile_cont(recency_days, 0.75), 6) AS r2,
+         round(quantile_cont(-frequency, 0.25), 6) AS f0,
+         round(quantile_cont(-frequency, 0.50), 6) AS f1,
+         round(quantile_cont(-frequency, 0.75), 6) AS f2,
+         round(quantile_cont(-monetary, 0.25), 6) AS m0,
+         round(quantile_cont(-monetary, 0.50), 6) AS m1,
+         round(quantile_cont(-monetary, 0.75), 6) AS m2
   FROM rfm
+),
+scored AS (
+  SELECT rfm.*,
+         1 + (recency_days > r0)::INT + (recency_days > r1)::INT
+           + (recency_days > r2)::INT AS r,
+         1 + (-frequency > f0)::INT + (-frequency > f1)::INT
+           + (-frequency > f2)::INT AS f,
+         1 + (-monetary > m0)::INT + (-monetary > m1)::INT
+           + (-monetary > m2)::INT AS m
+  FROM rfm, cuts
 )
 SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
        CAST(m AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS n_users,

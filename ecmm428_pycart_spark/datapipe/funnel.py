@@ -100,23 +100,29 @@ def funnel(events: DataFrame, steps: list[str],
 def rfm_segments(events: DataFrame, quartiles: int = 4,
                  id_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type", value_col: str = "value",
-                 purchase_type: str = "purchase") -> DataFrame:
+                 purchase_type: str = "purchase",
+                 exact: bool = True,
+                 approx_accuracy: int = 10000) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary), the classic
     user-value grid: days since last activity, event count, and
-    purchase value per user, each scored into ``quartiles`` ntile
-    buckets (1 = best: most recent / most frequent / highest spend).
+    purchase value per user, each scored into ``quartiles`` buckets
+    (1 = best: most recent / most frequent / highest spend).
 
     One groupBy collapses events to per-user rows; the anchor "now" is
-    the corpus max(ts) (1-row broadcast). The ntile windows run over
-    the REDUCED per-user table with id tiebreaks — exact and
-    oracle-parity, but a global window all the same: at
-    billions-of-users scale swap the ntiles for percentile_approx cut
-    points applied map-side (the perplexity_buckets pattern; the
-    semantics degrade only at bucket edges). Returns
+    the corpus max(ts) (1-row broadcast). Scoring is the
+    perplexity_buckets pattern (VERDICT r4 #6 — no global window
+    anywhere in the plan): ONE 1-row percentile aggregate over the
+    reduced user table computes the quartile cut points per dimension,
+    broadcasts back, and classification is a map-side comparison
+    against the (6-rounded, engine-stable) cuts. Unlike ntile, ties
+    never straddle a boundary: users with identical metric values
+    always share a bucket, so populations are equal only up to ties —
+    the deterministic semantics a segmentation should have. At
+    billions-of-users scale pass ``exact=False`` for
+    percentile_approx (same plan shape, bounded sketch state; bucket
+    edges move by the sketch's rank error only). Returns
     (user_id, recency_days, frequency, monetary, r, f, m).
     """
-    from pyspark.sql import Window
-
     if quartiles < 2:
         raise ValueError("quartiles must be >= 2")
     anchor = events.agg(F.max(ts_col).alias("_mx"))
@@ -128,17 +134,29 @@ def rfm_segments(events: DataFrame, quartiles: int = 4,
                 F.round(F.sum(F.when(F.col(type_col) == purchase_type,
                                      F.col(value_col)).otherwise(0.0)), 2)
                 .alias("monetary")))
-    by = {
-        "r": Window.orderBy(F.col("recency_days").asc(),
-                            F.col(id_col).asc()),
-        "f": Window.orderBy(F.col("frequency").desc(),
-                            F.col(id_col).asc()),
-        "m": Window.orderBy(F.col("monetary").desc(),
-                            F.col(id_col).asc()),
-    }
-    for name, w in by.items():
-        rfm = rfm.withColumn(name, F.ntile(quartiles).over(w))
-    return rfm
+    # per-dimension "badness" keys: ascending = better, so bucket =
+    # 1 + (# cut points strictly below the key) for every dimension
+    dims = (("r", F.col("recency_days")),
+            ("f", -F.col("frequency")),
+            ("m", -F.col("monetary")))
+    fracs = [i / quartiles for i in range(1, quartiles)]
+    aggs = []
+    for name, key in dims:
+        for j, fr in enumerate(fracs):
+            pct = (F.percentile(key, F.lit(fr)) if exact
+                   else F.percentile_approx(key, F.lit(fr),
+                                            F.lit(approx_accuracy)))
+            aggs.append(F.round(pct, 6).alias(f"_c_{name}{j}"))
+    cuts = rfm.agg(*aggs)
+    out = rfm.join(F.broadcast(cuts))
+    for name, key in dims:
+        score = F.lit(1)
+        for j in range(len(fracs)):
+            score = score + F.when(key > F.col(f"_c_{name}{j}"), 1) \
+                             .otherwise(0)
+        out = out.withColumn(name, score.cast("int"))
+    return out.drop(*[f"_c_{name}{j}" for name, _ in dims
+                      for j in range(len(fracs))])
 
 
 def rolling_active_users(events: DataFrame, window_days: int = 7,
