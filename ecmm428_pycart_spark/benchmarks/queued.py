@@ -38,6 +38,23 @@ def q(name: str, sql: str | None):
     return deco
 
 
+def _collect_then_cleanup(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialize a (small, already-aggregated) roundtrip result to
+    driver rows, delete the temp dirs the query wrote, and return an
+    in-memory DataFrame with the same schema. Roundtrip queries
+    (m23/q92/q99/st15) used to leak their mkdtemp dirs on every gate
+    run because the returned DataFrame still lazily read the on-disk
+    artifacts; eager materialization bounds that lifetime to the query
+    call (outputs are O(groups) rows, never corpus-sized)."""
+    import shutil
+
+    rows = df.collect()
+    schema = df.schema
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q2 shape (minimum-cost supplier): for every small part, the
 # EUROPE suppliers whose best unit price equals the part's minimum unit
@@ -741,10 +758,11 @@ def m23_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="m23_shards_")
     write_tar_shards(docs, out, n_shards=4)
     back = read_tar_shards(spark, out)
-    return (back.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.length(F.col("data").cast("string")))
-                 .alias("n_chars")))
+    agg = (back.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length(F.col("data").cast("string")))
+                .alias("n_chars")))
+    return _collect_then_cleanup(agg, out)
 
 
 # ---------------------------------------------------------------------------
@@ -871,7 +889,12 @@ def d42_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("q90_funnel_steps", """
 WITH ev AS (SELECT * FROM events
-            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+            -- ts IS NOT NULL: explicit null-ts contract shared with
+            -- the Spark fold (the < filter already excludes NULLs,
+            -- but a future filter edit must not silently re-admit
+            -- null-ts rows into s1's min() groups)
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+              AND ts IS NOT NULL),
 s1 AS (SELECT user_id, min(ts) AS t FROM ev
        WHERE event_type = 'view' GROUP BY 1),
 s2 AS (SELECT e.user_id, min(e.ts) AS t
@@ -977,9 +1000,10 @@ def q92_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_xml(cust, path, row_tag="customer")
     back = read_xml(spark, path, row_tag="customer",
                     schema=cust.schema)
-    return (back.groupBy("c_nationkey", "c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+    agg = (back.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+    return _collect_then_cleanup(agg, path)
 
 
 # ---------------------------------------------------------------------------
@@ -1016,7 +1040,12 @@ def q93_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("q94_funnel_latency", """
 WITH ev AS (SELECT * FROM events
-            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+            -- ts IS NOT NULL: explicit null-ts contract shared with
+            -- the Spark fold (the < filter already excludes NULLs,
+            -- but a future filter edit must not silently re-admit
+            -- null-ts rows into s1's min() groups)
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+              AND ts IS NOT NULL),
 s1 AS (SELECT user_id, min(ts) AS t FROM ev
        WHERE event_type = 'view' GROUP BY 1),
 s2 AS (SELECT e.user_id, min(e.ts) AS t
@@ -1054,7 +1083,12 @@ def q94_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("st15_stream_funnel", """
 WITH ev AS (SELECT * FROM events
-            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+            -- ts IS NOT NULL: explicit null-ts contract shared with
+            -- the Spark fold (the < filter already excludes NULLs,
+            -- but a future filter edit must not silently re-admit
+            -- null-ts rows into s1's min() groups)
+            WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+              AND ts IS NOT NULL),
 s1 AS (SELECT user_id, min(ts) AS t FROM ev
        WHERE event_type = 'view' GROUP BY 1),
 s2 AS (SELECT e.user_id, min(e.ts) AS t
@@ -1102,7 +1136,9 @@ def st15_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     depth = (spark.table(name).groupBy("user_id")
              .agg(F.max("depth").alias("depth")))
-    return step_counts(depth, steps)
+    out = _collect_then_cleanup(step_counts(depth, steps), d)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1530,6 +1566,7 @@ def q99_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b1") != F.col("b2"), "changed")
         .otherwise("unchanged").alias("op"),
         F.coalesce("b2", "b1").alias("bal"))
-    return (labeled.groupBy("op")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("bal"), 2).alias("total_bal")))
+    agg = (labeled.groupBy("op")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("bal"), 2).alias("total_bal")))
+    return _collect_then_cleanup(agg, base)

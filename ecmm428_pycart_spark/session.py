@@ -76,16 +76,33 @@ def register_views(spark: SparkSession, sf_dir: str,
 import contextlib
 
 
+def _explicitly_set(spark, key: str) -> bool:
+    """True iff ``key`` has an explicit value in the session's settings
+    map. ``spark.conf.get(k, None)`` is NOT this test: it returns the
+    built-in DEFAULT for known SQL confs, so it cannot distinguish
+    "set to the default" from "never set"."""
+    try:
+        return bool(spark._jsparkSession.sessionState().conf()
+                    .settings().containsKey(key))
+    except Exception:
+        # JVM internals moved (future Spark): fall back to treating the
+        # effective value as explicit — restores the same effective
+        # value, merely leaving it pinned rather than unset
+        return spark.conf.get(key, None) is not None
+
+
 @contextlib.contextmanager
 def pinned_confs(spark, confs: dict):
-    """Set session confs for a scope and restore them exactly
-    (re-unsetting keys that had no explicit value) — the
-    save/set/try/finally dance pinned-strategy queries and tests
-    otherwise hand-roll. The subtlety this centralizes:
-    ``spark.conf.get(k, None)`` returns the DEFAULT for known keys,
-    so restoring must distinguish "was explicitly set" from "was
-    default" via the unset path only when get returned None."""
-    saved = {k: spark.conf.get(k, None) for k in confs}
+    """Set session confs for a scope and restore them exactly —
+    re-unsetting keys that had NO explicit value before (so a
+    previously-default key goes back to tracking the default rather
+    than being pinned to a copy of it), and re-setting keys that did.
+    The save/set/try/finally dance pinned-strategy queries and tests
+    otherwise hand-roll, with explicit-vs-default detection via the
+    session's own settings map (see _explicitly_set)."""
+    saved = {k: (spark.conf.get(k, None) if _explicitly_set(spark, k)
+                 else None)
+             for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:

@@ -11,7 +11,10 @@ Scale shape: shard assignment is a DETERMINISTIC md5 hash of the id
 shard's tar is built executor-side by one ``applyInPandas`` group —
 n_shards is chosen so a shard fits the loader's streaming granularity
 (the webdataset norm is ~1 GB/shard; pick ``n_shards ≈ corpus_bytes /
-1 GB``), which is exactly the bound on group memory. Tar bytes are
+1 GB``), which is exactly the bound on group memory. Executors write
+shard files directly under ``out_dir`` and the driver writes the
+manifest, so ``out_dir`` must be a shared filesystem in cluster mode
+(see write_tar_shards' deployment contract). Tar bytes are
 canonical (sorted entries, zeroed mtime/uid/gid, fixed perms) so a
 shard's sha256 is stable — re-exports of identical data are
 byte-identical, making downstream caching/diffing trivial. The
@@ -80,6 +83,16 @@ def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
     Returns the per-shard result DataFrame (shard, n_rows, n_entries,
     n_bytes, sha256) covering ALL shards — the same rows recorded in
     ``{out_dir}/_manifest.json``.
+
+    DEPLOYMENT CONTRACT: each shard's tar is written by its executor
+    via local filesystem calls under ``out_dir``, and the manifest is
+    written by the driver — so ``out_dir`` must be a filesystem ALL
+    executors and the driver share (NFS/Lustre/FUSE-mounted object
+    store), exactly the mount a webdataset training job reads from.
+    On local[*] any path works. For a direct-to-object-store export
+    without a shared mount, route each shard's bytes through an
+    object-store client inside build() instead of open()/os.replace —
+    the canonical-bytes and fingerprint logic is unchanged.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
