@@ -97,6 +97,19 @@ HEADLINE = [
     "q47_kmv_sketch",
     "q59_zorder_skipping",
     "q41_e3_pipeline",
+    # round-5 families: retrieval, BPE, CCNet triage, semantic dedup,
+    # PCA, funnels, curation chain, k-core, audio DSP, TPC-H Q9 shape
+    "d38_bm25",
+    "d40_bpe_merges",
+    "d43_perplexity_buckets",
+    "s14_semdedup",
+    "s18_pca_project",
+    "q90_funnel_steps",
+    "q95_curation_pipeline",
+    "g17_k_core",
+    "m20_audio_spectrum",
+    "m21_mel_energies",
+    "q85_product_profit",
 ]
 
 
@@ -163,11 +176,21 @@ def main():
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump({**result, "detail": detail, "cpus":
                    os.environ.get("SPARK_GRAFT_CPUS", "32")}, f, indent=1)
+    # the driver's tail capture is 2000 bytes (BENCH_r04.json: tail len
+    # exactly 2000): if the full-precision line would risk truncation,
+    # progressively coarsen the per-query decimals — the totals and the
+    # full 3-decimal detail stay in BENCH_LOCAL.json either way
     line = json.dumps(result, separators=(",", ":"))
+    for nd in (1, 0):
+        if len(line) <= 1900:
+            break
+        result["queries"] = {k: round(v, nd) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
     print(line)
-    if len(line) > 1900:  # headline grew past the driver capture window
-        print(f"# WARNING: bench JSON line is {len(line)} bytes; "
-              "driver tail capture may truncate it", file=sys.stderr)
+    if len(line) > 1900:
+        print(f"# WARNING: bench JSON line is {len(line)} bytes even at "
+              "integer precision; driver tail capture may truncate it",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
