@@ -2404,3 +2404,62 @@ def test_resample_linear_fractional_factors():
         resample_linear(x, 0.0)
     with _pytest.raises(ValueError):
         resample_linear(x, -1.0)
+
+
+def test_sessionize_hand_case(spark):
+    """Gap semantics: exactly-30-min later CONTINUES the session
+    (strict >), 30min+1s starts a new one; session ids are 1-based per
+    user; null-ts events are excluded; stats roll up correctly."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.funnel import (session_stats,
+                                                      sessionize)
+    rows = [
+        # user 1: e1 @10:00, e2 @10:30:00 (exactly 30m -> same
+        # session), e3 @11:00:01 (30m1s after e2 -> new session)
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:30:00", 2),
+        (1, "2024-01-01 11:00:01", 3),
+        # user 2: single event + a null-ts event (dropped)
+        (2, "2024-01-01 09:00:00", 4),
+        (2, None, 5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["user_id"], r["event_id"]): r["session_id"]
+           for r in sessionize(ev).collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+    stats = {r["user_id"]: r for r in session_stats(ev).collect()}
+    assert stats[1]["n_sessions"] == 2
+    assert stats[1]["n_events"] == 3
+    assert stats[1]["max_session_events"] == 2
+    # sessions last 1800 s and 0 s -> mean 900
+    assert stats[1]["avg_session_seconds"] == 900.0
+    assert (stats[2]["n_sessions"], stats[2]["n_events"]) == (1, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize(ev, gap_minutes=0)
+
+
+def test_normalize_embeddings_hand_case(spark):
+    """z-scores against a numpy replay on a tiny corpus, including a
+    zero-variance dimension (must map to z = 0, not a divide error)."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        normalize_embeddings)
+    vecs = [[1.0, 5.0, 2.0], [3.0, 5.0, 4.0], [5.0, 5.0, 9.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["zvec"])
+           for r in normalize_embeddings(df).collect()}
+    a = np.array(vecs)
+    m = np.round(a.mean(axis=0), 6)
+    s = np.round(a.std(axis=0), 6)
+    for i, v in enumerate(vecs):
+        for d in range(3):
+            exp = 0.0 if s[d] == 0 else (v[d] - m[d]) / s[d]
+            assert abs(got[i][d] - exp) < 1e-9, (i, d)
+    assert all(got[i][1] == 0.0 for i in range(3))  # constant dim
