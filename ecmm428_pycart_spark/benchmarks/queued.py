@@ -1570,3 +1570,83 @@ def q99_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("bal"), 2).alias("total_bal")))
     return _collect_then_cleanup(agg, base)
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 ADDITIONS (registered round 5, gated round 6 via the
+# deferred list, same as the rest of this module).
+# ---------------------------------------------------------------------------
+
+# Gap-based sessionization (funnel.sessionize): 30-minute inactivity
+# gap, per-user window (partitioned — no global sort), session id =
+# running sum of new-session flags; reduced to per-user session stats.
+# The oracle replays the identical lag + cumulative-sum windows;
+# date_diff('second') and Spark's epoch-seconds cast share floor
+# semantics, so the strict > 1800 s gap test is engine-identical.
+@q("q100_sessionization", """
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n,
+         date_diff('second', min(ts), max(ts)) AS dur
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       round(avg(dur), 2) AS avg_session_seconds
+FROM per_session GROUP BY user_id
+""")
+def q100_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# Per-dimension z-score standardization of the embedding corpus
+# (similarity.normalize_embeddings): one posexplode+groupBy(pos) stats
+# pass, the d-row stats collapsed to broadcast arrays, normalization
+# map-side over the un-exploded vectors. Stats round to 6 before use
+# (bit-identical constants both engines); zvec reduces to per-vector
+# scalars because array outputs don't gate.
+@q("s22_embedding_normalize", """
+WITH x AS (
+  SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+),
+st AS (SELECT pos, round(avg(v), 6) AS m, round(stddev_pop(v), 6) AS s
+       FROM x GROUP BY pos),
+z AS (SELECT vec_id,
+             CASE WHEN s = 0 THEN 0.0 ELSE (v - m) / s END AS z
+      FROM x JOIN st USING (pos))
+SELECT vec_id, round(sqrt(sum(z * z)), 4) AS z_l2,
+       round(max(z), 4) + 0 AS z_max,
+       round(min(z), 4) + 0 AS z_min
+FROM z GROUP BY vec_id
+""")
+def s22_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        normalize_embeddings)
+
+    z = normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return z.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate("zvec", F.lit(0.0),
+                                   lambda a, v: a + v * v)), 4)
+         .alias("z_l2"),
+        (F.round(F.array_max("zvec"), 4) + F.lit(0.0)).alias("z_max"),
+        (F.round(F.array_min("zvec"), 4) + F.lit(0.0)).alias("z_min"))

@@ -223,3 +223,61 @@ def funnel_conversion_stats(events: DataFrame, steps: list[str],
         F.round(F.avg("seconds"), 2).alias("avg_seconds"),
         F.min("seconds").alias("min_seconds"),
         F.max("seconds").alias("max_seconds"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               id_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization — the standard event-to-session
+    assignment every product-analytics engine runs before computing
+    session metrics: a new session starts at a user's first event and
+    at every event more than ``gap_minutes`` after the previous one.
+
+    Plan shape: one window partitioned BY USER (the shuffle key — no
+    global window anywhere), ordered (ts, order_col); the session id is
+    the running sum of new-session flags over the same window, so the
+    whole operator is two window expressions in one pass. Scales by
+    key: a user's events must fit one partition's window state, the
+    same per-entity bound as the funnel fold (pre-filter the time range
+    for power-law users). Null-ts events are excluded (the shared
+    null-ts contract: a timestamp-less event belongs to no session).
+
+    Gap comparison is on whole epoch seconds (``floor`` semantics,
+    identical to SQL ``date_diff('second', ...)``), strict ``>``:
+    an event exactly ``gap_minutes`` later continues the session.
+    Returns the input rows + ``session_id`` (1-based per user).
+    """
+    from pyspark.sql import Window
+
+    if gap_minutes <= 0:
+        raise ValueError("gap_minutes must be positive")
+    w = Window.partitionBy(id_col).orderBy(ts_col, order_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col(ts_col).cast("long") - prev.cast("long")
+           > gap_minutes * 60), 1).otherwise(0)
+    return (events.filter(F.col(ts_col).isNotNull())
+            .withColumn("session_id", F.sum(new_s).over(w)))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30,
+                  id_col: str = "user_id", ts_col: str = "ts",
+                  order_col: str = "event_id") -> DataFrame:
+    """Per-user session summary over ``sessionize``: session count,
+    event count, the largest session, and the mean session duration in
+    seconds (rounded to 2; single-event sessions last 0 s). Two
+    aggregations after the sessionize window — (user, session) then
+    user — both shuffles on the user key the window already
+    established."""
+    s = sessionize(events, gap_minutes, id_col, ts_col, order_col)
+    per_session = (s.groupBy(id_col, "session_id")
+                   .agg(F.count(F.lit(1)).alias("_n"),
+                        (F.max(F.col(ts_col).cast("long"))
+                         - F.min(F.col(ts_col).cast("long")))
+                        .alias("_dur")))
+    return (per_session.groupBy(id_col)
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.sum("_n").alias("n_events"),
+                 F.max("_n").alias("max_session_events"),
+                 F.round(F.avg("_dur"), 2).alias("avg_session_seconds")))

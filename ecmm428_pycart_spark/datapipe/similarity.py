@@ -754,3 +754,44 @@ def ann_knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
                   cosine(F.col(vec_col), F.col(q_vec_col)), 6))
               .select(q_id_col, id_col, "cos"))
     return _two_phase_topk(scored, k, q_id_col, id_col)
+
+
+def normalize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension z-score standardization — the feature-scaling
+    step run before k-means / PCA / brute-force distance so no single
+    high-variance dimension dominates the metric.
+
+    Plan shape (scales without exploding the corpus twice): the
+    per-dimension (mean, stddev_pop) table comes from ONE
+    posexplode + groupBy(pos) pass with map-side partial aggregation
+    (dims x partitions partials, never corpus-sized shuffles); those
+    d rows are collapsed into two position-ordered ARRAYS in a 1-row
+    aggregate and broadcast back, so the normalization itself is a
+    map-side ``transform`` over the original (un-exploded) vector
+    column. Stats are rounded to 6 before use — both engines then
+    standardize with bit-identical constants (the oracle-parity
+    convention), and a zero-variance dimension maps to z = 0 rather
+    than dividing by zero.
+
+    Returns (id, zvec) with zvec the standardized vector; gate queries
+    reduce it to scalars (array outputs don't gate).
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    st = (ex.groupBy("pos")
+          .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"),
+               F.round(F.stddev_pop(F.col("v").cast("double")), 6)
+               .alias("s")))
+    arrs = st.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda t: t["m"]).alias("_m_arr"),
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t["s"]).alias("_s_arr"))
+    z = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.coalesce(
+            F.try_divide(x.cast("double") - F.element_at("_m_arr", i + 1),
+                         F.element_at("_s_arr", i + 1)),
+            F.lit(0.0)))
+    return (df.join(F.broadcast(arrs))
+            .select(F.col(id_col), z.alias("zvec")))

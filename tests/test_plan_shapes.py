@@ -137,6 +137,7 @@ _BNLJ_OK = {
     "d39_heavy_hitters",        # 1-row total-token count (support cut)
     "s15_truncated_rerank",     # broadcast query vector
     "s16_rrf_hybrid",           # query vector + 1-row BM25 doc stats
+    "s22_embedding_normalize",  # 1-row per-dimension stats arrays
     "d42_bpe_encode",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "d43_perplexity_buckets",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "d45_temperature_mix",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
