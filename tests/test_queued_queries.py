@@ -109,6 +109,8 @@ _QUEUED_BNLJ_OK = {
                                 # d45's pow-sum 1-row broadcasts
     "d48_lm_reference_scoring",  # 1-row ref-corpus token total (the
                                  # d31/d14 IDF-denominator pattern)
+    "s22_embedding_normalize",   # 1-row per-dimension stats arrays
+                                 # (see test_plan_shapes._BNLJ_OK)
 }
 
 
