@@ -181,10 +181,12 @@ def main():
     # progressively coarsen the per-query decimals — the totals and the
     # full 3-decimal detail stay in BENCH_LOCAL.json either way
     line = json.dumps(result, separators=(",", ":"))
-    for nd in (1, 0):
+    for coarsen in (lambda v: round(v, 1), lambda v: int(round(v))):
         if len(line) <= 1900:
             break
-        result["queries"] = {k: round(v, nd) for k, v in timings.items()}
+        # round(v, 0) would serialize as "1.0" — same width as the
+        # 1-decimal tier — so the last tier must emit true ints
+        result["queries"] = {k: coarsen(v) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
     print(line)
     if len(line) > 1900:

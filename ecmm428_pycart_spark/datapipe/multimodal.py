@@ -228,11 +228,14 @@ def frame_sample(df: DataFrame, every_n: int = 2,
     frame up to ``max_frames`` — the thinning step a training pipeline
     runs to turn video into model-ready frames. Explode-shaped output:
     one row per SAMPLED frame, (sample_index, source frame_idx, dims,
-    pixel mean). Corrupt / non-AVI / non-MJPEG payloads contribute no
-    rows (the explode-shaped face of the decode-totality contract);
-    inter-frame-predicted codecs raise inside the decoder and need
-    pyav, which this container lacks. Arrow-batched mapInPandas:
-    per-payload work, embarrassingly parallel, no shuffle."""
+    pixel mean). Corrupt / truncated payloads contribute no rows (the
+    explode-shaped face of the decode-totality contract) — but an
+    UNSUPPORTED CODEC (non-MJPEG video stream, H.264-class) RAISES to
+    the caller, per the stated contract everywhere this decoder is
+    documented: silent zero-row output would be indistinguishable from
+    corruption and lose whole corpora. Those codecs need pyav, which
+    this container lacks. Arrow-batched mapInPandas: per-payload work,
+    embarrassingly parallel, no shuffle."""
     if every_n <= 0:
         raise ValueError("frame_sample: every_n must be positive")
     if max_frames <= 0:
@@ -246,9 +249,9 @@ def frame_sample(df: DataFrame, every_n: int = 2,
                     continue
                 try:
                     w, h, frames = decode_avi_mjpeg_frames(bytes(buf))
-                except (ValueError, NotImplementedError, struct.error,
-                        IndexError):
-                    continue
+                except (ValueError, struct.error, IndexError):
+                    continue  # corrupt/truncated: no rows
+                # NotImplementedError (unsupported codec) propagates
                 for s, f in enumerate(range(0, len(frames), every_n)):
                     if s >= max_frames:
                         break

@@ -141,7 +141,9 @@ def test_window_outputs_are_scalar_typed():
         for row in con.execute(f"DESCRIBE {sql}").fetchall():
             col, typ = row[0], row[1]
             t = typ.upper()
-            if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+            # '[' catches both DOUBLE[] (LIST) and DOUBLE[8] (fixed
+            # ARRAY); DECIMAL(18,3) etc. use parens, not brackets
+            if "[" in t or t.startswith(("STRUCT", "MAP", "LIST")):
                 offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, (
         "array/struct/map-typed columns in driver-gate outputs (the "

@@ -112,6 +112,21 @@ def test_multimodal_resize_and_frames(spark):
         F.encode(F.lit("not an avi stream"), "utf-8").alias("payload"))
     assert frame_sample(junk).count() == 0
 
+    # ...but an UNSUPPORTED CODEC raises (stated contract: H.264-class
+    # needs pyav; silent zero rows would look like corruption)
+    import pytest as _pytest
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        avi_bytes_mjpeg, encode_jpeg_gray)
+    import numpy as _np
+    h264ish = avi_bytes_mjpeg(
+        [encode_jpeg_gray(_np.full((8, 8), 50, dtype=_np.uint8))], 8, 8) \
+        .replace(b"vidsMJPG", b"vidsH264")
+    bad = spark.createDataFrame([(0, bytearray(h264ish))],
+                                "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="MJPG"):
+        frame_sample(bad).count()
+
 
 def test_geojson_fixup_removal_union(spark):
     """main.py:56-69 E3 parity: drop removal codes from the base layer,

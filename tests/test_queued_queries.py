@@ -78,14 +78,14 @@ def test_queued_query_matches_oracle(spark, duck, name):
     assert _canon(sp_rows, sp_cols) == _canon(du_rows, du_cols)
 
 
-def test_queue_is_not_registered_yet():
-    """The rotation invariant requires these to stay OUT of the
-    registry until round 5 (window budget arithmetic in
-    tests/test_gate_coverage.py); registering one early would orphan it
-    from the 2-round gate contract."""
+def test_queue_is_fully_registered():
+    """Since round 5 the queue IS registered (it forms the round-6
+    deferred backlog): every queued.py entry must appear in the
+    registry, or it would silently fall outside the 2-round gate
+    rotation that tests/test_gate_coverage.py pins. (Rounds <5 asserted
+    the inverse — the queue stayed OUT until the window had budget.)"""
     from ecmm428_pycart_spark.benchmarks import queued
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
-    # round 5: the queue IS the new deferred backlog
     missing = set(queued.QUERIES) - set(get_queries())
     assert not missing, f"queued queries not registered: {missing}"
 
