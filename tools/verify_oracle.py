@@ -124,6 +124,19 @@ def main():
             n_fail += 1
             continue
         sql = oracles.get(name)
+        # this tool tuple-izes list cells (norm_cell), but the DRIVER's
+        # canonicalizer crashes on them (the r4 s08 red) — surface the
+        # divergence loudly instead of silently passing what the gate
+        # would fail (tests/test_gate_coverage.py enforces the same for
+        # window+deferred; this warns for the whole registry)
+        arrayish = [f.name for f in df.schema.fields
+                    if f.dataType.simpleString().startswith(
+                        ("array", "struct", "map"))]
+        if arrayish:
+            print(f"  ! {name}: array/struct/map output columns "
+                  f"{arrayish} — gate-INCOMPATIBLE (driver "
+                  "canonicalizer crashes on these); this tool is more "
+                  "lenient than the driver here")
         if sql is None:
             print(f"weak {name}: rows={len(sp_rows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
