@@ -216,7 +216,11 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
     Scale shape: the bigram-count table is vocabulary², far past
     broadcast range at corpus scale — the score join shuffles on the
     (w1, w2) key (plain hash join); unigram/context tables shuffle on
-    w. One pass builds all three tables from the same exploded stream.
+    w. One pass builds all three tables from the same exploded stream,
+    and the context denominator is FOLDED INTO the bigram-count table
+    before the corpus join (a vocabulary²-vs-vocabulary join), so the
+    corpus-sized bigram stream shuffles twice — once on (w1, w2) for
+    (cb, cc), once on w2 for the backoff unigram — not three times.
     """
     if ref is None:
         ref = df
@@ -238,6 +242,10 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
                  .groupBy("w1", "w2")
                  .agg(F.count(F.lit(1)).alias("cb")))
     ctx = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    # fold the context denominator into the count table BEFORE the
+    # corpus join: this join is vocab² x vocab, not corpus-sized, and
+    # it removes one full shuffle of the per-document bigram stream
+    bg_enriched = bg_counts.join(ctx, "w1")
     score = F.when(
         F.col("cb").isNotNull(),
         F.col("cb").cast("double") / F.col("cc"),
@@ -251,8 +259,7 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
             F.when(F.col("cb").isNull() & F.col("cu").isNotNull(), 1)
             .otherwise(0)).alias("n_backoff"))
     scored = (bigrams
-              .join(bg_counts, ["w1", "w2"], "left")
-              .join(ctx, "w1", "left")
+              .join(bg_enriched, ["w1", "w2"], "left")
               .join(uni.select(F.col("w").alias("w2"), "cu"), "w2", "left")
               .crossJoin(F.broadcast(total))
               .groupBy(id_col)
