@@ -90,3 +90,93 @@ def test_temperature_mix_invariants(spark, docs, budget):
     again = temperature_mix(df, budget).collect()
     assert sorted((r["doc_id"], r["keep"]) for r in out) == \
         sorted((r["doc_id"], r["keep"]) for r in again)
+
+
+sess_events = st.lists(
+    st.tuples(st.integers(0, 2),                 # user
+              st.integers(0, 7200),              # offset seconds
+              ),
+    min_size=1, max_size=16)
+
+
+@given(evs=sess_events, gap_min=st.sampled_from([1, 5, 30]))
+@settings(max_examples=8, deadline=None)
+def test_sessionize_matches_python_replay(spark, evs, gap_min):
+    """For ANY event stream and gap, session ids match a brute-force
+    per-user replay (sort by (ts, event_id), split on gap > threshold),
+    and the per-user session-stats roll-up agrees with recomputing it
+    from those ids — including duplicate timestamps, out-of-order
+    input, and multi-user interleaving."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.funnel import (session_stats,
+                                                      sessionize)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(seconds=off), i)
+            for i, (u, off) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_id long")
+    got = {(r["user_id"], r["event_id"]): r["session_id"]
+           for r in sessionize(df, gap_minutes=gap_min).collect()}
+
+    # brute-force replay
+    exp = {}
+    per_user_sessions = {}
+    for u in {u for u, _ in evs}:
+        mine = sorted([(ts, eid) for (uu, ts, eid) in rows if uu == u])
+        sid = 0
+        prev = None
+        sessions = []
+        for ts, eid in mine:
+            if prev is None or (int(ts.timestamp())
+                                - int(prev.timestamp())) > gap_min * 60:
+                sid += 1
+                sessions.append([])
+            sessions[-1].append(ts)
+            exp[(u, eid)] = sid
+            prev = ts
+        per_user_sessions[u] = sessions
+    assert got == exp, (evs, gap_min)
+
+    stats = {r["user_id"]: r for r in
+             session_stats(df, gap_minutes=gap_min).collect()}
+    for u, sessions in per_user_sessions.items():
+        durs = [int(s[-1].timestamp()) - int(s[0].timestamp())
+                for s in sessions]
+        assert stats[u]["n_sessions"] == len(sessions)
+        assert stats[u]["n_events"] == sum(len(s) for s in sessions)
+        assert stats[u]["max_session_events"] == max(len(s)
+                                                     for s in sessions)
+        assert abs(stats[u]["avg_session_seconds"]
+                   - round(sum(durs) / len(durs), 2)) < 1e-9
+
+
+@given(vecs=st.lists(
+    st.lists(st.integers(-5, 5).map(float), min_size=3, max_size=3),
+    min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_normalize_embeddings_properties(spark, vecs):
+    """For ANY corpus: z-scored dimensions have (near-)zero mean; a
+    zero-variance dimension maps to exactly 0 everywhere; output
+    preserves ids and dimensionality."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        normalize_embeddings)
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["zvec"])
+           for r in normalize_embeddings(df).collect()}
+    assert set(got) == set(range(len(vecs)))
+    a = np.array(vecs)
+    s6 = np.round(a.std(axis=0), 6)
+    z = np.array([got[i] for i in range(len(vecs))])
+    assert z.shape == a.shape
+    for d in range(a.shape[1]):
+        if s6[d] == 0:
+            assert (z[:, d] == 0.0).all(), (vecs, d)
+        else:
+            # mean of z is bounded by the 6-rounding of m/s, not exact 0
+            assert abs(z[:, d].mean()) < 1e-3, (vecs, d)
