@@ -233,6 +233,17 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     session metrics: a new session starts at a user's first event and
     at every event more than ``gap_minutes`` after the previous one.
 
+    Relationship to the rest of the session family: q20_sessionize
+    (benchmarks/relational.py) is the inline COUNT-only form (how many
+    sessions per user, no ids, microsecond-precision gap); this
+    operator ASSIGNS the session id to every event so durations,
+    per-session rollups, and downstream joins are possible — and
+    streaming twins exist as `sessionize_stream` (session_window) and
+    `timeout_sessionize` (custom state) in streaming/events.py. Gap
+    precision here is whole epoch seconds (the SQL date_diff
+    contract), vs q20's microseconds — an event landing inside the
+    same second as the threshold continues the session here.
+
     Plan shape: one window partitioned BY USER (the shuffle key — no
     global window anywhere), ordered (ts, order_col); the session id is
     the running sum of new-session flags over the same window, so the
