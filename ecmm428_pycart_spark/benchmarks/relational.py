@@ -24,6 +24,27 @@ from ecmm428_pycart_spark.operators.relational import (
     to_int_col,
 )
 from ecmm428_pycart_spark.session import load_table as _t
+from ecmm428_pycart_spark.session import scratch_dir as _scratch
+
+
+def _await_stream(spark, writer):
+    """Execute a bounded streaming writer to completion with the
+    shuffle/state-store partition count pinned to 8 for the run: a
+    stateful streaming query fixes its state partition count from
+    ``spark.sql.shuffle.partitions`` at first start, and the DRIVER's
+    plain session leaves the 200 default — 200 state tasks per
+    micro-batch for a bounded gate replay, ~25x task overhead for zero
+    parallelism benefit. On a real cluster this value is sized to peak
+    throughput instead; state partitions persist across restarts.
+    Confs restore after the run (pinned_confs), so the query's RESULT
+    plan is unaffected. Only for run-to-completion writers
+    (availableNow); continuously-triggered streams (st11/st12) manage
+    their own lifecycle."""
+    from ecmm428_pycart_spark.session import pinned_confs
+
+    with pinned_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+        writer.start().awaitTermination()
+
 
 QUERIES = {}
 ORACLES = {}
@@ -402,15 +423,14 @@ def st01_stream_hourly(spark, sf_dir):
     from ecmm428_pycart_spark.streaming.events import (
         hourly_event_counts, read_events_stream)
 
-    d = tempfile.mkdtemp(prefix="st01_events_")
+    d = _scratch("st01_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = read_events_stream(spark, d)
     name = f"st01_{uuid.uuid4().hex[:8]}"
-    q_ = (hourly_event_counts(stream).writeStream
+    _await_stream(spark, hourly_event_counts(stream).writeStream
           .format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    q_.awaitTermination()
+          .outputMode("complete").trigger(availableNow=True))
     out = spark.table(name)
     return (out.select(F.col("window_start").cast("date").alias("event_date"),
                        F.hour("window_start").alias("event_hour"),
@@ -455,15 +475,14 @@ def st02_stream_sessions(spark, sf_dir):
     from ecmm428_pycart_spark.streaming.events import (
         read_events_stream, sessionize_stream)
 
-    d = tempfile.mkdtemp(prefix="st02_events_")
+    d = _scratch("st02_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = read_events_stream(spark, d)
     name = f"st02_{uuid.uuid4().hex[:8]}"
-    q_ = (sessionize_stream(stream).writeStream
+    _await_stream(spark, sessionize_stream(stream).writeStream
           .format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    q_.awaitTermination()
+          .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .select("user_id",
                     F.unix_micros("session_start").alias("session_start_us"),
@@ -484,7 +503,7 @@ def st03_stream_dedup(spark, sf_dir):
 
     from ecmm428_pycart_spark.streaming.events import read_events_stream
 
-    d = tempfile.mkdtemp(prefix="st03_events_")
+    d = _scratch("st03_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = (read_events_stream(spark, d)
@@ -493,9 +512,8 @@ def st03_stream_dedup(spark, sf_dir):
               .dropDuplicates(["user_id", "event_type"])
               .select("user_id", "event_type"))
     name = f"st03_{uuid.uuid4().hex[:8]}"
-    q_ = (stream.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     return spark.table(name)
 
 
@@ -519,15 +537,14 @@ def st04_stream_user_stats(spark, sf_dir):
     from ecmm428_pycart_spark.streaming.events import (
         read_events_stream, running_user_stats)
 
-    d = tempfile.mkdtemp(prefix="st04_events_")
+    d = _scratch("st04_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = read_events_stream(spark, d)
     name = f"st04_{uuid.uuid4().hex[:8]}"
-    q_ = (running_user_stats(stream).writeStream
+    _await_stream(spark, running_user_stats(stream).writeStream
           .format("memory").queryName(name)
-          .outputMode("update").trigger(availableNow=True).start())
-    q_.awaitTermination()
+          .outputMode("update").trigger(availableNow=True))
     last = (spark.table(name)
             .groupBy("user_id")
             .agg(F.max(F.struct("n_events", "sum_value", "max_value"))
@@ -879,7 +896,7 @@ def q59_zorder_skipping(spark, sf_dir):
           .withColumn("ship_day",
                       F.datediff(F.col("l_shipdate"),
                                  F.lit("1995-01-01").cast("date"))))
-    path = tempfile.mkdtemp(prefix="q59_zorder_")
+    path = _scratch("q59_zorder_")
     zorder_write(li, path, "ship_day", "l_partkey", n_files=32)
     build_manifest(spark, path, ["ship_day", "l_partkey"])
     from datetime import date
@@ -918,7 +935,7 @@ def q50_orc_roundtrip(spark, sf_dir):
     orders = (_t(spark, sf_dir, "orders")
               .withColumn("order_month",
                           F.trunc("o_orderdate", "month")))
-    path = tempfile.mkdtemp(prefix="q50_orc_")
+    path = _scratch("q50_orc_")
     write_orc(orders, path, partition_by=["order_month"])
     back = read_orc(spark, path).filter(
         F.col("order_month") >= F.lit("1997-01-01").cast("date"))
@@ -1749,7 +1766,7 @@ def st05_stream_interval_join(spark, sf_dir):
 
     from ecmm428_pycart_spark.streaming.events import read_events_stream
 
-    d = tempfile.mkdtemp(prefix="st05_events_")
+    d = _scratch("st05_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     clicks = (read_events_stream(spark, d)
@@ -1770,9 +1787,8 @@ def st05_stream_interval_join(spark, sf_dir):
         & (F.col("error_ts") <= F.col("click_ts")
            + F.expr("INTERVAL 1 HOUR")))
     name = f"st05_{uuid.uuid4().hex[:8]}"
-    q_ = (joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     return (spark.table(name)
             .select("click_id", "error_id",
                     F.unix_micros("click_ts").alias("click_us"),
@@ -1802,7 +1818,7 @@ def st06_stream_dedup_bounded(spark, sf_dir):
 
     from ecmm428_pycart_spark.streaming.events import read_events_stream
 
-    d = tempfile.mkdtemp(prefix="st06_events_")
+    d = _scratch("st06_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = (read_events_stream(spark, d)
@@ -1811,9 +1827,8 @@ def st06_stream_dedup_bounded(spark, sf_dir):
               .dropDuplicatesWithinWatermark(["user_id", "event_type"])
               .select("user_id", "event_type"))
     name = f"st06_{uuid.uuid4().hex[:8]}"
-    q_ = (stream.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     return spark.table(name)
 
 
@@ -1843,19 +1858,18 @@ def st07_stream_foreach_upsert(spark, sf_dir):
         daily_type_totals, foreach_batch_upsert_writer, read_events_stream,
         read_upsert_state)
 
-    src = tempfile.mkdtemp(prefix="st07_src_")
+    src = _scratch("st07_src_")
     (_t(spark, sf_dir, "events")
      .repartitionByRange(4, "ts")
      .write.mode("overwrite").parquet(src))
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
-    sink = tempfile.mkdtemp(prefix="st07_sink_")
-    ckpt = tempfile.mkdtemp(prefix="st07_ckpt_")
-    q_ = (daily_type_totals(stream, watermark="36500 days")
+    sink = _scratch("st07_sink_")
+    ckpt = _scratch("st07_ckpt_")
+    _await_stream(spark, daily_type_totals(stream, watermark="36500 days")
           .writeStream.foreachBatch(foreach_batch_upsert_writer(sink))
           .outputMode("update")
           .option("checkpointLocation", ckpt)
-          .trigger(availableNow=True).start())
-    q_.awaitTermination()
+          .trigger(availableNow=True))
     return (read_upsert_state(spark, sink)
             .select("event_date", "event_type", "n",
                     F.round("sum_value", 2).alias("sum_value")))
@@ -1881,7 +1895,7 @@ def q60_bucketed_colocated_join(spark, sf_dir):
     import uuid
 
     tag = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="q60_bkt_")
+    base = _scratch("q60_bkt_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = (_t(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"))
@@ -1979,8 +1993,8 @@ def q62_compaction_roundtrip(spark, sf_dir):
 
     from ecmm428_pycart_spark.sources.zorder import compact_parquet
 
-    shattered = tempfile.mkdtemp(prefix="q62_small_")
-    compacted = tempfile.mkdtemp(prefix="q62_big_")
+    shattered = _scratch("q62_small_")
+    compacted = _scratch("q62_big_")
     (_t(spark, sf_dir, "events")
      .repartition(64)
      .write.mode("overwrite").parquet(shattered))
@@ -2014,7 +2028,7 @@ def st08_stream_static_enrich(spark, sf_dir):
 
     from ecmm428_pycart_spark.streaming.events import read_events_stream
 
-    d = tempfile.mkdtemp(prefix="st08_events_")
+    d = _scratch("st08_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(d, "events.parquet"))
     stream = read_events_stream(spark, d)
@@ -2028,9 +2042,8 @@ def st08_stream_static_enrich(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum("value").alias("sum_value")))
     name = f"st08_{uuid.uuid4().hex[:8]}"
-    q_ = (agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .select("n_name", "n_events",
                     F.round("sum_value", 2).alias("sum_value")))
@@ -2161,7 +2174,7 @@ def q65_time_travel(spark, sf_dir):
     from ecmm428_pycart_spark.sources.snapshots import (
         read_snapshot, write_snapshot)
 
-    base = tempfile.mkdtemp(prefix="q65_snap_")
+    base = _scratch("q65_snap_")
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal")
     write_snapshot(cust, base)
@@ -2578,7 +2591,7 @@ def st09_stream_outer_join(spark, sf_dir):
         .localCheckpoint(eager=True)
     slices = [ranked.filter(F.col("_b") == i).drop("_b")
               for i in range(1, 7)] + [sentinel]
-    d = tempfile.mkdtemp(prefix="st09_events_")
+    d = _scratch("st09_events_")
     write_time_ordered_stream_dir(slices, d)
 
     clicks = (read_events_stream(spark, d, max_files_per_trigger=1)
@@ -2600,9 +2613,8 @@ def st09_stream_outer_join(spark, sf_dir):
            + F.expr("INTERVAL 1 HOUR")),
         "left_outer")
     name = f"st09_{uuid.uuid4().hex[:8]}"
-    q_ = (joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     return (spark.table(name)
             .filter(F.col("user_id") >= 0)
             .select("click_id", "error_id",
@@ -2684,7 +2696,7 @@ def st10_stream_chained_agg(spark, sf_dir):
         return spark.createDataFrame(
             [(10**9 + i, max_ts + datetime.timedelta(hours=hours), -1,
               "click", 0.0, None)], ev.schema)
-    d = tempfile.mkdtemp(prefix="st10_events_")
+    d = _scratch("st10_events_")
     # THREE sentinel batches: the watermark used during batch N is the
     # one computed at the END of batch N-1, and each stateful stage
     # adds one batch of latency before its finalized windows reach the
@@ -2712,9 +2724,8 @@ def st10_stream_chained_agg(spark, sf_dir):
                    F.max("cnt").alias("max_user_events"),
                    F.sum("cnt").alias("total_events")))
     name = f"st10_{uuid.uuid4().hex[:8]}"
-    q_ = (rolled.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, rolled.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     # drop any sentinel hour that finalized (the earliest sentinel's
     # window end can equal the final watermark exactly) — this is a
     # batch filter on the drained memory sink, so no pushdown issue
@@ -3007,8 +3018,8 @@ def st12_python_stream_sink(spark, sf_dir):
             spark.dataSource.register(src)
         except Exception:
             pass
-    out = tempfile.mkdtemp(prefix="st12_out_")
-    ckpt = tempfile.mkdtemp(prefix="st12_ckpt_")
+    out = _scratch("st12_out_")
+    ckpt = _scratch("st12_ckpt_")
     stream = (spark.readStream.format("range_docs_stream")
               .option("n_rows", 1000).option("batch_rows", 128).load())
     q_ = (stream.writeStream.format("range_docs_sink")
@@ -3074,17 +3085,16 @@ def st13_stream_restart_resume(spark, sf_dir):
         .localCheckpoint(eager=True)
     slices = [ranked.filter(F.col("_b") == i).drop("_b")
               for i in range(1, 7)]
-    src = tempfile.mkdtemp(prefix="st13_events_")
-    sink = tempfile.mkdtemp(prefix="st13_sink_")
-    ckpt = tempfile.mkdtemp(prefix="st13_ckpt_")
+    src = _scratch("st13_events_")
+    sink = _scratch("st13_sink_")
+    ckpt = _scratch("st13_ckpt_")
 
     def run_to_completion():
         stream = read_events_stream(spark, src, max_files_per_trigger=1)
-        q_ = (stream.select("event_id", "event_type", "value")
+        _await_stream(spark, stream.select("event_id", "event_type", "value")
               .writeStream.format("parquet")
               .option("path", sink).option("checkpointLocation", ckpt)
-              .outputMode("append").trigger(availableNow=True).start())
-        q_.awaitTermination()
+              .outputMode("append").trigger(availableNow=True))
 
     # phase 1: only the first half of the backlog exists
     write_time_ordered_stream_dir(slices[:3], src)
@@ -3156,7 +3166,7 @@ def st14_stream_timeout_sessions(spark, sf_dir):
         .localCheckpoint(eager=True)
     slices = [ranked.filter(F.col("_b") == i).drop("_b")
               for i in range(1, 5)] + [sent(0, 200), sent(1, 201)]
-    d = tempfile.mkdtemp(prefix="st14_events_")
+    d = _scratch("st14_events_")
     write_time_ordered_stream_dir(slices, d)
 
     stream = (read_events_stream(spark, d, max_files_per_trigger=1)
@@ -3164,9 +3174,8 @@ def st14_stream_timeout_sessions(spark, sf_dir):
               .select("user_id", "ts", "value"))
     sessions = timeout_sessionize(stream, gap_minutes=30)
     name = f"st14_{uuid.uuid4().hex[:8]}"
-    q_ = (sessions.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    _await_stream(spark, sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True))
     return (spark.table(name)
             .filter(F.col("user_id") >= 0)
             .select("user_id", "session_start_us", "session_last_us",

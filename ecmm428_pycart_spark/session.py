@@ -113,3 +113,22 @@ def pinned_confs(spark, confs: dict):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` that cannot leak: the directory is registered for
+    removal at interpreter exit. Roundtrip gate/bench queries write
+    artifacts the returned (lazy) DataFrame still reads AFTER the
+    query function returns, so eager cleanup inside the function is
+    impossible for them — this bounds the artifact's lifetime to the
+    session instead of forever (the advisor-flagged temp-dir leak
+    class). Queries whose results are already materialized eagerly
+    should still prefer deleting on the spot (benchmarks/queued.py's
+    _collect_then_cleanup)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
