@@ -1650,3 +1650,124 @@ def s22_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("z_l2"),
         (F.round(F.array_max("zvec"), 4) + F.lit(0.0)).alias("z_max"),
         (F.round(F.array_min("zvec"), 4) + F.lit(0.0)).alias("z_min"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup (dedup.save_band_index +
+# incremental_dup_candidates): the even-doc_id half of the corpus
+# persists its LSH band index to parquet (degenerate buckets capped at
+# build); the odd half then dedups against the STORED index — corpus
+# text is never re-read, the join is band-bucketed, and the scan
+# prunes by band partition. The oracle reconstructs both sides' band
+# keys from scratch in SQL (the d05/d06 minhash forms with parity
+# filters) including the build-side bucket cap, so an index-write
+# corruption, a cap drift, or a band-key mismatch all redden the hash.
+# ---------------------------------------------------------------------------
+def _d49_sql():
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _MINHASH_AGGS_SQL)
+    from ecmm428_pycart_spark.datapipe import dedup
+
+    def sig(parity):
+        return f"""
+SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS sh
+      FROM documents WHERE doc_id % 2 = {parity})
+GROUP BY doc_id
+"""
+
+    def bands(src):
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, "
+            f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM {src}"
+            for b in range(dedup.NUM_BANDS))
+
+    return f"""
+WITH sig_idx AS ({sig(0)}),
+bands_idx0 AS (
+{bands('sig_idx')}
+),
+bands_idx AS (
+  SELECT doc_id AS existing_id, band, band_key FROM bands_idx0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup.MAX_BUCKET_SIZE}
+),
+sig_new AS ({sig(1)}),
+bands_new AS (
+{bands('sig_new')}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id, i.existing_id
+  FROM bands_new n JOIN bands_idx i USING (band, band_key)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(min(existing_id) AS BIGINT) AS min_existing
+FROM cand GROUP BY doc_id
+"""
+
+
+@q("d49_incremental_dedup", _d49_sql())
+def d49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import (
+        incremental_dup_candidates, save_band_index)
+    from ecmm428_pycart_spark.session import scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = scratch_dir("d49_bandidx_")
+    save_band_index(docs.filter(F.col("doc_id") % 2 == 0), idx_path)
+    cand = incremental_dup_candidates(
+        docs.filter(F.col("doc_id") % 2 == 1), idx_path)
+    agg = (cand.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.min("existing_id").alias("min_existing")))
+    return _collect_then_cleanup(agg, idx_path)
+
+
+# ---------------------------------------------------------------------------
+# ANN index persistence (similarity.save_kmeans_index /
+# load_kmeans_index / ivf_topk_from_index): train the IVF index once,
+# persist assignments (partitioned by cluster) + centroids to parquet,
+# and SERVE top-k from the loaded copy — the build-once/query-many
+# separation every production ANN stack runs. Iterative k-means is
+# SQL-inexpressible, so the oracle is a golden fingerprint-dispatched
+# like k01; any save/load corruption changes the served rows and
+# reddens the hash. Values regenerate via tools/gen_goldens.py.
+# ---------------------------------------------------------------------------
+@q("s17_index_persistence", """
+WITH fp AS (
+  SELECT count(*) AS n, round(sum(embedding[1])::DOUBLE, 4) AS s
+  FROM embeddings
+),
+golden AS (
+  SELECT * FROM (VALUES
+    (500, -1.464, 0, 0, 1.0), (500, -1.464, 17, 0, 0.334456),
+    (500, -1.464, 225, 0, 0.315127), (500, -1.464, 12, 0, 0.311027),
+    (500, -1.464, 483, 0, 0.300451),
+    (500, 1.0824, 0, 0, 1.0), (500, 1.0824, 365, 0, 0.369994),
+    (500, 1.0824, 334, 0, 0.362722), (500, 1.0824, 387, 0, 0.331139),
+    (500, 1.0824, 423, 0, 0.296934),
+    (2000, 1.5308, 0, 0, 1.0), (2000, 1.5308, 1204, 0, 0.406472),
+    (2000, 1.5308, 291, 0, 0.391932), (2000, 1.5308, 1020, 0, 0.375988),
+    (2000, 1.5308, 510, 0, 0.344458)
+  ) AS g(n, s, vec_id, cluster, cos)
+)
+SELECT vec_id::BIGINT AS vec_id, cluster::INTEGER AS cluster,
+       cos::DOUBLE AS cos
+FROM golden JOIN fp ON golden.n = fp.n AND golden.s::DOUBLE = fp.s
+""")
+def s17_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        ivf_topk_from_index, load_kmeans_index, query_vector,
+        save_kmeans_index)
+    from ecmm428_pycart_spark.session import scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans(emb, k=4, iterations=3)
+    path = scratch_dir("s17_ivfidx_")
+    save_kmeans_index(assigned, cents, path)
+    a2, c2 = load_kmeans_index(spark, path)
+    out = ivf_topk_from_index(emb, a2, c2, query_vector(emb, 0),
+                              k=5, nprobe=1)
+    return _collect_then_cleanup(out, path)

@@ -150,9 +150,11 @@ DEFERRED_TO_NEXT_ROUND = [
     # m05 re-gates in round 6: its round-4 green attested the retired
     # byte-slicing stub, not the round-5 REAL AVI-decode frame sampler
     "m05_frame_sample",
-    # round-5 additions (sessionization, embedding standardization) —
+    # round-5 additions (sessionization, embedding standardization,
+    # incremental-ingestion dedup, ANN index persistence) —
     # oracle-verified at sf0.001/0.01/0.1 on registration
     "q100_sessionization", "s22_embedding_normalize",
+    "d49_incremental_dedup", "s17_index_persistence",
 ]
 
 

@@ -373,3 +373,56 @@ def source_contamination(df: DataFrame, n: int = 3,
             .select("src_a", "src_b", "n_shared",
                     F.round(F.col("n_shared")
                             / F.least("na", "nb"), 6).alias("containment")))
+
+
+def save_band_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_hashes: int = NUM_HASHES,
+                    num_bands: int = NUM_BANDS,
+                    shingle_n: int = 1,
+                    max_bucket: int = MAX_BUCKET_SIZE) -> None:
+    """Persist a corpus's LSH band index as parquet — the artifact
+    INCREMENTAL ingestion dedups against, so tomorrow's batch never
+    re-reads (or re-hashes) today's corpus text. Rows are
+    (id, band, band_key); degenerate buckets (> ``max_bucket`` members
+    within one (band, band_key)) are dropped AT BUILD, the same
+    boilerplate-bucket cap lsh_candidate_pairs applies — a shared
+    header slamming millions of docs into one bucket would otherwise
+    turn every future batch-join into a hot-key blowup. Partitioned by
+    band so an incremental probe prunes to the bands it touches."""
+    from pyspark.sql import Window
+
+    bands = lsh_band_keys(
+        minhash_signature(df, id_col=id_col, text_col=text_col,
+                          num_hashes=num_hashes, shingle_n=shingle_n),
+        id_col=id_col, num_bands=num_bands, num_hashes=num_hashes)
+    w = Window.partitionBy("band", "band_key")
+    pruned = (bands.withColumn("_n", F.count(F.lit(1)).over(w))
+              .filter(F.col("_n") <= max_bucket).drop("_n"))
+    pruned.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def incremental_dup_candidates(new_df: DataFrame, index_path: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               num_hashes: int = NUM_HASHES,
+                               num_bands: int = NUM_BANDS,
+                               shingle_n: int = 1) -> DataFrame:
+    """Near-duplicate candidates of an INCOMING batch against a stored
+    corpus index (save_band_index) — the incremental-ingestion shape:
+    the new batch is hashed fresh (it is the small side), the corpus
+    contributes only its persisted (id, band, band_key) rows, and the
+    join key is the band bucket, so the shuffle is
+    O(batch + touched index rows), never corpus-sized. Returns
+    distinct (id, existing_id) candidate pairs; verify with
+    jaccard_pairs against the corpus text if exact similarity is
+    needed (candidates are a superset, the standard LSH contract)."""
+    spark = new_df.sparkSession
+    idx = (spark.read.parquet(index_path)
+           .select(F.col(id_col).alias("existing_id"), "band", "band_key"))
+    new_bands = lsh_band_keys(
+        minhash_signature(new_df, id_col=id_col, text_col=text_col,
+                          num_hashes=num_hashes, shingle_n=shingle_n),
+        id_col=id_col, num_bands=num_bands, num_hashes=num_hashes)
+    return (new_bands.join(idx, ["band", "band_key"])
+            .select(id_col, "existing_id").distinct())

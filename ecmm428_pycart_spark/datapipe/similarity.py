@@ -795,3 +795,61 @@ def normalize_embeddings(df: DataFrame, id_col: str = "vec_id",
             F.lit(0.0)))
     return (df.join(F.broadcast(arrs))
             .select(F.col(id_col), z.alias("zvec")))
+
+
+def save_kmeans_index(assigned: DataFrame, centroids: DataFrame,
+                      path: str, id_col: str = "vec_id") -> None:
+    """Persist a trained IVF index (k-means assignments + centroids)
+    as parquet — build once, serve many: the separation every
+    production ANN stack has between the (expensive, iterative)
+    index-build job and the (cheap, map-side) query path.
+    Assignments are partitioned by cluster so a probe reads only the
+    lists it visits; centroids are a k-row table the query side
+    broadcasts."""
+    (assigned.select(id_col, "cluster")
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{path}/assignments"))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_kmeans_index(spark, path: str):
+    """Load a save_kmeans_index artifact: (assignments, centroids)."""
+    return (spark.read.parquet(f"{path}/assignments"),
+            spark.read.parquet(f"{path}/centroids"))
+
+
+def ivf_topk_from_index(vectors: DataFrame, assigned: DataFrame,
+                        centroids: DataFrame, query: DataFrame,
+                        k: int = 5, nprobe: int = 1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Serve an IVF top-k FROM A LOADED INDEX: nearest ``nprobe``
+    centroid lists by exact L2 (k-row broadcast, cluster-id tiebreak),
+    then exact cosine over only those lists' members — the vectors
+    table contributes the probed lists' rows via a broadcast semi-ish
+    join on the persisted assignments, so the scan is corpus/nlist
+    sized. Deterministic: rounded cosine, id tiebreaks (the
+    cosine_topk convention)."""
+    query = query.limit(1)
+    qv = (query.select(F.col(query.columns[-1]).alias("_q"))
+          if "q" not in query.columns
+          else query.select(F.col("q").alias("_q")))
+    d2 = F.aggregate(
+        F.zip_with("centroid", "_q",
+                   lambda c, q: (c - q.cast("double"))
+                   * (c - q.cast("double"))),
+        F.lit(0.0), lambda a, v: a + v)
+    probed = (centroids.crossJoin(F.broadcast(qv))
+              .select("cluster", d2.alias("_d2"))
+              .orderBy(F.col("_d2").asc(), F.col("cluster").asc())
+              .limit(nprobe)
+              .select("cluster"))
+    members = (assigned.join(F.broadcast(probed), "cluster")
+               .select(id_col, "cluster"))
+    cand = vectors.join(members, id_col)
+    scored = (cand.crossJoin(F.broadcast(qv))
+              .withColumn("cos", F.round(
+                  cosine(F.col(vec_col), F.col("_q")), 6)))
+    return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cluster", "cos"))

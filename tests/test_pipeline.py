@@ -2478,3 +2478,48 @@ def test_normalize_embeddings_hand_case(spark):
             exp = 0.0 if s[d] == 0 else (v[d] - m[d]) / s[d]
             assert abs(got[i][d] - exp) < 1e-9, (i, d)
     assert all(got[i][1] == 0.0 for i in range(3))  # constant dim
+
+
+def test_incremental_dedup_planted_duplicate(spark, tmp_path):
+    """A new-batch doc that copies a stored doc's text must surface as
+    a candidate against the persisted index; an unrelated doc must
+    not. The batch never touches the corpus text — only the index."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.dedup import (
+        incremental_dup_candidates, save_band_index)
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    save_band_index(corpus, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # full copy of 0
+         (3, "totally unrelated words here now ok")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["existing_id"])
+           for r in incremental_dup_candidates(
+               batch, str(tmp_path / "idx")).collect()}
+    assert (1, 0) in got
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_ivf_index_roundtrip_serves_identically(spark, tmp_path):
+    """Serving from the LOADED index must equal serving from the
+    freshly trained one — persistence is lossless for the query
+    path."""
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        ivf_topk_from_index, load_kmeans_index, query_vector,
+        save_kmeans_index)
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, cents = kmeans(emb, k=4, iterations=3)
+    fresh = [tuple(r) for r in ivf_topk_from_index(
+        emb, assigned, cents, query_vector(emb, 0), k=5).collect()]
+    save_kmeans_index(assigned, cents, str(tmp_path / "ivf"))
+    a2, c2 = load_kmeans_index(spark, str(tmp_path / "ivf"))
+    loaded = [tuple(r) for r in ivf_topk_from_index(
+        emb, a2, c2, query_vector(emb, 0), k=5).collect()]
+    assert fresh == loaded and len(fresh) == 5

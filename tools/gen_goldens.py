@@ -175,6 +175,34 @@ def main():
                      for b, mx, mn, nd in per_sf["0.001"]) + ",")
     print()
 
+    # s17 (round-5 registration): IVF top-k SERVED FROM a persisted
+    # index (save -> load -> probe), fingerprint-dispatched like k01.
+    print("# s17_index_persistence golden (n, s, vec_id, cluster, cos):")
+    import shutil
+    import tempfile
+
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    from ecmm428_pycart_spark.datapipe.similarity import (
+        ivf_topk_from_index, load_kmeans_index, query_vector,
+        save_kmeans_index)
+    for sf in SFS:
+        con = duckdb.connect()
+        n, s = con.execute(
+            f"SELECT count(*), round(sum(embedding[1])::DOUBLE, 4) FROM "
+            f"'{BASE}{sf}/embeddings.parquet'").fetchone()
+        emb = load_table(spark, BASE + sf, "embeddings")
+        assigned, cents = kmeans(emb, k=4, iterations=3)
+        d = tempfile.mkdtemp(prefix="s17_gold_")
+        save_kmeans_index(assigned, cents, d)
+        a2, c2 = load_kmeans_index(spark, d)
+        out = ivf_topk_from_index(emb, a2, c2, query_vector(emb, 0),
+                                  k=5, nprobe=1)
+        for r in out.collect():
+            print(f"({n}, {s!r}, {r['vec_id']}, {r['cluster']}, "
+                  f"{r['cos']!r}),")
+        shutil.rmtree(d, ignore_errors=True)
+    print()
+
     for gq in ("g08_dorling_scalable_large", "g14_dorling_grid2500"):
         print(f"# {gq} golden (n, cx_chk, cy_chk, radius_chk):")
         seen = set()
