@@ -82,28 +82,21 @@ DRIVER_WINDOW = [
     "q83_exists_priority",
 ]
 
-# Never-driver-checked queries that did NOT fit this round's 50-slot
-# window; they MUST form (with sentinels) the core of round 5's window.
+# Queries registered this round that did NOT fit the round-5 window;
+# they MUST form (with the q01/g04 sentinels) round 6's window —
+# exactly 48 + 2 = 50.
 #
-# ROUND-5 RECIPE (mechanical): set
-#   DRIVER_WINDOW = ["q01_pricing_summary", "g04_dorling_positions",
-#                    *DEFERRED_TO_NEXT_ROUND]   # exactly 50 entries
-# AND, in tests/test_gate_coverage.py, set
-#   SENTINELS = NEXT_ROUND_SENTINELS            # drops g02 from the
-#                                               # ride-along contract
-# (test_window_keeps_sentinels otherwise still demands g02 in the
-# window). Then start a fresh DEFERRED list with round-5 additions:
-# add `queued` to _modules() below (benchmarks/queued.py holds the
-# oracle-validated entries — count them with `len(queued.QUERIES)`,
-# listed in docs/ROUND5_QUEUE.md) and put its
-# query names plus the library-op registrations from the queue table
-# (s14_semdedup golden via tools/gen_goldens.py, m20 spectral audio,
-# d37-d42, m21/m22, g17, s15/s16, d39) into the new DEFERRED list.
-# When registering queued.py, fold tests/test_queued_queries.py's
-# _QUEUED_BNLJ_OK entries into test_plan_shapes._BNLJ_OK. Two
-# sentinels, not three: see NEXT_ROUND_SENTINELS for the budget
-# arithmetic.
-# All are verify_oracle-green locally; tests/test_gate_coverage.py
+# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
+# round 5 on the live tree: rotation + sentinel swap + gate tests
+# green, then reverted). It sets
+#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
+#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
+# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
+# round-6 gate queries then register directly and append here while
+# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
+# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
+# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
+# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
 # fails if any registered query is neither historically checked, in
 # the current window, nor in this list.
 DEFERRED_TO_NEXT_ROUND = [
