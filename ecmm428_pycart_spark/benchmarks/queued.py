@@ -1128,10 +1128,10 @@ def st15_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("event_type").isin(steps))
               .select("user_id", "ts", "event_id", "event_type"))
     name = f"st15_{uuid.uuid4().hex[:8]}"
-    q_ = (funnel_stream(stream, steps).writeStream
-          .format("memory").queryName(name)
-          .outputMode("update").trigger(availableNow=True).start())
-    q_.awaitTermination()
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    _await_stream(spark, funnel_stream(stream, steps).writeStream
+                  .format("memory").queryName(name)
+                  .outputMode("update").trigger(availableNow=True))
     from ecmm428_pycart_spark.datapipe.funnel import step_counts
 
     depth = (spark.table(name).groupBy("user_id")
