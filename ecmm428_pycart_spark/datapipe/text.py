@@ -759,3 +759,19 @@ def leakage_safe_split(df: DataFrame, test_frac: float = 0.1,
     return df.withColumn(
         "split", F.when(md5_uniform(key) < test_frac, "test")
         .otherwise("train"))
+
+
+def normalize_text(col) -> Column:
+    """Canonical text form for normalization-aware dedup: casefold,
+    strip every non-alphanumeric-non-space character, collapse runs of
+    whitespace, trim. "Same   Text!" and "same text" share one
+    canonical form, so an exact-dup pass over the normalized column
+    catches near-identical boilerplate raw md5 misses — the standard
+    curation step between raw exact-dedup and MinHash. Pure native
+    expressions (simple character classes, identical under Java regex
+    and RE2 — the cross-engine contract d13 relies on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    s = F.regexp_replace(s, "[^a-z0-9 ]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
