@@ -125,3 +125,44 @@ def q101_approx_quantile_bounds(spark: SparkSession,
         for i, p in enumerate(_Q101_FRACS, 1)])
     return (ranked.select(F.explode(rows).alias("_r"))
             .select("_r.decile", "_r.exact_v", "_r.within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy release (seeded Laplace via the
+# repo's md5-uniform RNG): per-source document counts + epsilon=1
+# Laplace noise — the privacy face of releasing corpus statistics.
+# REAL DP needs cryptographic randomness; the md5-seeded draw here is
+# the DETERMINISTIC-replay variant that makes the mechanism itself
+# (inverse-CDF transform, sensitivity-1 count release, post-processing
+# rounding) oracle-checkable — swap the uniform source for secure
+# randomness in production and the plan is unchanged. Laplace
+# inverse-CDF: mu - b*sign(u-.5)*ln(1-2|u-.5|), b = sensitivity/eps =
+# 1. ln is the libm-parity function both engines share (d37's
+# convention); the md5 uniform is text.md5_uniform's ONE definition.
+# ---------------------------------------------------------------------------
+@q("d51_dp_release", """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+  GROUP BY source
+),
+u AS (
+  SELECT source, n,
+         (CAST(concat('0x', substr(md5('dp:' || source), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS u
+  FROM c
+)
+SELECT source, n,
+       round(n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1 - 2 * abs(u - 0.5)), 4) AS noisy_n
+FROM u
+""")
+def d51_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import md5_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = md5_uniform(F.concat(F.lit("dp:"), F.col("source")))
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = sign * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    return c.select("source", "n",
+                    F.round(F.col("n") - lap, 4).alias("noisy_n"))
