@@ -166,3 +166,182 @@ def d51_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     lap = sign * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
     return c.select("source", "n",
                     F.round(F.col("n") - lap, 4).alias("noisy_n"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct rollup (Spark datasketches HLL): users are
+# sharded DISJOINTLY (user_id % 16), each shard builds an
+# hll_sketch_agg partial, and the ALL row re-aggregates the 16 partials
+# with hll_union_agg — the map-side-combine/daily-rollup pattern that
+# makes COUNT DISTINCT mergeable at 100 TB (per-day/per-partition
+# sketches unioned at query time, never a re-scan). Disjoint shards
+# mean the exact global distinct is the sum of shard distincts, so the
+# oracle pins exact counts and within_bound=TRUE; the sketch estimate
+# must land within max(5% of exact, 1) — lgConfigK=12's 1.6% standard
+# error with 3x slack — or the row (and the hash) flips FALSE. One
+# shuffle + one 16-row reduce; no join anywhere.
+# ---------------------------------------------------------------------------
+@q("q102_hll_merge_rollup", """
+WITH per AS (
+  SELECT user_id % 16 AS shard, count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'shard_' || shard AS scope, CAST(n AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM per
+UNION ALL
+SELECT 'ALL', CAST(sum(n) AS BIGINT), TRUE FROM per
+""")
+def q102_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.groupBy((F.col("user_id") % 16).alias("shard"))
+           .agg(F.hll_sketch_agg("user_id", 12).alias("_sk"),
+                F.count_distinct("user_id").alias("n_exact")))
+
+    def bounded(est, exact):
+        return (F.abs(est.cast("double") - exact.cast("double"))
+                <= F.greatest(F.lit(0.05) * exact.cast("double"),
+                              F.lit(1.0)))
+
+    shards = per.select(
+        F.concat(F.lit("shard_"), F.col("shard").cast("string"))
+        .alias("scope"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        bounded(F.hll_sketch_estimate("_sk"), F.col("n_exact"))
+        .alias("within_bound"))
+    merged = (per.agg(F.hll_union_agg("_sk").alias("_sk"),
+                      F.sum("n_exact").alias("n_exact"))
+              .select(F.lit("ALL").alias("scope"),
+                      F.col("n_exact").cast("long").alias("n_exact"),
+                      bounded(F.hll_sketch_estimate("_sk"),
+                              F.col("n_exact")).alias("within_bound")))
+    return shards.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized ANN (similarity.binary_hamming_topk): sign-bit codes
+# packed into one BIGINT, Hamming (popcount-of-xor) shortlist, exact
+# cosine re-rank — the 8-bytes-per-vector retrieval tier. The oracle
+# replays the pack bit-for-bit with a DuckDB list comprehension (63
+# bits; bit 63 would overflow the shared signed-64 domain) and the
+# two-phase shortlist with the same integer/rounded tiebreaks.
+# ---------------------------------------------------------------------------
+@q("s23_binary_hamming_topk", """
+WITH c AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                             THEN 1::BIGINT << i ELSE 0::BIGINT END
+                        FOR i IN range(0, 63)]) AS BIGINT) AS code
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, code AS qcode FROM c WHERE vec_id = 0),
+short AS (
+  SELECT vec_id, embedding,
+         CAST(bit_count(xor(code, qcode)) AS BIGINT) AS hamming
+  FROM c, q
+  ORDER BY hamming ASC, vec_id ASC LIMIT 20
+)
+SELECT vec_id, hamming,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+                                    qe::DOUBLE[]), 6) AS cos
+FROM short, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+""")
+def s23_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.binary_hamming_topk(
+        emb, similarity.query_vector(emb, 0), k=10, shortlist=20)
+
+
+# ---------------------------------------------------------------------------
+# Learned quality filter (text.classifier_scores): fastText-shape
+# linear classifier over hashing-TF(64) features with deterministic
+# integer-quantized weights. The keep decision is w.x >= 0 — exact
+# integer arithmetic, no float boundary — and min/max of the rounded
+# sigmoid are the layout-deterministic per-source score stats (float
+# SUMS would be order-sensitive; min/max are not). Oracle replays
+# d41's hashing cells + the floor-quantized weight table.
+# ---------------------------------------------------------------------------
+@q("d52_classifier_filter", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 64 AS b,
+         CAST(count(*) AS BIGINT) AS v
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+),
+wt AS (
+  SELECT i AS b,
+         CAST(floor(((CAST(concat('0x', substr(md5('clfw:' || i), 1, 8))
+                           AS UBIGINT) + 0.5) / 4294967296.0) * 20000)
+              AS BIGINT) - 10000 AS wi
+  FROM range(64) t(i)
+),
+doc AS (
+  SELECT doc_id, sum(v * wi) AS raw, sum(v) AS tot
+  FROM cells JOIN wt USING (b) GROUP BY 1
+),
+sc AS (
+  SELECT d.doc_id, s.source, raw,
+         1.0 / (1.0 + exp(-(raw::DOUBLE) / (10000.0 * tot))) AS score
+  FROM doc d JOIN documents s USING (doc_id) WHERE tot > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN raw >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM sc GROUP BY source
+""")
+def d52_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = classifier_scores(docs, dim=64)
+    return (sc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                 F.round(F.min("score"), 6).alias("min_score"),
+                 F.round(F.max("score"), 6).alias("max_score")))
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup (dedup.edit_neardup_pairs): the
+# record-linkage Levenshtein pass under (length-bucket, 12-char
+# normalized prefix) blocking with the LSH-style block cap. Spark runs
+# the banded threshold levenshtein; DuckDB computes the full distance
+# and filters — same surviving pairs, both QUALIFY-capped with the
+# same id order.
+# ---------------------------------------------------------------------------
+@q("d53_edit_neardup", """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+                                            '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, norm, length(norm) // 20 AS lb,
+         substr(norm, 1, 12) AS pfx
+  FROM n
+  QUALIFY row_number() OVER (PARTITION BY lb, pfx
+                             ORDER BY doc_id) <= 50
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.norm, c.norm) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.lb = c.lb AND a.pfx = c.pfx
+                 AND a.doc_id < c.doc_id
+WHERE levenshtein(a.norm, c.norm) <= 8
+""")
+def d53_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import edit_neardup_pairs
+
+    return edit_neardup_pairs(_t(spark, sf_dir, "documents"),
+                              max_dist=8)

@@ -426,3 +426,47 @@ def incremental_dup_candidates(new_df: DataFrame, index_path: str,
         id_col=id_col, num_bands=num_bands, num_hashes=num_hashes)
     return (new_bands.join(idx, ["band", "band_key"])
             .select(id_col, "existing_id").distinct())
+
+
+def edit_neardup_pairs(df: DataFrame, max_dist: int = 8,
+                       prefix_len: int = 12, length_bucket: int = 20,
+                       block_cap: int = 50, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Edit-distance near-duplicate pairs via prefix/length blocking —
+    the record-linkage classic (Levenshtein under a blocking key) that
+    catches single-typo boilerplate MinHash's token shingles can miss.
+
+    Scale shape: normalize (map-side), block on (floor(len/LB),
+    norm[:prefix_len]) — a typo inside the prefix moves the doc to a
+    different block, the accepted recall trade of prefix blocking —
+    cap each block at ``block_cap`` rows (row_number over the block
+    key, id-ordered, the MAX_BUCKET_SIZE convention from the LSH
+    pass), then a self-join ON THE BLOCK KEY ONLY: candidate volume is
+    bounded by blocks x cap^2, never corpus^2. The distance itself is
+    Spark's bounded levenshtein(l, r, threshold) — the banded O(d x n)
+    algorithm, returning -1 past the bound instead of filling the full
+    DP matrix (DuckDB computes the full distance and filters; same
+    surviving pairs)."""
+    from ecmm428_pycart_spark.datapipe.text import normalize_text
+    n = df.select(id_col, normalize_text(F.col(text_col)).alias("_norm"))
+    b = n.select(
+        id_col, "_norm",
+        F.floor(F.length("_norm") / length_bucket).cast("long")
+        .alias("_lb"),
+        F.substring("_norm", 1, prefix_len).alias("_pfx"))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("_lb", "_pfx")
+         .orderBy(F.col(id_col).asc()))
+    capped = (b.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= block_cap).drop("_rn"))
+    a = capped.select(F.col(id_col).alias("doc_a"),
+                      F.col("_norm").alias("_na"), "_lb", "_pfx")
+    c = capped.select(F.col(id_col).alias("doc_b"),
+                      F.col("_norm").alias("_nb"), "_lb", "_pfx")
+    return (a.join(c, ["_lb", "_pfx"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("dist",
+                        F.levenshtein("_na", "_nb", max_dist)
+                        .cast("long"))
+            .filter(F.col("dist") >= 0)
+            .select("doc_a", "doc_b", "dist"))

@@ -853,3 +853,60 @@ def ivf_topk_from_index(vectors: DataFrame, assigned: DataFrame,
     return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "cluster", "cos"))
+
+
+def sign_pack(vec_col: str, bits: int = 63) -> Column:
+    """1-bit (sign) quantization of a float vector packed into ONE
+    BIGINT: bit i set iff dimension i > 0. The 64-byte-per-vector ->
+    8-byte compression behind binary / Hamming retrieval (the
+    "binary quantization" serving tier offered by every vector store).
+
+    ``bits`` caps at 63: setting bit 63 is 1<<63, which overflows the
+    signed 64-bit domain both engines share (DuckDB raises on the
+    shift) — with 64-dim embeddings the last dimension is simply not
+    coded, an accepted 1/64 information loss for this tier. Built as a
+    native fold (sum of disjoint powers of two — no carries, so
+    addition == bitwise OR); zero Python, map-side only."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(element_at({vec_col}, i + 1) > "
+        f"CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+        f"CAST(0 AS BIGINT)))")
+
+
+def binary_hamming_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                        shortlist: int = 20, bits: int = 63,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Binary-quantized ANN: Hamming distance over sign_pack codes
+    bounds a ``shortlist``, exact cosine re-ranks it — the
+    coarse-then-exact pattern of truncated_rerank_topk with an 8-byte
+    phase-1 payload (bit_count(xor) is one popcount instruction per
+    candidate; at 100 TB the code column is 64x smaller than the
+    vector column, so phase 1 is I/O-bound on 1/64th the bytes).
+
+    Phase 1 is a TakeOrderedAndProject (per-partition top-k + merge,
+    no global sort); phase 2 touches ``shortlist`` rows. Deterministic:
+    integer Hamming with id tiebreak at the shortlist boundary, rounded
+    cosine with id tiebreak at k."""
+    query = query.limit(1)
+    qv = (query.select(F.col(query.columns[-1]).alias("_q"))
+          if "q" not in query.columns
+          else query.select(F.col("q").alias("_q")))
+    qv = qv.select("_q", sign_pack("_q", bits).alias("_qcode"))
+    short = (df.select(id_col, vec_col)
+             .withColumn("_code", sign_pack(vec_col, bits))
+             .crossJoin(F.broadcast(qv))
+             .withColumn("hamming",
+                         F.bit_count(F.col("_code")
+                                     .bitwiseXOR(F.col("_qcode")))
+                         .cast("long"))
+             .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+             .limit(shortlist))
+    return (short.withColumn("cos", F.round(
+                _safe_cosine(F.col(vec_col), F.col("_q")), 6))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "hamming", "cos"))

@@ -775,3 +775,56 @@ def normalize_text(col) -> Column:
     s = F.regexp_replace(s, "[^a-z0-9 ]", "")
     s = F.regexp_replace(s, " +", " ")
     return F.trim(s)
+
+
+def classifier_weights(dim: int = 64, seed: str = "clf") -> Column:
+    """Deterministic integer weight vector for classifier_scores: one
+    md5_uniform draw per hash bucket, floor-quantized to an integer in
+    [-10000, 9999] (floor, not round — round's half-up boundary could
+    disagree across engines on an exact .5; floor of a non-integer
+    double is boundary-free, and (20000h + 10000)/2^32 is never an
+    integer because 10000·odd has only 2^4 twos). The oracle mirror is
+    ``CAST(floor(u * 20000) AS BIGINT) - 10000``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: (F.floor(md5_uniform(
+            F.concat(F.lit(seed + "w:"), b.cast("string"))) * 20000)
+            - 10000).cast("long"))
+
+
+def classifier_scores(df: DataFrame, dim: int = 64, seed: str = "clf",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """fastText-style linear quality classifier over hashing-TF
+    features — the learned-filter stage (CCNet / LLaMA "Wikipedia-like"
+    classifier) as a Spark plan: score = sigmoid(w·x / (10000·|x|)),
+    keep iff score >= 0.5. Weights here are the deterministic
+    classifier_weights stand-in so the mechanism is oracle-checkable
+    end-to-end; swap in trained parameters (same integer quantization,
+    a standard deployment trick) and the plan is unchanged.
+
+    Numerics contract: w·x is EXACT integer arithmetic (integer token
+    counts × integer weights, fold order irrelevant), so the keep
+    decision (w·x >= 0, by sigmoid monotonicity) has no float boundary
+    at all; the only float op is one exp() on an identical double —
+    libm-parity, round-6 stable (the d37 convention).
+
+    Plan shape: hashing_tf's two doc-keyed shuffles, then everything
+    is map-side — the weight array is a dimension-sized literal
+    expression folded per row (no join, no collect, no broadcast
+    table). Returns (id, n_tokens, raw, score); raw is the integer
+    logit numerator."""
+    vecs = hashing_tf(df, dim=dim, id_col=id_col, text_col=text_col)
+    w = classifier_weights(dim, seed)
+    raw = F.aggregate(
+        F.zip_with("embedding", w, lambda v, wi: v * wi.cast("double")),
+        F.lit(0.0), lambda a, x: a + x).cast("long")
+    tot = F.aggregate("embedding", F.lit(0.0),
+                      lambda a, x: a + x).cast("long")
+    out = vecs.select(id_col, raw.alias("raw"), tot.alias("n_tokens"))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(
+        -(F.col("raw").cast("double"))
+        / (F.lit(10000.0) * F.col("n_tokens"))))
+    return (out.filter(F.col("n_tokens") > 0)
+            .withColumn("score", score)
+            .withColumn("keep", F.col("raw") >= 0))

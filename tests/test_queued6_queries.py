@@ -81,6 +81,7 @@ def test_queued6_plan_guards(spark):
     from ecmm428_pycart_spark.benchmarks import queued6
     bnlj_ok = {
         "q101_approx_quantile_bounds",  # 1-row stats broadcast (ranks)
+        "s23_binary_hamming_topk",  # 1-row query-vector broadcast
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):

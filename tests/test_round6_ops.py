@@ -1,0 +1,128 @@
+"""Hand-case tests for the round-6-queue library ops (queued6.py's
+new entries): sign-pack/Hamming ANN, the linear quality classifier,
+and blocked edit-distance near-dup — the brute-force-replay style of
+test_datapipe_property.py on constructed micro-fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ecmm428_pycart_spark.datapipe import similarity
+from ecmm428_pycart_spark.datapipe.dedup import edit_neardup_pairs
+from ecmm428_pycart_spark.datapipe.text import classifier_scores
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+
+
+def test_sign_pack_known_bits(spark):
+    # dims 0,2,5 positive -> bits 0,2,5 -> 1+4+32 = 37; negatives and
+    # exact zeros contribute nothing.
+    v = [1.0, -1.0, 0.5, 0.0, -2.0, 3.0] + [0.0] * 57
+    df = _emb(spark, [v])
+    code = df.select(similarity.sign_pack("embedding").alias("c")) \
+        .head().c
+    assert code == 37
+
+
+def test_sign_pack_bit62_no_overflow(spark):
+    v = [0.0] * 62 + [1.0, 9.0]  # dim 62 set; dim 63 NOT coded
+    df = _emb(spark, [v])
+    code = df.select(similarity.sign_pack("embedding").alias("c")) \
+        .head().c
+    assert code == 1 << 62
+
+
+def test_sign_pack_bits_validation():
+    with pytest.raises(ValueError):
+        similarity.sign_pack("embedding", bits=64)
+    with pytest.raises(ValueError):
+        similarity.sign_pack("embedding", bits=0)
+
+
+def test_binary_hamming_topk_matches_bruteforce(spark):
+    import random
+    rng = random.Random(42)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    df = _emb(spark, vecs)
+    out = similarity.binary_hamming_topk(
+        df, similarity.query_vector(df, 0), k=5, shortlist=12).collect()
+    # Python replay: pack, hamming-shortlist, cosine rerank.
+    def pack(v):
+        return sum(1 << i for i in range(63) if v[i] > 0)
+    q = vecs[0]
+    qc = pack(q)
+    ham = sorted((bin(pack(v) ^ qc).count("1"), i)
+                 for i, v in enumerate(vecs))[:12]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(x * x for x in b))
+    rer = sorted(((-round(cos(vecs[i], q), 6), i) for _, i in ham))[:5]
+    expect = [(i, -c) for c, i in rer]
+    got = [(r.vec_id, r.cos) for r in out]
+    assert got == [(i, pytest.approx(c, abs=1e-9)) for i, c in expect]
+
+
+def test_classifier_keep_is_sign_of_raw(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["alpha beta gamma", "delta epsilon", "alpha alpha alpha",
+             "", "   "])])
+    out = classifier_scores(docs, dim=16).collect()
+    # empty/whitespace docs are filtered (no tokens)
+    assert {r.doc_id for r in out} == {0, 1, 2}
+    for r in out:
+        assert r.keep == (r.raw >= 0)
+        # sigmoid bounds + monotone consistency with the keep rule
+        assert 0.0 < r.score < 1.0
+        assert (r.score >= 0.5) == r.keep
+        # raw is the exact integer dot product of counts and weights
+        assert isinstance(r.raw, int)
+
+
+def test_classifier_score_matches_python_sigmoid(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="x y z x")])
+    r = classifier_scores(docs, dim=8).head()
+    expect = 1.0 / (1.0 + math.exp(-r.raw / (10000.0 * r.n_tokens)))
+    assert r.score == pytest.approx(expect, abs=1e-12)
+    assert r.n_tokens == 4
+
+
+def test_edit_neardup_finds_typo_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = base.replace("jumps", "jumbs")          # 1 edit, same prefix
+    far = "a completely different document about pyspark engines ok"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=typo),
+         Row(doc_id=3, text=far)])
+    pairs = edit_neardup_pairs(docs, max_dist=8).collect()
+    assert [(p.doc_a, p.doc_b, p.dist) for p in pairs] == [(1, 2, 1)]
+
+
+def test_edit_neardup_prefix_block_miss(spark):
+    # Identical tails but different 12-char prefixes -> different
+    # blocks -> no pair (the documented recall trade of blocking).
+    a = "aaaaaaaaaaaa shared tail of the document body here"
+    b = "bbbbbbbbbbbb shared tail of the document body here"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    assert edit_neardup_pairs(docs, max_dist=8).count() == 0
+
+
+def test_edit_neardup_block_cap(spark):
+    # 6 identical docs in one block, cap=3 -> C(3,2)=3 pairs, the
+    # id-ordered survivors.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same doc body repeated many times over")
+         for i in range(6)])
+    pairs = edit_neardup_pairs(docs, max_dist=8, block_cap=3).collect()
+    got = sorted((p.doc_a, p.doc_b) for p in pairs)
+    assert got == [(0, 1), (0, 2), (1, 2)]
+    assert all(p.dist == 0 for p in pairs)
