@@ -345,3 +345,162 @@ def d53_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return edit_neardup_pairs(_t(spark, sf_dir, "documents"),
                               max_dist=8)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (partial-aggregate merge):
+# the rollup is maintained as mergeable partials — (sum, count, min)
+# per month — so a new ingest batch aggregates ALONE and merges into
+# the stored state by re-aggregation (sum-of-sums, sum-of-counts,
+# min-of-mins); the base data is NEVER re-scanned. Here the orders
+# table is split at 1997-01-01 into "stored base" and "incoming
+# delta", each builds its partial independently, and the merged result
+# must equal the full recompute the oracle runs directly — the
+# algebraic-aggregate contract (avg is derived sum/count POST-merge,
+# never averaged across partials). Money in BIGINT cents end-to-end —
+# including the derived average, kept as floor-divided integer cents:
+# a double average hits round-half boundaries the two engines resolve
+# differently (sf0.01's 227673.41875 found one). Merge cost is
+# state-sized (months), not data-sized.
+# ---------------------------------------------------------------------------
+@q("q103_incremental_rollup", """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_price_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_price_cents
+FROM orders GROUP BY 1
+""")
+def q103_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    month = (F.date_trunc("month", "o_orderdate").cast("date")
+             .alias("order_month"))
+
+    def partial(df):
+        return (df.groupBy(month)
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum(cents).alias("revenue_cents"),
+                     F.min(cents).alias("min_price_cents")))
+
+    cut = F.lit("1997-01-01").cast("date")
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (base.unionByName(delta)
+              .groupBy("order_month")
+              .agg(F.sum("n_orders").alias("n_orders"),
+                   F.sum("revenue_cents").alias("revenue_cents"),
+                   F.min("min_price_cents").alias("min_price_cents")))
+    return merged.withColumn(
+        "avg_price_cents",
+        F.expr("revenue_cents div n_orders").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@10 evaluation harness: one query vector, exact cosine
+# top-10 as ground truth, and each approximate tier — sign-LSH bucket
+# probe (s02), truncated-dimension rerank (s15), binary-Hamming rerank
+# (s23) — scored by |top10 ∩ truth| / 10. The rounded-cosine +
+# id-tiebreak convention makes every boundary deterministic, so recall
+# is an EXACT integer ratio both engines agree on — the eval harness a
+# pipeline needs before trusting an index tier at 100 TB (run per
+# sampled query, aggregate offline). The oracle restates all four
+# result sets with the established SQL replays of each tier.
+# ---------------------------------------------------------------------------
+def _s24_sql():
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _BUCKET_SQL, _QBUCKET_SQL)
+    return f"""
+WITH qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      q::DOUBLE[]), 6) AS cos
+  FROM embeddings, qv
+),
+ex AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10),
+lshb AS (
+  SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket, cos
+  FROM embeddings JOIN scored USING (vec_id)
+),
+qb AS (
+  SELECT CAST({_QBUCKET_SQL} AS INTEGER) AS bucket FROM qv
+),
+lsh AS (
+  SELECT vec_id FROM lshb JOIN qb USING (bucket)
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+),
+coarse AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding[1:8]::DOUBLE[],
+                                      q[1:8]::DOUBLE[]), 6) AS c
+  FROM embeddings, qv
+),
+trunc_short AS (
+  SELECT vec_id FROM coarse ORDER BY c DESC, vec_id ASC LIMIT 100
+),
+trunc AS (
+  SELECT vec_id FROM trunc_short JOIN scored USING (vec_id)
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+),
+codes AS (
+  SELECT vec_id,
+         CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                             THEN 1::BIGINT << i ELSE 0::BIGINT END
+                        FOR i IN range(0, 63)]) AS BIGINT) AS code
+  FROM embeddings
+),
+qcode AS (SELECT code AS qc FROM codes WHERE vec_id = 0),
+ham_short AS (
+  SELECT vec_id, bit_count(xor(code, qc)) AS hamming
+  FROM codes, qcode
+  ORDER BY hamming ASC, vec_id ASC LIMIT 20
+),
+ham AS (
+  SELECT vec_id FROM ham_short JOIN scored USING (vec_id)
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
+SELECT 'sign_lsh' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM lsh JOIN ex USING (vec_id)
+UNION ALL
+SELECT 'truncated', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+FROM trunc JOIN ex USING (vec_id)
+UNION ALL
+SELECT 'binary_hamming', CAST(count(*) AS BIGINT),
+       round(count(*) / 10.0, 6)
+FROM ham JOIN ex USING (vec_id)
+"""
+
+
+@q("s24_ann_recall_eval", _s24_sql())
+def s24_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    exact = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+    methods = {
+        "sign_lsh": similarity.ann_sign_lsh_topk(emb, qv, k=10)
+        .select("vec_id"),
+        "truncated": similarity.truncated_rerank_topk(
+            emb, qv, k=10, coarse_dims=8, shortlist=100)
+        .select("vec_id"),
+        "binary_hamming": similarity.binary_hamming_topk(
+            emb, qv, k=10, shortlist=20).select("vec_id"),
+    }
+    out = None
+    for name, ids in methods.items():
+        row = (ids.join(exact, "vec_id")
+               .agg(F.count(F.lit(1)).alias("n_hits"))
+               .select(F.lit(name).alias("method"),
+                       F.col("n_hits").cast("long").alias("n_hits"),
+                       F.round(F.col("n_hits") / 10.0, 6)
+                       .alias("recall_at_10")))
+        out = row if out is None else out.unionByName(row)
+    return out
