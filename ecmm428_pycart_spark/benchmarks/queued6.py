@@ -504,3 +504,67 @@ def s24_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("recall_at_10")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual DCT hash (multimodal.image_phash) over REAL decoded PNG
+# pixels: the m16-dhash pattern upgraded to the frequency domain.
+# Spark genuinely decodes the synthesized PNG (unfilter + defilter
+# certification, as m16) and runs the integer DCT; the oracle
+# recomputes the same hash from the known sawtooth pattern with a
+# SEPARABLE two-stage integer DCT in SQL (inner sums over y, outer
+# over x — docs x 32 x 8 rows, never docs x 32^2 x 8^2), the
+# floor(cos*1e4+0.5) basis re-derived from DuckDB's own cos() (libm
+# parity pinned entry-by-entry in tests), and quantile_disc(0.5) as
+# the exact element-31 median of the 63 AC coefficients.
+# ---------------------------------------------------------------------------
+@q("m25_image_phash", """
+WITH p AS (
+  SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b FROM documents
+),
+ct AS (
+  SELECT t.t, u.u,
+         CAST(floor(cos(pi() * (2*t.t+1) * u.u / 64.0) * 10000 + 0.5)
+              AS BIGINT) AS w
+  FROM unnest(range(0, 32)) t(t), unnest(range(0, 8)) u(u)
+),
+inn AS (
+  SELECT p.doc_id, x.x, cy.u AS v,
+         sum(((a * x.x + b * y.y) % 256) * cy.w) AS s1
+  FROM p, unnest(range(0, 32)) x(x), unnest(range(0, 32)) y(y)
+  JOIN ct cy ON cy.t = y.y
+  GROUP BY 1, 2, 3
+),
+coef AS (
+  SELECT i.doc_id, cx.u AS u, i.v, CAST(sum(i.s1 * cx.w) AS BIGINT) AS c
+  FROM inn i JOIN ct cx ON cx.t = i.x
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, quantile_disc(c, 0.5) AS m
+  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+),
+bits AS (
+  SELECT coef.doc_id, u * 8 + v AS idx,
+         CASE WHEN c > m THEN 1 ELSE 0 END AS bit
+  FROM coef JOIN med USING (doc_id)
+  WHERE NOT (u = 0 AND v = 0)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN idx >= 32
+                     THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                     ELSE 0 END) AS BIGINT) AS hash_hi,
+       CAST(sum(CASE WHEN idx < 32
+                     THEN bit * (CAST(1 AS BIGINT) << idx)
+                     ELSE 0 END) AS BIGINT) AS hash_lo
+FROM bits GROUP BY doc_id
+""")
+def m25_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png_pattern_payload(F.col("doc_id")))
+    h = payload.withColumn("h", multimodal.image_phash(F.col("payload")))
+    return h.select("doc_id", F.col("h.hash_hi").alias("hash_hi"),
+                    F.col("h.hash_lo").alias("hash_lo"))

@@ -2524,3 +2524,70 @@ def wav_resample2_stats(payload: pd.Series) -> pd.DataFrame:
                      float(round(np.sum(np.abs(y)), 4))))
     return pd.DataFrame(rows, columns=["n_in", "n_out", "n_zero",
                                        "sum_abs"])
+
+
+# ---------------------------------------------------------------------------
+# Perceptual DCT hash (pHash) over real decoded PNG pixels — the
+# frequency-domain sibling of image_dhash: robust to uniform
+# brightness/contrast shifts (which move every low-frequency
+# coefficient together and cancel against the median threshold) where
+# dHash's spatial gradient is not. All arithmetic after the one-time
+# cosine-table quantization is EXACT int64 — the cross-engine contract
+# that lets a SQL oracle replay the hash bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PHASH_N = 32                     # analyzed crop (left 32 cols of 36)
+PHASH_K = 8                      # retained low-frequency block
+_PHASH_SCALE = 10000
+
+import math as _math
+
+# DCT-II basis, floor(cos*1e4 + 0.5)-quantized: 256 fixed integers the
+# oracle re-derives from DuckDB's cos() — libm-parity verified entry-
+# by-entry (tests/test_round6_ops.py pins all 256).
+_PHASH_CT = np.array(
+    [[int(_math.floor(_math.cos(_math.pi * (2 * t + 1) * u
+                                / (2.0 * PHASH_N)) * _PHASH_SCALE + 0.5))
+      for u in range(PHASH_K)] for t in range(PHASH_N)],
+    dtype=np.int64)
+
+
+@F.pandas_udf(_DHASH)
+def image_phash(payload: pd.Series) -> pd.DataFrame:
+    """63-bit perceptual hash of a DHASH_W x DHASH_H grayscale PNG:
+    decode, crop the left 32x32, 2D DCT-II via the integer-quantized
+    basis (coef = CT^T . px . CT, pure int64 matmuls — inner sums
+    bound by 255*1e4*32 ~ 8e7, outer by 2.6e13, no overflow), drop the
+    DC term, threshold the 63 AC coefficients against their exact
+    integer median (element 31 of the sorted 63). Bit idx u*8+v packs
+    into (hash_hi = bits 63..32, hash_lo = bits 31..1); bit 0 is the
+    dropped DC, so both halves stay positive signed BIGINTs."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None))
+            continue
+        px = decode_png_pixels(bytes(buf))
+        if px.ndim == 3:
+            px = px.sum(axis=2) // px.shape[2]
+        if px.shape[0] < PHASH_N or px.shape[1] < PHASH_N:
+            raise ValueError(f"phash needs >= {PHASH_N}x{PHASH_N}, "
+                             f"got {px.shape[1]}x{px.shape[0]}")
+        a = px[:PHASH_N, :PHASH_N].astype(np.int64)      # [y, x]
+        # coef[u, v] = sum_x sum_y px[y, x] CT[x, u] CT[y, v]
+        coef = _PHASH_CT.T @ a.T @ _PHASH_CT
+        ac = np.delete(coef.reshape(-1), 0)              # drop (0, 0)
+        med = int(np.sort(ac)[31])
+        hi = lo = 0
+        for u in range(PHASH_K):
+            for v in range(PHASH_K):
+                if (u, v) == (0, 0):
+                    continue
+                if int(coef[u, v]) > med:
+                    idx = u * 8 + v
+                    if idx >= 32:
+                        hi |= 1 << (idx - 32)
+                    else:
+                        lo |= 1 << idx
+        rows.append((hi, lo))
+    return pd.DataFrame(rows, columns=["hash_hi", "hash_lo"])

@@ -126,3 +126,48 @@ def test_edit_neardup_block_cap(spark):
     got = sorted((p.doc_a, p.doc_b) for p in pairs)
     assert got == [(0, 1), (0, 2), (1, 2)]
     assert all(p.dist == 0 for p in pairs)
+
+
+def test_phash_cos_table_libm_parity():
+    """Pin all 256 quantized DCT basis entries against DuckDB's cos()
+    — the cross-engine contract the m25 oracle rests on."""
+    import duckdb
+
+    from ecmm428_pycart_spark.datapipe.multimodal import _PHASH_CT
+    rows = duckdb.sql("""
+        SELECT t.t, u.u,
+               CAST(floor(cos(pi() * (2*t.t+1) * u.u / 64.0) * 10000
+                          + 0.5) AS BIGINT)
+        FROM unnest(range(0, 32)) t(t), unnest(range(0, 8)) u(u)
+    """).fetchall()
+    for t, u, w in rows:
+        assert int(_PHASH_CT[t, u]) == w, (t, u)
+
+
+def test_phash_brightness_shift_invariant(spark):
+    """A uniform brightness shift moves only the DC coefficient, which
+    pHash drops — the robustness dHash lacks. Built with the module's
+    own PNG writer so the REAL decode path runs."""
+    import zlib
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    def png(shift):
+        rows = [[((3 * x + 2 * y) % 150) + shift
+                 for x in range(mm.DHASH_W)] for y in range(mm.DHASH_H)]
+        import struct
+        ihdr = struct.pack(">IIBBBBB", mm.DHASH_W, mm.DHASH_H,
+                           8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT",
+                                zlib.compress(mm._filter_rows(rows)))
+                + mm._png_chunk(b"IEND", b""))
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(png(0))),
+         Row(doc_id=1, payload=bytearray(png(50)))])
+    h = (df.withColumn("h", mm.image_phash(F.col("payload")))
+         .select("doc_id", "h.hash_hi", "h.hash_lo")
+         .orderBy("doc_id").collect())
+    assert (h[0].hash_hi, h[0].hash_lo) == (h[1].hash_hi, h[1].hash_lo)
+    assert h[0].hash_hi > 0 or h[0].hash_lo > 0
