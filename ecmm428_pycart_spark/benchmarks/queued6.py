@@ -568,3 +568,66 @@ def m25_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = payload.withColumn("h", multimodal.image_phash(F.col("payload")))
     return h.select("doc_id", F.col("h.hash_hi").alias("hash_hi"),
                     F.col("h.hash_lo").alias("hash_lo"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic label propagation (graph.label_propagation): 16
+# interleaved seed communities (node % 16) on the queen-contiguity
+# customer grid, 3 synchronous most-frequent-neighbor rounds with
+# min-label tiebreak, reduced to community sizes. Unlike g17's golden,
+# the grid's closed-form edge set lets the oracle restate EVERY round
+# as SQL (count + argmax per node, unrolled 3x) — an iterative graph
+# algorithm with a first-principles oracle, no fingerprint dispatch.
+# ---------------------------------------------------------------------------
+_G19_ROUND = """
+c{i} AS (
+  SELECT u.a AS k, l.lab, count(*) AS c
+  FROM und u JOIN l{j} l ON l.k = u.b GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT k, lab FROM c{i}
+  QUALIFY row_number() OVER (PARTITION BY k
+                             ORDER BY c DESC, lab ASC) = 1
+),
+l{i} AS (
+  SELECT l.k, coalesce(b.lab, l.lab) AS lab
+  FROM l{j} l LEFT JOIN b{i} b USING (k)
+)"""
+
+
+@q("g19_label_propagation", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+l0 AS (SELECT k, k % 16 AS lab FROM g),
+{_G19_ROUND.format(i=1, j=0)},
+{_G19_ROUND.format(i=2, j=1)},
+{_G19_ROUND.format(i=3, j=2)}
+SELECT CAST(lab AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l3 GROUP BY 1
+""")
+def g19_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import label_propagation
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    seeds = grid.select(F.col("region_idx").alias("node"),
+                        (F.col("region_idx") % 16).alias("label"))
+    out = label_propagation(e, seeds, rounds=3)
+    return (out.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_nodes")))

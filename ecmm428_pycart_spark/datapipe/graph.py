@@ -202,3 +202,47 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                        F.round(2.0 * F.col("n_triangles")
                                / (d * (d - 1)), 6))
                 .otherwise(F.lit(0.0))))
+
+
+def label_propagation(edges: DataFrame, labels: DataFrame,
+                      rounds: int = 3, src: str = "src", dst: str = "dst",
+                      node_col: str = "node",
+                      label_col: str = "label") -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): each round
+    every node adopts the most frequent label among its neighbors,
+    ties broken by the smallest label — the deterministic variant of
+    Raghavan et al.'s LPA. Async/randomized LPA is order-dependent and
+    unreplayable; fixed sync rounds with a total tie order make the
+    result a pure function of (graph, seed labels, rounds), which is
+    what lets an oracle restate it round by round.
+
+    Edge convention as the module header: undirected graphs arrive
+    with both directions materialized, so the neighbor-label count is
+    one join + one groupBy on the destination's label. Nodes with no
+    edges keep their seed label (left-join + coalesce each round).
+
+    Execution shape: per round, one shuffle to join labels onto edges,
+    one (node, label) count aggregate, one row_number argmax — all
+    keyed on the node id — then ``localCheckpoint`` to pin plan depth
+    O(1) (the L3 driver-loop discipline). Rounds is a small constant;
+    nothing is ever quadratic in nodes or edges."""
+    from pyspark.sql.window import Window
+
+    und = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    cur = labels.select(F.col(node_col).alias("_k"),
+                        F.col(label_col).cast("long").alias("_lab"))
+    for _ in range(rounds):
+        counts = (und.join(cur.withColumnRenamed("_k", "_b"), "_b")
+                  .groupBy("_a", "_lab")
+                  .agg(F.count(F.lit(1)).alias("_c")))
+        w = (Window.partitionBy("_a")
+             .orderBy(F.col("_c").desc(), F.col("_lab").asc()))
+        nxt = (counts.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .select(F.col("_a").alias("_k"),
+                       F.col("_lab").alias("_new")))
+        cur = (cur.join(nxt, "_k", "left")
+               .select("_k", F.coalesce("_new", "_lab").alias("_lab"))
+               .localCheckpoint())
+    return cur.select(F.col("_k").alias(node_col),
+                      F.col("_lab").alias(label_col))

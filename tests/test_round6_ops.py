@@ -171,3 +171,43 @@ def test_phash_brightness_shift_invariant(spark):
          .orderBy("doc_id").collect())
     assert (h[0].hash_hi, h[0].hash_lo) == (h[1].hash_hi, h[1].hash_lo)
     assert h[0].hash_hi > 0 or h[0].hash_lo > 0
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Sync LPA on a small random graph vs a literal Python replay of
+    the rule (most frequent neighbor label, min-label ties, isolated
+    nodes keep their seed)."""
+    import random
+    from collections import Counter
+
+    from ecmm428_pycart_spark.datapipe.graph import label_propagation
+
+    rng = random.Random(7)
+    n = 30
+    pairs = {(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.12}
+    und = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = list(range(n + 2))          # two isolated nodes: n, n+1
+    seeds = {k: k % 4 for k in nodes}
+
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(k, seeds[k]) for k in nodes], ["node", "label"])
+    got = {r.node: r.label
+           for r in label_propagation(edges, labels, rounds=3).collect()}
+
+    nbrs = {k: [] for k in nodes}
+    for a, b in und:
+        nbrs[a].append(b)
+    cur = dict(seeds)
+    for _ in range(3):
+        nxt = {}
+        for k in nodes:
+            if not nbrs[k]:
+                nxt[k] = cur[k]
+                continue
+            cnt = Counter(cur[b] for b in nbrs[k])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[k] = best[0]
+        cur = nxt
+    assert got == cur
