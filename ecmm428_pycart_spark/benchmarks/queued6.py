@@ -631,3 +631,170 @@ def g19_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = label_propagation(e, seeds, rounds=3)
     return (out.groupBy(F.col("label").cast("long").alias("label"))
             .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch vs batch truth (the lambda-architecture check):
+# daily distinct users per event type via approx_count_distinct
+# (HLL++, rsd=0.02) computed UNDER Structured Streaming state —
+# micro-batches merge register-wise, which is order-insensitive, so
+# the streamed estimate is deterministic — then validated against the
+# exact batch count in the same query. Exact COUNT(DISTINCT) is
+# unsupported on streams (unbounded state per group); the sketch is
+# the production answer, and this query gate-checks its error bound
+# (max(5%, 1) — 2.5x the configured rsd) every round. st01's bounded
+# replay harness: complete-mode memory sink, availableNow drain,
+# partition-pinned run.
+# ---------------------------------------------------------------------------
+@q("st16_stream_approx_distinct", """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY 1, 2
+""")
+def st16_stream_approx_distinct(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = _scratch("st16_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    name = f"st16_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream.groupBy(F.col("ts").cast("date").alias("event_date"),
+                       "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("est"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
+    est = spark.table(name)
+    exact = (_t(spark, sf_dir, "events")
+             .groupBy(F.col("ts").cast("date").alias("event_date"),
+                      "event_type")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return (exact.join(est, ["event_date", "event_type"])
+            .select("event_date", "event_type",
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    (F.abs(F.col("est").cast("double")
+                           - F.col("n_exact").cast("double"))
+                     <= F.greatest(F.lit(0.05)
+                                   * F.col("n_exact").cast("double"),
+                                   F.lit(1.0))).alias("within_bound")))
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS layers (graph.bfs_layers): real level-synchronous
+# frontier expansion from the minimum customer key over the queen
+# grid, 6 rounds. The oracle never runs a traversal: king-move
+# shortest-path distance on the (single-missing-corner) contiguous-id
+# grid IS Chebyshev distance max(|dx|, |dy|) — full interior rows plus
+# a left-aligned partial last row always admit a monotone diagonal
+# path — so the layer sizes come straight from the coordinate algebra.
+# An algorithmic BFS gate-checked against closed-form geometry.
+# ---------------------------------------------------------------------------
+@q("g20_bfs_layers", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+s AS (
+  SELECT gx AS sx, gy AS sy FROM g
+  WHERE k = (SELECT min(c_custkey) FROM customer)
+)
+SELECT CAST(greatest(abs(gx - sx), abs(gy - sy)) AS BIGINT) AS distance,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM g, s
+WHERE greatest(abs(gx - sx), abs(gy - sy)) <= 6
+GROUP BY 1
+""")
+def g20_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import bfs_layers
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    src = (grid.agg(F.min("region_idx").alias("node")))
+    layers = bfs_layers(e, src, max_depth=6)
+    return (layers.groupBy(F.col("distance").cast("long")
+                           .alias("distance"))
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-sweep recall curve: the s24 harness specialized
+# to the truncated-prefix tier at dims 4/8/16/32 — the measurement
+# behind choosing an MRL serving dimension (recall@10 vs prefix
+# length, shortlist fixed at 100). One scan per dim at gate scale;
+# in production the prefixes share the same stored vector, so the
+# sweep is one pass with four slice projections.
+# ---------------------------------------------------------------------------
+_S25_DIMS = (4, 8, 16, 32)
+
+
+def _s25_sql():
+    tiers = []
+    for d in _S25_DIMS:
+        tiers.append(f"""
+co{d} AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding[1:{d}]::DOUBLE[],
+                                      q[1:{d}]::DOUBLE[]), 6) AS c
+  FROM embeddings, qv
+),
+sh{d} AS (SELECT vec_id FROM co{d} ORDER BY c DESC, vec_id ASC LIMIT 100),
+t{d} AS (
+  SELECT vec_id FROM sh{d} JOIN scored USING (vec_id)
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+)""")
+        rows = "\nUNION ALL\n".join(
+            f"SELECT {d} AS coarse_dims, CAST(count(*) AS BIGINT) AS n_hits,"
+            f" round(count(*) / 10.0, 6) AS recall_at_10 "
+            f"FROM t{d} JOIN ex USING (vec_id)" for d in _S25_DIMS)
+    return f"""
+WITH qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      q::DOUBLE[]), 6) AS cos
+  FROM embeddings, qv
+),
+ex AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10),
+{','.join(tiers)}
+{rows}
+"""
+
+
+@q("s25_matryoshka_recall", _s25_sql())
+def s25_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    exact = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+    out = None
+    for d in _S25_DIMS:
+        ids = similarity.truncated_rerank_topk(
+            emb, qv, k=10, coarse_dims=d, shortlist=100).select("vec_id")
+        row = (ids.join(exact, "vec_id")
+               .agg(F.count(F.lit(1)).alias("n_hits"))
+               .select(F.lit(d).alias("coarse_dims"),
+                       F.col("n_hits").cast("long").alias("n_hits"),
+                       F.round(F.col("n_hits") / 10.0, 6)
+                       .alias("recall_at_10")))
+        out = row if out is None else out.unionByName(row)
+    return out

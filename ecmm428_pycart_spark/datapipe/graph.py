@@ -246,3 +246,35 @@ def label_propagation(edges: DataFrame, labels: DataFrame,
                .localCheckpoint())
     return cur.select(F.col("_k").alias(node_col),
                       F.col("_lab").alias(label_col))
+
+
+def bfs_layers(edges: DataFrame, sources: DataFrame, max_depth: int = 6,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node") -> DataFrame:
+    """Multi-source breadth-first search to a bounded depth: returns
+    (node, distance) for every node within ``max_depth`` hops of any
+    source — the frontier-expansion primitive under k-hop neighborhood
+    queries, blast-radius analysis, and bounded shortest paths.
+
+    Level-synchronous: round d joins the frontier onto the edge list,
+    distinct-s the successors, anti-joins the visited set, stamps
+    distance d. Every shuffle keys on the node id; the visited set
+    grows monotonically and is localCheckpoint-ed per round (L3
+    driver-loop discipline, plan depth O(1)). Depth is a small
+    constant — the 100 TB story is d bounded scans of the edge list,
+    never Bellman-Ford's |V| rounds."""
+    frontier = (sources.select(F.col(node_col).alias("_k")).distinct()
+                .withColumn("_d", F.lit(0)))
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(
+                   edges.select(F.col(src).alias("_k"),
+                                F.col(dst).alias("_n")), "_k")
+               .select(F.col("_n").alias("_k")).distinct()
+               .join(visited.select("_k"), "_k", "left_anti")
+               .withColumn("_d", F.lit(d)))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(F.col("_k").alias(node_col),
+                          F.col("_d").alias("distance"))

@@ -211,3 +211,39 @@ def test_label_propagation_matches_python_replay(spark):
             nxt[k] = best[0]
         cur = nxt
     assert got == cur
+
+
+def test_bfs_layers_matches_python_replay(spark):
+    """Bounded multi-source BFS on a random sparse digraph vs a
+    literal Python frontier replay (nodes beyond max_depth absent)."""
+    import random
+    from collections import deque
+
+    from ecmm428_pycart_spark.datapipe.graph import bfs_layers
+
+    rng = random.Random(11)
+    n = 40
+    edges = [(a, b) for a in range(n) for b in range(n)
+             if a != b and rng.random() < 0.05]
+    sources = [0, 17]
+    depth = 3
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(k,) for k in sources], ["node"])
+    got = {r.node: r.distance
+           for r in bfs_layers(e, s, max_depth=depth).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {k: 0 for k in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        if dist[u] == depth:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert got == dist
