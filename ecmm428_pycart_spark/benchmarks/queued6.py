@@ -798,3 +798,144 @@ def s25_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("recall_at_10")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide sentence-level dedup retention (the RefinedWeb /
+# CCNet line-dedup stage): explode sentences ('. ' boundaries, >= 20
+# chars), count each sentence corpus-wide, call > 2 occurrences
+# boilerplate, report per-source how many sentence instances and how
+# many characters survive removal. The sentence-key shuffle IS the
+# algorithm (bounded by distinct-sentence cardinality); everything
+# else is map-side. Pure integer outputs.
+# ---------------------------------------------------------------------------
+@q("d54_sentence_dedup", """
+WITH sent AS (
+  SELECT source, trim(s) AS s
+  FROM (SELECT source, unnest(string_split(text, '. ')) AS s
+        FROM documents)
+  WHERE length(trim(s)) >= 20
+),
+cnt AS (SELECT s, count(*) AS n FROM sent GROUP BY s)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_sentences,
+       CAST(sum(length(s)) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN n <= 2 THEN length(s) ELSE 0 END) AS BIGINT)
+         AS chars_retained
+FROM sent JOIN cnt USING (s)
+GROUP BY source
+""")
+def d54_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sent = (docs.select("source",
+                        F.explode(F.split("text", "\\. ")).alias("_raw"))
+            .select("source", F.trim("_raw").alias("s"))
+            .filter(F.length("s") >= 20))
+    cnt = sent.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    j = sent.join(cnt, "s")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_sentences"),
+                 F.sum((F.col("n") > 2).cast("long"))
+                 .alias("n_dup_sentences"),
+                 F.sum(F.length("s")).alias("chars_total"),
+                 F.sum(F.when(F.col("n") <= 2, F.length("s"))
+                       .otherwise(F.lit(0))).alias("chars_retained")))
+
+
+# ---------------------------------------------------------------------------
+# Code-likeness routing filter (the CodeParrot-style code-vs-prose
+# gate): density of {};= characters per char routes documents to the
+# code or prose pipeline. All counts are length-difference
+# expressions (no regex engine in the hot path); the ratio is a
+# small-denominator rational (n_chars <= ~600 lacks the 2^7*5^6
+# factor a round-6 half boundary needs), so round(.,6) is provably
+# boundary-free. Map-side until the per-source reduce.
+# ---------------------------------------------------------------------------
+@q("d55_code_filter", """
+WITH m AS (
+  SELECT source,
+         length(text) AS n_chars,
+         (length(text) - length(replace(text, '{', '')))
+         + (length(text) - length(replace(text, '}', '')))
+         + (length(text) - length(replace(text, ';', '')))
+         + (length(text) - length(replace(text, '=', ''))) AS n_code
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_code * 100 >= n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_code_like,
+       round(min(n_code::DOUBLE / n_chars), 6) AS min_ratio,
+       round(max(n_code::DOUBLE / n_chars), 6) AS max_ratio
+FROM m GROUP BY source
+""")
+def d55_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def cnt(ch):
+        return F.length("text") - F.length(F.replace(
+            F.col("text"), F.lit(ch), F.lit("")))
+
+    n_code = cnt("{") + cnt("}") + cnt(";") + cnt("=")
+    m = docs.select("source", F.length("text").alias("n_chars"),
+                    n_code.alias("n_code"))
+    # integer threshold (n_code/n_chars >= 1%) — no float in the gate
+    return (m.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_code") * 100 >= F.col("n_chars"))
+                       .cast("long")).alias("n_code_like"),
+                 F.round(F.min(F.col("n_code").cast("double")
+                               / F.col("n_chars")), 6).alias("min_ratio"),
+                 F.round(F.max(F.col("n_code").cast("double")
+                               / F.col("n_chars")), 6)
+                 .alias("max_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Dataset normalization constants (multimodal.png_channel_sums): the
+# ImageNet-mean computation — per-channel pixel sums over REAL decoded
+# RGB PNGs, merged corpus-wide as exact integer partials, mean
+# reported as floor-divided parts-per-million (no float anywhere, so
+# the constants are identical at any partitioning). Oracle replays
+# the synthetic channel pattern per doc and the same integer reduce.
+# ---------------------------------------------------------------------------
+@q("m26_channel_norm_stats", """
+WITH p AS (
+  SELECT doc_id, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b FROM documents
+),
+px AS (
+  SELECT p.doc_id, c.c,
+         sum((a * x.x + b * y.y + 37 * c.c) % 256) AS s
+  FROM p, unnest(range(0, 16)) x(x), unnest(range(0, 12)) y(y),
+       unnest(range(0, 3)) c(c)
+  GROUP BY 1, 2
+)
+SELECT CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+       CAST(sum(s) AS BIGINT) AS total,
+       CAST(count(*) * 192 AS BIGINT) AS n_pix,
+       CAST(sum(s) * 1000000 // (count(*) * 192) AS BIGINT) AS mean_ppm
+FROM px GROUP BY c
+""")
+def m26_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_png_rgb_payload(F.col("doc_id")))
+    sums = payload.withColumn(
+        "s", multimodal.png_channel_sums(F.col("payload")))
+    agg = sums.agg(
+        F.sum("s.sum_r").alias("r"), F.sum("s.sum_g").alias("g"),
+        F.sum("s.sum_b").alias("b"), F.sum("s.n_pix").alias("n"))
+    rows = F.array(*[
+        F.struct(F.lit(ch).alias("channel"),
+                 F.col(ch).cast("long").alias("total"))
+        for ch in ("r", "g", "b")])
+    return (agg.select(F.explode(rows).alias("_x"), F.col("n"))
+            .select(F.col("_x.channel").alias("channel"),
+                    F.col("_x.total").alias("total"),
+                    F.col("n").cast("long").alias("n_pix"),
+                    F.expr("_x.total * 1000000 div n").cast("long")
+                    .alias("mean_ppm")))

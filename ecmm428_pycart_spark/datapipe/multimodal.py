@@ -2591,3 +2591,59 @@ def image_phash(payload: pd.Series) -> pd.DataFrame:
                         lo |= 1 << idx
         rows.append((hi, lo))
     return pd.DataFrame(rows, columns=["hash_hi", "hash_lo"])
+
+
+# ---------------------------------------------------------------------------
+# Dataset normalization constants (the ImageNet-mean/std computation):
+# per-channel pixel sums over REAL decoded RGB PNGs, reduced corpus-
+# wide. Everything is exact integer arithmetic until the final
+# floor-divided parts-per-million mean, so the corpus constants are
+# layout-deterministic at any partitioning.
+# ---------------------------------------------------------------------------
+
+RGB_W, RGB_H = 16, 12
+
+_CHAN = T.StructType([
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("n_pix", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_png_rgb_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic RGB_W x RGB_H color PNG per doc: channel c of
+    pixel (x, y) = (a*x + b*y + 37*c) % 256 with a = id%7+1,
+    b = id%5+1 — the color sibling of synth_png_pattern_payload, with
+    a per-channel offset so the three channel sums differ and the
+    oracle can tell them apart."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        arr = np.zeros((RGB_H, RGB_W, 3), dtype=np.uint8)
+        for y in range(RGB_H):
+            for x in range(RGB_W):
+                for c in range(3):
+                    arr[y, x, c] = (a * x + b * y + 37 * c) % 256
+        return png_bytes_rgb(arr)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_CHAN)
+def png_channel_sums(payload: pd.Series) -> pd.DataFrame:
+    """Per-channel integer pixel sums of a decoded RGB PNG — the
+    mergeable partial behind corpus normalization constants (sums and
+    counts re-aggregate exactly; means never do)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        px = decode_png_pixels(bytes(buf))
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("png_channel_sums expects an RGB image")
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        rows.append((int(s[0]), int(s[1]), int(s[2]),
+                     int(px.shape[0] * px.shape[1])))
+    return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
+                                       "n_pix"])

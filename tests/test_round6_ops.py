@@ -247,3 +247,53 @@ def test_bfs_layers_matches_python_replay(spark):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert got == dist
+
+
+def test_png_channel_sums_roundtrip(spark):
+    """Encode a known RGB array with the module's writer, decode via
+    the real PNG path, and check exact integer channel sums."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(mm.png_bytes_rgb(arr)))])
+    r = (df.withColumn("s", mm.png_channel_sums(F.col("payload")))
+         .select("s.*").head())
+    want = arr.astype(np.int64).sum(axis=(0, 1))
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(x) for x in want)
+    assert r.n_pix == 12 * 16
+
+
+def test_sentence_dedup_replay(spark):
+    """d54's rule on constructed docs: a sentence repeated in 3 docs
+    is boilerplate (count > 2); one repeated twice is retained."""
+    boiler = "this exact sentence appears in many documents"
+    twice = "this one appears exactly two times in total"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, source="a",
+            text=f"{boiler}. {twice}. unique sentence number zero ok"),
+        Row(doc_id=1, source="a",
+            text=f"{boiler}. {twice}. unique sentence number one ok"),
+        Row(doc_id=2, source="b",
+            text=f"{boiler}. unique sentence number two is here ok"),
+    ])
+    from ecmm428_pycart_spark.benchmarks.queued6 import d54_sentence_dedup
+    import tempfile, os
+    # reuse the query body by emulating _t: write a tiny parquet dir
+    d = tempfile.mkdtemp(prefix="d54_test_")
+    docs.withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.length("text")) \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in d54_sentence_dedup(spark, d).collect()}
+    # source a: 3 sentences/doc x 2 docs = 6; boiler appears 3x total
+    assert out["a"].n_sentences == 6
+    assert out["a"].n_dup_sentences == 2          # boiler instances in a
+    assert out["b"].n_sentences == 2
+    assert out["b"].n_dup_sentences == 1
+    assert out["a"].chars_retained == (
+        out["a"].chars_total - 2 * len(boiler))
+    import shutil
+    shutil.rmtree(d)
