@@ -939,3 +939,118 @@ def m26_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n_pix"),
                     F.expr("_x.total * 1000000 div n").cast("long")
                     .alias("mean_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Silence trim over REAL decoded PCM (multimodal.wav_trim_silence):
+# the VAD-lite cut before audio featurize. The tone-burst fixture
+# (m20's synth: square wave of length half = id%250+50, then half
+# zeros) gives exact closed forms: lead 0, tail half, retained half.
+# ---------------------------------------------------------------------------
+@q("m27_wav_silence_trim", """
+SELECT doc_id,
+       CAST(2 * (doc_id % 250 + 50) AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS lead_trim,
+       CAST(doc_id % 250 + 50 AS BIGINT) AS tail_trim,
+       CAST(doc_id % 250 + 50 AS BIGINT) AS trimmed_n
+FROM documents
+""")
+def m27_wav_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_burst_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.wav_trim_silence(F.col("payload")))
+    return st.select("doc_id", "s.n_samples", "s.lead_trim",
+                     "s.tail_trim", "s.trimmed_n")
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep: the s25 pattern for the IVF tier — recall@10
+# against exact cosine at nprobe 1/2/4 (of the |labels| coarse lists),
+# the tuning curve behind every IVF deployment ("how many lists must I
+# probe for target recall"). Probe semantics restate s04/s13's: rounded
+# squared-L2 to the label centroids, label tiebreak, candidates =
+# probed lists' members only.
+# ---------------------------------------------------------------------------
+_S26_PROBES = (1, 2, 4)
+
+
+def _s26_sql():
+    tiers = []
+    for np_ in _S26_PROBES:
+        tiers.append(f"""
+ql{np_} AS (
+  SELECT cand_label FROM qd ORDER BY d2 ASC, cand_label ASC LIMIT {np_}
+),
+t{np_} AS (
+  SELECT vec_id FROM scored
+  WHERE label IN (SELECT cand_label FROM ql{np_})
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {np_} AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,"
+        f" round(count(*) / 10.0, 6) AS recall_at_10 "
+        f"FROM t{np_} JOIN ex USING (vec_id)" for np_ in _S26_PROBES)
+    return f"""
+WITH cent AS (
+  SELECT label AS cand_label, pos, avg(val) AS avg_val
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+qd AS (
+  SELECT c.cand_label,
+         round(sum((v.val - c.avg_val) * (v.val - c.avg_val)), 9) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings WHERE vec_id = 0) v
+  JOIN cent c ON c.pos = v.pos
+  GROUP BY c.cand_label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qv.q::DOUBLE[]), 6) AS cos
+  FROM embeddings e, qv
+),
+ex AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10),
+{','.join(tiers)}
+{rows}
+"""
+
+
+@q("s26_ivf_nprobe_recall", _s26_sql())
+def s26_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    exact = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+    cents = similarity.label_centroids(emb)
+    d2 = F.aggregate(
+        F.zip_with("centroid", "_q",
+                   lambda c, q: (c - q.cast("double"))
+                   * (c - q.cast("double"))),
+        F.lit(0.0), lambda a, v: a + v)
+    qdist = (cents.crossJoin(F.broadcast(
+                qv.select(F.col("q").alias("_q"))))
+             .select("label", F.round(d2, 9).alias("_d2")))
+    out = None
+    for np_ in _S26_PROBES:
+        probed = (qdist.orderBy(F.col("_d2").asc(), F.col("label").asc())
+                  .limit(np_).select("label"))
+        cand = emb.join(F.broadcast(probed), "label")
+        ids = similarity.cosine_topk(cand, qv, k=10).select("vec_id")
+        row = (ids.join(exact, "vec_id")
+               .agg(F.count(F.lit(1)).alias("n_hits"))
+               .select(F.lit(np_).alias("nprobe"),
+                       F.col("n_hits").cast("long").alias("n_hits"),
+                       F.round(F.col("n_hits") / 10.0, 6)
+                       .alias("recall_at_10")))
+        out = row if out is None else out.unionByName(row)
+    return out

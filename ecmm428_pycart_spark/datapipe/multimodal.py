@@ -2647,3 +2647,35 @@ def png_channel_sums(payload: pd.Series) -> pd.DataFrame:
                      int(px.shape[0] * px.shape[1])))
     return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
                                        "n_pix"])
+
+
+_TRIM = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("lead_trim", T.LongType()),
+    T.StructField("tail_trim", T.LongType()),
+    T.StructField("trimmed_n", T.LongType()),
+])
+
+
+@F.pandas_udf(_TRIM)
+def wav_trim_silence(payload: pd.Series) -> pd.DataFrame:
+    """Leading/trailing silence trim over REAL decoded PCM (first
+    channel): silence = |sample| <= 0 (exact-zero threshold — PCM
+    silence is literal zeros; pass pre-gained audio for a dB gate).
+    The standard VAD-lite preprocessing cut before audio featurize;
+    per-payload work inside one Arrow batch, zero shuffle."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.int64)
+        n = int(s.shape[0])
+        nz = np.nonzero(s)[0]
+        if nz.size == 0:
+            rows.append((n, n, 0, 0))
+            continue
+        lead, last = int(nz[0]), int(nz[-1])
+        rows.append((n, lead, n - last - 1, last - lead + 1))
+    return pd.DataFrame(rows, columns=["n_samples", "lead_trim",
+                                       "tail_trim", "trimmed_n"])

@@ -84,6 +84,7 @@ def test_queued6_plan_guards(spark):
         "s23_binary_hamming_topk",  # 1-row query-vector broadcast
         "s24_ann_recall_eval",  # 1-row query-vector broadcasts (4 tiers)
         "s25_matryoshka_recall",  # 1-row query-vector broadcasts (4 dims)
+        "s26_ivf_nprobe_recall",  # 1-row query-vector broadcasts (3 probes)
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):

@@ -297,3 +297,23 @@ def test_sentence_dedup_replay(spark):
         out["a"].chars_total - 2 * len(boiler))
     import shutil
     shutil.rmtree(d)
+
+
+def test_wav_trim_silence_leading_and_trailing(spark):
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    samples = [0] * 7 + [300, -300, 299, -1] + [0] * 5
+    wav = mm.wav_bytes_pcm(1, 8000, samples, 16)
+    silent = mm.wav_bytes_pcm(1, 8000, [0] * 10, 16)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(wav)),
+         Row(doc_id=1, payload=bytearray(silent))])
+    out = {r.doc_id: r for r in
+           (df.withColumn("s", mm.wav_trim_silence(F.col("payload")))
+            .select("doc_id", "s.*").collect())}
+    r = out[0]
+    assert (r.n_samples, r.lead_trim, r.tail_trim, r.trimmed_n) \
+        == (16, 7, 5, 4)
+    s = out[1]
+    assert (s.n_samples, s.lead_trim, s.tail_trim, s.trimmed_n) \
+        == (10, 10, 0, 0)
