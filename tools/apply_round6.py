@@ -59,14 +59,18 @@ def main():
     def fmt(names):
         return "".join(f'    "{n}",\n' for n in names)
 
-    m = re.search(r"DRIVER_WINDOW = \[.*?\n\]\n", reg, re.S)
+    m = re.search(r"^DRIVER_WINDOW = \[.*?\n\]\n", reg, re.S | re.M)
     reg = reg.replace(
         m.group(0),
         "DRIVER_WINDOW = [\n"
         "    # ROUND-6 ROTATION: the round-5 deferred backlog + two\n"
         "    # sentinels (q01 relational core, g04 dorling parity)\n"
         + fmt(new_window) + "]\n")
-    m = re.search(r"DEFERRED_TO_NEXT_ROUND = \[.*?\n\]\n", reg, re.S)
+    # ^-anchored: the recipe comment above the list quotes the literal
+    # "DEFERRED_TO_NEXT_ROUND = [" and an unanchored match clobbers
+    # from inside that comment through the real list (found when
+    # validating register_queued6 on the live tree)
+    m = re.search(r"^DEFERRED_TO_NEXT_ROUND = \[.*?\n\]\n", reg, re.S | re.M)
     reg = reg.replace(
         m.group(0),
         "DEFERRED_TO_NEXT_ROUND = [\n"
