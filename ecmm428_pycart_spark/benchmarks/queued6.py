@@ -734,6 +734,70 @@ def g20_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Link prediction (graph.link_prediction_scores): common-neighbor
+# candidate scoring over the queen grid — every NON-adjacent pair
+# sharing >= 1 common neighbor, top-20 by (cn DESC, a, b) with the
+# neighborhood Jaccard as floor-divided ppm, so the whole row is
+# integer (no float crosses engines). The oracle replays the wedge
+# join + anti-join on the closed-form grid adjacency (g19/g20's
+# coordinate algebra); on the interior, straight distance-2 pairs
+# score cn=3, knight pairs 2, diagonal-2 pairs 1 — the top-20 under
+# the integer tiebreak is the lowest-id straight pairs, so a wedge
+# or anti-join regression reshuffles the page and reddens the hash.
+# ---------------------------------------------------------------------------
+@q("g21_link_prediction", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
+cn AS (
+  SELECT w1.b AS a, w2.b AS b, count(*) AS cn
+  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w1.b AND e.b = w2.b)
+  GROUP BY 1, 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(cn AS BIGINT) AS cn,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       CAST(cn * 1000000 // (da.d + db.d - cn) AS BIGINT) AS jaccard_ppm
+FROM cn JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+ORDER BY cn DESC, a ASC, b ASC LIMIT 20
+""")
+def g21_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import link_prediction_scores
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    scores = link_prediction_scores(e)
+    return (scores.select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.col("cn").cast("long").alias("cn"),
+                F.col("deg_a").cast("long").alias("deg_a"),
+                F.col("deg_b").cast("long").alias("deg_b"),
+                F.expr("cn * 1000000 div (deg_a + deg_b - cn)")
+                .cast("long").alias("jaccard_ppm"))
+            .orderBy(F.col("cn").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka dimension-sweep recall curve: the s24 harness specialized
 # to the truncated-prefix tier at dims 4/8/16/32 — the measurement
 # behind choosing an MRL serving dimension (recall@10 vs prefix
@@ -939,6 +1003,59 @@ def m26_channel_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n_pix"),
                     F.expr("_x.total * 1000000 div n").cast("long")
                     .alias("mean_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP decode (multimodal.decode_bmp_pixels): 24-bit uncompressed
+# DIBs — per-source channel sums + the top-left-green orientation
+# sentinel over 17x11 fixtures that alternate bottom-up and top-down
+# (negative-height) storage with 4-byte row padding (odd width). The
+# oracle replays the m26 channel algebra per doc (the sums are
+# orientation-invariant) and pins tl_g = 37 for EVERY doc — a stride,
+# BGR, or row-order bug shifts either the sums or the sentinel.
+# ---------------------------------------------------------------------------
+@q("m28_bmp_pixel_stats", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b
+  FROM documents
+),
+px AS (
+  SELECT p.doc_id, p.source,
+         sum(CASE WHEN c.c = 0
+                  THEN (a * x.x + b * y.y) % 256 ELSE 0 END) AS sr,
+         sum(CASE WHEN c.c = 1
+                  THEN (a * x.x + b * y.y + 37) % 256 ELSE 0 END) AS sg,
+         sum(CASE WHEN c.c = 2
+                  THEN (a * x.x + b * y.y + 74) % 256 ELSE 0 END) AS sb
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y),
+       unnest(range(0, 3)) c(c)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sr) AS BIGINT) AS total_r,
+       CAST(sum(sg) AS BIGINT) AS total_g,
+       CAST(sum(sb) AS BIGINT) AS total_b,
+       CAST(count(*) * 187 AS BIGINT) AS n_pix,
+       CAST(count(*) AS BIGINT) AS n_tl_correct
+FROM px GROUP BY source
+""")
+def m28_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_bmp_rgb_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.bmp_pixel_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.sum_r").cast("long").alias("total_r"),
+                 F.sum("s.sum_g").cast("long").alias("total_g"),
+                 F.sum("s.sum_b").cast("long").alias("total_b"),
+                 F.sum("s.n_pix").cast("long").alias("n_pix"),
+                 F.sum((F.col("s.tl_g") == 37).cast("long"))
+                 .alias("n_tl_correct")))
 
 
 # ---------------------------------------------------------------------------

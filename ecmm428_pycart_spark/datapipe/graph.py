@@ -278,3 +278,54 @@ def bfs_layers(edges: DataFrame, sources: DataFrame, max_depth: int = 6,
         frontier = nxt
     return visited.select(F.col("_k").alias(node_col),
                           F.col("_d").alias("distance"))
+
+
+def link_prediction_scores(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           max_degree: int | None = None) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    for every NON-adjacent pair (a < b) sharing at least one common
+    neighbor, return the common-neighbor count and both degrees —
+    the candidate-edge scoring pass under "who should be connected"
+    (friend suggestion, missing-citation, knowledge-graph completion).
+
+    All-integer outputs keep the op float-free: callers derive the
+    neighborhood-Jaccard ``cn / (deg_a + deg_b - cn)`` themselves (as a
+    floor-divided ppm if it must cross engines). Edge convention as the
+    module header: undirected, both directions materialized.
+
+    Execution shape: one degree aggregate, then the wedge join —
+    ``edges ⋈ edges`` on the shared neighbor — grouped on the (a, b)
+    pair, then an anti-join against the edge list to drop pairs that
+    are already connected. The wedge join materializes Σ deg(n)² rows,
+    the classic hub blowup; ``max_degree`` caps it by dropping
+    wedges through nodes above the cap BEFORE the join (the LSH
+    MAX_BUCKET_SIZE discipline — for power-law graphs at 100 TB this
+    bounds the shuffle at |E|·max_degree while only silencing
+    celebrity-hub candidates, which rank poorly under Jaccard anyway).
+    Every shuffle keys on a node id or the (a, b) pair; nothing is
+    quadratic in |V|."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    wedge_src = e
+    if max_degree is not None:
+        ok = deg.filter(F.col("_deg") <= max_degree).select("_s")
+        wedge_src = e.join(ok, "_s")  # wedges THROUGH capped hubs only
+    cn = (wedge_src.select(F.col("_s").alias("_n"), F.col("_t").alias("_a"))
+          .join(wedge_src.select(F.col("_s").alias("_n"),
+                                 F.col("_t").alias("_b")), "_n")
+          .filter(F.col("_a") < F.col("_b"))
+          .groupBy("_a", "_b")
+          .agg(F.count(F.lit(1)).alias("_cn"))
+          .join(e.select(F.col("_s").alias("_a"),
+                         F.col("_t").alias("_b")),
+                ["_a", "_b"], "left_anti"))
+    return (cn
+            .join(deg.select(F.col("_s").alias("_a"),
+                             F.col("_deg").alias("_deg_a")), "_a")
+            .join(deg.select(F.col("_s").alias("_b"),
+                             F.col("_deg").alias("_deg_b")), "_b")
+            .select(F.col("_a").alias("a"), F.col("_b").alias("b"),
+                    F.col("_cn").alias("cn"),
+                    F.col("_deg_a").alias("deg_a"),
+                    F.col("_deg_b").alias("deg_b")))

@@ -2679,3 +2679,105 @@ def wav_trim_silence(payload: pd.Series) -> pd.DataFrame:
         rows.append((n, lead, n - last - 1, last - lead + 1))
     return pd.DataFrame(rows, columns=["n_samples", "lead_trim",
                                        "tail_trim", "trimmed_n"])
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP codec (round 5 continuation): Windows DIB, 24-bit
+# uncompressed — the header-only cousins (PNG/JPEG/GIF) all carry
+# entropy coding; BMP's trap is LAYOUT instead: BGR byte order,
+# 4-byte-aligned row stride, and bottom-up row storage (positive
+# biHeight) vs top-down (negative). decode_bmp_pixels handles all
+# three and always returns a logical top-down RGB array, so a stride
+# or orientation bug shifts every pixel the oracle's closed forms pin.
+# ---------------------------------------------------------------------------
+
+BMP_W, BMP_H = 17, 11      # odd width: 51-byte rows pad to 52
+
+
+def bmp_bytes_rgb(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR pixel order, rows
+    padded to 4-byte multiples, stored bottom-up unless ``top_down``
+    (negative biHeight, the DIB spec's top-first variant)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = arr[:, :, ::-1]                      # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]                       # bottom-up storage
+    pad = b"\x00" * (stride - w * 3)
+    data = b"".join(r.tobytes() + pad for r in rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, 24, 0, len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data),
+                           0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
+def decode_bmp_pixels(b: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (H, W, 3) uint8 RGB
+    array in logical top-down order. Walks the real headers (pixel
+    offset from BITMAPFILEHEADER, signed height from
+    BITMAPINFOHEADER), strips the 4-byte row padding, reverses
+    bottom-up storage, and swaps BGR->RGB. Palette, RLE, and 16/32-bit
+    variants raise NotImplementedError (same honesty contract as the
+    other codecs)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", b[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed DIBs supported "
+            f"(header={hdr_size}, bpp={bpp}, compression={compression})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = (np.frombuffer(b, np.uint8, count=h * stride, offset=data_off)
+          .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()                # BGR -> RGB
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_bmp_rgb_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic BMP_W x BMP_H color BMP per doc — the m26 channel
+    pattern ((a*x + b*y + 37*c) % 256, a = id%7+1, b = id%5+1) so the
+    oracle shares its algebra; ODD doc_ids encode top-down (negative
+    height) and even bottom-up, exercising both orientation paths
+    against the same logical image."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        y, x, c = np.ogrid[:BMP_H, :BMP_W, :3]
+        arr = ((a * x + b * y + 37 * c) % 256).astype(np.uint8)
+        return bmp_bytes_rgb(arr, top_down=bool(i % 2))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_BMP_STATS = T.StructType([
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("n_pix", T.LongType()),
+    T.StructField("tl_g", T.LongType()),
+])
+
+
+@F.pandas_udf(_BMP_STATS)
+def bmp_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """Channel sums + pixel count + the TOP-LEFT green value over a
+    decoded BMP. The sums are orientation-invariant (they'd survive a
+    row-flip bug), so tl_g is the orientation sentinel: logical (0,0)
+    only lands on the right stored row when bottom-up reversal and
+    top-down passthrough are both correct."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None))
+            continue
+        px = decode_bmp_pixels(bytes(buf))
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        rows.append((int(s[0]), int(s[1]), int(s[2]),
+                     int(px.shape[0] * px.shape[1]), int(px[0, 0, 1])))
+    return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
+                                       "n_pix", "tl_g"])

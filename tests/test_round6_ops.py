@@ -317,3 +317,80 @@ def test_wav_trim_silence_leading_and_trailing(spark):
     s = out[1]
     assert (s.n_samples, s.lead_trim, s.tail_trim, s.trimmed_n) \
         == (10, 10, 0, 0)
+
+
+def test_bmp_roundtrip_both_orientations(spark):
+    """Encode a random RGB array bottom-up AND top-down; the real
+    decoder must return the identical logical image for both."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    for td in (False, True):
+        got = mm.decode_bmp_pixels(mm.bmp_bytes_rgb(arr, top_down=td))
+        assert (got == arr).all(), f"top_down={td}"
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(mm.bmp_bytes_rgb(arr)))])
+    r = (df.withColumn("s", mm.bmp_pixel_stats(F.col("payload")))
+         .select("s.*").head())
+    want = arr.astype(np.int64).sum(axis=(0, 1))
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(x) for x in want)
+    assert (r.n_pix, r.tl_g) == (11 * 17, int(arr[0, 0, 1]))
+
+
+def test_bmp_row_padding_is_stripped():
+    """Odd widths force per-row padding; a stride bug would smear
+    pad bytes into the next row's pixels."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    arr = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    raw = mm.bmp_bytes_rgb(arr)
+    assert (len(raw) - 54) == 3 * 16        # 15-byte rows pad to 16
+    assert (mm.decode_bmp_pixels(raw) == arr).all()
+
+
+def test_bmp_unsupported_variants_raise():
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    raw = bytearray(mm.bmp_bytes_rgb(
+        np.zeros((2, 2, 3), dtype=np.uint8)))
+    raw[28] = 32                             # biBitCount -> 32
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp_pixels(bytes(raw))
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Tiny known graph: path 0-1-2-3 plus 4 attached to 1 and 2.
+    Brute-force the non-adjacent common-neighbor pairs in Python."""
+    from ecmm428_pycart_spark.datapipe.graph import link_prediction_scores
+
+    und = [(0, 1), (1, 2), (2, 3), (1, 4), (2, 4)]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in nodes:
+            if a < b and b not in adj[a]:
+                cn = len(adj[a] & adj[b])
+                if cn:
+                    want[(a, b)] = (cn, len(adj[a]), len(adj[b]))
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und]
+        + [Row(src=b, dst=a) for a, b in und])
+    got = {(r.a, r.b): (r.cn, r.deg_a, r.deg_b)
+           for r in link_prediction_scores(edges).collect()}
+    assert got == want
+    # the hub cap silences wedges THROUGH high-degree centers: with
+    # max_degree=2 only nodes 0/3/4 may be centers, and node 4's lone
+    # wedge pair (1,2) is adjacent — so every candidate disappears
+    capped = link_prediction_scores(edges, max_degree=2).collect()
+    assert capped == []
