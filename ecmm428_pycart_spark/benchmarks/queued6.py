@@ -1059,6 +1059,61 @@ def m28_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL G.711 mu-law decode (multimodal._ulaw_expand via
+# decode_wav_samples fmt-code 7): telephony companding expanded to
+# linear PCM with the CCITT all-integer arithmetic, which the oracle
+# replays IN SQL (byte synthesis + expansion — no golden file). The
+# fixture sweeps all 256 code points corpus-wide, so both signs and
+# every exponent segment are exercised; sum_peak carries per-doc
+# max-abs sensitivity through the per-source rollup.
+# ---------------------------------------------------------------------------
+@q("m29_ulaw_wav_stats", """
+WITH d AS (
+  SELECT doc_id, source, doc_id % 200 + 30 AS n FROM documents
+),
+v AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS val
+  FROM (
+    SELECT d.doc_id, d.source,
+           255 - ((13 * j.j + 7 * d.doc_id) % 256) AS u,
+           (((255 - ((13 * j.j + 7 * d.doc_id) % 256)) % 16) * 8 + 132)
+             << (((255 - ((13 * j.j + 7 * d.doc_id) % 256)) // 16) % 8)
+             AS t
+    FROM d, unnest(range(0, d.n)) j(j)
+  ) d
+),
+s AS (
+  SELECT doc_id, source, count(*) AS ns, sum(val) AS sv,
+         max(abs(val)) AS pk,
+         sum(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS np
+  FROM v GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ns) AS BIGINT) AS total_samples,
+       CAST(sum(sv) AS BIGINT) AS total_sum,
+       CAST(sum(pk) AS BIGINT) AS sum_peak,
+       CAST(sum(np) AS BIGINT) AS total_pos
+FROM s GROUP BY source
+""")
+def m29_ulaw_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_wav_ulaw_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.wav_ulaw_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_samples").cast("long").alias("total_samples"),
+                 F.sum("s.sum_val").cast("long").alias("total_sum"),
+                 F.sum("s.peak").cast("long").alias("sum_peak"),
+                 F.sum("s.n_pos").cast("long").alias("total_pos")))
+
+
+# ---------------------------------------------------------------------------
 # Silence trim over REAL decoded PCM (multimodal.wav_trim_silence):
 # the VAD-lite cut before audio featurize. The tone-burst fixture
 # (m20's synth: square wave of length half = id%250+50, then half

@@ -739,13 +739,27 @@ def synth_palette_png_payload(doc_id: pd.Series) -> pd.Series:
 # pixel path above, the "no real decode" stub now covers JPEG/video only.
 # ---------------------------------------------------------------------------
 
+def _ulaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear 16-bit PCM, the CCITT reference
+    expansion (bit-exact, all-integer): with u = ~byte, the magnitude
+    is ((mantissa << 3) + 132) << exponent, rebased by the 132 bias,
+    negated when the (inverted) sign bit is set. Max magnitude 32124.
+    The same arithmetic is SQL-expressible, which is what lets the
+    m29 oracle replay the codec without a golden file."""
+    u = (~b.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
 def decode_wav_samples(b: bytes) -> np.ndarray:
     """Decode a PCM WAV to an int array of shape (n_samples, channels).
     Walks RIFF chunks like _wav_meta_one and reinterprets the data
     chunk. Round 4 extends the real decoder beyond 16-bit: 8-bit PCM
     (unsigned, rebased to signed per the spec), 24-bit PCM
-    (little-endian sign-extended to int32), and 32-bit PCM. Non-PCM
-    codecs (float, a-law, ...) raise NotImplementedError."""
+    (little-endian sign-extended to int32), and 32-bit PCM; round 5
+    adds G.711 mu-law (fmt code 7, telephony 8-bit companding,
+    expanded to linear by _ulaw_expand). Other codecs (float, a-law,
+    ADPCM, ...) raise NotImplementedError."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i, fmt_code, channels, bits, data = 12, None, None, None, None
@@ -760,10 +774,16 @@ def decode_wav_samples(b: bytes) -> np.ndarray:
         i += 8 + size + (size & 1)
     if data is None or channels is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
+    if fmt_code == 7:                  # G.711 mu-law (round 5 cont.)
+        if bits != 8:
+            raise NotImplementedError(
+                f"mu-law WAVs are 8-bit by spec (bits={bits})")
+        return _ulaw_expand(np.frombuffer(data, dtype=np.uint8)) \
+            .reshape(-1, channels)
     if fmt_code != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"only 8/16/24/32-bit integer PCM supported "
-            f"(fmt={fmt_code}, bits={bits})")
+            f"only integer PCM (fmt 1, 8/16/24/32-bit) and mu-law "
+            f"(fmt 7) supported (fmt={fmt_code}, bits={bits})")
     if bits == 8:      # spec: 8-bit PCM is UNSIGNED with midpoint 128
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:
@@ -2761,6 +2781,58 @@ _BMP_STATS = T.StructType([
     T.StructField("n_pix", T.LongType()),
     T.StructField("tl_g", T.LongType()),
 ])
+
+
+def wav_bytes_ulaw(channels: int, sample_rate: int,
+                   ulaw: bytes) -> bytes:
+    """RIFF/WAVE wrapper for already-companded G.711 mu-law bytes
+    (fmt code 7, 8 bits/sample — the telephony interchange format)."""
+    fmt = struct.pack("<HHIIHH", 7, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(ulaw)) + ulaw)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_ulaw_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic mono mu-law WAV per doc: n = id%200+30 companded
+    bytes, byte j = (13*j + 7*id) % 256 — sweeps all 256 code points
+    across the corpus so every expansion segment (both signs, all 8
+    exponents) is exercised; the oracle replays byte synthesis AND
+    expansion in SQL."""
+    def gen(i: int) -> bytes:
+        n = i % 200 + 30
+        raw = bytes((13 * j + 7 * i) % 256 for j in range(n))
+        return wav_bytes_ulaw(1, 8000, raw)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_ULAW_STATS = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_val", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("n_pos", T.LongType()),
+])
+
+
+@F.pandas_udf(_ULAW_STATS)
+def wav_ulaw_stats(payload: pd.Series) -> pd.DataFrame:
+    """Integer stats over REAL mu-law-expanded samples (first
+    channel): count, sum, peak |value|, positive-sample count — all
+    exact, so a one-bit expansion error in any segment reddens the
+    oracle hash."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.int64)
+        rows.append((int(s.shape[0]), int(s.sum()),
+                     int(np.abs(s).max()) if s.size else 0,
+                     int((s > 0).sum())))
+    return pd.DataFrame(rows, columns=["n_samples", "sum_val", "peak",
+                                       "n_pos"])
 
 
 @F.pandas_udf(_BMP_STATS)

@@ -319,6 +319,27 @@ def test_wav_trim_silence_leading_and_trailing(spark):
         == (10, 10, 0, 0)
 
 
+def test_ulaw_expand_pins_reference_codepoints(spark):
+    """CCITT reference values: 0xFF/0x7F are the two zeros, 0x00/0x80
+    the extreme magnitudes (+-32124); plus a WAV roundtrip through the
+    fmt-7 decoder path."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    got = mm._ulaw_expand(np.array([0xFF, 0x7F, 0x00, 0x80],
+                                   dtype=np.uint8))
+    assert got.tolist() == [0, 0, -32124, 32124]
+    wav = mm.wav_bytes_ulaw(1, 8000, bytes([0xFF, 0x00, 0x80, 0x7F]))
+    s = mm.decode_wav_samples(wav)
+    assert s.shape == (4, 1)
+    assert s[:, 0].tolist() == [0, -32124, 32124, 0]
+    df = spark.createDataFrame([Row(doc_id=0, payload=bytearray(wav))])
+    r = (df.withColumn("s", mm.wav_ulaw_stats(F.col("payload")))
+         .select("s.*").head())
+    assert (r.n_samples, r.sum_val, r.peak, r.n_pos) == (4, 0, 32124, 1)
+
+
 def test_bmp_roundtrip_both_orientations(spark):
     """Encode a random RGB array bottom-up AND top-down; the real
     decoder must return the identical logical image for both."""
