@@ -689,6 +689,62 @@ def st16_stream_approx_distinct(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Streaming top-k serving pattern: daily per-type counts maintained
+# UNDER Structured Streaming (complete-mode state, st01's bounded
+# replay harness), then the top-3 rank computed over the compacted
+# serving table — the lambda-architecture split every "trending now"
+# feature uses (the stream maintains O(days x types) state; the rank
+# window runs on that tiny table at serve time, never on raw events).
+# Deterministic tiebreak (count DESC, type ASC); oracle = the batch
+# equivalent end-to-end.
+# ---------------------------------------------------------------------------
+@q("st17_stream_window_topk", """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_date
+                               ORDER BY n DESC, event_type ASC) AS rk
+  FROM c
+)
+SELECT event_date, event_type, n, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= 3
+""")
+def st17_stream_window_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import read_events_stream
+
+    d = _scratch("st17_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d)
+    name = f"st17_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream.groupBy(F.col("ts").cast("date").alias("event_date"),
+                       "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
+    out = spark.table(name)
+    w = (Window.partitionBy("event_date")
+         .orderBy(F.col("n").desc(), F.col("event_type").asc()))
+    return (out.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("event_date", "event_type",
+                    F.col("n").cast("long").alias("n"), "rk"))
+
+
+# ---------------------------------------------------------------------------
 # Bounded BFS layers (graph.bfs_layers): real level-synchronous
 # frontier expansion from the minimum customer key over the queen
 # grid, 6 rounds. The oracle never runs a traversal: king-move
@@ -731,6 +787,192 @@ def g20_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (layers.groupBy(F.col("distance").cast("long")
                            .alias("distance"))
             .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
+# ---------------------------------------------------------------------------
+# N-gram containment near-dup (dedup.containment_pairs): the
+# ASYMMETRIC partial-copy detector — top-20 df-capped word-3-gram
+# intersections with floor-divided containment ppm both directions
+# (inter/|A| and inter/|B|), all-integer. The oracle replays the full
+# inverted-index pipeline (distinct shingles, df cap, self-join,
+# full-set denominators) in SQL; max inter ~90 on the fixture's
+# near-dup planted pairs, so a cap or denominator regression reorders
+# the page.
+# ---------------------------------------------------------------------------
+@q("d59_containment_dup", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM t, unnest(range(1, len(w) - 1)) r(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+dfc AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 16),
+gk AS (SELECT g.* FROM g JOIN dfc USING (gram)),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(inter * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm,
+       CAST(inter * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm
+FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+ORDER BY inter DESC, a ASC, b ASC LIMIT 20
+""")
+def d59_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, n=3, max_df=16, min_inter=2)
+    return (pairs.select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.col("inter").cast("long").alias("inter"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.expr("inter * 1000000 div n_a").cast("long")
+                .alias("cont_a_ppm"),
+                F.expr("inter * 1000000 div n_b").cast("long")
+                .alias("cont_b_ppm"))
+            .orderBy(F.col("inter").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (text.countmin_sketch/_estimate): the mergeable
+# depth x width counter table probed for the top-10 exact tokens —
+# est == the row-wise min of md5 buckets, replayed END-TO-END in SQL
+# (build + probe, no golden), plus the deterministic half of the CMS
+# contract (est >= exact, always) pinned per row. Complements d39's
+# Misra-Gries (which underestimates): the two sketches bracket the
+# truth from opposite sides.
+# ---------------------------------------------------------------------------
+@q("d58_countmin_sketch", """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+ex AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+  GROUP BY w ORDER BY n_exact DESC, w ASC LIMIT 10
+),
+r AS (SELECT r FROM unnest(range(0, 4)) t(r)),
+sk AS (
+  SELECT r.r,
+         CAST(concat('0x', substr(md5('cms' || r.r || ':' || w), 1, 8))
+              AS UBIGINT) % 512 AS bucket,
+         count(*) AS n
+  FROM tok, r GROUP BY 1, 2
+),
+probe AS (
+  SELECT ex.w, r.r,
+         CAST(concat('0x', substr(md5('cms' || r.r || ':' || ex.w), 1, 8))
+              AS UBIGINT) % 512 AS bucket
+  FROM ex, r
+)
+SELECT ex.w AS token, ex.n_exact,
+       CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS n_est,
+       (min(coalesce(sk.n, 0)) >= ex.n_exact) AS overestimates
+FROM probe JOIN ex ON ex.w = probe.w
+LEFT JOIN sk ON sk.r = probe.r AND sk.bucket = probe.bucket
+GROUP BY ex.w, ex.n_exact
+""")
+def d58_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (countmin_estimate,
+                                                    countmin_sketch, tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    ex = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+          .orderBy(F.col("n_exact").desc(), F.col("w").asc())
+          .limit(10)
+          .select(F.col("w").alias("token"),
+                  F.col("n_exact").cast("long").alias("n_exact")))
+    sk = countmin_sketch(docs)
+    est = countmin_estimate(sk, ex.select("token"))
+    return (ex.join(est, "token")
+            .select("token", "n_exact",
+                    F.col("n_est").cast("long").alias("n_est"),
+                    (F.col("n_est") >= F.col("n_exact"))
+                    .alias("overestimates")))
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation filter (text.url_host): per-doc synthetic URLs
+# (deterministic md5-bucket host pool with mixed-case schemes, www.
+# prefixes, explicit ports) -> normalized host -> broadcast domain
+# blocklist -> per-host keep/drop accounting — the C4/RefinedWeb
+# domain-filter stage. The fixture varies every normalization axis so
+# a missed strip (case, www, port, path) splits a host into two rows
+# and reddens the hash. Map-side normalize + broadcast join: zero
+# probe-side shuffle before the 12-row host rollup.
+# ---------------------------------------------------------------------------
+@q("d56_url_host_filter", """
+WITH u AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('u:' || doc_id), 1, 8))
+              AS UBIGINT) % 12 AS idx
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'https' END,
+                '://',
+                CASE WHEN idx % 2 = 0 THEN 'www.' ELSE '' END,
+                'h', idx, '.example.com',
+                CASE WHEN idx % 3 = 0 THEN ':8443' ELSE '' END,
+                '/p/', doc_id) AS url
+  FROM u
+),
+h AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_extract(lower(url),
+                          '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+           '^www\\.', '') AS host
+  FROM urls
+),
+b AS (SELECT unnest(['h2.example.com', 'h5.example.com',
+                     'h9.example.com']) AS bhost)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (bhost IS NOT NULL) AS is_blocked,
+       CAST(CASE WHEN bhost IS NULL THEN count(*) ELSE 0 END
+            AS BIGINT) AS n_kept
+FROM h LEFT JOIN b ON h.host = b.bhost
+GROUP BY host, bhost
+""")
+def d56_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import md5_bucket, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    idx = md5_bucket(F.concat(F.lit("u:"), F.col("doc_id")), 12) \
+        .cast("long")
+    urls = docs.withColumn("idx", idx).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 1, F.lit("HTTPS"))
+            .otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(F.col("idx") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("h"), F.col("idx"), F.lit(".example.com"),
+            F.when(F.col("idx") % 3 == 0, F.lit(":8443"))
+            .otherwise(F.lit("")),
+            F.lit("/p/"), F.col("doc_id")).alias("url"))
+    hosts = urls.select("doc_id", url_host("url").alias("host"))
+    block = spark.createDataFrame(
+        [(h,) for h in ("h2.example.com", "h5.example.com",
+                        "h9.example.com")], "bhost string")
+    return (hosts.join(F.broadcast(block),
+                       hosts.host == block.bhost, "left")
+            .groupBy("host", "bhost")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("host", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("bhost").isNotNull().alias("is_blocked"),
+                    F.when(F.col("bhost").isNull(), F.col("n_docs"))
+                    .otherwise(F.lit(0)).cast("long").alias("n_kept")))
 
 
 # ---------------------------------------------------------------------------

@@ -281,6 +281,50 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 # tiny join); false negatives are impossible, which a unit test pins.
 # ---------------------------------------------------------------------------
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      max_df: int = 16,
+                      min_inter: int = 2) -> DataFrame:
+    """ASYMMETRIC n-gram containment candidates (Broder 1997's other
+    resemblance measure): pairs sharing >= ``min_inter`` distinct word
+    n-grams, with both set sizes, so callers derive
+    C(A->B) = inter / |ngrams(A)| — near 1 when A is quoted/embedded
+    inside a larger B, which symmetric Jaccard dilutes toward 0. The
+    partial-copy detector (quotes, boilerplate-wrapped reposts,
+    truncated mirrors) that complements d28's Jaccard near-dup.
+
+    Scale shape: inverted-index self-join on the gram, NEVER all
+    pairs — but gram posting lists are the hub risk, so grams seen in
+    more than ``max_df`` docs are dropped BEFORE the join (the LSH
+    MAX_BUCKET_SIZE / g21 hub-cap discipline), bounding pair
+    generation at |grams| * max_df^2 while only silencing
+    boilerplate-frequent grams that carry no pair-specific signal.
+    The intersection is counted over capped grams only; denominators
+    |ngrams(.)| stay FULL-set (the containment a cap-unaware reader
+    expects), so reported containment is a provable LOWER bound.
+    All-integer outputs (a, b, inter, n_a, n_b)."""
+    g = (df.select(F.col(id_col).alias("_id"),
+                   F.explode(shingle_set(F.col(text_col), n))
+                   .alias("_g")))
+    sizes = g.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    kept = g.join(g.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+                  .filter(F.col("_df") <= max_df).select("_g"), "_g")
+    pairs = (kept.select(F.col("_g"), F.col("_id").alias("_a"))
+             .join(kept.select(F.col("_g"), F.col("_id").alias("_b")),
+                   "_g")
+             .filter(F.col("_a") < F.col("_b"))
+             .groupBy("_a", "_b")
+             .agg(F.count(F.lit(1)).alias("inter"))
+             .filter(F.col("inter") >= min_inter))
+    return (pairs
+            .join(sizes.select(F.col("_id").alias("_a"),
+                               F.col("_sz").alias("n_a")), "_a")
+            .join(sizes.select(F.col("_id").alias("_b"),
+                               F.col("_sz").alias("n_b")), "_b")
+            .select(F.col("_a").alias("a"), F.col("_b").alias("b"),
+                    "inter", "n_a", "n_b"))
+
+
 def _bloom_position_sql(col: str, m_bits: int, i: int) -> str:
     """SQL for bit position i of a key: xxhash64 seeded with i, folded
     to [0, m). Kept as a SQL string so callers can splice it into

@@ -777,6 +777,74 @@ def normalize_text(col) -> Column:
     return F.trim(s)
 
 
+def countmin_sketch(df: DataFrame, text_col: str = "text",
+                    depth: int = 4, width: int = 512,
+                    seed: str = "cms") -> DataFrame:
+    """Count-Min sketch of the token stream (Cormode & Muthukrishnan
+    2005) as a (row, bucket, n) table: row r hashes token t to
+    ``md5_bucket(seed + r + ':' + t, width)`` and sums occurrences.
+
+    The table IS the mergeable partial: shard sketches add
+    bucket-wise (the groupBy sum), so a 100 TB corpus builds depth x
+    width counters in one token-stream pass + one tiny shuffle of at
+    most depth*width rows per partition — no vocabulary materializes
+    anywhere, which is the point vs a groupBy count at web scale.
+    Estimates OVERESTIMATE (never under): true(t) <= est(t) <=
+    true(t) + eps*N with eps ~ e/width at depth ln(1/delta) — d58
+    gate-checks the deterministic half of that contract. Determinism:
+    md5 bucketing, no floats, so the sketch is a pure function of the
+    corpus and (depth, width, seed)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+    rows = toks.select(
+        "_w", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+        .alias("row"))
+    b = md5_bucket(F.concat(F.lit(seed), F.col("row"), F.lit(":"),
+                            F.col("_w")), width)
+    return (rows.select("row", b.cast("long").alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def countmin_estimate(sketch: DataFrame, targets: DataFrame,
+                      token_col: str = "token", depth: int = 4,
+                      width: int = 512, seed: str = "cms") -> DataFrame:
+    """Point-query the CMS table: est(t) = min over rows of the
+    token's bucket counter (0 when the bucket is empty — only possible
+    for tokens absent from the corpus). ``targets`` is small (the
+    probe set), so it broadcasts against the depth*width-row sketch;
+    (depth, width, seed) must match the build."""
+    probes = targets.select(
+        F.col(token_col).alias("_t"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+        .alias("row"))
+    b = md5_bucket(F.concat(F.lit(seed), F.col("row"), F.lit(":"),
+                            F.col("_t")), width)
+    probes = probes.select("_t", "row", b.cast("long").alias("bucket"))
+    return (F.broadcast(probes)
+            .join(sketch, ["row", "bucket"], "left")
+            .groupBy("_t")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("n_est"))
+            .select(F.col("_t").alias(token_col), "n_est"))
+
+
+def url_host(col) -> Column:
+    """Normalized host of a URL — the key every URL-level curation
+    stage groups or filters on (C4/RefinedWeb-style domain blocklists,
+    per-domain caps, source attribution). Lowercases, strips the
+    scheme, drops port/path/query/fragment, and removes a leading
+    ``www.``; malformed URLs (no scheme) normalize to '' so they
+    route to a quarantine bucket instead of crashing the scan. Pure
+    native expressions, Java-regex/RE2-identical character classes
+    (the d13 cross-engine contract), map-side only — a 100 TB corpus
+    normalizes in the scan with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_extract(F.lower(c),
+                            "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    return F.regexp_replace(host, "^www\\.", "")
+
+
 def classifier_weights(dim: int = 64, seed: str = "clf") -> Column:
     """Deterministic integer weight vector for classifier_scores: one
     md5_uniform draw per hash bucket, floor-quantized to an integer in

@@ -319,6 +319,65 @@ def test_wav_trim_silence_leading_and_trailing(spark):
         == (10, 10, 0, 0)
 
 
+def test_url_host_normalization_axes(spark):
+    from ecmm428_pycart_spark.datapipe.text import url_host
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:8443/a/b?q=1#f", "example.com"),
+        ("http://sub.domain.org/path", "sub.domain.org"),
+        ("ftp://www.files.net", "files.net"),
+        ("not a url at all", ""),            # quarantine bucket
+        ("https://plain.io", "plain.io"),
+    ]
+    df = spark.createDataFrame([Row(url=u) for u, _ in cases])
+    got = [r.h for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == [h for _, h in cases]
+
+
+def test_countmin_never_underestimates_and_hits_exact(spark):
+    """Tiny corpus where bucket collisions are impossible at width
+    512: every estimate must EQUAL the exact count; plus the
+    overestimate invariant on a colliding 2-bucket sketch."""
+    from ecmm428_pycart_spark.datapipe.text import (countmin_estimate,
+                                                    countmin_sketch)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b a c"), Row(doc_id=1, text="b a d")])
+    exact = {"a": 3, "b": 2, "c": 1, "d": 1}
+    targets = spark.createDataFrame([Row(token=t) for t in exact])
+    est = {r.token: r.n_est for r in countmin_estimate(
+        countmin_sketch(docs), targets).collect()}
+    assert est == exact                      # no collisions at 512
+    tight = {r.token: r.n_est for r in countmin_estimate(
+        countmin_sketch(docs, width=2), targets,
+        width=2).collect()}
+    assert all(tight[t] >= exact[t] for t in exact)
+    missing = countmin_estimate(
+        countmin_sketch(docs), spark.createDataFrame(
+            [Row(token="zzz_not_in_corpus")])).head()
+    assert missing.n_est >= 0               # absent tokens never error
+
+
+def test_containment_detects_embedded_doc(spark):
+    """Doc A fully embedded in B: containment A->B = 1.0 while
+    Jaccard is diluted; df cap drops a boilerplate gram."""
+    from ecmm428_pycart_spark.datapipe.dedup import containment_pairs
+
+    a = "alpha beta gamma delta epsilon"
+    b = ("prefix words here " + a + " suffix tail words close out end")
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+         Row(doc_id=3, text="totally different content no overlap")])
+    got = {(r.a, r.b): (r.inter, r.n_a, r.n_b)
+           for r in containment_pairs(docs, n=3, max_df=16,
+                                      min_inter=2).collect()}
+    # A has 3 distinct 3-grams, all present in B
+    assert got == {(1, 2): (3, 3, len(b.split()) - 2)}
+    # cap at max_df=1 removes every shared gram -> no pairs
+    assert containment_pairs(docs, n=3, max_df=1,
+                             min_inter=1).collect() == []
+
+
 def test_ulaw_expand_pins_reference_codepoints(spark):
     """CCITT reference values: 0xFF/0x7F are the two zeros, 0x00/0x80
     the extreme magnitudes (+-32124); plus a WAV roundtrip through the
