@@ -790,6 +790,74 @@ def g20_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unicode script detection (text.script_profile/dominant_script): the
+# writing-system router multilingual curation runs before lang-id —
+# per-script letter counts (Latin/Cyrillic/Greek/Han; Java spells the
+# property \p{IsX}, RE2 \p{X}, verified count-identical) and an
+# integer-argmax dominant script with fixed tie precedence. The
+# fixture splices deterministic Cyrillic/Han/Greek snippets (scaled
+# by doc_id) onto the Latin corpus so every script wins somewhere;
+# dominance flips exactly where the integer counts cross, which both
+# engines must agree on.
+# ---------------------------------------------------------------------------
+_D57_MIX = """CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 1 THEN text || ' ' ||
+        repeat('данные очень важны и полезны ',
+               CAST(1 + doc_id % 10 AS INTEGER))
+      WHEN 2 THEN text || ' ' ||
+        repeat('数据质量非常重要可靠 ', CAST(1 + doc_id % 10 AS INTEGER))
+      WHEN 3 THEN text || ' ' ||
+        repeat('ποιότητα δεδομένων έχει σημασία ',
+               CAST(1 + doc_id % 10 AS INTEGER))
+      ELSE text END"""
+
+
+@q("d57_script_mix", f"""
+WITH m AS (
+  SELECT source, {_D57_MIX} AS t FROM documents
+),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(t, '\\p{{Latin}}')) AS la,
+         len(regexp_extract_all(t, '\\p{{Cyrillic}}')) AS cy,
+         len(regexp_extract_all(t, '\\p{{Greek}}')) AS gr,
+         len(regexp_extract_all(t, '\\p{{Han}}')) AS ha
+  FROM m
+),
+d AS (
+  SELECT source, la, cy, gr, ha,
+         CASE WHEN la = greatest(la, cy, gr, ha) THEN 'latin'
+              WHEN cy = greatest(la, cy, gr, ha) THEN 'cyrillic'
+              WHEN gr = greatest(la, cy, gr, ha) THEN 'greek'
+              ELSE 'han' END AS dominant
+  FROM c
+)
+SELECT source, dominant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(la) AS BIGINT) AS n_latin,
+       CAST(sum(cy) AS BIGINT) AS n_cyrillic,
+       CAST(sum(gr) AS BIGINT) AS n_greek,
+       CAST(sum(ha) AS BIGINT) AS n_han
+FROM d GROUP BY source, dominant
+""")
+def d57_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (dominant_script,
+                                                    script_profile)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    mixed = docs.select("source", F.expr(_D57_MIX).alias("t"))
+    prof = mixed.select("source", script_profile("t").alias("p"),
+                        dominant_script("t").alias("dominant"))
+    return (prof.groupBy("source", "dominant")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("p.latin").cast("long").alias("n_latin"),
+                 F.sum("p.cyrillic").cast("long").alias("n_cyrillic"),
+                 F.sum("p.greek").cast("long").alias("n_greek"),
+                 F.sum("p.han").cast("long").alias("n_han")))
+
+
+# ---------------------------------------------------------------------------
 # N-gram containment near-dup (dedup.containment_pairs): the
 # ASYMMETRIC partial-copy detector — top-20 df-capped word-3-gram
 # intersections with floor-divided containment ppm both directions
@@ -1353,6 +1421,51 @@ def m29_ulaw_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s.sum_val").cast("long").alias("total_sum"),
                  F.sum("s.peak").cast("long").alias("sum_peak"),
                  F.sum("s.n_pos").cast("long").alias("total_pos")))
+
+
+# ---------------------------------------------------------------------------
+# REAL ZIP central-directory walk (multimodal.decode_zip_manifest):
+# manifest-first archive ingestion — EOCD signature scan, central
+# records cross-checked against local headers, CRC32 of the stored
+# bytes verified per member. Closed-form oracle: member counts, name
+# lengths, and byte totals (including doc_id's decimal width) are
+# pure arithmetic; crc_ok is the Spark-side invariant pinned TRUE.
+# ---------------------------------------------------------------------------
+@q("m30_zip_manifest", """
+WITH d AS (
+  SELECT doc_id, source, doc_id % 4 + 1 AS k FROM documents
+),
+m AS (
+  SELECT d.doc_id, d.source, d.k,
+         sum(length('m' || d.doc_id || ':' || j.j || '|') * (j.j + 3))
+           AS bytes
+  FROM d, unnest(range(0, d.k)) j(j)
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS total_members,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(k) * 6 AS BIGINT) AS total_name_len,
+       CAST(count(*) AS BIGINT) AS n_crc_ok
+FROM m GROUP BY source
+""")
+def m30_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_zip_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.zip_manifest_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_members").cast("long").alias("total_members"),
+                 F.sum("s.total_bytes").cast("long").alias("total_bytes"),
+                 F.sum("s.total_name_len").cast("long")
+                 .alias("total_name_len"),
+                 F.sum(F.col("s.crc_ok").cast("long"))
+                 .alias("n_crc_ok")))
 
 
 # ---------------------------------------------------------------------------

@@ -2783,6 +2783,127 @@ _BMP_STATS = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# REAL ZIP container walk (round 5 continuation): training corpora
+# ship as archive files, and the scalable ingestion pattern is
+# manifest-first — parse the CENTRAL DIRECTORY (one tail read) to
+# enumerate members, then range-read only the members you want. The
+# walk is hand-rolled like the MP4 box walk (EOCD signature scan,
+# central-directory records, local-header cross-check, CRC32
+# verification of the stored bytes) — no zipfile import, so every
+# offset assumption is explicit and testable.
+# ---------------------------------------------------------------------------
+
+def zip_bytes_store(members: list[tuple[str, bytes]]) -> bytes:
+    """STORE-method (uncompressed) ZIP encoder: local headers +
+    central directory + end-of-central-directory, fixed DOS
+    time/date so archives are byte-deterministic."""
+    import zlib
+
+    out, central, offsets = [], [], []
+    pos = 0
+    for name, data in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        lh = (struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0,
+                          0x21, crc, len(data), len(data), len(nb), 0)
+              + nb + data)
+        offsets.append(pos)
+        out.append(lh)
+        pos += len(lh)
+    for (name, data), off in zip(members, offsets):
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        central.append(
+            struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0,
+                        0, 0x21, crc, len(data), len(data), len(nb),
+                        0, 0, 0, 0, 0, off) + nb)
+    cd = b"".join(central)
+    eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(members),
+                       len(members), len(cd), pos, 0)
+    return b"".join(out) + cd + eocd
+
+
+def decode_zip_manifest(b: bytes) -> list[dict]:
+    """Walk a ZIP's central directory: locate the EOCD record by
+    signature scan from the tail, then read each central entry and
+    CROSS-CHECK it against the member's local header (magic, name)
+    and stored bytes (CRC32). Returns per-member dicts with name,
+    size, crc, offset, crc_ok. Compressed members (method != 0)
+    raise NotImplementedError — this is the manifest/ingestion walk,
+    not an inflate implementation."""
+    import zlib
+
+    eocd = b.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no end-of-central-directory record")
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", b[eocd + 10:eocd + 20])
+    out, i = [], cd_off
+    for _ in range(n_entries):
+        if b[i:i + 4] != b"PK\x01\x02":
+            raise ValueError("bad central-directory signature")
+        (crc, csize, usize, nlen, xlen, clen) = struct.unpack(
+            "<IIIHHH", b[i + 16:i + 34])
+        method, = struct.unpack("<H", b[i + 10:i + 12])
+        off, = struct.unpack("<I", b[i + 42:i + 46])
+        name = b[i + 46:i + 46 + nlen].decode()
+        if method != 0:
+            raise NotImplementedError(
+                f"only STORE members supported (method={method})")
+        if b[off:off + 4] != b"PK\x03\x04":
+            raise ValueError("central offset does not hit a local header")
+        lnlen, lxlen = struct.unpack("<HH", b[off + 26:off + 30])
+        data = b[off + 30 + lnlen + lxlen:
+                 off + 30 + lnlen + lxlen + csize]
+        out.append({"name": name, "size": usize, "crc": crc,
+                    "offset": off,
+                    "crc_ok": (zlib.crc32(data) & 0xFFFFFFFF) == crc})
+        i += 46 + nlen + xlen + clen
+    return out
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_zip_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic STORE zip per doc: K = id%4+1 members named
+    f{j}.txt, member j = 'm{id}:{j}|' repeated j+3 times — member
+    count, name lengths, and byte totals all have closed forms the
+    oracle restates (including doc_id's decimal width)."""
+    def gen(i: int) -> bytes:
+        k = i % 4 + 1
+        return zip_bytes_store(
+            [(f"f{j}.txt", (f"m{i}:{j}|" * (j + 3)).encode())
+             for j in range(k)])
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_ZIP_STATS = T.StructType([
+    T.StructField("n_members", T.LongType()),
+    T.StructField("total_bytes", T.LongType()),
+    T.StructField("total_name_len", T.LongType()),
+    T.StructField("crc_ok", T.BooleanType()),
+])
+
+
+@F.pandas_udf(_ZIP_STATS)
+def zip_manifest_stats(payload: pd.Series) -> pd.DataFrame:
+    """Manifest rollup per archive: member count, uncompressed byte
+    total, summed name lengths (catches name-field truncation), and
+    whether EVERY member's stored bytes match its central-directory
+    CRC32."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        m = decode_zip_manifest(bytes(buf))
+        rows.append((len(m), sum(e["size"] for e in m),
+                     sum(len(e["name"]) for e in m),
+                     all(e["crc_ok"] for e in m)))
+    return pd.DataFrame(rows, columns=["n_members", "total_bytes",
+                                       "total_name_len", "crc_ok"])
+
+
 def wav_bytes_ulaw(channels: int, sample_rate: int,
                    ulaw: bytes) -> bytes:
     """RIFF/WAVE wrapper for already-companded G.711 mu-law bytes

@@ -777,6 +777,37 @@ def normalize_text(col) -> Column:
     return F.trim(s)
 
 
+# Unicode scripts the profiler distinguishes, in TIE-PRECEDENCE order
+# (first listed wins an equal-count tie). Java regex spells the
+# property \p{IsLatin}, RE2 \p{Latin} — same char classes (verified
+# count-identical on mixed fixtures), so the DuckDB mirror just drops
+# the "Is".
+_SCRIPTS = (("latin", r"\p{IsLatin}"), ("cyrillic", r"\p{IsCyrillic}"),
+            ("greek", r"\p{IsGreek}"), ("han", r"\p{IsHan}"))
+
+
+def script_profile(col) -> Column:
+    """Per-script letter counts (Latin/Cyrillic/Greek/Han) as a
+    struct — the writing-system histogram multilingual curation
+    routes on (wrong-script spam, transliteration mixes, CJK in a
+    'latin' shard). Digits/punctuation are script=Common and count
+    for nobody. Native regexp_count: map-side, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(*[F.regexp_count(c, F.lit(rx)).cast("long").alias(n)
+                      for n, rx in _SCRIPTS])
+
+
+def dominant_script(col) -> Column:
+    """argmax of script_profile with the fixed _SCRIPTS precedence on
+    ties — a total, engine-portable rule (pure integer compares)."""
+    p = script_profile(col)
+    m = F.greatest(*[p[n] for n, _ in _SCRIPTS])
+    out = F.lit(_SCRIPTS[-1][0])
+    for name, _ in reversed(_SCRIPTS[:-1]):
+        out = F.when(p[name] == m, F.lit(name)).otherwise(out)
+    return out
+
+
 def countmin_sketch(df: DataFrame, text_col: str = "text",
                     depth: int = 4, width: int = 512,
                     seed: str = "cms") -> DataFrame:

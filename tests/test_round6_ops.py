@@ -319,6 +319,52 @@ def test_wav_trim_silence_leading_and_trailing(spark):
         == (10, 10, 0, 0)
 
 
+def test_zip_manifest_roundtrip_and_crc():
+    import zlib
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    members = [("a.txt", b"hello world"), ("dir/b.bin", bytes(range(64)))]
+    raw = mm.zip_bytes_store(members)
+    # stdlib cross-check: python's zipfile must read our archive
+    import io
+    import zipfile
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        assert [i.filename for i in z.infolist()] == [n for n, _ in members]
+        assert z.read("a.txt") == b"hello world"
+    got = mm.decode_zip_manifest(raw)
+    assert [(e["name"], e["size"]) for e in got] == \
+        [(n, len(d)) for n, d in members]
+    assert all(e["crc_ok"] for e in got)
+    assert got[0]["crc"] == zlib.crc32(b"hello world") & 0xFFFFFFFF
+    # corrupt one stored byte: CRC must catch it
+    bad = bytearray(raw)
+    bad[raw.index(b"hello world") + 2] ^= 0xFF
+    assert [e["crc_ok"] for e in mm.decode_zip_manifest(bytes(bad))] \
+        == [False, True]
+
+
+def test_script_profile_and_dominance(spark):
+    from ecmm428_pycart_spark.datapipe.text import (dominant_script,
+                                                    script_profile)
+
+    rows = [
+        ("latin text only here", "latin"),
+        ("короткий латинский текст проигрывает кириллице", "cyrillic"),
+        ("ab 汉字汉字汉字", "han"),
+        ("αβγδ ab", "greek"),
+        # all-zero tie: every count equals the max, so the FIRST
+        # precedence entry (latin) wins
+        ("", "latin"),
+    ]
+    df = spark.createDataFrame([Row(t=t) for t, _ in rows])
+    got = df.select(script_profile("t").alias("p"),
+                    dominant_script("t").alias("d")).collect()
+    assert [r.d for r in got] == [want for _, want in rows]
+    assert got[0].p.latin > 0 and got[0].p.cyrillic == 0
+    assert got[2].p.han == 6
+
+
 def test_url_host_normalization_axes(spark):
     from ecmm428_pycart_spark.datapipe.text import url_host
 
