@@ -1581,3 +1581,74 @@ def s26_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("recall_at_10")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing document fingerprints (dedup.winnow_fingerprints /
+# winnow_dup_pairs — Schleimer et al., SIGMOD 2003): char-8-gram
+# hashes, window-of-4 minima with the (hash, position) argmin packed
+# into one 62-bit integer, shared-fingerprint pair detection under the
+# d59 df-cap discipline. The LOCAL fingerprinting guarantee (every
+# >= k+w-1 char match shares a selected fingerprint) is what MinHash's
+# whole-document signatures can't give — this is the substring-level
+# dup detector of the dedup family. Spark computes fingerprints
+# entirely map-side in array expressions (no shuffle, no window
+# operator, no UDF — one scan at 100 TB); the oracle replays the same
+# math through an INDEPENDENT formulation (unnest + SQL window-min
+# over packed hashes) so a selection or clipping bug on either side
+# reddens the hash. All-integer page: top-20 pairs by shared count
+# with full-set denominators and floor-div ppm similarity.
+# ---------------------------------------------------------------------------
+@q("d60_winnow_dup", """
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(substr(s, CAST(i AS INT), 8)), 1, 10))
+              AS BIGINT) * 4194304 + i AS packed
+  FROM nrm, unnest(range(1, len(s) - 8 + 2)) r(i)
+),
+wm AS (
+  SELECT doc_id, i,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin // 4194304 AS fp
+  FROM wm WHERE i <= greatest(ng - 4 + 1, 1)
+),
+sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+dfc AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 16),
+fpk AS (SELECT fp.* FROM fp JOIN dfc USING (fp)),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(na.nfp AS BIGINT) AS n_a, CAST(nb.nfp AS BIGINT) AS n_b,
+       CAST(shared * 1000000 // least(na.nfp, nb.nfp) AS BIGINT) AS sim_ppm
+FROM p JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+ORDER BY shared DESC, a ASC, b ASC LIMIT 20
+""")
+def d60_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import winnow_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_dup_pairs(docs, k=8, w=4, max_df=16, min_shared=2)
+    return (pairs.select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.col("shared").cast("long").alias("shared"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.expr("shared * 1000000 div least(n_a, n_b)")
+                .cast("long").alias("sim_ppm"))
+            .orderBy(F.col("shared").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))

@@ -325,6 +325,90 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                     "inter", "n_a", "n_b"))
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): normalize (casefold + strip EVERY non-alphanumeric char,
+    whitespace included), hash each character ``k``-gram, slide a
+    ``w``-hash window and keep each window's minimum. The winnowing
+    guarantee: any substring match of length >= k + w - 1 yields at
+    least one identical selected fingerprint on both sides, at ~2/(w+1)
+    selection density — the local document-fingerprinting scheme
+    plagiarism/near-dup detectors build on. Output: one row per
+    DISTINCT selected hash per doc (position multiplicity collapsed;
+    pair matching joins on the hash, so the distinct-hash set is the
+    join-ready unit).
+
+    Determinism: the window argmin breaks hash ties by position via a
+    single integer pack — 40-bit md5-prefix hash * 2^22 + position
+    (62 bits total; docs up to 4M normalized chars) — so both engines
+    select identical fingerprints with no float or sort ambiguity.
+    Trailing windows shorter than ``w`` are clipped (position cap
+    greatest(n_grams - w + 1, 1)); a doc with fewer than ``w`` grams
+    contributes the minimum over all its grams, and one shorter than
+    ``k`` chars contributes nothing.
+
+    Scale shape: ENTIRELY map-side — grams, hash packs, window minima
+    and the per-doc distinct are array expressions over each row
+    (O(len * w) per doc, ``w`` tiny); no shuffle, no window operator,
+    no UDF. A 100 TB corpus fingerprints in one scan; callers only
+    ever shuffle the emitted (doc, hash) rows, already thinned to
+    ~2/(w+1) of gram volume."""
+    pos_bits = 4194304  # 2^22
+    d = (df.select(F.col(id_col),
+                   F.regexp_replace(F.lower(F.col(text_col)),
+                                    "[^a-z0-9]", "").alias("_s"))
+         .withColumn("_ng", F.length("_s") - F.lit(k - 1)))
+    packed = F.expr(
+        f"CASE WHEN _ng >= 1 THEN transform(sequence(1, _ng), "
+        f"i -> cast(conv(substring(md5(substring(_s, i, {k})), 1, 10), "
+        f"16, 10) AS BIGINT) * {pos_bits} + i) "
+        f"ELSE cast(array() AS array<bigint>) END")
+    fps = F.expr(
+        f"CASE WHEN _ng >= 1 THEN array_distinct(transform("
+        f"sequence(1, greatest(_ng - {w - 1}, 1)), "
+        f"p -> array_min(slice(_packed, p, {w})) div {pos_bits})) "
+        f"ELSE cast(array() AS array<bigint>) END")
+    return (d.withColumn("_packed", packed)
+            .select(F.col(id_col), F.explode(fps).alias("fp")))
+
+
+def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8, w: int = 4,
+                     max_df: int = 16, min_shared: int = 2) -> DataFrame:
+    """Near-dup candidate pairs via shared winnowing fingerprints —
+    the MOSS matching stage over ``winnow_fingerprints``. Same
+    inverted-index discipline as ``containment_pairs``: fingerprints
+    seen in more than ``max_df`` docs are dropped BEFORE the self-join
+    (boilerplate-frequent k-grams carry no pair-specific signal),
+    bounding pair generation at |fingerprints| * max_df^2; shared
+    counts use capped fingerprints only while denominators n_a/n_b
+    stay FULL-set distinct-fingerprint counts, so derived similarity
+    shared/min(n_a, n_b) is a provable lower bound. All-integer
+    output (a, b, shared, n_a, n_b)."""
+    fp = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                             k=k, w=w).select(
+        F.col(id_col).alias("_id"), F.col("fp").alias("_fp"))
+    sizes = fp.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    kept = fp.join(fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+                   .filter(F.col("_df") <= max_df).select("_fp"), "_fp")
+    pairs = (kept.select(F.col("_fp"), F.col("_id").alias("_a"))
+             .join(kept.select(F.col("_fp"), F.col("_id").alias("_b")),
+                   "_fp")
+             .filter(F.col("_a") < F.col("_b"))
+             .groupBy("_a", "_b")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    return (pairs
+            .join(sizes.select(F.col("_id").alias("_a"),
+                               F.col("_sz").alias("n_a")), "_a")
+            .join(sizes.select(F.col("_id").alias("_b"),
+                               F.col("_sz").alias("n_b")), "_b")
+            .select(F.col("_a").alias("a"), F.col("_b").alias("b"),
+                    "shared", "n_a", "n_b"))
+
+
 def _bloom_position_sql(col: str, m_bits: int, i: int) -> str:
     """SQL for bit position i of a key: xxhash64 seeded with i, folded
     to [0, m). Kept as a SQL string so callers can splice it into
