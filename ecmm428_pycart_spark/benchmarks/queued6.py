@@ -1652,3 +1652,132 @@ def d60_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("shared").desc(), F.col("a").asc(),
                      F.col("b").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank / random-walk-with-restart
+# (graph.personalized_pagerank): sparse seed set (node % 97 == 0) on
+# the queen-contiguity customer grid, 3 synchronous rounds of
+# ALL-INTEGER rank flow — per-edge floor shares rank div deg, ppm
+# damping 850000, restart mass on seeds — the TrustRank-shape seeded
+# relevance pass (vetted-seed trust propagation, related-node
+# scoring). Like g19/g20, the grid's closed-form edge set lets the
+# oracle unroll EVERY round in SQL: no float convention, no golden
+# dispatch — a damping or share-floor regression on either side
+# reddens the hash. Page: top-20 nodes by final rank mass.
+# ---------------------------------------------------------------------------
+_G22_ROUND = """
+s{i} AS (
+  SELECT u.b AS k, sum(r.r // d.deg) AS inm
+  FROM und u JOIN r{j} r ON r.k = u.a JOIN deg d ON d.k = u.a
+  GROUP BY u.b
+),
+r{i} AS (
+  SELECT n.k, n.seed,
+         850000 * coalesce(s.inm, 0) // 1000000
+         + n.seed * 150000000 AS r
+  FROM n LEFT JOIN s{i} s ON s.k = n.k
+)"""
+
+
+@q("g22_personalized_pagerank", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS k, count(*) AS deg FROM und GROUP BY a),
+n AS (SELECT k, CASE WHEN k % 97 = 0 THEN 1 ELSE 0 END AS seed FROM g),
+r0 AS (SELECT k, seed, CAST(seed AS BIGINT) * 1000000000 AS r FROM n),
+{_G22_ROUND.format(i=1, j=0)},
+{_G22_ROUND.format(i=2, j=1)},
+{_G22_ROUND.format(i=3, j=2)}
+SELECT CAST(k AS BIGINT) AS node, CAST(seed AS INTEGER) AS is_seed,
+       CAST(r AS BIGINT) AS rank_mass
+FROM r3 ORDER BY rank_mass DESC, node ASC LIMIT 20
+""")
+def g22_personalized_pagerank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import personalized_pagerank
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    seeds = (grid.select(F.col("region_idx").alias("node"))
+             .filter(F.col("node") % 97 == 0))
+    out = personalized_pagerank(e, seeds, rounds=3, alpha_ppm=850000,
+                                seed_mass=1_000_000_000)
+    return (out.select(F.col("node").cast("long").alias("node"),
+                       F.col("is_seed").cast("int").alias("is_seed"),
+                       F.col("rank").cast("long").alias("rank_mass"))
+            .orderBy(F.col("rank_mass").desc(), F.col("node").asc())
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# REAL QOI decode (multimodal.decode_qoi_pixels): the Quite OK Image
+# format's full sequential op set — RUN / INDEX / DIFF / LUMA / RGB
+# with the 64-slot color index and wraparound diffs — over 17x11
+# fixtures whose run-quantized channel algebra forces every op kind
+# into one corpus. QOI coding is purely stateful, so the oracle pins
+# decoded pixel ALGEBRA: per-source channel sums (the m26/m28
+# convention) plus a POSITION-SENSITIVE last-pixel sentinel
+# (a*5 + b*10, pinned correct for every doc) that a run off-by-one or
+# index miss shifts even when sums survive.
+# ---------------------------------------------------------------------------
+@q("m31_qoi_pixel_stats", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b
+  FROM documents
+),
+px AS (
+  SELECT p.doc_id, p.source,
+         sum(CASE WHEN c.c = 0
+                  THEN (a * (x.x // 3) + b * y.y) % 256 ELSE 0 END) AS sr,
+         sum(CASE WHEN c.c = 1
+                  THEN (a * (x.x // 3) + b * y.y + 37) % 256 ELSE 0 END) AS sg,
+         sum(CASE WHEN c.c = 2
+                  THEN (a * (x.x // 3) + b * y.y + 74) % 256 ELSE 0 END) AS sb
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y),
+       unnest(range(0, 3)) c(c)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sr) AS BIGINT) AS total_r,
+       CAST(sum(sg) AS BIGINT) AS total_g,
+       CAST(sum(sb) AS BIGINT) AS total_b,
+       CAST(count(*) * 187 AS BIGINT) AS n_pix,
+       CAST(count(*) AS BIGINT) AS n_last_correct
+FROM px GROUP BY source
+""")
+def m31_qoi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_qoi_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.qoi_pixel_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.sum_r").cast("long").alias("total_r"),
+                 F.sum("s.sum_g").cast("long").alias("total_g"),
+                 F.sum("s.sum_b").cast("long").alias("total_b"),
+                 F.sum("s.n_pix").cast("long").alias("n_pix"),
+                 F.sum((F.col("s.last_r")
+                        == (F.col("doc_id") % 7 + 1) * 5
+                        + (F.col("doc_id") % 5 + 1) * 10).cast("long"))
+                 .alias("n_last_correct")))

@@ -2974,3 +2974,166 @@ def bmp_pixel_stats(payload: pd.Series) -> pd.DataFrame:
                      int(px.shape[0] * px.shape[1]), int(px[0, 0, 1])))
     return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
                                        "n_pix", "tl_g"])
+
+
+# ---------------------------------------------------------------------------
+# REAL QOI codec (round 5 continuation): the Quite OK Image format
+# (qoiformat.org — public one-page spec), the "PNG-simple" lossless
+# format modern asset pipelines ship when zlib is the bottleneck.
+# Hand-rolled encoder + decoder over the FULL op set (RUN / INDEX /
+# DIFF / LUMA / RGB / RGBA) with the 64-slot color index and
+# wraparound diffs, same discipline as the other stdlib codecs here:
+# every state-machine assumption explicit and testable, no external
+# libs. Unlike PNG/JPEG the coding is purely sequential-stateful, so
+# the oracle pins decoded pixel ALGEBRA (channel sums + a
+# position-sensitive last-pixel sentinel), not the byte stream.
+# ---------------------------------------------------------------------------
+
+QOI_W, QOI_H = 17, 11
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def qoi_bytes_rgb(arr: np.ndarray) -> bytes:
+    """QOI-encode an (h, w, 3) uint8 array (alpha fixed 255).
+    Reference-faithful op selection order — RUN, then INDEX, then
+    DIFF, then LUMA, else RGB — with the qoi.c index discipline (a
+    pixel enters the 64-slot index only when it MISSES it; run
+    continuations never touch the index) and the 62-pixel run cap."""
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    out = [b"qoif" + struct.pack(">IIBB", w, h, 3, 0)]
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for px in arr.reshape(-1, 3):
+        cur = (int(px[0]), int(px[1]), int(px[2]), 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(bytes([0xC0 | (run - 1)]))
+                run = 0
+            continue
+        if run:
+            out.append(bytes([0xC0 | (run - 1)]))
+            run = 0
+        hsh = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[hsh] == cur:
+            out.append(bytes([hsh]))
+        else:
+            index[hsh] = cur
+            dr = ((cur[0] - prev[0] + 128) & 255) - 128
+            dg = ((cur[1] - prev[1] + 128) & 255) - 128
+            db = ((cur[2] - prev[2] + 128) & 255) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(bytes([0x40 | (dr + 2) << 4 | (dg + 2) << 2
+                                  | (db + 2)]))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(bytes([0x80 | (dg + 32),
+                                  (dr - dg + 8) << 4 | (db - dg + 8)]))
+            else:
+                out.append(bytes([0xFE, cur[0], cur[1], cur[2]]))
+        prev = cur
+    if run:
+        out.append(bytes([0xC0 | (run - 1)]))
+    out.append(_QOI_END)
+    return b"".join(out)
+
+
+def decode_qoi_pixels(b: bytes) -> np.ndarray:
+    """Decode a QOI stream to (h, w, 3) uint8 (alpha dropped; RGBA
+    streams decode, their alpha feeds the index hash as the spec
+    requires). Raises on bad magic, bad channel count, a run
+    overrunning the pixel count, or a missing end marker — container
+    mistakes surface loudly instead of yielding shifted pixels."""
+    if b[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, _cs = struct.unpack(">IIBB", b[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"unsupported QOI channel count {channels}")
+    n = w * h
+    out = np.empty((n, 3), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos, i = 14, 0
+    while i < n:
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:                                    # QOI_OP_RGB
+            px = (b[pos], b[pos + 1], b[pos + 2], px[3])
+            pos += 3
+        elif op == 0xFF:                                  # QOI_OP_RGBA
+            px = (b[pos], b[pos + 1], b[pos + 2], b[pos + 3])
+            pos += 4
+        elif op >> 6 == 0:                                # QOI_OP_INDEX
+            px = index[op]
+        elif op >> 6 == 1:                                # QOI_OP_DIFF
+            px = ((px[0] + ((op >> 4) & 3) - 2) & 255,
+                  (px[1] + ((op >> 2) & 3) - 2) & 255,
+                  (px[2] + (op & 3) - 2) & 255, px[3])
+        elif op >> 6 == 2:                                # QOI_OP_LUMA
+            dg = (op & 0x3F) - 32
+            b2 = b[pos]
+            pos += 1
+            px = ((px[0] + dg + (b2 >> 4) - 8) & 255,
+                  (px[1] + dg) & 255,
+                  (px[2] + dg + (b2 & 0x0F) - 8) & 255, px[3])
+        else:                                             # QOI_OP_RUN
+            run = (op & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run overruns pixel count")
+            out[i:i + run] = px[:3]
+            i += run
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px[:3]
+        i += 1
+    if b[pos:pos + 8] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    return out.reshape(h, w, 3)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_qoi_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic QOI_W x QOI_H image per doc: px(x, y, c) =
+    (a*(x div 3) + b*y + 37*c) % 256 with a = id%7+1, b = id%5+1 —
+    the m26/m28 channel algebra with x quantized by 3 so every row
+    carries runs (RUN ops), inter-group steps of +a land in DIFF
+    (a=1) or LUMA (a>=2) range, and the mod-256 wraps + row
+    transitions force RGB and INDEX ops: one corpus exercises the
+    whole op set."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        y, x, c = np.ogrid[:QOI_H, :QOI_W, :3]
+        arr = ((a * (x // 3) + b * y + 37 * c) % 256).astype(np.uint8)
+        return qoi_bytes_rgb(arr)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_QOI_STATS = T.StructType([
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("n_pix", T.LongType()),
+    T.StructField("last_r", T.LongType()),
+])
+
+
+@F.pandas_udf(_QOI_STATS)
+def qoi_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """Channel sums + pixel count + the LAST pixel's red value over a
+    decoded QOI stream. Sums alone would survive some op-decode
+    misalignments that permute pixels; last_r is position-sensitive
+    (a run-length off-by-one or index miss shifts it), so the pair
+    pins both content and sequencing."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None))
+            continue
+        px = decode_qoi_pixels(bytes(buf))
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        rows.append((int(s[0]), int(s[1]), int(s[2]),
+                     int(px.shape[0] * px.shape[1]),
+                     int(px[-1, -1, 0])))
+    return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
+                                       "n_pix", "last_r"])

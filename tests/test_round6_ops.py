@@ -520,3 +520,133 @@ def test_link_prediction_matches_python_replay(spark):
     # wedge pair (1,2) is adjacent — so every candidate disappears
     capped = link_prediction_scores(edges, max_degree=2).collect()
     assert capped == []
+
+
+def test_qoi_bytestream_pins_spec_vectors():
+    """Hand-computed QOI streams: the encoder must emit byte-exact
+    spec ops (RGB for out-of-range diffs, RUN with bias -1, INDEX on
+    a 64-slot hash hit) and the decoder must invert them."""
+    import numpy as np
+    import struct
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    hdr = b"qoif" + struct.pack(">IIBB", 1, 1, 3, 0)
+    end = b"\x00" * 7 + b"\x01"
+    # 1x1 (128,0,0): dr=-128 exceeds DIFF/LUMA -> QOI_OP_RGB
+    assert (mm.qoi_bytes_rgb(np.array([[[128, 0, 0]]], np.uint8))
+            == hdr + b"\xfe\x80\x00\x00" + end)
+    # 2x1 all-black: equals the (0,0,0,255) seed pixel -> one RUN of 2
+    hdr21 = b"qoif" + struct.pack(">IIBB", 1, 2, 3, 0)
+    assert (mm.qoi_bytes_rgb(np.zeros((2, 1, 3), np.uint8))
+            == hdr21 + b"\xc1" + end)
+    # (128,0,0) hashes to slot 53; its reappearance is an INDEX op
+    hdr31 = b"qoif" + struct.pack(">IIBB", 1, 3, 3, 0)
+    arr = np.array([[[128, 0, 0]], [[10, 10, 10]], [[128, 0, 0]]],
+                   np.uint8)
+    assert (mm.qoi_bytes_rgb(arr)
+            == hdr31 + b"\xfe\x80\x00\x00" + b"\xfe\x0a\x0a\x0a"
+            + bytes([53]) + end)
+    for a in (np.array([[[128, 0, 0]]], np.uint8),
+              np.zeros((2, 1, 3), np.uint8), arr):
+        assert (mm.decode_qoi_pixels(mm.qoi_bytes_rgb(a)) == a).all()
+
+
+def test_qoi_roundtrip_randomized_and_guards():
+    """Randomized roundtrips across op-regimes (noise, runs > 62,
+    gradients in DIFF range, palette-like index hits) + the loud-
+    failure guards."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    cases = [rng.randint(0, 256, (9, 13, 3)).astype(np.uint8),
+             np.full((70, 1, 3), 7, np.uint8),
+             (np.cumsum(rng.randint(-2, 2, 40))
+              .repeat(3).reshape(40, 1, 3) % 256).astype(np.uint8),
+             (rng.randint(0, 4, (8, 8, 3)) * 85).astype(np.uint8)]
+    for a in cases:
+        assert (mm.decode_qoi_pixels(mm.qoi_bytes_rgb(a)) == a).all()
+    with pytest.raises(ValueError):
+        mm.decode_qoi_pixels(b"nope" + bytes(20))
+    raw = bytearray(mm.qoi_bytes_rgb(cases[0]))
+    raw[12] = 5                                   # channels byte
+    with pytest.raises(ValueError):
+        mm.decode_qoi_pixels(bytes(raw))
+
+
+def test_qoi_stats_udf_matches_numpy(spark):
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (mm.QOI_H, mm.QOI_W, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(mm.qoi_bytes_rgb(arr)))])
+    r = (df.withColumn("s", mm.qoi_pixel_stats(F.col("payload")))
+         .select("s.*").head())
+    want = arr.astype(np.int64).sum(axis=(0, 1))
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(x) for x in want)
+    assert (r.n_pix, r.last_r) == (mm.QOI_H * mm.QOI_W,
+                                   int(arr[-1, -1, 0]))
+
+
+def test_winnowing_guarantee_and_selection(spark):
+    """The winnowing contract: any shared substring of length
+    >= k + w - 1 (= 11 normalized chars at k=8, w=4) must produce at
+    least one shared selected fingerprint; and every selected
+    fingerprint must be one of the doc's own k-gram hashes."""
+    from ecmm428_pycart_spark.datapipe.dedup import (winnow_dup_pairs,
+                                                     winnow_fingerprints)
+
+    shared = "zqxjkvbwp lumen quartz"       # >= 11 chars normalized
+    docs = [(0, "left padding " + shared + " tail one"),
+            (1, "other prefix! " + shared + " different end"),
+            (2, "completely unrelated content with nothing common")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fp = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    # selected hashes are a subset of the doc's own gram hashes
+    import hashlib
+    norm = "".join(ch for ch in docs[0][1].lower()
+                   if ch.isalnum())
+    grams = {int(hashlib.md5(norm[i:i + 8].encode()).hexdigest()[:10],
+                 16) for i in range(len(norm) - 7)}
+    assert by_doc[0] <= grams
+    # density: never more fingerprints than grams, never zero for
+    # a long-enough doc
+    assert 0 < len(by_doc[0]) <= len(grams)
+    pairs = {(r.a, r.b): r.shared
+             for r in winnow_dup_pairs(df, min_shared=1).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_personalized_pagerank_python_replay(spark):
+    """Tiny known graph (path 0-1-2-3, plus 4 hanging off 1): replay
+    the exact integer recurrence in Python and compare every node's
+    mass after 2 rounds."""
+    from ecmm428_pycart_spark.datapipe.graph import personalized_pagerank
+
+    und = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (1, 4),
+           (4, 1)]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: (r.is_seed, r.rank)
+           for r in personalized_pagerank(
+               edges, seeds, rounds=2, alpha_ppm=850000,
+               seed_mass=1_000_000_000).collect()}
+    deg = {0: 1, 1: 3, 2: 2, 3: 1, 4: 1}
+    rank = {n: (1_000_000_000 if n == 0 else 0) for n in deg}
+    restart = (150000 * 1_000_000_000) // 1_000_000
+    for _ in range(2):
+        inm = {n: 0 for n in deg}
+        for (u, v) in und:
+            inm[v] += rank[u] // deg[u]
+        rank = {n: (850000 * inm[n]) // 1_000_000
+                + (restart if n == 0 else 0) for n in deg}
+    assert got == {n: (1 if n == 0 else 0, rank[n]) for n in deg}
