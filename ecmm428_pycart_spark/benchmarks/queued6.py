@@ -1781,3 +1781,170 @@ def m31_qoi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         == (F.col("doc_id") % 7 + 1) * 5
                         + (F.col("doc_id") % 5 + 1) * 10).cast("long"))
                  .alias("n_last_correct")))
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch with SET ALGEBRA
+# (text.kmv_sketch/kmv_estimates/kmv_pair_stats): the theta-sketch
+# capability q102's HLL can't give — merging two bottom-64 sketches
+# yields the UNION's sketch exactly, so pairwise Jaccard /
+# intersection estimates are pure integer counting (matches out of k,
+# floor-div ppm). Word-2-gram vocabularies of sources src0-src3
+# (~700 distinct each vs k=64), the full pair matrix: per-side exact
+# distinct counts vs sketch estimates, union estimate, matches,
+# jaccard_ppm, inter_est — every number BIGINT floor math on 40-bit
+# md5 hashes, replayed end-to-end in SQL (build, merge, probe; no
+# golden). Spark's bottom-k is two bounded row_number windows (the
+# first bucketed by h mod 8 so no sort partition owns a group's
+# whole distinct set).
+# ---------------------------------------------------------------------------
+@q("d61_kmv_distinct", """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+g AS (
+  SELECT DISTINCT source, w[i] || ' ' || w[i+1] AS gram
+  FROM t, unnest(range(1, len(w))) r(i)
+),
+h AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(gram), 1, 10)) AS BIGINT) AS h
+  FROM g
+),
+ex AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
+sk AS (SELECT * FROM (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM h) WHERE rn <= 64),
+e2 AS (SELECT source, 63 * 1099511627776 // max(CASE WHEN rn = 64
+                                                THEN h END) AS est
+       FROM sk GROUP BY source),
+pr AS (SELECT a.source AS a, b.source AS b
+       FROM (SELECT DISTINCT source FROM h) a,
+            (SELECT DISTINCT source FROM h) b
+       WHERE a.source < b.source),
+uh AS (SELECT DISTINCT p.a, p.b, s.h
+       FROM pr p JOIN sk s ON s.source = p.a OR s.source = p.b),
+usk AS (SELECT * FROM (
+          SELECT a, b, h,
+                 row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+          FROM uh) WHERE rn <= 64),
+uk AS (SELECT a, b, max(CASE WHEN rn = 64 THEN h END) AS union_kth
+       FROM usk GROUP BY a, b),
+m AS (SELECT u.a, u.b, count(*) AS matches
+      FROM usk u
+      JOIN sk sa ON sa.source = u.a AND sa.h = u.h
+      JOIN sk sb ON sb.source = u.b AND sb.h = u.h
+      GROUP BY u.a, u.b)
+SELECT uk.a, uk.b,
+       CAST(exa.n_exact AS BIGINT) AS n_a_exact,
+       CAST(exb.n_exact AS BIGINT) AS n_b_exact,
+       CAST(ea.est AS BIGINT) AS est_a,
+       CAST(eb.est AS BIGINT) AS est_b,
+       CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+       CAST(63 * 1099511627776 // uk.union_kth AS BIGINT) AS union_est,
+       CAST(coalesce(m.matches, 0) * 1000000 // 64 AS BIGINT)
+         AS jaccard_ppm,
+       CAST(coalesce(m.matches, 0)
+            * (63 * 1099511627776 // uk.union_kth) // 64 AS BIGINT)
+         AS inter_est
+FROM uk
+JOIN ex exa ON exa.source = uk.a
+JOIN ex exb ON exb.source = uk.b
+JOIN e2 ea ON ea.source = uk.a
+JOIN e2 eb ON eb.source = uk.b
+LEFT JOIN m ON m.a = uk.a AND m.b = uk.b
+ORDER BY uk.a, uk.b
+""")
+def d61_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import shingle_set
+    from ecmm428_pycart_spark.datapipe.text import (kmv_estimates,
+                                                    kmv_pair_stats,
+                                                    kmv_sketch)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("source").isin("src0", "src1", "src2",
+                                         "src3")))
+    g = docs.select("source",
+                    F.explode(shingle_set(F.col("text"), 2))
+                    .alias("gram"))
+    ex = (g.select("source",
+                   F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10)
+                   .cast("long").alias("h")).distinct()
+          .groupBy("source").agg(F.count(F.lit(1)).alias("n_exact")))
+    sk = kmv_sketch(g, "gram", "source", k=64)
+    est = kmv_estimates(sk, k=64)
+    pairs = kmv_pair_stats(sk, k=64)
+    return (pairs
+            .join(ex.select(F.col("source").alias("a"),
+                            F.col("n_exact").alias("n_a_exact")), "a")
+            .join(ex.select(F.col("source").alias("b"),
+                            F.col("n_exact").alias("n_b_exact")), "b")
+            .join(est.select(F.col("source").alias("a"),
+                             F.col("est_distinct").alias("est_a")), "a")
+            .join(est.select(F.col("source").alias("b"),
+                             F.col("est_distinct").alias("est_b")), "b")
+            .select("a", "b",
+                    F.col("n_a_exact").cast("long").alias("n_a_exact"),
+                    F.col("n_b_exact").cast("long").alias("n_b_exact"),
+                    F.col("est_a").cast("long").alias("est_a"),
+                    F.col("est_b").cast("long").alias("est_b"),
+                    F.col("matches").cast("long").alias("matches"),
+                    F.col("union_est").cast("long").alias("union_est"),
+                    F.col("jaccard_ppm").cast("long")
+                    .alias("jaccard_ppm"),
+                    F.col("inter_est").cast("long").alias("inter_est"))
+            .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF walk + baseline decode (multimodal.decode_tiff_gray): the
+# tagged-IFD container pattern — typed tag entries with the
+# inline-value-when-<=4-bytes rule, StripOffsets/StripByteCounts
+# arrays, multi-strip reassembly — over 17x11 grayscale fixtures that
+# ALTERNATE II/MM byte order by doc parity, so both endian paths stay
+# gate-exercised. The oracle replays the generative pixel algebra
+# ((a*x + b*y) % 251 — prime modulus, sums not byte-aligned) and pins
+# n_strips = ceil(11/4) = 3 per doc (the IFD walk) plus the last
+# pixel (strip ORDER: out-of-order reassembly preserves sums).
+# ---------------------------------------------------------------------------
+@q("m32_tiff_strip_stats", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b
+  FROM documents
+),
+px AS (
+  SELECT p.doc_id, p.source,
+         sum((a * x.x + b * y.y) % 251) AS s,
+         max(CASE WHEN x.x = 16 AND y.y = 10
+                  THEN (a * x.x + b * y.y) % 251 END) AS lp
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s) AS BIGINT) AS total_px,
+       CAST(count(*) * 187 AS BIGINT) AS n_pix,
+       CAST(count(*) * 3 AS BIGINT) AS n_strips,
+       CAST(count(*) AS BIGINT) AS n_last_correct
+FROM px GROUP BY source
+""")
+def m32_tiff_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_tiff_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.tiff_pixel_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.sum_px").cast("long").alias("total_px"),
+                 F.sum("s.n_pix").cast("long").alias("n_pix"),
+                 F.sum("s.n_strips").cast("long").alias("n_strips"),
+                 F.sum((F.col("s.last_px")
+                        == ((F.col("doc_id") % 7 + 1) * 16
+                            + (F.col("doc_id") % 5 + 1) * 10) % 251)
+                       .cast("long"))
+                 .alias("n_last_correct")))

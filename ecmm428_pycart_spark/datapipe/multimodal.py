@@ -3137,3 +3137,161 @@ def qoi_pixel_stats(payload: pd.Series) -> pd.DataFrame:
                      int(px[-1, -1, 0])))
     return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
                                        "n_pix", "last_r"])
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF walk + baseline decode (round 5 continuation): TIFF is the
+# tagged-container pattern — an IFD (offset-linked directory of typed
+# tag entries) pointing at strip data — that scanned-document and
+# scientific corpora ship. Hand-rolled like the MP4 box / ZIP central
+# -directory walks: explicit byte-order handling (II and MM), typed
+# entry parsing with the inline-value-when-<=4-bytes rule, multi-strip
+# reassembly. Scope: uncompressed 8-bit grayscale, 1 sample/pixel
+# (baseline TIFF class G); anything else raises loudly.
+# ---------------------------------------------------------------------------
+
+TIFF_W, TIFF_H = 17, 11
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def tiff_bytes_gray(arr: np.ndarray, big_endian: bool = False) -> bytes:
+    """Encode an (h, w) uint8 array as baseline uncompressed
+    grayscale TIFF, split into multiple strips (RowsPerStrip=4) so
+    decoders must really walk StripOffsets/StripByteCounts; ``II``
+    little-endian by default, ``MM`` on request."""
+    e = ">" if big_endian else "<"
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    strips = [arr[y:y + _TIFF_ROWS_PER_STRIP].tobytes()
+              for y in range(0, h, _TIFF_ROWS_PER_STRIP)]
+    n = len(strips)
+    # layout: 8B header | strip data | IFD | offset arrays
+    data_off = 8
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, n, None),
+            (277, 3, 1, 1), (278, 3, 1, _TIFF_ROWS_PER_STRIP),
+            (279, 4, n, None)]
+    ifd_size = 2 + 12 * len(tags) + 4
+    arr_off = ifd_off + ifd_size
+    entries, trailer, t_pos = [], [], arr_off
+    for tag, typ, cnt, val in tags:
+        if tag in (273, 279):
+            vals = offs if tag == 273 else [len(s) for s in strips]
+            if cnt == 1:
+                entries.append(struct.pack(e + "HHII", tag, typ, 1,
+                                           vals[0]))
+            else:
+                entries.append(struct.pack(e + "HHII", tag, typ, cnt,
+                                           t_pos))
+                trailer.append(struct.pack(e + f"{cnt}I", *vals))
+                t_pos += 4 * cnt
+        elif typ == 3:                       # SHORT: inline, padded
+            entries.append(struct.pack(e + "HHIHH", tag, typ, cnt,
+                                       val, 0))
+        else:
+            entries.append(struct.pack(e + "HHII", tag, typ, cnt, val))
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II",
+                         42, ifd_off)
+    ifd = (struct.pack(e + "H", len(tags)) + b"".join(entries)
+           + struct.pack(e + "I", 0))
+    return header + b"".join(strips) + ifd + b"".join(trailer)
+
+
+def decode_tiff_gray(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode baseline uncompressed 8-bit grayscale TIFF; returns
+    (pixels (h, w) uint8, n_strips). Both byte orders; raises on bad
+    magic, compression, bit depth, photometric or sample-count
+    variants outside the baseline-gray scope, and on strip bytes
+    that don't cover the image."""
+    order = b[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    magic, ifd_off = struct.unpack(e + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n_tags = struct.unpack(e + "H", b[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", b[off:off + 8])
+        if typ == 3:                          # SHORT
+            if cnt == 1:
+                vals = [struct.unpack(e + "H", b[off + 8:off + 10])[0]]
+            else:
+                p = struct.unpack(e + "I", b[off + 8:off + 12])[0]
+                vals = list(struct.unpack(e + f"{cnt}H",
+                                          b[p:p + 2 * cnt]))
+        elif typ == 4:                        # LONG
+            if cnt == 1:
+                vals = [struct.unpack(e + "I", b[off + 8:off + 12])[0]]
+            else:
+                p = struct.unpack(e + "I", b[off + 8:off + 12])[0]
+                vals = list(struct.unpack(e + f"{cnt}I",
+                                          b[p:p + 4 * cnt]))
+        else:
+            continue                          # types out of scope
+        tags[tag] = vals
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError("compressed TIFF needs a codec lib")
+    if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("only 8-bit single-sample grayscale")
+    if tags.get(262, [1])[0] not in (0, 1):
+        raise NotImplementedError("only grayscale photometric")
+    offs, cnts = tags[273], tags[279]
+    raw = b"".join(b[o:o + c] for o, c in zip(offs, cnts))
+    if len(raw) != w * h:
+        raise ValueError("strip bytes do not cover the image")
+    px = np.frombuffer(raw, np.uint8).reshape(h, w)
+    if tags.get(262, [1])[0] == 0:            # WhiteIsZero
+        px = 255 - px
+    return px.copy(), len(offs)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_tiff_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic TIFF_W x TIFF_H grayscale TIFF per doc —
+    px(x, y) = (a*x + b*y) % 251 (a = id%7+1, b = id%5+1; prime
+    modulus so sums aren't byte-aligned), alternating II/MM byte
+    order by doc parity so both decode paths stay gate-exercised."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        y, x = np.ogrid[:TIFF_H, :TIFF_W]
+        arr = ((a * x + b * y) % 251).astype(np.uint8)
+        return tiff_bytes_gray(arr, big_endian=bool(i % 2))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_TIFF_STATS = T.StructType([
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("n_pix", T.LongType()),
+    T.StructField("n_strips", T.LongType()),
+    T.StructField("last_px", T.LongType()),
+])
+
+
+@F.pandas_udf(_TIFF_STATS)
+def tiff_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """Pixel sum + count + STRIP count + last-pixel value over a
+    decoded TIFF: the strip count pins the IFD/StripOffsets walk
+    (ceil(h / RowsPerStrip)), last_px pins strip ORDER (reassembling
+    strips out of order preserves the sum)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        px, n_strips = decode_tiff_gray(bytes(buf))
+        rows.append((int(px.astype(np.int64).sum()),
+                     int(px.shape[0] * px.shape[1]), int(n_strips),
+                     int(px[-1, -1])))
+    return pd.DataFrame(rows, columns=["sum_px", "n_pix", "n_strips",
+                                       "last_px"])

@@ -927,3 +927,104 @@ def classifier_scores(df: DataFrame, dim: int = 64, seed: str = "clf",
     return (out.filter(F.col("n_tokens") > 0)
             .withColumn("score", score)
             .withColumn("keep", F.col("raw") >= 0))
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_col: str = "source",
+               k: int = 64, buckets: int = 8) -> DataFrame:
+    """KMV / bottom-k distinct sketch per group (Bar-Yossef et al.
+    2002; the theta-sketch family's exact-merge member): the ``k``
+    smallest 40-bit md5 hashes of the group's DISTINCT keys, with
+    rank. Unlike HLL (q102) the sketch supports SET ALGEBRA — the
+    k smallest of a union of sketches IS the union's sketch, so
+    intersection/Jaccard estimates fall out of pure integer counting
+    (see ``kmv_pair_stats``), which register-based HLL cannot do.
+
+    Exact integer contract: hashes, ranks and the k-th minimum are
+    integers; downstream estimates use floor division only — fully
+    SQL-replayable, no float convention.
+
+    Scale shape: distinct on (group, hash), then TWO bounded
+    row_number windows — the first partitioned by (group, hash mod
+    ``buckets``) so no single sort partition owns a whole group's
+    distinct set (the skew discipline), keeping <= k per bucket; the
+    second ranks the surviving <= k * buckets candidates per group.
+    Never a global window, never an unbounded per-group state."""
+    h = (df.select(F.col(group_col).alias("_g"),
+                   F.conv(F.substring(F.md5(F.col(key_col)), 1, 10),
+                          16, 10).cast("long").alias("h"))
+         .distinct())
+    w1 = W.partitionBy("_g", F.col("h") % buckets).orderBy("h")
+    cand = (h.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+    w2 = W.partitionBy("_g").orderBy("h")
+    return (cand.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select(F.col("_g").alias(group_col), "h", "rn"))
+
+
+def kmv_estimates(sketch: DataFrame, k: int = 64,
+                  group_col: str = "source") -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k-1) * 2^40 div
+    kth_min when the sketch is full, the exact member count when the
+    group has fewer than ``k`` distinct keys (the sketch then IS the
+    set). Integer floor-div only."""
+    return (sketch.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_in_sketch"),
+                 F.max(F.when(F.col("rn") == k, F.col("h")))
+                 .alias("kth"))
+            .select(group_col, "n_in_sketch",
+                    F.coalesce("kth", F.lit(0)).alias("kth"),
+                    F.when(F.col("n_in_sketch") < k,
+                           F.col("n_in_sketch").cast("long"))
+                    .otherwise(F.expr(
+                        f"({k - 1} * 1099511627776L) div kth"))
+                    .alias("est_distinct")))
+
+
+def kmv_pair_stats(sketch: DataFrame, k: int = 64,
+                   group_col: str = "source") -> DataFrame:
+    """Pairwise set-algebra estimates from full KMV sketches: for each
+    group pair (a < b), merge the two sketches (k smallest of the
+    distinct union — the exact KMV merge), count how many union-sketch
+    members appear in BOTH input sketches (``matches``), and derive
+    jaccard_ppm = matches * 1e6 div k,
+    union_est   = (k-1) * 2^40 div union_kth,
+    inter_est   = matches * union_est div k — all floor-div integers.
+    Assumes every group's sketch is full (callers with small groups
+    already have exact sets and don't need estimates).
+
+    Plan: the pair frame is |groups|^2 rows (tiny — group keys, not
+    data) broadcast onto the k-row sketches; merge + match are
+    equi-joins keyed on (pair, hash); nothing touches the raw data
+    again."""
+    sk = sketch.select(F.col(group_col).alias("_s"), "h")
+    gs = sk.select("_s").distinct()
+    pairs = (gs.select(F.col("_s").alias("a"))
+             .crossJoin(F.broadcast(gs.select(F.col("_s").alias("b"))))
+             .filter(F.col("a") < F.col("b")))
+    uh = (pairs.join(sk.withColumnRenamed("_s", "a"), "a")
+          .unionByName(pairs.join(sk.withColumnRenamed("_s", "b"), "b")
+                       .select("a", "b", "h"))
+          .select("a", "b", "h").distinct())
+    w = W.partitionBy("a", "b").orderBy("h")
+    usk = (uh.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= k))
+    ukth = (usk.groupBy("a", "b")
+            .agg(F.max(F.when(F.col("_rn") == k, F.col("h")))
+                 .alias("union_kth")))
+    m = (usk.join(sk.select(F.col("_s").alias("a"),
+                            F.col("h")), ["a", "h"])
+         .join(sk.select(F.col("_s").alias("b"), F.col("h")),
+               ["b", "h"])
+         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("matches")))
+    return (ukth.join(m, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("matches", F.lit(0)).cast("long")
+                    .alias("matches"),
+                    F.col("union_kth"),
+                    F.expr(f"({k - 1} * 1099511627776L) div union_kth")
+                    .alias("union_est"))
+            .withColumn("jaccard_ppm",
+                        F.expr(f"matches * 1000000 div {k}"))
+            .withColumn("inter_est",
+                        F.expr(f"matches * union_est div {k}")))

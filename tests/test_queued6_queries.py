@@ -89,6 +89,9 @@ def test_queued6_plan_guards(spark):
         # g19/g20 share the shape but hide it behind their iterative
         # helpers' localCheckpoint lineage truncation
         "g21_link_prediction",
+        # group-key pair frame: |groups|-row broadcast cross join in
+        # kmv_pair_stats (pairs of source NAMES, never data rows)
+        "d61_kmv_distinct",
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):

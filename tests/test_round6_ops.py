@@ -650,3 +650,79 @@ def test_personalized_pagerank_python_replay(spark):
         rank = {n: (850000 * inm[n]) // 1_000_000
                 + (restart if n == 0 else 0) for n in deg}
     assert got == {n: (1 if n == 0 else 0, rank[n]) for n in deg}
+
+
+def test_kmv_sketch_exact_replay(spark):
+    """Tiny two-group fixture replayed in pure Python: bottom-k
+    members, ranks, the under-k exact fallback, and the pair-merge
+    matches/estimate algebra."""
+    import hashlib
+
+    from ecmm428_pycart_spark.datapipe.text import (kmv_estimates,
+                                                    kmv_pair_stats,
+                                                    kmv_sketch)
+
+    def h40(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    ga = [f"k{i}" for i in range(12)]            # group A: 12 keys
+    gb = [f"k{i}" for i in range(8, 30)]         # group B: 22, overlap 4
+    rows = ([("A", k) for k in ga] + [("B", k) for k in gb]
+            + [("A", "k3")])                     # dup key must collapse
+    df = spark.createDataFrame(rows, ["source", "gram"])
+    k = 16
+    sk = kmv_sketch(df, "gram", "source", k=k)
+    got = {(r.source, r.h, r.rn) for r in sk.collect()}
+    want = set()
+    for g, keys in (("A", ga), ("B", gb)):
+        hs = sorted({h40(x) for x in keys})[:k]
+        want |= {(g, h, i + 1) for i, h in enumerate(hs)}
+    assert got == want
+    est = {r.source: (r.n_in_sketch, r.est_distinct)
+           for r in kmv_estimates(sk, k=k).collect()}
+    assert est["A"] == (12, 12)                  # under k -> exact
+    hb = sorted({h40(x) for x in gb})
+    assert est["B"] == (k, (k - 1) * (1 << 40) // hb[k - 1])
+    pair = kmv_pair_stats(sk, k=k).collect()[0]
+    ha = sorted({h40(x) for x in ga})
+    union = sorted(set(ha) | set(hb))[:k]
+    matches = len([x for x in union
+                   if x in set(ha[:k]) and x in set(hb[:k])])
+    union_est = (k - 1) * (1 << 40) // union[k - 1]
+    assert (pair.a, pair.b) == ("A", "B")
+    assert pair.matches == matches
+    assert pair.union_est == union_est
+    assert pair.jaccard_ppm == matches * 10**6 // k
+    assert pair.inter_est == matches * union_est // k
+
+
+def test_tiff_roundtrip_both_endians_and_guards(spark):
+    """Both byte orders decode to the identical logical image with
+    the right strip count; baseline-scope violations raise."""
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (mm.TIFF_H, mm.TIFF_W)).astype(np.uint8)
+    for be in (False, True):
+        px, ns = mm.decode_tiff_gray(mm.tiff_bytes_gray(arr, be))
+        assert (px == arr).all() and ns == 3
+    with pytest.raises(ValueError):
+        mm.decode_tiff_gray(b"PK" + bytes(30))
+    raw = bytearray(mm.tiff_bytes_gray(arr))
+    # flip the Compression SHORT (tag 259) to LZW(5): must raise
+    ifd_off = int.from_bytes(raw[4:8], "little")
+    for i in range(int.from_bytes(raw[ifd_off:ifd_off + 2], "little")):
+        off = ifd_off + 2 + 12 * i
+        if int.from_bytes(raw[off:off + 2], "little") == 259:
+            raw[off + 8] = 5
+    with pytest.raises(NotImplementedError):
+        mm.decode_tiff_gray(bytes(raw))
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(mm.tiff_bytes_gray(arr)))])
+    r = (df.withColumn("s", mm.tiff_pixel_stats(F.col("payload")))
+         .select("s.*").head())
+    assert (r.sum_px, r.n_pix, r.n_strips, r.last_px) == (
+        int(arr.astype(np.int64).sum()), mm.TIFF_H * mm.TIFF_W, 3,
+        int(arr[-1, -1]))
