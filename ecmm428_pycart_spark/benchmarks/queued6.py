@@ -1948,3 +1948,93 @@ def m32_tiff_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + (F.col("doc_id") % 5 + 1) * 10) % 251)
                        .cast("long"))
                  .alias("n_last_correct")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct (streaming.stream_kmv_distinct): bottom-64
+# md5-hash sketch per event_type maintained in applyInPandasWithState
+# (<= 64 longs of state per key). Bottom-k union is order-insensitive
+# AND idempotent, so unlike st16's HLL (error-bounded only) the
+# streamed sketch is VALUE-deterministic: the oracle replays kth/est
+# exactly in batch SQL, plus the exact distinct count and a 35%
+# accuracy pin (3x the k=64 rsd; worst observed 29.6% at sf0.1).
+# Final state reads back from update-mode emissions by monotonicity
+# (max n/est, min nonzero kth). st01's bounded replay harness.
+# ---------------------------------------------------------------------------
+@q("st18_stream_kmv_distinct", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (SELECT * FROM (
+         SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY h) AS rn
+         FROM h) WHERE rn <= 64),
+e AS (SELECT event_type, count(*) AS n,
+             coalesce(max(CASE WHEN rn = 64 THEN h END), 0) AS kth
+      FROM sk GROUP BY event_type),
+x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT x.event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(e.n AS BIGINT) AS n_in_sketch,
+       CAST(e.kth AS BIGINT) AS kth,
+       CAST(CASE WHEN e.n < 64 THEN e.n
+                 ELSE 63 * 1099511627776 // e.kth END AS BIGINT) AS est,
+       TRUE AS within_bound
+FROM x JOIN e USING (event_type) ORDER BY event_type
+""")
+def st18_stream_kmv_distinct(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_kmv_distinct,
+        write_time_ordered_stream_dir)
+
+    # 3 slices -> 3 micro-batches (maxFilesPerTrigger=1): the state
+    # REALLY merges across batches; bottom-k idempotence is what makes
+    # the result equal the one-shot batch replay regardless of which
+    # slice a user lands in (event_id hash slicing, order-free).
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st18_events_")
+    write_time_ordered_stream_dir(slices, d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    name = f"st18_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream_kmv_distinct(stream, k=64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
+    final = (spark.table(name)
+             .groupBy("event_type")
+             .agg(F.max("n_in_sketch").alias("n_in_sketch"),
+                  F.min(F.when(F.col("kth") > 0, F.col("kth")))
+                  .alias("kth"),
+                  F.max("est").alias("est")))
+    exact = (_t(spark, sf_dir, "events")
+             .filter(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return (exact.join(final, "event_type")
+            .select("event_type",
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("n_in_sketch").cast("long")
+                    .alias("n_in_sketch"),
+                    F.coalesce("kth", F.lit(0)).cast("long")
+                    .alias("kth"),
+                    F.col("est").cast("long").alias("est"),
+                    (F.abs(F.col("est").cast("double")
+                           - F.col("n_exact").cast("double"))
+                     <= F.greatest(F.lit(0.35)
+                                   * F.col("n_exact").cast("double"),
+                                   F.lit(1.0))).alias("within_bound"))
+            .orderBy("event_type"))

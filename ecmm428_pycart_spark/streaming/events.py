@@ -407,3 +407,53 @@ def tws_running_stats(events: DataFrame) -> DataFrame:
             .groupBy("user_id").transformWithStateInPandas(
                 RunningStats(), outputStructType=out,
                 outputMode="Update", timeMode="None"))
+
+
+_KMV_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_in_sketch", T.LongType()),
+    T.StructField("kth", T.LongType()),
+    T.StructField("est", T.LongType()),
+])
+_KMV_STATE = T.StructType([
+    T.StructField("hs", T.ArrayType(T.LongType())),
+])
+
+
+def stream_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
+    """STREAMING bottom-k (KMV) distinct sketch per event_type as a
+    custom stateful operator (applyInPandasWithState, NoTimeout) —
+    the exact-merge counterpart of st16's HLL: state is the k
+    smallest 40-bit md5 hashes of the user ids seen, <= k longs per
+    key (bounded, where exact streaming COUNT(DISTINCT) is
+    unbounded), and bottom-k union is commutative / associative /
+    IDEMPOTENT, so the final sketch — and therefore the estimate —
+    is independent of micro-batch slicing and replays exactly in a
+    batch SQL oracle (st16 could only bound its HLL error; this
+    sketch is value-deterministic).
+
+    Emissions are update-mode per batch; n_in_sketch and est are
+    monotone non-decreasing and kth (once the sketch fills) monotone
+    non-increasing, so the final state per key aggregates as
+    max / max / min-over-nonzero downstream. Null user_ids are
+    dropped (the batch convention)."""
+    def update(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+        s = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for u in pdf["user_id"].dropna():
+                s.add(int(hashlib.md5(str(int(u)).encode())
+                          .hexdigest()[:10], 16))
+        hs = sorted(s)[:k]
+        state.update((hs,))
+        n = len(hs)
+        kth = hs[-1] if n == k else 0
+        est = n if n < k else (k - 1) * (1 << 40) // kth
+        yield pd.DataFrame([(key[0], n, kth, est)],
+                           columns=["event_type", "n_in_sketch",
+                                    "kth", "est"])
+
+    return (events.groupBy("event_type").applyInPandasWithState(
+        update, _KMV_OUT, _KMV_STATE, "update", "NoTimeout"))

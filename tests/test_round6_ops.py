@@ -726,3 +726,65 @@ def test_tiff_roundtrip_both_endians_and_guards(spark):
     assert (r.sum_px, r.n_pix, r.n_strips, r.last_px) == (
         int(arr.astype(np.int64).sum()), mm.TIFF_H * mm.TIFF_W, 3,
         int(arr[-1, -1]))
+
+
+def test_stream_kmv_slice_invariance_and_nulls(spark, tmp_path):
+    """The determinism claim behind st18: the SAME final sketch for a
+    2-slice and a 4-slice micro-batch replay (bottom-k union is
+    order-insensitive and idempotent), equal to a pure-Python batch
+    replay; null user_ids are dropped."""
+    import datetime
+    import hashlib
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_kmv_distinct,
+        write_time_ordered_stream_dir)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i),
+             None if i % 11 == 0 else (i * 7) % 23,
+             "click" if i % 2 else "view", float(i), None)
+            for i in range(60)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    k = 8
+
+    def run(n_slices):
+        d = str(tmp_path / f"s{n_slices}")
+        import os
+        os.makedirs(d)
+        write_time_ordered_stream_dir(
+            [ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
+             for i in range(n_slices)], d)
+        name = f"kmv_{uuid.uuid4().hex[:8]}"
+        _await_stream(
+            spark,
+            stream_kmv_distinct(
+                read_events_stream(spark, d, max_files_per_trigger=1),
+                k=k)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True))
+        return {r.event_type: (r.n_in_sketch, r.kth, r.est)
+                for r in spark.table(name)
+                .groupBy("event_type")
+                .agg(F.max("n_in_sketch").alias("n_in_sketch"),
+                     F.min(F.when(F.col("kth") > 0, F.col("kth")))
+                     .alias("kth"),
+                     F.max("est").alias("est")).collect()}
+
+    got2, got4 = run(2), run(4)
+    assert got2 == got4
+    want = {}
+    for typ in ("click", "view"):
+        hs = sorted({int(hashlib.md5(str(u).encode()).hexdigest()[:10],
+                         16)
+                     for (_i, _t2, u, t, _v, _p) in rows
+                     if t == typ and u is not None})[:k]
+        n = len(hs)
+        kth = hs[-1] if n == k else None
+        est = n if n < k else (k - 1) * (1 << 40) // kth
+        want[typ] = (n, kth, est)
+    assert got2 == want
