@@ -2038,3 +2038,84 @@ def st18_stream_kmv_distinct(spark: SparkSession,
                                    * F.col("n_exact").cast("double"),
                                    F.lit(1.0))).alias("within_bound"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (dedup.cdc_chunks): Rabin-Karp
+# rolling-hash boundaries (h % 64 == 0 over the trailing
+# 16-char window, mod the prime 1000003) — the LBFS/storage-dedup
+# segmentation whose cuts depend only on LOCAL content, so insertions
+# re-chunk one neighborhood and every downstream chunk survives
+# byte-identical (what fixed segments can't do; the sub-document
+# complement of d29). Spark computes positions, window sums, cuts and
+# chunk slices ENTIRELY map-side in array expressions (the winnowing
+# discipline — one scan at 100 TB, shuffle only the chunk-level agg);
+# the oracle replays the same B^j-weighted window sums through an
+# independent unnest + lag-window chunk assembly, and total_chars is
+# recomputed from raw doc lengths — a dropped or duplicated byte in
+# the slicing reddens the hash. All-integer per-source page.
+# ---------------------------------------------------------------------------
+@q("d62_cdc_chunks", """
+WITH d AS (SELECT doc_id, source, text AS s, len(text) AS n
+           FROM documents),
+pos AS (
+  SELECT doc_id, i
+  FROM d, unnest(range(16, n + 1)) r(i)
+  WHERE i < n
+    AND (ascii(substr(s, CAST(i - 0 AS INT), 1)) * 1 + ascii(substr(s, CAST(i - 1 AS INT), 1)) * 31 + ascii(substr(s, CAST(i - 2 AS INT), 1)) * 961 + ascii(substr(s, CAST(i - 3 AS INT), 1)) * 29791 + ascii(substr(s, CAST(i - 4 AS INT), 1)) * 923521 + ascii(substr(s, CAST(i - 5 AS INT), 1)) * 629067 + ascii(substr(s, CAST(i - 6 AS INT), 1)) * 501020 + ascii(substr(s, CAST(i - 7 AS INT), 1)) * 531575 + ascii(substr(s, CAST(i - 8 AS INT), 1)) * 478777 + ascii(substr(s, CAST(i - 9 AS INT), 1)) * 842045 + ascii(substr(s, CAST(i - 10 AS INT), 1)) * 103317 + ascii(substr(s, CAST(i - 11 AS INT), 1)) * 202818 + ascii(substr(s, CAST(i - 12 AS INT), 1)) * 287340 + ascii(substr(s, CAST(i - 13 AS INT), 1)) * 907516 + ascii(substr(s, CAST(i - 14 AS INT), 1)) * 132912 + ascii(substr(s, CAST(i - 15 AS INT), 1)) * 120260) % 1000003 % 64 = 0
+),
+cuts AS (
+  SELECT doc_id, 0 AS c FROM d
+  UNION ALL SELECT doc_id, i FROM pos
+  UNION ALL SELECT doc_id, n FROM d
+),
+ch AS (
+  SELECT doc_id, c AS hi,
+         lag(c) OVER (PARTITION BY doc_id ORDER BY c) AS lo
+  FROM cuts
+),
+chunks AS (
+  SELECT d.source,
+         md5(substr(d.s, CAST(ch.lo + 1 AS INT),
+                    CAST(ch.hi - ch.lo AS INT))) AS h,
+         ch.hi - ch.lo AS clen
+  FROM ch JOIN d USING (doc_id) WHERE ch.lo IS NOT NULL
+),
+raw AS (SELECT source, sum(n) AS total_chars FROM d GROUP BY source)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+            AS BIGINT) AS dup_ppm,
+       CAST(sum(clen) * 100 // count(*) AS BIGINT) AS avg_len_x100,
+       CAST(max(raw.total_chars) AS BIGINT) AS total_chars,
+       (sum(clen) = max(raw.total_chars)) AS bytes_conserved
+FROM chunks c JOIN raw ON raw.source = c.source
+GROUP BY c.source
+""")
+def d62_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs).join(docs.select("doc_id", "source"),
+                               "doc_id")
+    raw = (docs.groupBy("source")
+           .agg(F.sum(F.length("text")).alias("total_chars")))
+    return (ch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.count_distinct("chunk_md5").alias("n_distinct"),
+                 F.sum("chunk_len").alias("_clen"))
+            .join(raw, "source")
+            .select("source",
+                    F.col("n_chunks").cast("long").alias("n_chunks"),
+                    F.col("n_distinct").cast("long")
+                    .alias("n_distinct"),
+                    F.expr("(n_chunks - n_distinct) * 1000000 "
+                           "div n_chunks").cast("long")
+                    .alias("dup_ppm"),
+                    F.expr("_clen * 100 div n_chunks").cast("long")
+                    .alias("avg_len_x100"),
+                    F.col("total_chars").cast("long")
+                    .alias("total_chars"),
+                    (F.col("_clen") == F.col("total_chars"))
+                    .alias("bytes_conserved")))

@@ -788,3 +788,53 @@ def test_stream_kmv_slice_invariance_and_nulls(spark, tmp_path):
         est = n if n < k else (k - 1) * (1 << 40) // kth
         want[typ] = (n, kth, est)
     assert got2 == want
+
+
+def test_cdc_chunks_shift_invariance_and_replay(spark):
+    """The CDC property: prepending text re-chunks only the prefix
+    neighborhood — downstream chunks survive byte-identical; plus a
+    pure-Python replay of boundaries and byte conservation."""
+    import hashlib
+
+    from ecmm428_pycart_spark.datapipe.dedup import (CDC_K, CDC_M,
+                                                     CDC_MASK, _cdc_pow,
+                                                     cdc_chunks)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "spark engine chunks content by rolling hashes of the "
+            "trailing window bytes for storage style deduplication")
+    ins = "INSERTED PREFIX " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, ins), (2, "tiny"), (3, None)],
+        "doc_id long, text string")
+    rows = cdc_chunks(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_md5, r.chunk_len))
+    for v in by.values():
+        v.sort()
+    # python replay of doc 0
+    pw = _cdc_pow()
+
+    def replay(s):
+        n = len(s)
+        cuts = [0] + [i for i in range(CDC_K, n)
+                      if sum(ord(s[i - 1 - j]) * pw[j]
+                             for j in range(CDC_K))
+                      % CDC_M % CDC_MASK == 0] + [n]
+        return [s[cuts[m - 1]:cuts[m]] for m in range(1, len(cuts))]
+
+    want = [(m, hashlib.md5(c.encode()).hexdigest(), len(c))
+            for m, c in enumerate(replay(base))]
+    assert by[0] == want
+    # shift invariance: every base chunk except the first survives in
+    # the prefixed doc
+    a = {h for _m, h, _l in by[0][1:]}
+    b = {h for _m, h, _l in by[1]}
+    assert a <= b
+    # short doc = one whole-text chunk; null doc contributes nothing
+    assert by[2] == [(0, hashlib.md5(b"tiny").hexdigest(), 4)]
+    assert 3 not in by
+    # bytes conserved
+    assert sum(l for _m, _h, l in by[0]) == len(base)
