@@ -2119,3 +2119,155 @@ def d62_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("total_chars"),
                     (F.col("_clen") == F.col("total_chars"))
                     .alias("bytes_conserved")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (text.scrub_pii): the compliance redaction pass every
+# training pipeline runs — emails / IPv4 / SSN-shaped / phone-shaped
+# spans replaced with typed tokens. Fixture: deterministic PII is
+# INJECTED per doc (email always; ip on doc_id%2=0; ssn on %3=0;
+# phone on %5=0) so every category and every co-occurrence pattern is
+# exercised. The oracle replays counts (on the original), the chained
+# replacement, a per-source CONTENT CHECKSUM of the scrubbed texts
+# (order-insensitive md5-prefix sum — any byte differing in any
+# scrubbed doc reddens the hash), and pins n_residual = 0 (the
+# self-audit: nothing PII-shaped survives). Patterns are
+# character-class-only so Java regex and RE2 agree (d57 discipline).
+# ---------------------------------------------------------------------------
+@q("d64_pii_scrub", """
+WITH inj AS (
+  SELECT source,
+         text || ' contact user' || doc_id || '@mail.example.com'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' ip 10.' || doc_id % 256 || '.0.1' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ssn 123-45-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel 555-123-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+sc AS (
+  SELECT source,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+           AS n_email,
+         len(regexp_extract_all(t,
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ip,
+         len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS n_ssn,
+         len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+             '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g'),
+             '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
+  FROM inj
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(0 AS BIGINT) AS n_residual,
+       CAST(sum(CAST(concat('0x', substr(md5(scrubbed), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS scrub_checksum
+FROM sc GROUP BY source
+""")
+def d64_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pad = lambda: F.lpad((F.col("doc_id") % 10000).cast("string"),
+                         4, "0")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(" ip 10."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".0.1"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" ssn 123-45-"), pad()))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" tel 555-123-"), pad()))
+            .otherwise(F.lit(""))).alias("text"))
+    sc = scrub_pii(injected)
+    return (sc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").cast("long").alias("n_email"),
+                 F.sum("n_ip").cast("long").alias("n_ip"),
+                 F.sum("n_ssn").cast("long").alias("n_ssn"),
+                 F.sum("n_phone").cast("long").alias("n_phone"),
+                 F.sum("n_residual").cast("long").alias("n_residual"),
+                 F.sum(F.conv(F.substring(F.md5("scrubbed"), 1, 12),
+                              16, 10).cast("long"))
+                 .cast("long").alias("scrub_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Integer audio decimation (multimodal.wav_decimate2_stats): boxcar
+# decimate-by-2 — y[i] = floor((x[2i] + x[2i+1]) / 2) — over REAL
+# decoded 16-bit PCM, with signed ramp fixtures that cross zero so
+# floor-vs-truncate on negative pairs is genuinely exercised (numpy
+# // and DuckDB // both floor; Spark's `div` truncates and is
+# deliberately absent from this path). The oracle replays sample
+# synthesis AND the pair-mean fold in SQL; last_out is the
+# pair-ALIGNMENT sentinel (a one-sample phase slip preserves smooth
+# sums but shifts the final pair).
+# ---------------------------------------------------------------------------
+@q("m33_wav_decimate", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 100 + 20 AS half, doc_id % 7 AS _x
+  FROM documents
+),
+y AS (
+  SELECT t.doc_id, t.source, t.half,
+         -- floor division: DuckDB // TRUNCATES on negatives (Python
+         -- and numpy floor), so make the numerator even first
+         (pair - ((pair % 2) + 2) % 2) // 2 AS v,
+         t.i
+  FROM (SELECT p.doc_id, p.source, p.half, i.i,
+               ((11 * (2*i.i) + 5 * doc_id) % 2001 - 1000
+                + (11 * (2*i.i + 1) + 5 * doc_id) % 2001 - 1000) AS pair
+        FROM p, unnest(range(0, half)) i(i)) t
+),
+d AS (
+  SELECT doc_id, source, max(half) AS half,
+         sum(v) AS sum_out, max(abs(v)) AS peak_out,
+         max(CASE WHEN i = half - 1 THEN v END) AS last_out
+  FROM y GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(half) * 2 AS BIGINT) AS n_in,
+       CAST(sum(half) AS BIGINT) AS n_out,
+       CAST(sum(sum_out) AS BIGINT) AS sum_out,
+       CAST(max(peak_out) AS BIGINT) AS peak_out,
+       CAST(sum(last_out) AS BIGINT) AS last_sum
+FROM d GROUP BY source
+""")
+def m33_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (docs.withColumn(
+              "payload",
+              multimodal.synth_wav_ramp_payload(F.col("doc_id")))
+          .withColumn("s",
+                      multimodal.wav_decimate2_stats(F.col("payload"))))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_in").cast("long").alias("n_in"),
+                 F.sum("s.n_out").cast("long").alias("n_out"),
+                 F.sum("s.sum_out").cast("long").alias("sum_out"),
+                 F.max("s.peak_out").cast("long").alias("peak_out"),
+                 F.sum("s.last_out").cast("long").alias("last_sum")))

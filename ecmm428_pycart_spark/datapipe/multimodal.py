@@ -3295,3 +3295,52 @@ def tiff_pixel_stats(payload: pd.Series) -> pd.DataFrame:
                      int(px[-1, -1])))
     return pd.DataFrame(rows, columns=["sum_px", "n_pix", "n_strips",
                                        "last_px"])
+
+
+_DECIM_STATS = T.StructType([
+    T.StructField("n_in", T.LongType()),
+    T.StructField("n_out", T.LongType()),
+    T.StructField("sum_out", T.LongType()),
+    T.StructField("peak_out", T.LongType()),
+    T.StructField("last_out", T.LongType()),
+])
+
+
+@F.pandas_udf(_DECIM_STATS)
+def wav_decimate2_stats(payload: pd.Series) -> pd.DataFrame:
+    """Integer decimate-by-2 over REAL decoded PCM (first channel):
+    anti-alias boxcar pair mean y[i] = floor((x[2i] + x[2i+1]) / 2)
+    — the sample-rate halving an audio pipeline runs before feature
+    extraction; floor (not truncate) so negative pairs round the same
+    way in numpy and the SQL oracle. A trailing odd sample is dropped
+    (decimator convention). Stats: input/output counts, output sum,
+    peak |y|, and the LAST output value (a pair-alignment sentinel —
+    an off-by-one phase error preserves sums of smooth signals but
+    shifts the final pair)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None))
+            continue
+        s = decode_wav_samples(bytes(buf))[:, 0].astype(np.int64)
+        n = s.shape[0] - (s.shape[0] % 2)
+        y = (s[:n:2] + s[1:n:2]) // 2
+        rows.append((int(s.shape[0]), int(y.shape[0]), int(y.sum()),
+                     int(np.abs(y).max()) if y.size else 0,
+                     int(y[-1]) if y.size else 0))
+    return pd.DataFrame(rows, columns=["n_in", "n_out", "sum_out",
+                                       "peak_out", "last_out"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_ramp_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic mono 16-bit PCM per doc for the decimation
+    oracle: n = 2*(id%100+20) samples, s(j) = (11*j + 5*id) % 2001
+    - 1000 — signed values both sides of zero so the floor-vs-
+    truncate distinction in the pair mean is actually exercised."""
+    def gen(i: int) -> bytes:
+        n = 2 * (i % 100 + 20)
+        return wav_bytes_pcm(1, 8000,
+                             [(11 * j + 5 * i) % 2001 - 1000
+                              for j in range(n)], 16)
+    return doc_id.map(lambda i: gen(int(i)))

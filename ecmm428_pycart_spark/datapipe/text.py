@@ -1028,3 +1028,47 @@ def kmv_pair_stats(sketch: DataFrame, k: int = 64,
                         F.expr(f"matches * 1000000 div {k}"))
             .withColumn("inter_est",
                         F.expr(f"matches * union_est div {k}")))
+
+
+# PII patterns: conservative character-class-only regexes chosen to
+# behave identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backrefs; the d57 property-class parity discipline.
+# Scrub order is FIXED (email, ip, ssn, phone): the patterns are
+# mutually non-overlapping on any input, but a fixed order makes the
+# composition a pure function either way.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before text leaves curation: replace emails, IPv4
+    addresses, SSN-shaped and phone-shaped numbers with typed
+    placeholder tokens, and report per-category match counts (counted
+    on the ORIGINAL text) plus ``n_residual`` — matches remaining
+    after scrubbing, which a correct pass leaves at zero (the
+    self-audit column downstream gates pin).
+
+    All native expressions: regexp_count per category + a chained
+    regexp_replace fold; map-side only, no shuffle, no UDF — one scan
+    at 100 TB. Returns the input columns plus (scrubbed, n_email,
+    n_ip, n_ssn, n_phone, n_residual)."""
+    c = F.col(text_col)
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(c, F.lit(pat)).cast("long"))
+    scrubbed = c
+    for _name, pat, tok in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    out = out.withColumn("scrubbed", scrubbed)
+    residual = F.lit(0).cast("long")
+    for _name, pat, _tok in PII_PATTERNS:
+        residual = residual + F.regexp_count(F.col("scrubbed"),
+                                             F.lit(pat)).cast("long")
+    return out.withColumn("n_residual", residual)

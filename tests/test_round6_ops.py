@@ -838,3 +838,42 @@ def test_cdc_chunks_shift_invariance_and_replay(spark):
     assert 3 not in by
     # bytes conserved
     assert sum(l for _m, _h, l in by[0]) == len(base)
+
+
+def test_scrub_pii_categories_and_residual(spark):
+    from ecmm428_pycart_spark.datapipe.text import scrub_pii
+
+    rows = [
+        (0, "mail a.b-c_d%x+1@sub.domain.org and e@f.io end"),
+        (1, "server 192.168.0.1 and 10.0.0.255 up"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 both"),
+        (3, "clean text with numbers 12345 and 1-2 dashes"),
+    ]
+    out = {r[0]: r for r in
+           (scrub_pii(spark.createDataFrame(rows, ["i", "text"]))
+            .select("i", "scrubbed", "n_email", "n_ip", "n_ssn",
+                    "n_phone", "n_residual").collect())}
+    assert out[0].n_email == 2 and out[0].n_residual == 0
+    assert out[0].scrubbed == "mail <EMAIL> and <EMAIL> end"
+    assert out[1].n_ip == 2
+    assert out[1].scrubbed == "server <IP> and <IP> up"
+    assert (out[2].n_ssn, out[2].n_phone) == (1, 1)
+    assert out[2].scrubbed == "ssn <SSN> phone <PHONE> both"
+    assert out[3].scrubbed == rows[3][1]          # untouched
+    assert all(v == 0 for v in
+               (out[3].n_email, out[3].n_ip, out[3].n_ssn,
+                out[3].n_phone, out[3].n_residual))
+
+
+def test_wav_decimate2_floor_and_alignment(spark):
+    """Known samples: negative odd pairs must FLOOR (not truncate),
+    a trailing odd sample is dropped, and last_out pins alignment."""
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    samples = [5, -8, -3, 2, 7, 7, 100]     # pairs: -2, -1, 7; drop 100
+    wav = mm.wav_bytes_pcm(1, 8000, samples, 16)
+    r = (spark.createDataFrame([Row(doc_id=0, payload=bytearray(wav))])
+         .withColumn("s", mm.wav_decimate2_stats(F.col("payload")))
+         .select("s.*").head())
+    assert (r.n_in, r.n_out) == (7, 3)
+    assert (r.sum_out, r.peak_out, r.last_out) == (4, 7, 7)
