@@ -2271,3 +2271,78 @@ def m33_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s.sum_out").cast("long").alias("sum_out"),
                  F.max("s.peak_out").cast("long").alias("peak_out"),
                  F.sum("s.last_out").cast("long").alias("last_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom decontamination (dedup.bloom_build/bloom_prefilter
+# on a STREAM): the 100 TB ingest pattern — a banned-key Bloom bitmap
+# built batch-side ((word, bits) rows, broadcastable far beyond the
+# key set) rejects events MAP-SIDE inside the stream (k broadcast
+# word-lookups per event; no stream-static join state, no shuffle),
+# with the exact broadcast confirm behind it so false positives never
+# reach the output (the d35 discipline). The oracle pins the Bloom
+# CONTRACT rather than its hash internals: every banned event must
+# survive the prefilter — the streamed confirmed-banned count equals
+# the exact batch count per event_type (a false negative anywhere
+# makes it fall short). Multi-batch replay (3 hash slices).
+# ---------------------------------------------------------------------------
+@q("st19_stream_bloom_filter", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_banned,
+       CAST(sum(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_banned_streamed,
+       TRUE AS bloom_no_false_neg
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""")
+def st19_stream_bloom_filter(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.datapipe.dedup import (bloom_build,
+                                                     bloom_prefilter)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    banned = (ev.filter(F.col("user_id").isNotNull()
+                        & (F.col("user_id") % 17 == 0))
+              .select(F.col("user_id").cast("string").alias("k"))
+              .distinct())
+    bloom = bloom_build(banned, "k")
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st19_events_")
+    write_time_ordered_stream_dir(slices, d)
+    stream = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("user_id").isNotNull())
+              .withColumn("k", F.col("user_id").cast("string")))
+    possible = bloom_prefilter(stream, "k", bloom)
+    confirmed = possible.join(F.broadcast(banned), "k", "left_semi")
+    name = f"st19_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        confirmed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_banned_streamed"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
+    streamed = spark.table(name)
+    batch = (ev.filter(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum((F.col("user_id") % 17 == 0).cast("long"))
+                  .alias("n_banned")))
+    return (batch.join(streamed, "event_type", "left")
+            .select("event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("n_banned").cast("long").alias("n_banned"),
+                    F.coalesce("n_banned_streamed", F.lit(0))
+                    .cast("long").alias("n_banned_streamed"),
+                    (F.coalesce("n_banned_streamed", F.lit(0))
+                     == F.col("n_banned")).alias("bloom_no_false_neg"))
+            .orderBy("event_type"))
