@@ -2346,3 +2346,124 @@ def st19_stream_bloom_filter(spark: SparkSession,
                     (F.coalesce("n_banned_streamed", F.lit(0))
                      == F.col("n_banned")).alias("bloom_no_false_neg"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter sweep (the S-curve tuning harness, s24/s26's dedup
+# sibling): the SAME 8-hash MinHash signature banded three ways —
+# (8 bands x 1 row), (4 x 2), (2 x 4) — with per-tier candidate
+# counts and recall against the exact-Jaccard >= 0.5 truth set
+# computed over the UNION of all tiers' candidates (relative recall:
+# the all-pairs truth is exactly what LSH exists to avoid, and the
+# union is the production tuning protocol). More rows per band =
+# sharper S-curve = fewer candidates and lower recall at fixed
+# threshold; the sweep makes that trade gate-checkable. Oracle
+# replays all three bandings, the union, and the Jaccard verify in
+# SQL (d05/d06's proven minhash SQL, parametrized per tier).
+# ---------------------------------------------------------------------------
+def _d65_sql():
+    from ecmm428_pycart_spark.datapipe import dedup as _dd
+
+    minhash_aggs = ",\n       ".join(
+        f"min(md5('{s}:' || sh)) AS mh{s}"
+        for s in range(_dd.NUM_HASHES))
+    parts = [f"""
+WITH sig AS (
+SELECT doc_id,
+       {minhash_aggs}
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS sh
+      FROM documents)
+GROUP BY doc_id
+)"""]
+    tiers = [(8, 1), (4, 2), (2, 4)]
+    for nb, rpb in tiers:
+        bands = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+            .format(b=b, cols=" || '|' || ".join(
+                f"mh{b * rpb + r}" for r in range(rpb)))
+            for b in range(nb))
+        parts.append(f"""
+bk{nb}0 AS (
+{bands}
+),
+bk{nb} AS (
+  SELECT doc_id, band, band_key FROM bk{nb}0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {_dd.MAX_BUCKET_SIZE}
+),
+cand{nb} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk{nb} a JOIN bk{nb} b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)""")
+    sql = ",".join(parts) + f""",
+uni AS (SELECT doc_a, doc_b FROM cand8
+        UNION SELECT doc_a, doc_b FROM cand4
+        UNION SELECT doc_a, doc_b FROM cand2),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents
+),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT u.doc_a, u.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))),
+                 4) AS j
+    FROM uni u
+    JOIN sets sa ON sa.doc_id = u.doc_a
+    JOIN sets sb ON sb.doc_id = u.doc_b
+  ) WHERE j >= 0.5
+),
+nt AS (SELECT count(*) AS n_truth FROM truth)
+"""
+    rows = []
+    for nb, rpb in tiers:
+        rows.append(f"""
+SELECT CAST({nb} AS BIGINT) AS bands,
+       CAST({rpb} AS BIGINT) AS rows_per_band,
+       CAST((SELECT count(*) FROM cand{nb}) AS BIGINT) AS n_candidates,
+       CAST(nt.n_truth AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand{nb} c JOIN truth t
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT)
+         AS n_hit,
+       CAST((SELECT count(*) FROM cand{nb} c JOIN truth t
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1000000
+            // greatest(nt.n_truth, 1) AS BIGINT) AS recall_ppm
+FROM nt""")
+    return sql + "\nUNION ALL\n".join(rows) + "\nORDER BY bands DESC"
+
+
+@q("d65_lsh_tuning_sweep", _d65_sql())
+def d65_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    tiers = [(8, 1), (4, 2), (2, 4)]
+    cands = {nb: dedup.lsh_candidate_pairs(docs, num_bands=nb)
+             for nb, _ in tiers}
+    uni = (cands[8].unionByName(cands[4]).unionByName(cands[2])
+           .distinct())
+    truth = (dedup.jaccard_pairs(docs, uni, threshold=0.5)
+             .select("doc_a", "doc_b"))
+    out = None
+    for nb, rpb in tiers:
+        hit = cands[nb].join(truth, ["doc_a", "doc_b"])
+        row = (cands[nb].agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(F.broadcast(
+                   truth.agg(F.count(F.lit(1)).alias("n_truth"))))
+               .crossJoin(F.broadcast(
+                   hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+               .select(F.lit(nb).cast("long").alias("bands"),
+                       F.lit(rpb).cast("long").alias("rows_per_band"),
+                       F.col("n_candidates").cast("long")
+                       .alias("n_candidates"),
+                       F.col("n_truth").cast("long").alias("n_truth"),
+                       F.col("n_hit").cast("long").alias("n_hit"),
+                       F.expr("n_hit * 1000000 "
+                              "div greatest(n_truth, 1)").cast("long")
+                       .alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("bands").desc())

@@ -92,6 +92,7 @@ def test_queued6_plan_guards(spark):
         # group-key pair frame: |groups|-row broadcast cross join in
         # kmv_pair_stats (pairs of source NAMES, never data rows)
         "d61_kmv_distinct",
+        "d65_lsh_tuning_sweep",  # 1-row count broadcasts (3 tiers)
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):
