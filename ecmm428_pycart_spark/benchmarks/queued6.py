@@ -2467,3 +2467,70 @@ def d65_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("recall_ppm")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.col("bands").desc())
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space diagnostics WITHOUT the pair join (the sum-vector
+# identity): sum_{i<>j} <x_i, x_j> = |sum_i x_i|^2 - sum_i |x_i|^2,
+# so per-label mean pairwise inner product — the isotropy /
+# mode-collapse monitor every embedding pipeline tracks — costs one
+# (label, dim) aggregate instead of O(n^2) pairs; THAT is the 100 TB
+# trick this entry gate-checks. Components are floor-quantized to
+# 1e-4 BEFORE any aggregation (floor of the identical double is
+# engine-deterministic, unlike float sums whose ORDER differs), so
+# every number — norms, centroid norm, the identity, the truncated
+# mean — is exact BIGINT on both sides. The possibly-negative mean
+# uses Spark `div` vs DuckDB `//`, which BOTH truncate toward zero
+# (numpy floors — the m33 trap, inverted).
+# ---------------------------------------------------------------------------
+@q("s27_embedding_diagnostics", """
+WITH q AS (
+  SELECT label, vec_id, pos,
+         CAST(floor(val::DOUBLE * 10000) AS BIGINT) AS xq
+  FROM (SELECT label, vec_id, unnest(embedding) AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+),
+vn AS (SELECT label, vec_id, sum(xq * xq) AS n2
+       FROM q GROUP BY label, vec_id),
+dimsum AS (SELECT label, pos, sum(xq) AS s FROM q GROUP BY label, pos),
+agg AS (
+  SELECT v.label,
+         count(*) AS n_vecs,
+         sum(v.n2) AS sum_norm2,
+         max(c.c2) AS centroid_norm2
+  FROM vn v JOIN (SELECT label, sum(s * s) AS c2
+                  FROM dimsum GROUP BY label) c USING (label)
+  GROUP BY v.label
+)
+SELECT label,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sum_norm2 AS BIGINT) AS sum_norm2,
+       CAST(centroid_norm2 AS BIGINT) AS centroid_norm2,
+       CAST((centroid_norm2 - sum_norm2)
+            // (n_vecs * (n_vecs - 1)) AS BIGINT) AS mean_pair_dot
+FROM agg ORDER BY label
+""")
+def s27_embedding_diagnostics(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.select("label", "vec_id",
+                    F.posexplode("embedding").alias("pos", "val"))
+         .select("label", "vec_id", "pos",
+                 F.floor(F.col("val").cast("double") * 10000)
+                 .cast("long").alias("xq")))
+    vn = (q.groupBy("label", "vec_id")
+          .agg(F.sum(F.expr("xq * xq")).alias("n2")))
+    c2 = (q.groupBy("label", "pos").agg(F.sum("xq").alias("s"))
+          .groupBy("label").agg(F.sum(F.expr("s * s")).alias("c2")))
+    return (vn.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("n2").alias("sum_norm2"))
+            .join(c2, "label")
+            .select(F.col("label"),
+                    F.col("n_vecs").cast("long").alias("n_vecs"),
+                    F.col("sum_norm2").cast("long").alias("sum_norm2"),
+                    F.col("c2").cast("long").alias("centroid_norm2"),
+                    F.expr("(c2 - sum_norm2) div (n_vecs * (n_vecs - 1))")
+                    .cast("long").alias("mean_pair_dot"))
+            .orderBy("label"))

@@ -877,3 +877,41 @@ def test_wav_decimate2_floor_and_alignment(spark):
          .select("s.*").head())
     assert (r.n_in, r.n_out) == (7, 3)
     assert (r.sum_out, r.peak_out, r.last_out) == (4, 7, 7)
+
+
+def test_embedding_diagnostics_identity(spark):
+    """The sum-vector identity vs a literal O(n^2) pair loop, on a
+    tiny fixture engineered to make the mean pairwise dot NEGATIVE
+    (truncation toward zero on both engines is part of the
+    contract)."""
+    from ecmm428_pycart_spark.benchmarks.queued6 import (
+        s27_embedding_diagnostics)
+
+    # replay the registered query's math in pure python at sf0.001
+    import duckdb
+    rows = duckdb.sql(
+        "SELECT label, embedding FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchall()
+    import collections
+    import math
+    by = collections.defaultdict(list)
+    for lab, emb in rows:
+        by[lab].append([math.floor(float(v) * 10000) for v in emb])
+    got = {r.label: (r.n_vecs, r.sum_norm2, r.centroid_norm2,
+                     r.mean_pair_dot)
+           for r in s27_embedding_diagnostics(
+               spark, "/root/testdata/sf0.001").collect()}
+    for lab, vecs in by.items():
+        n = len(vecs)
+        sn2 = sum(sum(x * x for x in v) for v in vecs)
+        cen = [sum(col) for col in zip(*vecs)]
+        c2 = sum(s * s for s in cen)
+        # brute-force pair sum must equal the identity exactly
+        pair = sum(sum(a * b for a, b in zip(vecs[i], vecs[j]))
+                   for i in range(n) for j in range(n) if i != j)
+        assert pair == c2 - sn2
+        # truncation toward zero (Spark div / DuckDB //), not floor
+        mean = (c2 - sn2) // (n * (n - 1)) if c2 >= sn2 \
+            else -((sn2 - c2) // (n * (n - 1)))
+        assert got[lab] == (n, sn2, c2, mean)
