@@ -2534,3 +2534,72 @@ def s27_embedding_diagnostics(spark: SparkSession,
                     F.expr("(c2 - sum_norm2) div (n_vecs * (n_vecs - 1))")
                     .cast("long").alias("mean_pair_dot"))
             .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Mixed-media sniff + dispatch (multimodal.detect_media_type /
+# mixed_media_stats): ONE binary column carrying four real formats
+# (QOI / BMP / WAV / TIFF, routed by doc_id % 4 with both TIFF byte
+# orders in rotation) — the honest ingest shape: a media crawl does
+# not arrive pre-sorted, so magic-byte sniffing IS the decode
+# dispatch. The oracle recomputes each format's generative algebra
+# per (source, media_type) cell; a sniffing bug routes a format to
+# the wrong decoder and no cell survives.
+# ---------------------------------------------------------------------------
+@q("m34_mixed_media_dispatch", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b,
+         doc_id % 4 AS kind
+  FROM documents
+),
+qoi AS (
+  SELECT p.doc_id, p.source, 'qoi' AS mt, 187 AS units,
+         sum((a * (x.x // 3) + b * y.y + 37 * c.c) % 256) AS sv
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y),
+       unnest(range(0, 3)) c(c)
+  WHERE kind = 0 GROUP BY 1, 2
+),
+bmp AS (
+  SELECT p.doc_id, p.source, 'bmp' AS mt, 187 AS units,
+         sum((a * x.x + b * y.y + 37 * c.c) % 256) AS sv
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y),
+       unnest(range(0, 3)) c(c)
+  WHERE kind = 1 GROUP BY 1, 2
+),
+wav AS (
+  SELECT p.doc_id, p.source, 'wav' AS mt,
+         2 * (doc_id % 100 + 20) AS units,
+         sum((11 * j.j + 5 * doc_id) % 2001 - 1000) AS sv
+  FROM p, unnest(range(0, 2 * (doc_id % 100 + 20))) j(j)
+  WHERE kind = 2 GROUP BY 1, 2, 4
+),
+tif AS (
+  SELECT p.doc_id, p.source, 'tiff' AS mt, 187 AS units,
+         sum((a * x.x + b * y.y) % 251) AS sv
+  FROM p, unnest(range(0, 17)) x(x), unnest(range(0, 11)) y(y)
+  WHERE kind = 3 GROUP BY 1, 2
+),
+u AS (SELECT * FROM qoi UNION ALL SELECT * FROM bmp
+      UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM tif)
+SELECT source, mt AS media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(units) AS BIGINT) AS n_units,
+       CAST(sum(sv) AS BIGINT) AS sum_val
+FROM u GROUP BY source, mt ORDER BY source, media_type
+""")
+def m34_mixed_media_dispatch(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (docs.withColumn(
+              "payload",
+              multimodal.synth_mixed_payload(F.col("doc_id")))
+          .withColumn("s",
+                      multimodal.mixed_media_stats(F.col("payload"))))
+    return (st.groupBy("source", F.col("s.media_type")
+                       .alias("media_type"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_units").cast("long").alias("n_units"),
+                 F.sum("s.sum_val").cast("long").alias("sum_val"))
+            .orderBy("source", "media_type"))

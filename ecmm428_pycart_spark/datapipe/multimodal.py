@@ -3344,3 +3344,103 @@ def synth_wav_ramp_payload(doc_id: pd.Series) -> pd.Series:
                              [(11 * j + 5 * i) % 2001 - 1000
                               for j in range(n)], 16)
     return doc_id.map(lambda i: gen(int(i)))
+
+
+def detect_media_type(b: bytes) -> str:
+    """Magic-byte container sniffing — the dispatch step of any mixed
+    ingest path (a 100 TB media crawl does NOT arrive pre-sorted by
+    format). Byte signatures only, no extension trust: PNG, JPEG,
+    GIF, BMP, RIFF/WAVE, RIFF/AVI, QOI, TIFF (both byte orders), ZIP,
+    MP4 (ftyp box); anything else is 'unknown'."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:4] in (b"GIF8",):
+        return "gif"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
+    if b[:4] == b"qoif":
+        return "qoi"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"PK\x03\x04":
+        return "zip"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+_MIXED_STATS = T.StructType([
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_units", T.LongType()),
+    T.StructField("sum_val", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_mixed_payload(doc_id: pd.Series) -> pd.Series:
+    """Mixed-format corpus: doc_id % 4 routes to QOI (m31's pixel
+    algebra), BMP (m28's), 16-bit PCM WAV (m33's ramp) or TIFF
+    (m32's, II/MM by parity of doc_id div 4) — one column, four real
+    encoders, so the sniff-and-dispatch path is the only way to
+    decode it."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        kind = i % 4
+        if kind == 0:
+            y, x, c = np.ogrid[:QOI_H, :QOI_W, :3]
+            return qoi_bytes_rgb(
+                ((a * (x // 3) + b * y + 37 * c) % 256).astype(np.uint8))
+        if kind == 1:
+            y, x, c = np.ogrid[:BMP_H, :BMP_W, :3]
+            return bmp_bytes_rgb(
+                ((a * x + b * y + 37 * c) % 256).astype(np.uint8),
+                top_down=bool(i % 2))
+        if kind == 2:
+            n = 2 * (i % 100 + 20)
+            return wav_bytes_pcm(1, 8000,
+                                 [(11 * j + 5 * i) % 2001 - 1000
+                                  for j in range(n)], 16)
+        y, x = np.ogrid[:TIFF_H, :TIFF_W]
+        return tiff_bytes_gray(((a * x + b * y) % 251).astype(np.uint8),
+                               big_endian=bool((i // 4) % 2))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_MIXED_STATS)
+def mixed_media_stats(payload: pd.Series) -> pd.DataFrame:
+    """Sniff + dispatch decode: detect the container from magic bytes
+    and route to the right REAL decoder; n_units = pixels or samples,
+    sum_val = total of all channel/sample values — per-format algebra
+    an oracle can recompute from the generative formulas."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None))
+            continue
+        b = bytes(buf)
+        t = detect_media_type(b)
+        if t == "qoi":
+            px = decode_qoi_pixels(b)
+            rows.append((t, int(px.shape[0] * px.shape[1]),
+                         int(px.astype(np.int64).sum())))
+        elif t == "bmp":
+            px = decode_bmp_pixels(b)
+            rows.append((t, int(px.shape[0] * px.shape[1]),
+                         int(px.astype(np.int64).sum())))
+        elif t == "wav":
+            s = decode_wav_samples(b)[:, 0].astype(np.int64)
+            rows.append((t, int(s.shape[0]), int(s.sum())))
+        elif t == "tiff":
+            px, _ns = decode_tiff_gray(b)
+            rows.append((t, int(px.shape[0] * px.shape[1]),
+                         int(px.astype(np.int64).sum())))
+        else:
+            rows.append((t, 0, 0))
+    return pd.DataFrame(rows, columns=["media_type", "n_units",
+                                       "sum_val"])

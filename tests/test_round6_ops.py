@@ -915,3 +915,26 @@ def test_embedding_diagnostics_identity(spark):
         mean = (c2 - sn2) // (n * (n - 1)) if c2 >= sn2 \
             else -((sn2 - c2) // (n * (n - 1)))
         assert got[lab] == (n, sn2, c2, mean)
+
+
+def test_detect_media_type_signatures():
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    arr3 = np.zeros((2, 2, 3), np.uint8)
+    assert mm.detect_media_type(mm.qoi_bytes_rgb(arr3)) == "qoi"
+    assert mm.detect_media_type(mm.bmp_bytes_rgb(arr3)) == "bmp"
+    assert mm.detect_media_type(
+        mm.wav_bytes_pcm(1, 8000, [0, 1], 16)) == "wav"
+    for be in (False, True):
+        assert mm.detect_media_type(
+            mm.tiff_bytes_gray(np.zeros((2, 2), np.uint8), be)) == "tiff"
+    assert mm.detect_media_type(
+        mm.zip_bytes_store([("a.txt", b"hi")])) == "zip"
+    assert mm.detect_media_type(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert mm.detect_media_type(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert mm.detect_media_type(b"GIF89a") == "gif"
+    assert mm.detect_media_type(b"RIFF\x00\x00\x00\x00AVI ") == "avi"
+    assert mm.detect_media_type(b"\x00\x00\x00\x18ftypisom") == "mp4"
+    assert mm.detect_media_type(b"garbage bytes") == "unknown"
