@@ -2603,3 +2603,47 @@ def m34_mixed_media_dispatch(spark: SparkSession,
                  F.sum("s.n_units").cast("long").alias("n_units"),
                  F.sum("s.sum_val").cast("long").alias("sum_val"))
             .orderBy("source", "media_type"))
+
+
+# ---------------------------------------------------------------------------
+# Bipartite co-purchase projection (graph.bipartite_project): the
+# graph-CONSTRUCTION step the grid-graph queries skip — build the
+# part-part affinity graph from the REAL fact tables (customer buys
+# part via orders x lineitem), weight = distinct co-purchasing
+# customers, with the max_src_degree basket cap bounding the wedge
+# join (one mega-basket mints C(d,2) pairs; capped baskets carry no
+# affinity signal exactly where they explode). Top-20 all-integer
+# page with deterministic (weight desc, a, b) order; the oracle
+# replays the incidence distinct, the cap and the wedge join in SQL.
+# ---------------------------------------------------------------------------
+@q("g25_copurchase_graph", """
+WITH inc AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT u, count(*) AS d FROM inc GROUP BY u),
+kept AS (SELECT inc.* FROM inc JOIN deg USING (u) WHERE deg.d <= 40),
+p AS (
+  SELECT a.v AS a, b.v AS b, count(*) AS weight
+  FROM kept a JOIN kept b ON a.u = b.u AND a.v < b.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(weight AS BIGINT) AS weight
+FROM p ORDER BY weight DESC, a ASC, b ASC LIMIT 20
+""")
+def g25_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.graph import bipartite_project
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inc = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("u"),
+                   F.col("l_partkey").alias("v")))
+    g = bipartite_project(inc, max_src_degree=40, min_weight=2)
+    return (g.select(F.col("a").cast("long").alias("a"),
+                     F.col("b").cast("long").alias("b"),
+                     F.col("weight").cast("long").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))

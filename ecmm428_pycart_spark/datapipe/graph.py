@@ -392,3 +392,37 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     return cur.select(F.col("_k").alias(node_col),
                       F.col("_seed").cast("int").alias("is_seed"),
                       F.col("_r").cast("long").alias("rank"))
+
+
+def bipartite_project(edges: DataFrame, src: str = "u", dst: str = "v",
+                      max_src_degree: int | None = None,
+                      min_weight: int = 2) -> DataFrame:
+    """Bipartite projection: from (u, v) incidence edges (customer
+    buys part, user touches file, author cites paper), produce the
+    one-mode co-occurrence graph on v — pairs (a < b) with weight =
+    number of distinct u incident to BOTH. The graph-construction
+    step under market-basket affinity, co-citation networks, and
+    item-item collaborative filtering; downstream ops (k-core,
+    triangles, link prediction, LPA) consume its output directly.
+
+    Execution shape: distinct the incidence list, then the wedge
+    self-join keyed on u grouped on the (a, b) pair — the g21 shape
+    on a bipartite base. The hub risk is a single u with a huge
+    neighborhood (one mega-basket mints C(d, 2) pairs), so
+    ``max_src_degree`` drops over-degree u BEFORE the join (the LSH
+    MAX_BUCKET_SIZE discipline), bounding pair generation at
+    |edges| * max_src_degree; capped-out baskets carry no
+    pair-specific affinity signal at exactly the point they explode.
+    All-integer output (a, b, weight)."""
+    e = edges.select(F.col(src).alias("_u"),
+                     F.col(dst).alias("_v")).distinct()
+    if max_src_degree is not None:
+        ok = (e.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+              .filter(F.col("_d") <= max_src_degree).select("_u"))
+        e = e.join(ok, "_u")
+    return (e.select(F.col("_u"), F.col("_v").alias("a"))
+            .join(e.select(F.col("_u"), F.col("_v").alias("b")), "_u")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .filter(F.col("weight") >= min_weight))

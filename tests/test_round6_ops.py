@@ -938,3 +938,29 @@ def test_detect_media_type_signatures():
     assert mm.detect_media_type(b"RIFF\x00\x00\x00\x00AVI ") == "avi"
     assert mm.detect_media_type(b"\x00\x00\x00\x18ftypisom") == "mp4"
     assert mm.detect_media_type(b"garbage bytes") == "unknown"
+
+
+def test_bipartite_project_replay_and_cap(spark):
+    """Tiny incidence list vs a literal pair loop; a mega-basket u is
+    dropped by the degree cap before it mints pairs."""
+    import itertools
+    from collections import Counter
+
+    from ecmm428_pycart_spark.datapipe.graph import bipartite_project
+
+    inc = ([(1, v) for v in (10, 11, 12)]
+           + [(2, v) for v in (11, 12)]
+           + [(3, v) for v in (10, 12)]
+           + [(9, v) for v in range(100, 110)]     # mega-basket
+           + [(1, 11)])                            # dup must collapse
+    df = spark.createDataFrame(inc, ["u", "v"])
+    got = {(r.a, r.b): r.weight
+           for r in bipartite_project(df, max_src_degree=5,
+                                      min_weight=1).collect()}
+    w = Counter()
+    baskets = {1: {10, 11, 12}, 2: {11, 12}, 3: {10, 12}}
+    for vs in baskets.values():
+        for a, b in itertools.combinations(sorted(vs), 2):
+            w[(a, b)] += 1
+    assert got == dict(w)
+    assert not any(a >= 100 for a, _b in got)
