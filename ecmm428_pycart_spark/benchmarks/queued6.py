@@ -2647,3 +2647,62 @@ def g25_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("weight").desc(), F.col("a").asc(),
                      F.col("b").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph-evasion dedup recovery (text.homoglyph_normalize /
+# homoglyph_count): deterministic Cyrillic spoofing is INJECTED into
+# every doc_id % 7 == 0 doc (translate a/e/o/p/c/x to their Cyrillic
+# confusables — the spam/SEO evasion that breaks byte-level dedup),
+# then the d50-style unique-count measurement runs on BOTH the
+# spoofed corpus and its confusable-normalized form: exact dedup
+# must RECOVER on the normalized side (n_unique_norm <= n_unique_raw,
+# with the planted exact-dup pairs collapsing again). Counts, spoof
+# totals and both unique counts replay in SQL with the identical
+# codepoint literals (translate is codepoint-wise in both engines).
+# ---------------------------------------------------------------------------
+@q("d66_homoglyph_dedup", """
+WITH sp AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN translate(text, 'aeopcx', 'аеорсх') ELSE text
+         END AS t
+  FROM documents
+),
+n AS (
+  SELECT source, doc_id, t,
+         translate(t, 'аеорсхуο', 'aeopcxyo') AS norm,
+         len(regexp_replace(t, '[^аеорсхуο]', '', 'g'))
+           AS n_conf
+  FROM sp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spoofed,
+       CAST(sum(n_conf) AS BIGINT) AS n_confusable_chars,
+       CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_unique_raw,
+       CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_unique_norm
+FROM n GROUP BY source
+""")
+def d66_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (homoglyph_count,
+                                                    homoglyph_normalize)
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = docs.select(
+        "source", "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.translate(F.col("text"), "aeopcx", "аеорсх"))
+        .otherwise(F.col("text")).alias("t"))
+    n = (sp.withColumn("norm", homoglyph_normalize(F.col("t")))
+         .withColumn("n_conf", homoglyph_count(F.col("t"))))
+    return (n.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("doc_id") % 7 == 0).cast("long"))
+                 .alias("n_spoofed"),
+                 F.sum("n_conf").cast("long")
+                 .alias("n_confusable_chars"),
+                 F.countDistinct(F.md5("t")).alias("n_unique_raw"),
+                 F.countDistinct(F.md5("norm"))
+                 .alias("n_unique_norm")))

@@ -1072,3 +1072,31 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         residual = residual + F.regexp_count(F.col("scrubbed"),
                                              F.lit(pat)).cast("long")
     return out.withColumn("n_residual", residual)
+
+
+# Unicode confusables: the Cyrillic/Greek lookalikes spam and
+# SEO-evasion text swaps for Latin letters (a subset of Unicode
+# TR39's confusable table — the high-frequency single-codepoint
+# homoglyphs). ONE definition used by normalize and count; the
+# DuckDB mirror is translate()/regexp with the same literals.
+HOMOGLYPHS = "аеорсхуο"          # Cyrillic a e o p c x y, Greek o
+HOMOGLYPH_LATIN = "aeopcxyo"
+
+
+def homoglyph_normalize(col) -> Column:
+    """Map confusable Cyrillic/Greek codepoints onto their Latin
+    lookalikes — the canonicalization that makes homoglyph-evading
+    duplicates (spam mirrors, SEO spinners, filter-dodging reposts)
+    collapse under EXACT dedup again. Pure translate(): map-side,
+    codepoint-wise, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, HOMOGLYPHS, HOMOGLYPH_LATIN)
+
+
+def homoglyph_count(col) -> Column:
+    """Number of confusable codepoints present (the spoof-intensity
+    signal a routing filter thresholds): chars remaining after
+    deleting everything NOT in the confusable set."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(
+        c, f"[^{HOMOGLYPHS}]", "")).cast("long")

@@ -964,3 +964,18 @@ def test_bipartite_project_replay_and_cap(spark):
             w[(a, b)] += 1
     assert got == dict(w)
     assert not any(a >= 100 for a, _b in got)
+
+
+def test_homoglyph_normalize_recovers_dups(spark):
+    from ecmm428_pycart_spark.datapipe.text import (homoglyph_count,
+                                                    homoglyph_normalize)
+
+    spoofed = "thе quick brоwn fоx"          # Cyrillic е and о
+    clean = "the quick brown fox"
+    df = spark.createDataFrame(
+        [(0, spoofed), (1, clean)], ["i", "t"])
+    out = {r.i: (r.n, r.c) for r in df.select(
+        "i", homoglyph_normalize("t").alias("n"),
+        homoglyph_count("t").alias("c")).collect()}
+    assert out[0] == (clean, 3)
+    assert out[1] == (clean, 0)
