@@ -2706,3 +2706,96 @@ def d66_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(F.md5("t")).alias("n_unique_raw"),
                  F.countDistinct(F.md5("norm"))
                  .alias("n_unique_norm")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming approximate median vs batch truth (st16's quantile
+# sibling, closing the sketch triptych: HLL distinct st16, KMV st18,
+# quantiles here): percentile_approx(value, 0.5) maintained UNDER
+# streaming state across a real 3-micro-batch replay. Quantile
+# sketch merges are NOT slice-deterministic (unlike st18's bottom-k),
+# so the oracle pins the CONTRACT, not the value: the streamed
+# estimate's exact batch rank must sit within n/100 + 1 of the true
+# median rank (10x the configured 1/1000 accuracy, the q101 slack),
+# alongside the exact integer-cents median computed by an explicit
+# sort-and-pick both engines state identically.
+# ---------------------------------------------------------------------------
+@q("st20_stream_approx_median", """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+            AS BIGINT) AS exact_med_cents,
+       TRUE AS within_bound
+FROM r GROUP BY event_type ORDER BY event_type
+""")
+def st20_stream_approx_median(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st20_events_")
+    write_time_ordered_stream_dir(slices, d)
+    stream = (read_events_stream(spark, d, max_files_per_trigger=1)
+              .filter(F.col("value").isNotNull()))
+    name = f"st20_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, 1000).alias("est"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
+    est = spark.table(name)
+    v = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    from pyspark.sql import Window as W
+    r = (v.withColumn("rn", F.row_number().over(
+            W.partitionBy("event_type").orderBy("cents")))
+         .withColumn("n", F.count(F.lit(1)).over(
+            W.partitionBy("event_type"))))
+    exact = (r.groupBy("event_type")
+             .agg(F.max("n").alias("n_rows"),
+                  F.max(F.when(F.col("rn")
+                               == F.expr("(n + 1) div 2"),
+                               F.col("cents")).otherwise(None)
+                        .cast("long")).alias("exact_med_cents")))
+    ranks = (v.join(est, "event_type")
+             .groupBy("event_type")
+             .agg(F.sum((F.col("cents")
+                         < F.floor(F.col("est") * 100)).cast("long"))
+                  .alias("n_lt"),
+                  F.sum((F.col("cents")
+                         <= F.floor(F.col("est") * 100)).cast("long"))
+                  .alias("n_le")))
+    return (exact.join(ranks, "event_type")
+            .select("event_type",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("exact_med_cents").cast("long")
+                    .alias("exact_med_cents"),
+                    ((F.col("n_lt")
+                      <= F.col("n_rows") / 2 + F.col("n_rows") / 100 + 1)
+                     & (F.col("n_le")
+                        >= F.col("n_rows") / 2 - F.col("n_rows") / 100 - 1))
+                    .alias("within_bound"))
+            .orderBy("event_type"))
