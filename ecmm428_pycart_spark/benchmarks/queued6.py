@@ -2799,3 +2799,212 @@ def st20_stream_approx_median(spark: SparkSession,
                         >= F.col("n_rows") / 2 - F.col("n_rows") / 100 - 1))
                     .alias("within_bound"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (the data-quality sweep a warehouse
+# runs before trusting joins): for every FK relation in the schema,
+# the child row count, orphaned child keys (no parent — breaks inner
+# joins silently), and childless parents (dead dimension rows). Pure
+# anti-join/semi-join counts; dims broadcast, facts shuffle once per
+# relation — the audit costs what the joins it protects cost. Six
+# relations, one row each, all-integer.
+# ---------------------------------------------------------------------------
+_Q104_RELS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _q104_sql():
+    rows = []
+    for name, child, ck, parent, pk in _Q104_RELS:
+        rows.append(f"""
+SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE c.{ck} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) AS BIGINT)
+         AS n_orphans,
+       CAST((SELECT count(*) FROM {parent} p
+             WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                               WHERE c.{ck} = p.{pk})) AS BIGINT)
+         AS n_childless_parents""")
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY relation"
+
+
+@q("q104_fk_integrity", _q104_sql())
+def q104_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ck, parent, pk in _Q104_RELS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent)
+        orphans = (c.filter(F.col(ck).isNotNull())
+                   .join(p.select(F.col(pk).alias(ck)), ck,
+                         "left_anti"))
+        childless = p.join(c.select(F.col(ck).alias(pk)).distinct(),
+                           pk, "left_anti")
+        row = (c.agg(F.count(F.lit(1)).alias("n_child"))
+               .crossJoin(F.broadcast(
+                   orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+               .crossJoin(F.broadcast(
+                   childless.agg(F.count(F.lit(1))
+                                 .alias("n_childless_parents"))))
+               .select(F.lit(name).alias("relation"),
+                       F.col("n_child").cast("long").alias("n_child"),
+                       F.col("n_orphans").cast("long")
+                       .alias("n_orphans"),
+                       F.col("n_childless_parents").cast("long")
+                       .alias("n_childless_parents")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (the data-quality sibling of q104): per-column
+# null counts, exact distinct cardinality, and min/max rendered
+# through TYPE-AWARE canonicalization — integers verbatim, money as
+# floor cents, timestamps through DATE — because raw double/timestamp
+# to-string formatting is where cross-engine profiles silently
+# diverge. One row per profiled orders column, long format (the
+# shape a catalog ingests); each column's profile is one aggregate
+# pass, unioned.
+# ---------------------------------------------------------------------------
+_Q105_COLS = [("o_orderkey", "int"), ("o_custkey", "int"),
+              ("o_orderstatus", "str"), ("o_totalprice", "cents"),
+              ("o_orderdate", "date"), ("o_orderpriority", "str")]
+
+
+def _q105_sql():
+    rows = []
+    for col, kind in _Q105_COLS:
+        if kind == "int":
+            mn, mx = (f"CAST(min({col}) AS VARCHAR)",
+                      f"CAST(max({col}) AS VARCHAR)")
+        elif kind == "cents":
+            mn = f"CAST(CAST(min(floor({col} * 100)) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(max(floor({col} * 100)) AS BIGINT) AS VARCHAR)"
+        elif kind == "date":
+            mn = f"CAST(CAST(min({col}) AS DATE) AS VARCHAR)"
+            mx = f"CAST(CAST(max({col}) AS DATE) AS VARCHAR)"
+        else:
+            mn, mx = f"min({col})", f"max({col})"
+        rows.append(f"""
+SELECT '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       {mn} AS min_repr, {mx} AS max_repr
+FROM orders""")
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY column_name"
+
+
+@q("q105_column_profile", _q105_sql())
+def q105_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = None
+    for col, kind in _Q105_COLS:
+        c = F.col(col)
+        if kind == "int":
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        elif kind == "cents":
+            mn = F.min(F.floor(c * 100)).cast("long").cast("string")
+            mx = F.max(F.floor(c * 100)).cast("long").cast("string")
+        elif kind == "date":
+            mn = F.min(c).cast("date").cast("string")
+            mx = F.max(c).cast("date").cast("string")
+        else:
+            mn, mx = F.min(c), F.max(c)
+        row = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            mn.alias("min_repr"), mx.alias("max_repr")).select(
+            F.lit(col).alias("column_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_repr", "max_repr")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# SRT subtitle parsing (text.srt_cues): SubRip is how speech/video
+# corpora ship transcripts, and this pipeline parses it with NATIVE
+# expressions only (block split + posexplode + one timecode regex +
+# integer ms arithmetic — codegen, no UDF). The fixture builds a
+# 3-cue SRT per doc IN-PLAN (lpad'ed HH:MM:SS,mmm from the ms
+# formulas), the parser recovers cues, and the oracle recomputes
+# durations / max end / sequence validity / a text checksum straight
+# from the generative formulas — construction and parse never share
+# code, so a formatting or regex bug on either side reddens the
+# hash.
+# ---------------------------------------------------------------------------
+@q("m35_srt_parse", """
+WITH cue AS (
+  SELECT d.doc_id, d.source, c.c,
+         (doc_id % 50) * 3700 + c.c * 40000 AS start_ms,
+         500 + (doc_id % 7) * 100 + c.c * 10 AS dur
+  FROM documents d, unnest(range(0, 3)) c(c)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_cues,
+       CAST(sum(dur) AS BIGINT) AS total_dur_ms,
+       CAST(max(start_ms + dur) AS BIGINT) AS max_end_ms,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(CAST(concat('0x',
+                substr(md5('cue ' || c || ' of doc ' || doc_id),
+                       1, 12)) AS BIGINT)) AS BIGINT) AS text_checksum
+FROM cue GROUP BY source
+""")
+def m35_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import srt_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def fmt(ms):
+        return F.concat(
+            F.lit("00:"),
+            F.lpad(F.expr(f"CAST(({ms}) div 60000 AS STRING)"), 2, "0"),
+            F.lit(":"),
+            F.lpad(F.expr(f"CAST((({ms}) % 60000) div 1000 AS STRING)"),
+                   2, "0"),
+            F.lit(","),
+            F.lpad(F.expr(f"CAST(({ms}) % 1000 AS STRING)"), 3, "0"))
+
+    blocks = []
+    for c in range(3):
+        s = f"(doc_id % 50) * 3700 + {c * 40000}"
+        e = f"{s} + 500 + (doc_id % 7) * 100 + {c * 10}"
+        blocks.append(F.concat(
+            F.lit(f"{c + 1}\n"), fmt(s), F.lit(" --> "), fmt(e),
+            F.lit(f"\ncue {c} of doc "),
+            F.col("doc_id").cast("string"), F.lit("\n\n")))
+    srt = docs.withColumn("srt", F.concat(*blocks))
+    cues = srt_cues(srt).join(docs, "doc_id")
+    valid = (F.col("start_ms").isNotNull()
+             & F.col("end_ms").isNotNull()
+             & (F.col("end_ms") > F.col("start_ms"))
+             & (F.col("seq") == F.col("cue_idx") + 1))
+    return (cues.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_cues"),
+                 F.sum(F.col("end_ms") - F.col("start_ms"))
+                 .cast("long").alias("total_dur_ms"),
+                 F.max("end_ms").cast("long").alias("max_end_ms"),
+                 F.sum(valid.cast("long")).alias("n_valid"),
+                 F.sum(F.conv(F.substring(F.md5("text"), 1, 12),
+                              16, 10).cast("long"))
+                 .cast("long").alias("text_checksum")))

@@ -1100,3 +1100,47 @@ def homoglyph_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(F.regexp_replace(
         c, f"[^{HOMOGLYPHS}]", "")).cast("long")
+
+
+_SRT_TIME = (r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+             r" --> "
+             r"(\d{2}):(\d{2}):(\d{2}),(\d{3})")
+
+
+def srt_cues(df: DataFrame, srt_col: str = "srt",
+             id_col: str = "doc_id") -> DataFrame:
+    """Parse SubRip (.srt) subtitle text — the caption format most
+    speech/video corpora ship transcripts in — into one row per cue:
+    (id, cue_idx, seq, start_ms, end_ms, text). Entirely native
+    expressions: blank-line block split, posexplode, then row-wise
+    regexp_extract on the timecode line (whole-stage codegen; no
+    UDF) and integer millisecond arithmetic. Single-line cue bodies
+    (the fixture contract); a malformed timecode yields NULL ms
+    columns rather than a crash, so a validity filter downstream is
+    one IS NOT NULL."""
+    def ms(base: int) -> Column:
+        h = F.regexp_extract("_blk", _SRT_TIME, base + 1)
+        m = F.regexp_extract("_blk", _SRT_TIME, base + 2)
+        s = F.regexp_extract("_blk", _SRT_TIME, base + 3)
+        f = F.regexp_extract("_blk", _SRT_TIME, base + 4)
+        raw = (h.cast("long") * 3600000 + m.cast("long") * 60000
+               + s.cast("long") * 1000 + f.cast("long"))
+        return F.when(F.regexp_like(F.col("_blk"), F.lit(_SRT_TIME)),
+                      raw).otherwise(F.lit(None))
+    # trim() strips spaces only, NOT newlines: a trailing blank block
+    # from the final cue's \n\n must be dropped, and seq parses under
+    # a match guard (ANSI mode makes cast('' AS BIGINT) an error, not
+    # a NULL)
+    blocks = (df.select(F.col(id_col),
+                        F.posexplode(
+                            F.split(F.trim(F.col(srt_col)), "\n\n"))
+                        .alias("cue_idx", "_blk"))
+              .filter(F.col("_blk").rlike(r"\S")))
+    lines = F.split("_blk", "\n")
+    return blocks.select(
+        id_col, "cue_idx",
+        F.when(F.col("_blk").rlike(r"^\d+"),
+               F.regexp_extract("_blk", r"^(\d+)", 1).cast("long"))
+        .alias("seq"),
+        ms(0).alias("start_ms"), ms(4).alias("end_ms"),
+        lines.getItem(2).alias("text"))

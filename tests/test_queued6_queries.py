@@ -93,6 +93,7 @@ def test_queued6_plan_guards(spark):
         # kmv_pair_stats (pairs of source NAMES, never data rows)
         "d61_kmv_distinct",
         "d65_lsh_tuning_sweep",  # 1-row count broadcasts (3 tiers)
+        "q104_fk_integrity",  # 1-row count broadcasts (6 relations)
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):

@@ -979,3 +979,21 @@ def test_homoglyph_normalize_recovers_dups(spark):
         homoglyph_count("t").alias("c")).collect()}
     assert out[0] == (clean, 3)
     assert out[1] == (clean, 0)
+
+
+def test_srt_cues_parses_and_survives_malformed(spark):
+    from ecmm428_pycart_spark.datapipe.text import srt_cues
+
+    srt = ("1\n00:00:01,500 --> 00:00:03,250\nhello world\n\n"
+           "2\n00:04:21,300 --> 00:04:22,000\nsecond cue\n\n"
+           "oops no timecode here\nstill no timecode\nnope\n\n")
+    df = spark.createDataFrame([(0, srt)], ["doc_id", "srt"])
+    rows = {r.cue_idx: r for r in srt_cues(df).collect()}
+    assert (rows[0].seq, rows[0].start_ms, rows[0].end_ms,
+            rows[0].text) == (1, 1500, 3250, "hello world")
+    assert (rows[1].seq, rows[1].start_ms, rows[1].end_ms,
+            rows[1].text) == (2, 261300, 262000, "second cue")
+    # malformed block: NULL seq/times, no crash
+    assert rows[2].seq is None and rows[2].start_ms is None
+    # trailing blank block dropped
+    assert set(rows) == {0, 1, 2}
