@@ -3008,3 +3008,106 @@ def m35_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.conv(F.substring(F.md5("text"), 1, 12),
                               16, 10).cast("long"))
                  .cast("long").alias("text_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Faceted retrieval (similarity.grouped_cosine_topk): exact top-3 by
+# cosine vs the query WITHIN every label — the per-facet diversity
+# quota serving layers blend (a global top-k returns one dominant
+# facet). One broadcast + map-side scoring + a label-partitioned
+# row_number window, never a global sort. The s-family determinism
+# contract (rounded cosine, id tiebreak); the oracle replays scoring
+# and the per-label QUALIFY in SQL.
+# ---------------------------------------------------------------------------
+@q("s28_faceted_topk", """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qv.q::DOUBLE[]), 6) AS cos
+  FROM embeddings e, qv
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(rnk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cos
+FROM (SELECT label, vec_id, cos,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3 ORDER BY label, rank
+""")
+def s28_faceted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    out = similarity.grouped_cosine_topk(emb, qv, k=3)
+    return (out.select(F.col("label").cast("long").alias("label"),
+                       F.col("rank").cast("long").alias("rank"),
+                       F.col("vec_id").cast("long").alias("vec_id"),
+                       "cos")
+            .orderBy("label", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths (graph.bounded_shortest_paths):
+# 4 synchronous Bellman-Ford relaxations from the sparse seed set
+# over the queen grid with INTEGER edge weights 1 + (u + v) % 5 —
+# the weighted sibling of g20's BFS (cost-to-reach, not hop count).
+# Pure integer min-plus algebra, so the oracle unrolls every
+# relaxation in SQL (the g19/g22 discipline: closed-form grid edges,
+# no golden). Page: the distance histogram + distance mass, fully
+# deterministic.
+# ---------------------------------------------------------------------------
+_G26_ROUND = """
+r{i} AS (
+  SELECT k, min(d) AS d FROM (
+    SELECT k, d FROM r{j}
+    UNION ALL
+    SELECT u.b AS k, r.d + u.w AS d
+    FROM und u JOIN r{j} r ON r.k = u.a
+  ) GROUP BY k
+)"""
+
+
+@q("g26_weighted_paths", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b, 1 + (a.k + b.k) % 5 AS w
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e),
+r0 AS (SELECT k, 0 AS d FROM g WHERE k % 97 = 0),
+{_G26_ROUND.format(i=1, j=0)},
+{_G26_ROUND.format(i=2, j=1)},
+{_G26_ROUND.format(i=3, j=2)},
+{_G26_ROUND.format(i=4, j=3)}
+SELECT CAST(d AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d * 1) AS BIGINT) AS dist_mass
+FROM r4 GROUP BY d ORDER BY dist
+""")
+def g26_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import bounded_shortest_paths
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(
+        F.col("focal").alias("src"), F.col("neighbor").alias("dst"),
+        (1 + (F.col("focal") + F.col("neighbor")) % 5).alias("w"))
+    seeds = (grid.select(F.col("region_idx").alias("node"))
+             .filter(F.col("node") % 97 == 0))
+    out = bounded_shortest_paths(e, seeds, rounds=4)
+    return (out.groupBy(F.col("dist").cast("long").alias("dist"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("dist").cast("long").alias("dist_mass"))
+            .orderBy("dist"))

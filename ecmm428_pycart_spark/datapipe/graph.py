@@ -426,3 +426,40 @@ def bipartite_project(edges: DataFrame, src: str = "u", dst: str = "v",
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("weight"))
             .filter(F.col("weight") >= min_weight))
+
+
+def bounded_shortest_paths(edges: DataFrame, sources: DataFrame,
+                           rounds: int = 4, src: str = "src",
+                           dst: str = "dst", weight_col: str = "w",
+                           node_col: str = "node") -> DataFrame:
+    """Multi-source WEIGHTED shortest paths to a bounded hop count —
+    ``rounds`` synchronous Bellman-Ford relaxations (the
+    delta-stepping shape without priority buckets): dist'(v) =
+    min(dist(v), min over in-edges (u, v) of dist(u) + w(u, v)).
+    BFS (bfs_layers) counts hops; this is its weighted sibling —
+    latency maps, cost-to-reach, influence radius under edge costs.
+    All-integer: INTEGER edge weights, min() semantics, no float
+    anywhere — a pure function of (graph, sources, rounds) an oracle
+    unrolls in SQL.
+
+    Execution shape: per round one join of current dists onto the
+    edge list (keyed on the node id), one min aggregate, one left
+    join back + localCheckpoint (the module's L3 discipline). Nodes
+    not reached within ``rounds`` hops are absent from the output
+    (the bounded contract — at 100 TB you budget relaxation rounds
+    exactly like BFS depth)."""
+    und = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"),
+                       F.col(weight_col).cast("long").alias("_w"))
+    cur = (sources.select(F.col(node_col).alias("_k")).distinct()
+           .withColumn("_d", F.lit(0).cast("long"))
+           .localCheckpoint())
+    for _ in range(rounds):
+        relaxed = (und.join(cur.withColumnRenamed("_k", "_a"), "_a")
+                   .select(F.col("_b").alias("_k"),
+                           (F.col("_d") + F.col("_w")).alias("_nd")))
+        cur = (cur.withColumnRenamed("_d", "_nd")
+               .unionByName(relaxed)
+               .groupBy("_k").agg(F.min("_nd").alias("_d"))
+               .localCheckpoint())
+    return cur.select(F.col("_k").alias(node_col),
+                      F.col("_d").alias("dist"))

@@ -910,3 +910,30 @@ def binary_hamming_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "hamming", "cos"))
+
+
+def grouped_cosine_topk(df: DataFrame, query: DataFrame, k: int = 3,
+                        group_col: str = "label",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """FACETED retrieval: exact top-k by cosine vs the broadcast
+    query WITHIN each group — the per-source/per-language/per-shard
+    diversity quota pattern (a global top-k returns one dominant
+    facet; serving layers want the best k from EVERY facet and blend
+    downstream). Same determinism contract as ``cosine_topk``: rank
+    on the rounded cosine with id tiebreak.
+
+    Execution shape: one broadcast, one map-side score pass, one
+    row_number window PARTITIONED BY the group (never global) —
+    per-facet top-k costs what the groupBy it replaces costs."""
+    from pyspark.sql import Window as W
+
+    scored = (df.crossJoin(F.broadcast(query))
+              .withColumn("cos",
+                          F.round(cosine(F.col(vec_col), F.col("q")),
+                                  6)))
+    w = (W.partitionBy(group_col)
+         .orderBy(F.col("cos").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(group_col, "rank", id_col, "cos"))

@@ -94,6 +94,7 @@ def test_queued6_plan_guards(spark):
         "d61_kmv_distinct",
         "d65_lsh_tuning_sweep",  # 1-row count broadcasts (3 tiers)
         "q104_fk_integrity",  # 1-row count broadcasts (6 relations)
+        "s28_faceted_topk",  # 1-row query-vector broadcast
     }
     offenders = {}
     for name, fn in sorted(queued6.QUERIES.items()):

@@ -997,3 +997,26 @@ def test_srt_cues_parses_and_survives_malformed(spark):
     assert rows[2].seq is None and rows[2].start_ms is None
     # trailing blank block dropped
     assert set(rows) == {0, 1, 2}
+
+
+def test_bounded_shortest_paths_python_replay(spark):
+    """Weighted path graph replayed in Python min-plus: 0-1-2-3 line
+    with weights 5,1,1 plus a 0-3 shortcut of weight 4: within 2
+    rounds node 3 is reached via the shortcut (4), not the line."""
+    from ecmm428_pycart_spark.datapipe.graph import bounded_shortest_paths
+
+    und = [(0, 1, 5), (1, 0, 5), (1, 2, 1), (2, 1, 1),
+           (2, 3, 1), (3, 2, 1), (0, 3, 4), (3, 0, 4)]
+    edges = spark.createDataFrame(und, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist
+           for r in bounded_shortest_paths(edges, seeds,
+                                           rounds=2).collect()}
+    # round 1: 1->5, 3->4; round 2: 2->min(5+1, 4+1)=5, 3 stays 4
+    assert got == {0: 0, 1: 5, 2: 5, 3: 4}
+    # more rounds tighten: dist(2) via 3 is 4+1=5 (same), dist(1)
+    # via 2 becomes 6 > 5 -> stable
+    got4 = {r.node: r.dist
+            for r in bounded_shortest_paths(edges, seeds,
+                                            rounds=4).collect()}
+    assert got4 == {0: 0, 1: 5, 2: 5, 3: 4}
