@@ -3111,3 +3111,52 @@ def g26_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_nodes"),
                  F.sum("dist").cast("long").alias("dist_mass"))
             .orderBy("dist"))
+
+
+# ---------------------------------------------------------------------------
+# REAL safetensors walk (multimodal.decode_safetensors_manifest):
+# u64-LE header length + JSON tensor directory + one contiguous
+# buffer — THE tensor interchange format training stacks ship
+# weights and preprocessed features in. The decoder verifies every
+# span against shape * itemsize and that spans tile the buffer
+# exactly (gaps/overlaps raise); fixtures carry an I32 [4,8] and an
+# I64 [6] tensor per doc with closed-form values the oracle
+# recomputes, layout_ok pinned for every doc.
+# ---------------------------------------------------------------------------
+@q("m36_safetensors_stats", """
+WITH p AS (SELECT doc_id, source FROM documents),
+emb AS (
+  SELECT doc_id, sum((3 * doc_id + i.i) % 1000) AS s
+  FROM p, unnest(range(0, 32)) i(i) GROUP BY doc_id
+),
+ids AS (
+  SELECT doc_id, sum(7 * doc_id + i.i) AS s
+  FROM p, unnest(range(0, 6)) i(i) GROUP BY doc_id
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 2 AS BIGINT) AS n_tensors,
+       CAST(count(*) * 38 AS BIGINT) AS total_elems,
+       CAST(sum(emb.s + ids.s) AS BIGINT) AS total_sum,
+       CAST(count(*) AS BIGINT) AS n_layout_ok
+FROM p JOIN emb USING (doc_id) JOIN ids USING (doc_id)
+GROUP BY p.source
+""")
+def m36_safetensors_stats(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (docs.withColumn(
+              "payload",
+              multimodal.synth_safetensors_payload(F.col("doc_id")))
+          .withColumn("s",
+                      multimodal.safetensors_stats(F.col("payload"))))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_tensors").cast("long").alias("n_tensors"),
+                 F.sum("s.total_elems").cast("long")
+                 .alias("total_elems"),
+                 F.sum("s.total_sum").cast("long").alias("total_sum"),
+                 F.sum(F.col("s.layout_ok").cast("long"))
+                 .alias("n_layout_ok")))

@@ -3444,3 +3444,126 @@ def mixed_media_stats(payload: pd.Series) -> pd.DataFrame:
             rows.append((t, 0, 0))
     return pd.DataFrame(rows, columns=["media_type", "n_units",
                                        "sum_val"])
+
+
+# ---------------------------------------------------------------------------
+# REAL safetensors walk (round 5 continuation): the tensor
+# interchange format modern training stacks ship weights and
+# preprocessed features in — u64-LE header length, a JSON header
+# mapping tensor names to {dtype, shape, data_offsets}, then one
+# contiguous byte buffer. Hand-rolled like the ZIP/TIFF walks: the
+# header parse, offset bookkeeping and buffer-coverage check are
+# explicit and testable; no external library.
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {"I32": ("<i4", 4), "I64": ("<i8", 8), "U8": ("|u1", 1)}
+
+
+def safetensors_bytes(tensors: list, metadata: dict | None = None
+                      ) -> bytes:
+    """Encode [(name, np int array)] as safetensors: canonical JSON
+    header (sorted keys, no whitespace) so archives are
+    byte-deterministic; buffers laid out in the given order,
+    contiguous from offset 0."""
+    import json
+
+    header, buf, pos = {}, [], 0
+    for name, arr in tensors:
+        dt = {np.dtype(np.int32): "I32", np.dtype(np.int64): "I64",
+              np.dtype(np.uint8): "U8"}[arr.dtype]
+        raw = arr.astype(_ST_DTYPES[dt][0]).tobytes()
+        header[name] = {"dtype": dt, "shape": list(arr.shape),
+                        "data_offsets": [pos, pos + len(raw)]}
+        buf.append(raw)
+        pos += len(raw)
+    if metadata:
+        header["__metadata__"] = {k: str(v)
+                                  for k, v in metadata.items()}
+    hj = json.dumps(header, sort_keys=True,
+                    separators=(",", ":")).encode()
+    return struct.pack("<Q", len(hj)) + hj + b"".join(buf)
+
+
+def decode_safetensors_manifest(b: bytes) -> list[dict]:
+    """Parse a safetensors stream into per-tensor records: (name,
+    dtype, shape, n_elems, byte span, exact integer sum for integer
+    dtypes). Raises on a malformed header, unsupported dtype, a span
+    outside the buffer, or offsets that do not tile the buffer
+    exactly (gaps/overlaps) — layout mistakes surface loudly."""
+    import json
+
+    (hlen,) = struct.unpack("<Q", b[:8])
+    header = json.loads(b[8:8 + hlen].decode())
+    data = b[8 + hlen:]
+    spans, out = [], []
+    for name in sorted(k for k in header if k != "__metadata__"):
+        ent = header[name]
+        dt = ent["dtype"]
+        if dt not in _ST_DTYPES:
+            raise NotImplementedError(f"dtype {dt} not supported")
+        fmt, width = _ST_DTYPES[dt]
+        lo, hi = ent["data_offsets"]
+        if not (0 <= lo <= hi <= len(data)):
+            raise ValueError("tensor span outside buffer")
+        n = 1
+        for s in ent["shape"]:
+            n *= s
+        if hi - lo != n * width:
+            raise ValueError("span size != shape * itemsize")
+        arr = np.frombuffer(data[lo:hi], fmt)
+        spans.append((lo, hi))
+        out.append({"name": name, "dtype": dt,
+                    "shape": tuple(ent["shape"]), "n_elems": n,
+                    "lo": lo, "hi": hi,
+                    "sum": int(arr.astype(np.int64).sum())})
+    spans.sort()
+    pos = 0
+    for lo, hi in spans:
+        if lo != pos:
+            raise ValueError("buffer has gaps or overlaps")
+        pos = hi
+    if pos != len(data):
+        raise ValueError("buffer not fully covered by tensors")
+    return out
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_safetensors_payload(doc_id: pd.Series) -> pd.Series:
+    """Two-tensor safetensors per doc: 'emb' I32 [4, 8] with values
+    (3*doc_id + i) % 1000, and 'ids' I64 [6] with values
+    7*doc_id + i — closed forms the oracle recomputes."""
+    def gen(i: int) -> bytes:
+        emb = ((3 * i + np.arange(32)) % 1000).astype(np.int32) \
+            .reshape(4, 8)
+        ids = (7 * i + np.arange(6)).astype(np.int64)
+        return safetensors_bytes([("emb", emb), ("ids", ids)],
+                                 {"doc": i})
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_ST_STATS = T.StructType([
+    T.StructField("n_tensors", T.LongType()),
+    T.StructField("total_elems", T.LongType()),
+    T.StructField("total_sum", T.LongType()),
+    T.StructField("layout_ok", T.BooleanType()),
+])
+
+
+@F.pandas_udf(_ST_STATS)
+def safetensors_stats(payload: pd.Series) -> pd.DataFrame:
+    """Tensor count, element count, exact integer value total and
+    the layout-contiguity verdict over a decoded safetensors
+    manifest."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        try:
+            m = decode_safetensors_manifest(bytes(buf))
+            rows.append((len(m), sum(e["n_elems"] for e in m),
+                         sum(e["sum"] for e in m), True))
+        except ValueError:
+            rows.append((0, 0, 0, False))
+    return pd.DataFrame(rows, columns=["n_tensors", "total_elems",
+                                       "total_sum", "layout_ok"])

@@ -1020,3 +1020,36 @@ def test_bounded_shortest_paths_python_replay(spark):
             for r in bounded_shortest_paths(edges, seeds,
                                             rounds=4).collect()}
     assert got4 == {0: 0, 1: 5, 2: 5, 3: 4}
+
+
+def test_safetensors_roundtrip_and_layout_guards():
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    emb = np.arange(12, dtype=np.int32).reshape(3, 4)
+    ids = np.array([10, 20, 30], dtype=np.int64)
+    u8 = np.array([[1, 2], [3, 250]], dtype=np.uint8)
+    raw = mm.safetensors_bytes(
+        [("emb", emb), ("ids", ids), ("mask", u8)], {"k": "v"})
+    m = {e["name"]: e for e in mm.decode_safetensors_manifest(raw)}
+    assert m["emb"]["shape"] == (3, 4) and m["emb"]["sum"] == 66
+    assert m["ids"]["dtype"] == "I64" and m["ids"]["sum"] == 60
+    assert m["mask"]["n_elems"] == 4 and m["mask"]["sum"] == 256
+    # spans tile the buffer in declared order
+    assert (m["emb"]["lo"], m["emb"]["hi"]) == (0, 48)
+    assert (m["ids"]["lo"], m["ids"]["hi"]) == (48, 72)
+    # corrupt an offset -> loud failure
+    import json
+    import struct
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    hdr = json.loads(raw[8:8 + hlen])
+    hdr["ids"]["data_offsets"] = [50, 74]
+    hj = json.dumps(hdr, sort_keys=True,
+                    separators=(",", ":")).encode()
+    bad = struct.pack("<Q", len(hj)) + hj + raw[8 + hlen:]
+    with pytest.raises(ValueError):
+        mm.decode_safetensors_manifest(bad)
+    # cross-check against the reference layout convention: header
+    # length prefix is little-endian u64 and JSON parses standalone
+    assert json.loads(raw[8:8 + hlen])["__metadata__"] == {"k": "v"}
