@@ -149,8 +149,12 @@ def test_sessionize_matches_python_replay(spark, evs, gap_min):
         assert stats[u]["n_events"] == sum(len(s) for s in sessions)
         assert stats[u]["max_session_events"] == max(len(s)
                                                      for s in sessions)
-        assert abs(stats[u]["avg_session_seconds"]
-                   - round(sum(durs) / len(durs), 2)) < 1e-9
+        # Spark's F.round is HALF_UP, Python round() is banker's —
+        # they disagree on .xx5 averages (hypothesis found one). Any
+        # correct 2-decimal rounding sits within half a cent of the
+        # true average, so pin that bound instead of a tie rule.
+        avg = sum(durs) / len(durs)
+        assert abs(stats[u]["avg_session_seconds"] - avg) <= 0.005 + 1e-9
 
 
 @given(vecs=st.lists(
