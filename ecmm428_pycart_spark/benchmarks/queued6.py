@@ -3046,117 +3046,3 @@ def s28_faceted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("vec_id").cast("long").alias("vec_id"),
                        "cos")
             .orderBy("label", "rank"))
-
-
-# ---------------------------------------------------------------------------
-# Bounded weighted shortest paths (graph.bounded_shortest_paths):
-# 4 synchronous Bellman-Ford relaxations from the sparse seed set
-# over the queen grid with INTEGER edge weights 1 + (u + v) % 5 —
-# the weighted sibling of g20's BFS (cost-to-reach, not hop count).
-# Pure integer min-plus algebra, so the oracle unrolls every
-# relaxation in SQL (the g19/g22 discipline: closed-form grid edges,
-# no golden). Page: the distance histogram + distance mass, fully
-# deterministic.
-# ---------------------------------------------------------------------------
-_G26_ROUND = """
-r{i} AS (
-  SELECT k, min(d) AS d FROM (
-    SELECT k, d FROM r{j}
-    UNION ALL
-    SELECT u.b AS k, r.d + u.w AS d
-    FROM und u JOIN r{j} r ON r.k = u.a
-  ) GROUP BY k
-)"""
-
-
-@q("g26_weighted_paths", f"""
-WITH p AS (
-  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
-),
-g AS (
-  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
-  FROM customer, p
-),
-e AS (
-  SELECT a.k AS a, b.k AS b, 1 + (a.k + b.k) % 5 AS w
-  FROM g a JOIN g b
-    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
-),
-und AS (SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e),
-r0 AS (SELECT k, 0 AS d FROM g WHERE k % 97 = 0),
-{_G26_ROUND.format(i=1, j=0)},
-{_G26_ROUND.format(i=2, j=1)},
-{_G26_ROUND.format(i=3, j=2)},
-{_G26_ROUND.format(i=4, j=3)}
-SELECT CAST(d AS BIGINT) AS dist,
-       CAST(count(*) AS BIGINT) AS n_nodes,
-       CAST(sum(d * 1) AS BIGINT) AS dist_mass
-FROM r4 GROUP BY d ORDER BY dist
-""")
-def g26_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
-    from ecmm428_pycart_spark.datapipe.graph import bounded_shortest_paths
-    from ecmm428_pycart_spark.operators.borders import get_borders
-
-    grid = _customer_grid(spark, sf_dir).drop("value")
-    borders, _ = get_borders(grid, "region_idx", "geometry",
-                             idx_field="region_idx")
-    e = borders.select(
-        F.col("focal").alias("src"), F.col("neighbor").alias("dst"),
-        (1 + (F.col("focal") + F.col("neighbor")) % 5).alias("w"))
-    seeds = (grid.select(F.col("region_idx").alias("node"))
-             .filter(F.col("node") % 97 == 0))
-    out = bounded_shortest_paths(e, seeds, rounds=4)
-    return (out.groupBy(F.col("dist").cast("long").alias("dist"))
-            .agg(F.count(F.lit(1)).alias("n_nodes"),
-                 F.sum("dist").cast("long").alias("dist_mass"))
-            .orderBy("dist"))
-
-
-# ---------------------------------------------------------------------------
-# REAL safetensors walk (multimodal.decode_safetensors_manifest):
-# u64-LE header length + JSON tensor directory + one contiguous
-# buffer — THE tensor interchange format training stacks ship
-# weights and preprocessed features in. The decoder verifies every
-# span against shape * itemsize and that spans tile the buffer
-# exactly (gaps/overlaps raise); fixtures carry an I32 [4,8] and an
-# I64 [6] tensor per doc with closed-form values the oracle
-# recomputes, layout_ok pinned for every doc.
-# ---------------------------------------------------------------------------
-@q("m36_safetensors_stats", """
-WITH p AS (SELECT doc_id, source FROM documents),
-emb AS (
-  SELECT doc_id, sum((3 * doc_id + i.i) % 1000) AS s
-  FROM p, unnest(range(0, 32)) i(i) GROUP BY doc_id
-),
-ids AS (
-  SELECT doc_id, sum(7 * doc_id + i.i) AS s
-  FROM p, unnest(range(0, 6)) i(i) GROUP BY doc_id
-)
-SELECT p.source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(*) * 2 AS BIGINT) AS n_tensors,
-       CAST(count(*) * 38 AS BIGINT) AS total_elems,
-       CAST(sum(emb.s + ids.s) AS BIGINT) AS total_sum,
-       CAST(count(*) AS BIGINT) AS n_layout_ok
-FROM p JOIN emb USING (doc_id) JOIN ids USING (doc_id)
-GROUP BY p.source
-""")
-def m36_safetensors_stats(spark: SparkSession,
-                          sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.datapipe import multimodal
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    st = (docs.withColumn(
-              "payload",
-              multimodal.synth_safetensors_payload(F.col("doc_id")))
-          .withColumn("s",
-                      multimodal.safetensors_stats(F.col("payload"))))
-    return (st.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("s.n_tensors").cast("long").alias("n_tensors"),
-                 F.sum("s.total_elems").cast("long")
-                 .alias("total_elems"),
-                 F.sum("s.total_sum").cast("long").alias("total_sum"),
-                 F.sum(F.col("s.layout_ok").cast("long"))
-                 .alias("n_layout_ok")))
