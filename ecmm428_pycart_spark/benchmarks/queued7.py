@@ -138,3 +138,51 @@ def m36_safetensors_stats(spark: SparkSession,
                  F.sum("s.total_sum").cast("long").alias("total_sum"),
                  F.sum(F.col("s.layout_ok").cast("long"))
                  .alias("n_layout_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (operators.snapshot_diff): the corpus drift
+# report between releases — v2 is derived IN-PLAN from v1 (every
+# 31st doc deleted, every 13th survivor revised, every 41st doc
+# re-added under a new id), then ONE full outer join on the key over
+# map-side 16-byte content digests labels every row added / removed /
+# changed / unchanged. The oracle recomputes the per-source status
+# histogram directly from the id arithmetic — the diff operator and
+# the expected-counts formulas never share logic.
+# ---------------------------------------------------------------------------
+@q("d68_snapshot_diff", """
+WITH v1 AS (SELECT doc_id, source, text FROM documents),
+st AS (
+  SELECT source,
+         CASE WHEN doc_id % 31 = 0 THEN 'removed'
+              WHEN doc_id % 13 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1
+  UNION ALL
+  SELECT source, 'added' AS status
+  FROM v1 WHERE doc_id % 41 = 0
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n
+FROM st GROUP BY source, status ORDER BY source, status
+""")
+def d68_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.operators.relational import snapshot_diff
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                               "text")
+    survivors = (v1.filter(F.col("doc_id") % 31 != 0)
+                 .withColumn("text",
+                             F.when(F.col("doc_id") % 13 == 0,
+                                    F.concat(F.col("text"),
+                                             F.lit(" [rev2]")))
+                             .otherwise(F.col("text"))))
+    newdocs = (v1.filter(F.col("doc_id") % 41 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1000000))
+    v2 = survivors.unionByName(newdocs)
+    d = snapshot_diff(v1, v2, "doc_id", ["text"])
+    src = (v1.select("doc_id", "source")
+           .unionByName(newdocs.select("doc_id", "source")).distinct())
+    return (d.join(src, "doc_id")
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source", "status"))

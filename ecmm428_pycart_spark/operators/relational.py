@@ -199,3 +199,33 @@ def scd2_apply(base: DataFrame, changes: DataFrame, key: str,
               .withColumn("valid_to", F.lit(None).cast("int"))
               .withColumn("is_current", F.lit(True)))
     return closed.unionByName(untouched).unionByName(opened)
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame, key: str,
+                  content_cols: list[str]) -> DataFrame:
+    """Dataset-version diff — the corpus drift report an MLOps
+    pipeline emits between snapshot releases: full outer join on the
+    key, content compared through one md5 over the concatenated
+    content columns (null-safe: a NULL column hashes differently
+    from an empty string via a typed sentinel), every row labeled
+    added / removed / changed / unchanged. Returns (key, status) —
+    aggregate downstream for the report, or filter for the change
+    feed.
+
+    Scale shape: ONE full outer shuffle join on the key with 16-byte
+    content digests computed map-side before the join — snapshots
+    never carry their payloads through the shuffle twice; the digest
+    is the only content that moves."""
+    def digest(df):
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                 for c in content_cols]
+        return df.select(F.col(key),
+                         F.md5(F.concat_ws("\x01", *parts)).alias("_h"))
+    a = digest(v1).withColumnRenamed("_h", "_h1")
+    b = digest(v2).withColumnRenamed("_h", "_h2")
+    j = a.join(b, key, "full_outer")
+    status = (F.when(F.col("_h1").isNull(), F.lit("added"))
+              .when(F.col("_h2").isNull(), F.lit("removed"))
+              .when(F.col("_h1") == F.col("_h2"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(key, status.alias("status"))

@@ -1053,3 +1053,19 @@ def test_safetensors_roundtrip_and_layout_guards():
     # cross-check against the reference layout convention: header
     # length prefix is little-endian u64 and JSON parses standalone
     assert json.loads(raw[8:8 + hlen])["__metadata__"] == {"k": "v"}
+
+
+def test_snapshot_diff_statuses(spark):
+    from ecmm428_pycart_spark.operators.relational import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "k long, txt string")
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "new"), (4, "")],
+        "k long, txt string")
+    got = {r.k: r.status for r in
+           snapshot_diff(v1, v2, "k", ["txt"]).collect()}
+    # NULL -> '' must register as changed (typed sentinel), not equal
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}
