@@ -186,3 +186,110 @@ def d68_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "status")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("source", "status"))
+
+
+# ---------------------------------------------------------------------------
+# Canonical URL dedup (text.with_canonical_url): crawl-side URL
+# normalization — casefolded scheme/host, scheme-default ports
+# stripped (http:80 / https:443; other ports real), trailing path
+# slash dropped except root, fragments discarded, tracking params
+# (utm_*, fbclid, gclid, mc_*) removed, surviving params SORTED.
+# Fixture URLs are built in-plan across five axes (scheme case,
+# host case, port class, trailing slash, param order + tracking) so
+# byte-distinct spellings collapse. CROSS-PARSER oracle: Spark uses
+# java parse_url, DuckDB replays with regexp + list machinery —
+# agreement over the axes is the check. Page: per-source raw vs
+# canonical distinct counts + a canonical-string checksum.
+# ---------------------------------------------------------------------------
+@q("d69_canonical_url", """
+WITH u0 AS (
+  SELECT source,
+         CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+              ELSE 'https' END
+         || '://'
+         || CASE doc_id % 2 WHEN 0 THEN 'Example.COM'
+                 ELSE 'example.com' END
+         || CASE doc_id % 4 WHEN 1 THEN ':80' WHEN 2 THEN ':8080'
+                 WHEN 3 THEN ':443' ELSE '' END
+         || '/p' || doc_id % 5
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+                 ELSE '?a=1&b=2' END
+         || CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT source, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+           AS rawpath,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u0
+),
+c2 AS (
+  SELECT source, url, proto,
+         lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p1,
+         array_to_string(list_sort(list_filter(
+             string_split(q, '&'),
+             x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                  OR starts_with(x, 'fbclid=')
+                  OR starts_with(x, 'gclid=')
+                  OR starts_with(x, 'mc_cid=')
+                  OR starts_with(x, 'mc_eid=')))), '&') AS params
+  FROM c
+),
+canon AS (
+  SELECT source, url,
+         proto || '://' || host
+         || CASE WHEN port <> ''
+                  AND NOT (proto = 'http' AND port = '80')
+                  AND NOT (proto = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END
+         || CASE WHEN len(p1) > 1 AND p1 LIKE '%/'
+                 THEN substr(p1, 1, len(p1) - 1) ELSE p1 END
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+           AS cu
+  FROM c2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(count(DISTINCT cu) AS BIGINT) AS n_distinct_canon,
+       CAST(sum(CAST(concat('0x', substr(md5(cu), 1, 12)) AS BIGINT))
+            AS BIGINT) AS canon_checksum
+FROM canon GROUP BY source
+""")
+def d69_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import with_canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.element_at(F.array(F.lit("http"), F.lit("HTTP"),
+                             F.lit("https")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM"))
+        .otherwise(F.lit("example.com")),
+        F.element_at(F.array(F.lit(""), F.lit(":80"), F.lit(":8080"),
+                             F.lit(":443")),
+                     (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit("/p"), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("?b=2&utm_source=x&a=1"))
+        .otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#sec"))
+        .otherwise(F.lit("")))
+    d = with_canonical_url(docs.withColumn("url", url), "url")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("url").alias("n_distinct_raw"),
+                 F.countDistinct("canon_url")
+                 .alias("n_distinct_canon"),
+                 F.sum(F.conv(F.substring(F.md5("canon_url"), 1, 12),
+                              16, 10).cast("long"))
+                 .cast("long").alias("canon_checksum")))

@@ -1144,3 +1144,67 @@ def srt_cues(df: DataFrame, srt_col: str = "srt",
         .alias("seq"),
         ms(0).alias("start_ms"), ms(4).alias("end_ms"),
         lines.getItem(2).alias("text"))
+
+
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "mc_cid", "mc_eid")
+
+
+def with_canonical_url(df: DataFrame, url_col: str,
+                       out_col: str = "canon_url") -> DataFrame:
+    """Canonicalize URLs for crawl dedup — the normalization pass
+    that collapses the dozens of byte-distinct spellings every
+    crawled page arrives under: scheme and host casefolded,
+    scheme-default ports stripped (http:80 / https:443 — other ports
+    are real), the trailing path slash dropped (except root),
+    fragments discarded (client-side only), tracking parameters
+    (utm_*, fbclid, gclid, mailchimp ids) removed and the surviving
+    query parameters SORTED (order never changes the resource).
+
+    Spark-native parse: parse_url() for the structural parts (the
+    idiomatic JVM path), array filter/sort for the params — no UDF,
+    map-side only, named intermediate columns for the param exprs.
+    The d69 oracle re-implements the whole pipeline with independent
+    regexp/list machinery in DuckDB, so the two parsers cross-check
+    each other over the fixture axes."""
+    c = F.col(url_col)
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    auth = F.parse_url(c, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443")))
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    d = (df.withColumn("_proto", proto).withColumn("_host", host)
+         .withColumn("_port", F.when(keep_port,
+                                     F.concat(F.lit(":"), port))
+                     .otherwise(F.lit("")))
+         .withColumn("_path", path).withColumn("_q", query))
+    d = d.withColumn(
+        "_path",
+        F.when(F.col("_path") == "", F.lit("/"))
+        .otherwise(F.col("_path")))
+    d = d.withColumn(
+        "_path",
+        F.when((F.length("_path") > 1)
+               & F.col("_path").endswith("/"),
+               F.expr("substring(_path, 1, length(_path) - 1)"))
+        .otherwise(F.col("_path")))
+    tracked = " or ".join(
+        ["startswith(x, 'utm_')"]
+        + [f"startswith(x, '{p}=')" for p in TRACKING_PARAMS[1:]])
+    d = d.withColumn(
+        "_params",
+        F.expr(f"array_join(array_sort(filter(split(_q, '&'), "
+               f"x -> x != '' AND NOT ({tracked}))), '&')"))
+    out = F.concat(
+        F.col("_proto"), F.lit("://"), F.col("_host"), F.col("_port"),
+        F.col("_path"),
+        F.when(F.col("_params") != "",
+               F.concat(F.lit("?"), F.col("_params")))
+        .otherwise(F.lit("")))
+    return (d.withColumn(out_col, out)
+            .drop("_proto", "_host", "_port", "_path", "_q",
+                  "_params"))

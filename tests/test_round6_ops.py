@@ -1069,3 +1069,25 @@ def test_snapshot_diff_statuses(spark):
     # NULL -> '' must register as changed (typed sentinel), not equal
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "changed", 5: "added"}
+
+
+def test_canonical_url_axes(spark):
+    from ecmm428_pycart_spark.datapipe.text import with_canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/p3/?b=2&utm_source=x&a=1#sec",
+         "http://example.com/p3?a=1&b=2"),
+        ("http://example.com/p3?a=1&b=2",
+         "http://example.com/p3?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x/?fbclid=zz",
+         "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com:443/x", "http://example.com:443/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r.i: r.canon_url
+           for r in with_canonical_url(df, "url").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
