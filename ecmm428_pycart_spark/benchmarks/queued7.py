@@ -293,3 +293,120 @@ def d69_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.conv(F.substring(F.md5("canon_url"), 1, 12),
                               16, 10).cast("long"))
                  .cast("long").alias("canon_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (the product-analytics staple q93/q100
+# skirt): users cohorted by FIRST-activity week, then each (cohort,
+# week-offset) cell counts distinct users active that many weeks
+# later, with floor-div ppm retention against the cohort size.
+# Weeks are epoch-day div 7 (calendar-agnostic, engine-identical —
+# no week-of-year locale trap). Two shuffles total: the per-user
+# first-week aggregate, then the cell count; retention joins the
+# 1-row-per-cohort sizes back broadcast-style.
+# ---------------------------------------------------------------------------
+@q("q106_cohort_retention", """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first_wk AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+sz AS (SELECT cohort, count(*) AS n_cohort FROM first_wk GROUP BY cohort),
+cell AS (
+  SELECT f.cohort, a.wk - f.cohort AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN first_wk f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(c.week_offset AS BIGINT) AS week_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST(c.n_active * 1000000 // s.n_cohort AS BIGINT)
+         AS retention_ppm
+FROM cell c JOIN sz s USING (cohort)
+ORDER BY cohort_week, week_offset
+""")
+def q106_cohort_retention(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull()))
+    act = (ev.select("user_id",
+                     F.floor(F.unix_timestamp(
+                         F.col("ts").cast("timestamp")) / 604800)
+                     .cast("long").alias("wk"))
+           .distinct())
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sz = first_wk.groupBy("cohort").agg(F.count(F.lit(1))
+                                        .alias("n_cohort"))
+    cell = (act.join(first_wk, "user_id")
+            .groupBy("cohort",
+                     (F.col("wk") - F.col("cohort"))
+                     .alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_active")))
+    return (cell.join(sz, "cohort")
+            .select(F.col("cohort").cast("long").alias("cohort_week"),
+                    F.col("week_offset").cast("long")
+                    .alias("week_offset"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.col("n_cohort").cast("long").alias("n_cohort"),
+                    F.expr("n_active * 1000000 div n_cohort")
+                    .cast("long").alias("retention_ppm"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patchify (multimodal.gray_patch_means): REAL PNG decode
+# -> non-overlapping 4x4 tiles -> exact integer tile means (sum div
+# 16) — the patch-embedding precursor of every vision-training
+# pipeline. The patch array folds to scalars MAP-SIDE (plain sum +
+# a position-weighted sum that catches any patch-order permutation
+# the plain sum would survive); the oracle recomputes both from the
+# generative pixel algebra over an unnested (patch, dx, dy) grid.
+# ---------------------------------------------------------------------------
+@q("m37_patch_means", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b
+  FROM documents
+),
+tile AS (
+  SELECT p.doc_id, p.source, py.py * 4 + px.px AS patch_idx,
+         sum((a * (px.px * 4 + dx.dx) + b * (py.py * 4 + dy.dy))
+             % 256) // 16 AS mean_v
+  FROM p, unnest(range(0, 4)) py(py), unnest(range(0, 4)) px(px),
+       unnest(range(0, 4)) dy(dy), unnest(range(0, 4)) dx(dx)
+  GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT doc_id, source,
+         sum(mean_v) AS s, sum((patch_idx + 1) * mean_v) AS ws
+  FROM tile GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 16 AS BIGINT) AS n_patches,
+       CAST(sum(s) AS BIGINT) AS patch_sum,
+       CAST(sum(ws) AS BIGINT) AS weighted_patch_sum
+FROM d GROUP BY source
+""")
+def m37_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = (docs.withColumn(
+             "payload",
+             multimodal.synth_patch_png_payload(F.col("doc_id")))
+         .withColumn("m", multimodal.gray_patch_means(F.col("payload")))
+         .select("source", F.size("m").alias("n_patches"),
+                 F.expr("aggregate(m, 0L, (acc, x) -> acc + x)")
+                 .alias("s"),
+                 F.expr("aggregate(zip_with(m, sequence(1, size(m)), "
+                        "(x, i) -> x * i), 0L, (acc, x) -> acc + x)")
+                 .alias("ws")))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_patches").cast("long").alias("n_patches"),
+                 F.sum("s").cast("long").alias("patch_sum"),
+                 F.sum("ws").cast("long").alias("weighted_patch_sum")))

@@ -546,6 +546,10 @@ def _filter_rows(rows: list[list[int]], bpp: int = 1) -> bytes:
     every PNG filter. Used for whole images and, per pass, for Adam7
     sub-images (each pass's `prior` starts at zero, exactly as the
     spec requires of decoders)."""
+    # callers sometimes hand numpy uint8 scalars; Sub/Average/Paeth
+    # arithmetic must NOT wrap at 8 bits before the % 256, so force
+    # plain ints up front
+    rows = [[int(v) for v in row] for row in rows]
     out, prior = [], [0] * (len(rows[0]) if rows else 0)
     for y, row in enumerate(rows):
         width = len(row)
@@ -3567,3 +3571,47 @@ def safetensors_stats(payload: pd.Series) -> pd.DataFrame:
             rows.append((0, 0, 0, False))
     return pd.DataFrame(rows, columns=["n_tensors", "total_elems",
                                        "total_sum", "layout_ok"])
+
+
+PATCH_W = PATCH_H = 16           # patch grid source: 16x16 gray
+PATCH = 4                        # 4x4 patches -> 16 patches
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_patch_png_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic PATCH_W x PATCH_H grayscale PNG per doc —
+    px(x, y) = (a*x + b*y) % 256 (a = id%7+1, b = id%5+1), written
+    with the module's own encoder so the REAL decode path runs."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        rows = [[(a * x + b * y) % 256 for x in range(PATCH_W)]
+                for y in range(PATCH_H)]
+        ihdr = struct.pack(">IIBBBBB", PATCH_W, PATCH_H, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT",
+                             zlib.compress(_filter_rows(rows)))
+                + _png_chunk(b"IEND", b""))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def gray_patch_means(payload: pd.Series) -> pd.Series:
+    """ViT-style patchify over REAL decoded grayscale pixels: split
+    the image into non-overlapping PATCH x PATCH tiles (row-major
+    patch order) and return each tile's integer mean (sum div
+    PATCH^2 — exact floor, no float). The patch embedding precursor
+    every vision-training pipeline runs; callers fold the array into
+    scalars map-side (the gate keeps arrays out of output pages)."""
+    def go(buf):
+        if buf is None:
+            return None
+        px = decode_png_pixels(bytes(buf)).astype(np.int64)
+        if px.ndim == 3:
+            px = px[:, :, 0]
+        h, w = px.shape
+        gh, gw = h // PATCH, w // PATCH
+        t = (px[:gh * PATCH, :gw * PATCH]
+             .reshape(gh, PATCH, gw, PATCH).sum(axis=(1, 3))
+             // (PATCH * PATCH))
+        return [int(v) for v in t.reshape(-1)]
+    return payload.map(go)

@@ -1091,3 +1091,26 @@ def test_canonical_url_axes(spark):
            for r in with_canonical_url(df, "url").collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_gray_patch_means_matches_numpy(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (mm.PATCH_H, mm.PATCH_W)).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", mm.PATCH_W, mm.PATCH_H, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"IDAT", zlib.compress(
+               mm._filter_rows([list(r) for r in img])))
+           + mm._png_chunk(b"IEND", b""))
+    got = (spark.createDataFrame([Row(doc_id=0, payload=bytearray(png))])
+           .select(mm.gray_patch_means(F.col("payload")).alias("m"))
+           .head().m)
+    want = (img.astype(np.int64).reshape(4, 4, 4, 4).sum(axis=(1, 3))
+            // 16).reshape(-1).tolist()
+    assert got == want
