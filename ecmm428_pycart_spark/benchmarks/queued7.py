@@ -410,3 +410,84 @@ def m37_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_patches").cast("long").alias("n_patches"),
                  F.sum("s").cast("long").alias("patch_sum"),
                  F.sum("ws").cast("long").alias("weighted_patch_sum")))
+
+
+# ---------------------------------------------------------------------------
+# k-truss (graph.k_truss): EDGE-level cohesion — iteratively drop
+# edges in fewer than k-2 triangles until stable (k-core's stronger
+# sibling; the spam-ring / dense-cluster filter). Spark runs the
+# support-count + filter loop with the k_core convergence probe; the
+# oracle unrolls THREE support rounds in SQL over the closed-form
+# queen-grid edges (convergence is round-2 at every tested sf, and
+# extra unrolled rounds are no-ops once stable, so the fixed unroll
+# equals the converged loop). Page: surviving/dropped edge counts,
+# node count, and an edge-set checksum.
+# ---------------------------------------------------------------------------
+_G27_ROUND = """
+u{i} AS (SELECT a, b FROM e{i} UNION ALL SELECT b AS a, a AS b FROM e{i}),
+s{i} AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM e{i} e JOIN u{i} x ON x.a = e.a
+  JOIN u{i} y ON y.a = e.b AND y.b = x.b
+  GROUP BY e.a, e.b
+),
+e{n} AS (
+  SELECT e.a, e.b FROM e{i} e
+  LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.c, 0) >= 2
+)"""
+
+
+@q("g27_k_truss", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e0 AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+{_G27_ROUND.format(i=0, n=1)},
+{_G27_ROUND.format(i=1, n=2)},
+{_G27_ROUND.format(i=2, n=3)}
+SELECT CAST((SELECT count(*) FROM e3) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM
+             (SELECT a FROM e3 UNION SELECT b FROM e3)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT count(*) FROM e0) -
+            (SELECT count(*) FROM e3) AS BIGINT) AS n_dropped,
+       CAST((SELECT sum(a * 100003 + b) FROM e3) AS BIGINT)
+         AS edge_checksum
+""")
+def g27_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import k_truss
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e0 = (borders.select(F.least("focal", "neighbor").alias("a"),
+                         F.greatest("focal", "neighbor").alias("b"))
+          .distinct())
+    final = k_truss(borders.select(F.col("focal").alias("src"),
+                                   F.col("neighbor").alias("dst")),
+                    k=4)
+    nodes = (final.select("a").unionByName(
+        final.select(F.col("b").alias("a"))).distinct())
+    return (final.agg(F.count(F.lit(1)).alias("n_edges"),
+                      F.sum(F.expr("a * 100003 + b")).cast("long")
+                      .alias("edge_checksum"))
+            .crossJoin(F.broadcast(
+                nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+            .crossJoin(F.broadcast(
+                e0.agg(F.count(F.lit(1)).alias("_n0"))))
+            .select(F.col("n_edges").cast("long").alias("n_edges"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    (F.col("_n0") - F.col("n_edges")).cast("long")
+                    .alias("n_dropped"),
+                    F.col("edge_checksum")))

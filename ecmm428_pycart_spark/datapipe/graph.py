@@ -463,3 +463,51 @@ def bounded_shortest_paths(edges: DataFrame, sources: DataFrame,
                .localCheckpoint())
     return cur.select(F.col("_k").alias(node_col),
                       F.col("_d").alias("dist"))
+
+
+def k_truss(edges: DataFrame, k: int = 4,
+            max_rounds: int = 8, src: str = "src",
+            dst: str = "dst") -> DataFrame:
+    """k-truss decomposition step (Cohen 2008): iteratively drop
+    edges supported by fewer than k-2 triangles until the edge set
+    is stable — the EDGE-level cohesion filter (k-core keeps nodes
+    with enough neighbors; k-truss keeps edges embedded in enough
+    triangles, the stronger community signal spam-ring and dense
+    near-dup cluster analysis uses). Returns the surviving (a, b)
+    undirected edge list (a < b).
+
+    Execution shape: per round one triangle-support count — the
+    canonical wedge join (edges x und x und on the shared endpoint
+    pair), grouped per edge — then a support filter; localCheckpoint
+    pins plan depth, and the only driver value per round is the
+    surviving-edge count (the convergence probe, the k_core
+    discipline). Support counting is the g11 triangle pass cost,
+    O(sum deg^2) worst case, degree-bounded on planar/grid graphs;
+    rounds are bounded by ``max_rounds``."""
+    cur = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") < F.col("b")).distinct()
+           .localCheckpoint())
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        und = (cur.select("a", "b")
+               .unionByName(cur.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))))
+        supp = (cur
+                .join(und.select(F.col("a").alias("a"),
+                                 F.col("b").alias("_n1"))
+                      .withColumnRenamed("a", "a"), "a")
+                .join(und.select(F.col("a").alias("b"),
+                                 F.col("b").alias("_n2")), "b")
+                .filter(F.col("_n1") == F.col("_n2"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("_supp")))
+        nxt = (cur.join(supp, ["a", "b"], "left")
+               .filter(F.coalesce("_supp", F.lit(0)) >= k - 2)
+               .select("a", "b").localCheckpoint())
+        n = nxt.count()
+        cur = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    return cur

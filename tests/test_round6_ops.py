@@ -1114,3 +1114,21 @@ def test_gray_patch_means_matches_numpy(spark):
     want = (img.astype(np.int64).reshape(4, 4, 4, 4).sum(axis=(1, 3))
             // 16).reshape(-1).tolist()
     assert got == want
+
+
+def test_k_truss_clique_and_cascade(spark):
+    """A 4-clique survives k=4; a triangle chain (each edge in one
+    triangle) peels entirely — the cascade a one-shot support filter
+    would miss."""
+    import itertools
+
+    from ecmm428_pycart_spark.datapipe.graph import k_truss
+
+    clique = list(itertools.combinations(range(4), 2))
+    # chain of two triangles sharing an edge: supports 1,1,2,1,1 ->
+    # round 1 drops the outer edges, round 2 drops the shared one
+    chain = [(10, 11), (11, 12), (10, 12), (12, 13), (11, 13)]
+    df = spark.createDataFrame(clique + chain + [(3, 10)],
+                               ["src", "dst"])
+    out = sorted((r.a, r.b) for r in k_truss(df, k=4).collect())
+    assert out == sorted(clique)
