@@ -2122,9 +2122,10 @@ def d62_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PII scrubbing (text.scrub_pii): the compliance redaction pass every
-# training pipeline runs — emails / IPv4 / SSN-shaped / phone-shaped
-# spans replaced with typed tokens. Fixture: deterministic PII is
+# PII scrubbing (text.scrub_pii): the LIBRARY form of d17's inline
+# masking pass, upgraded to the full compliance contract — emails /
+# IPv4 / SSN-shaped / phone-shaped spans replaced with TYPED tokens,
+# per-category counts, and the n_residual self-audit d17 lacks. Fixture: deterministic PII is
 # INJECTED per doc (email always; ip on doc_id%2=0; ssn on %3=0;
 # phone on %5=0) so every category and every co-occurrence pattern is
 # exercised. The oracle replays counts (on the original), the chained

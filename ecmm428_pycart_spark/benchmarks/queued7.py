@@ -491,3 +491,119 @@ def g27_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("_n0") - F.col("n_edges")).cast("long")
                     .alias("n_dropped"),
                     F.col("edge_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup retention policy (dedup.retention_policy): AFTER d15's
+# LSH -> verify -> connected-components clustering, decide WHICH copy
+# survives — longest text, smallest id on ties (the keep-the-most-
+# complete-copy rule; singletons survive trivially). The decision is
+# one cluster-partitioned argmax window over the cluster map. The
+# oracle extends d15's full SQL chain (minhash, banding, bucket cap,
+# Jaccard verify, recursive-CTE components) with the same argmax, so
+# every upstream stage AND the policy replay end-to-end.
+# ---------------------------------------------------------------------------
+def _d70_sql():
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _BANDS_SQL, _MINHASH_SQL)
+    from ecmm428_pycart_spark.datapipe import dedup
+    d15 = f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+           AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
+    cut = d15.rindex("SELECT a AS doc_id")
+    prefix = d15[:cut].rstrip().rstrip(",")
+    return prefix + """,
+cc AS (
+  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+),
+docs2 AS (
+  SELECT d.doc_id, d.source, len(d.text) AS L,
+         coalesce(cc.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+keep AS (
+  SELECT source, doc_id, L, comp,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY L DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY comp) AS csz
+  FROM docs2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clustered,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN L ELSE 0 END) AS BIGINT)
+         AS chars_kept,
+       CAST(sum(L) AS BIGINT) AS chars_total
+FROM keep GROUP BY source
+"""
+
+
+@q("d70_retention_policy", _d70_sql())
+def d70_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup
+    from ecmm428_pycart_spark.datapipe.components import (
+        connected_components)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component")
+    pol = dedup.retention_policy(docs, cc)
+    sz = pol.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+    d = (pol.join(sz, "cluster")
+         .join(docs.select("doc_id", "source",
+                           F.length("text").alias("_L")), "doc_id"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("_csz") > 1).cast("long"))
+                 .alias("n_clustered"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("_L"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("chars_kept"),
+                 F.sum("_L").cast("long").alias("chars_total")))

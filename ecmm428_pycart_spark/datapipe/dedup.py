@@ -693,3 +693,32 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     return out.select(id_col, "chunk_idx",
                       F.md5("_c").alias("chunk_md5"),
                       F.length("_c").alias("chunk_len"))
+
+
+def retention_policy(df: DataFrame, clusters: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     cluster_col: str = "component") -> DataFrame:
+    """Near-dup RETENTION: given cluster assignments (e.g.
+    ``components.connected_components`` over verified LSH pairs),
+    pick each cluster's canonical survivor — longest text, smallest
+    id on ties (the "keep the most complete copy" rule web-corpus
+    dedup applies; length is the usual completeness proxy, the id
+    tiebreak makes it a pure function). Docs outside any cluster are
+    their own survivors. Returns (id, cluster, keep) for every doc —
+    the decision column a curation pipeline filters on.
+
+    Plan: one left join onto the cluster map, one argmax window
+    PARTITIONED BY cluster (never global; singleton clusters are
+    1-row partitions), no UDF."""
+    from pyspark.sql import Window as W
+
+    d = (df.select(F.col(id_col), F.length(text_col).alias("_len"))
+         .join(clusters.select(F.col(id_col),
+                               F.col(cluster_col).alias("_c")),
+               id_col, "left")
+         .withColumn("_c", F.coalesce("_c", F.col(id_col))))
+    w = W.partitionBy("_c").orderBy(F.col("_len").desc(),
+                                    F.col(id_col).asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .select(id_col, F.col("_c").alias("cluster"),
+                    (F.col("_rn") == 1).alias("keep")))

@@ -1132,3 +1132,28 @@ def test_k_truss_clique_and_cascade(spark):
                                ["src", "dst"])
     out = sorted((r.a, r.b) for r in k_truss(df, k=4).collect())
     assert out == sorted(clique)
+
+
+def test_retention_policy_keeps_longest(spark):
+    from ecmm428_pycart_spark.datapipe.dedup import retention_policy
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest copy here"), (3, "medium one"),
+         (4, "standalone doc"), (5, "the longest copy herE")],
+        ["doc_id", "text"])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5)], ["doc_id", "component"])
+    got = {r.doc_id: (r.cluster, r.keep)
+           for r in retention_policy(docs, clusters).collect()}
+    # cluster 1: doc 2 longest -> kept; ties impossible here; doc 4
+    # unclustered -> own singleton, kept; doc 5 singleton cluster
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   4: (4, True), 5: (5, True)}
+    # equal lengths: min id wins
+    docs2 = spark.createDataFrame(
+        [(7, "same len"), (8, "same len")], ["doc_id", "text"])
+    cl2 = spark.createDataFrame([(7, 7), (8, 7)],
+                                ["doc_id", "component"])
+    got2 = {r.doc_id: r.keep
+            for r in retention_policy(docs2, cl2).collect()}
+    assert got2 == {7: True, 8: False}
