@@ -607,3 +607,150 @@ def d70_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0))).cast("long")
                  .alias("chars_kept"),
                  F.sum("_L").cast("long").alias("chars_total")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor (s27's cross-release sibling): per-label
+# centroid shift between two embedding snapshots, in EXACT integer
+# space — components floor-quantize to 1e-4 (engine-deterministic),
+# the second snapshot is derived in-plan by shifting every fifth
+# vector's quantized components (+100 * (dim % 3)), and drift is
+# the L1 / max over dims of the per-dim centroid-SUM differences
+# (sums, not means — no division, no float). The re-embedding
+# regression gate every retrieval pipeline wants before swapping an
+# encoder. One (label, dim) aggregate per snapshot, one join.
+# ---------------------------------------------------------------------------
+@q("s29_embedding_drift", """
+WITH q1 AS (
+  SELECT label, vec_id, pos,
+         CAST(floor(val::DOUBLE * 10000) AS BIGINT) AS xq
+  FROM (SELECT label, vec_id, unnest(embedding) AS val,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+),
+q2 AS (
+  SELECT label, vec_id, pos,
+         xq + CASE WHEN vec_id % 5 = 0
+                   THEN 100 * ((pos - 1) % 3) ELSE 0 END AS xq
+  FROM q1
+),
+c1 AS (SELECT label, pos, sum(xq) AS s FROM q1 GROUP BY label, pos),
+c2 AS (SELECT label, pos, sum(xq) AS s FROM q2 GROUP BY label, pos),
+n AS (SELECT label, count(DISTINCT vec_id) AS n_vecs,
+             count(DISTINCT CASE WHEN vec_id % 5 = 0
+                                 THEN vec_id END) AS n_shifted
+      FROM q1 GROUP BY label)
+SELECT CAST(n.label AS BIGINT) AS label,
+       CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       CAST(n.n_shifted AS BIGINT) AS n_shifted,
+       CAST(sum(abs(c2.s - c1.s)) AS BIGINT) AS l1_drift,
+       CAST(max(abs(c2.s - c1.s)) AS BIGINT) AS max_dim_drift
+FROM n JOIN c1 ON c1.label = n.label
+JOIN c2 ON c2.label = c1.label AND c2.pos = c1.pos
+GROUP BY n.label, n.n_vecs, n.n_shifted
+ORDER BY label
+""")
+def s29_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q1 = (emb.select("label", "vec_id",
+                     F.posexplode("embedding").alias("pos0", "val"))
+          .select("label", "vec_id",
+                  (F.col("pos0") + 1).alias("pos"),
+                  F.floor(F.col("val").cast("double") * 10000)
+                  .cast("long").alias("xq")))
+    q2 = q1.withColumn(
+        "xq",
+        F.col("xq") + F.when(F.col("vec_id") % 5 == 0,
+                             100 * ((F.col("pos") - 1) % 3))
+        .otherwise(F.lit(0)))
+    c1 = q1.groupBy("label", "pos").agg(F.sum("xq").alias("s1"))
+    c2 = q2.groupBy("label", "pos").agg(F.sum("xq").alias("s2"))
+    n = (q1.groupBy("label")
+         .agg(F.count_distinct("vec_id").alias("n_vecs"),
+              F.count_distinct(F.when(F.col("vec_id") % 5 == 0,
+                                      F.col("vec_id")))
+              .alias("n_shifted")))
+    d = (c1.join(c2, ["label", "pos"])
+         .groupBy("label")
+         .agg(F.sum(F.abs(F.col("s2") - F.col("s1")))
+              .alias("l1_drift"),
+              F.max(F.abs(F.col("s2") - F.col("s1")))
+              .alias("max_dim_drift")))
+    return (n.join(d, "label")
+            .select(F.col("label").cast("long").alias("label"),
+                    F.col("n_vecs").cast("long").alias("n_vecs"),
+                    F.col("n_shifted").cast("long").alias("n_shifted"),
+                    F.col("l1_drift").cast("long").alias("l1_drift"),
+                    F.col("max_dim_drift").cast("long")
+                    .alias("max_dim_drift"))
+            .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Hash-random walk corpus (graph.hash_random_walks): DeepWalk's
+# input stage — per-seed walks whose next hop is the neighbor
+# minimizing md5(walk:step:neighbor), i.e. md5-RNG transitions that
+# are a pure function of (graph, seeds, steps) and therefore
+# replayable: the oracle unrolls every argmin step in SQL with the
+# identical 40-bit-hash * 2^22 + node pack. Page: per-step walk
+# count, node-id checksum and distinct-node coverage over the queen
+# grid from the node % 29 seed set.
+# ---------------------------------------------------------------------------
+_G28_STEP = """
+w{t} AS (
+  SELECT walk_id, min(CAST(concat('0x',
+           substr(md5(walk_id || ':{t}:' || u.b), 1, 10)) AS BIGINT)
+         * 4194304 + u.b) % 4194304 AS node
+  FROM w{p} w JOIN und u ON u.a = w.node
+  GROUP BY walk_id
+)"""
+
+
+@q("g28_hash_walks", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+w0 AS (SELECT k AS walk_id, k AS node FROM g WHERE k % 29 = 0),
+{_G28_STEP.format(t=1, p=0)},
+{_G28_STEP.format(t=2, p=1)},
+{_G28_STEP.format(t=3, p=2)},
+allw AS (
+  SELECT walk_id, 0 AS step, node FROM w0
+  UNION ALL SELECT walk_id, 1, node FROM w1
+  UNION ALL SELECT walk_id, 2, node FROM w2
+  UNION ALL SELECT walk_id, 3, node FROM w3
+)
+SELECT CAST(step AS BIGINT) AS step,
+       CAST(count(*) AS BIGINT) AS n_walks,
+       CAST(sum(node) AS BIGINT) AS node_checksum,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_distinct_nodes
+FROM allw GROUP BY step ORDER BY step
+""")
+def g28_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import hash_random_walks
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    seeds = (grid.select(F.col("region_idx").alias("node"))
+             .filter(F.col("node") % 29 == 0))
+    w = hash_random_walks(e, seeds, steps=3)
+    return (w.groupBy(F.col("step").cast("long").alias("step"))
+            .agg(F.count(F.lit(1)).alias("n_walks"),
+                 F.sum("node").cast("long").alias("node_checksum"),
+                 F.count_distinct("node").alias("n_distinct_nodes"))
+            .orderBy("step"))

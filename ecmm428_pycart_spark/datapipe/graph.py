@@ -511,3 +511,46 @@ def k_truss(edges: DataFrame, k: int = 4,
             break
         n_prev = n
     return cur
+
+
+def hash_random_walks(edges: DataFrame, seeds: DataFrame,
+                      steps: int = 3, src: str = "src",
+                      dst: str = "dst",
+                      node_col: str = "node") -> DataFrame:
+    """DeepWalk-style walk-corpus generation with HASH randomness:
+    from each seed, ``steps`` transitions where the next hop is the
+    neighbor minimizing md5(walk_id:step:neighbor) — a uniform-ish
+    choice that is a pure function of (graph, seeds, steps), so the
+    walk corpus is replayable (the md5-RNG contract every sampled op
+    in this repo uses; true RNG walks are unreplayable and untestable
+    cross-engine). Returns (walk_id, step, node) with step 0 = seed.
+
+    The argmin packs (40-bit md5 prefix) * 2^22 + neighbor id into
+    one BIGINT (the winnowing pack — ties impossible, node ids up to
+    4M), so min() IS the choice. Per step: one join of frontiers
+    onto the edge list keyed on the node id + one min aggregate,
+    localCheckpoint pinned. A dead-end walk simply stops early."""
+    out = (seeds.select(F.col(node_col).alias("walk_id"))
+           .distinct()
+           .withColumn("step", F.lit(0))
+           .withColumn("node", F.col("walk_id"))
+           .localCheckpoint())
+    cur = out
+    for t in range(1, steps + 1):
+        nxt = (cur.select("walk_id", F.col("node").alias("_u"))
+               .join(edges.select(F.col(src).alias("_u"),
+                                  F.col(dst).alias("_v")), "_u")
+               .select("walk_id",
+                       (F.conv(F.substring(F.md5(F.concat_ws(
+                           ":", F.col("walk_id").cast("string"),
+                           F.lit(str(t)),
+                           F.col("_v").cast("string"))), 1, 10),
+                           16, 10).cast("long") * 4194304
+                        + F.col("_v")).alias("_packed"))
+               .groupBy("walk_id")
+               .agg(F.min("_packed").alias("_m"))
+               .select("walk_id", F.lit(t).alias("step"),
+                       (F.col("_m") % 4194304).alias("node")))
+        cur = nxt.localCheckpoint()
+        out = out.unionByName(cur)
+    return out

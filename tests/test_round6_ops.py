@@ -1157,3 +1157,34 @@ def test_retention_policy_keeps_longest(spark):
     got2 = {r.doc_id: r.keep
             for r in retention_policy(docs2, cl2).collect()}
     assert got2 == {7: True, 8: False}
+
+
+def test_hash_random_walks_python_replay(spark):
+    import hashlib
+
+    from ecmm428_pycart_spark.datapipe.graph import hash_random_walks
+
+    und = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (2, 3),
+           (3, 2)]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    got = {(r.walk_id, r.step): r.node
+           for r in hash_random_walks(edges, seeds,
+                                      steps=2).collect()}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+
+    def pick(w, t, u):
+        return min(adj[u], key=lambda v: (
+            int(hashlib.md5(f"{w}:{t}:{v}".encode())
+                .hexdigest()[:10], 16) * 4194304 + v))
+
+    want = {}
+    for w in (0, 3):
+        cur = w
+        want[(w, 0)] = cur
+        for t in (1, 2):
+            cur = pick(w, t, cur)
+            want[(w, t)] = cur
+    assert got == want
