@@ -754,3 +754,76 @@ def g28_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("node").cast("long").alias("node_checksum"),
                  F.count_distinct("node").alias("n_distinct_nodes"))
             .orderBy("step"))
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (first/last touch): per purchase conversion,
+# credit the earliest and latest non-purchase channel inside a 7-day
+# lookback — the q90-funnel sibling every growth stack reports.
+# Determinism: the touch order key packs epoch-seconds * 2^32 +
+# event_id into one BIGINT (unique, and it just fits: 1.7e9 * 2^32
+# ~ 7.5e18 < 2^63), so max_by/min_by (Spark) and arg_max/arg_min
+# (DuckDB) pick identical touches — never a bare timestamp with tie
+# ambiguity. Conversions with an empty lookback credit '(none)'.
+# Plan: one user-keyed interval join (bounded by per-user activity,
+# the st06 shape) + one keyed argmax per side.
+# ---------------------------------------------------------------------------
+@q("q107_touch_attribution", """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(epoch(ts) AS BIGINT) * 4294967296 + event_id AS k
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+conv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+att AS (
+  SELECT c.event_id,
+         coalesce(arg_max(t.event_type, t.k), '(none)') AS last_ch,
+         coalesce(arg_min(t.event_type, t.k), '(none)') AS first_ch
+  FROM conv c LEFT JOIN touch t
+    ON t.user_id = c.user_id AND t.k < c.k
+   AND t.ts >= c.ts - INTERVAL 7 DAY
+  GROUP BY c.event_id
+),
+u AS (
+  SELECT first_ch AS channel, 'first' AS kind FROM att
+  UNION ALL SELECT last_ch, 'last' FROM att
+)
+SELECT channel,
+       CAST(sum(CASE WHEN kind = 'first' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_first_credit,
+       CAST(sum(CASE WHEN kind = 'last' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_credit
+FROM u GROUP BY channel ORDER BY channel
+""")
+def q107_touch_attribution(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("k",
+                      F.unix_timestamp("ts") * F.lit(4294967296)
+                      + F.col("event_id")))
+    conv = ev.filter(F.col("event_type") == "purchase")
+    touch = ev.filter(F.col("event_type") != "purchase")
+    j = conv.alias("c").join(
+        touch.alias("t"),
+        (F.col("t.user_id") == F.col("c.user_id"))
+        & (F.col("t.k") < F.col("c.k"))
+        & (F.col("t.ts") >= F.col("c.ts") - F.expr("INTERVAL 7 DAY")),
+        "left")
+    att = (j.groupBy(F.col("c.event_id").alias("event_id"))
+           .agg(F.coalesce(F.max_by("t.event_type", "t.k"),
+                           F.lit("(none)")).alias("last_ch"),
+                F.coalesce(F.min_by("t.event_type", "t.k"),
+                           F.lit("(none)")).alias("first_ch")))
+    u = (att.select(F.col("first_ch").alias("channel"),
+                    F.lit("first").alias("kind"))
+         .unionByName(att.select(F.col("last_ch").alias("channel"),
+                                 F.lit("last").alias("kind"))))
+    return (u.groupBy("channel")
+            .agg(F.sum((F.col("kind") == "first").cast("long"))
+                 .alias("n_first_credit"),
+                 F.sum((F.col("kind") == "last").cast("long"))
+                 .alias("n_last_credit"))
+            .orderBy("channel"))
