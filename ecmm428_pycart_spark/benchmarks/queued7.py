@@ -827,3 +827,80 @@ def q107_touch_attribution(spark: SparkSession,
                  F.sum((F.col("kind") == "last").cast("long"))
                  .alias("n_last_credit"))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Keyed pseudonymization (text.pseudonymize): user ids replaced by
+# salted-md5 handles — deterministic per (salt, id) so joins and
+# distinct counts survive, non-invertible without the salt, and
+# salt rotation re-keys the whole space (the GDPR erasure flow).
+# The page pins the two contracts ONLINE: per event_type the
+# pseudonym distinct count equals the raw distinct count (collision
+# check at 12 hex chars), and a purchase-to-click self-join keyed on
+# pseudonyms returns exactly the row count of the raw-keyed join
+# (referential integrity preserved).
+# ---------------------------------------------------------------------------
+@q("d72_pseudonymize", """
+WITH ev AS (
+  SELECT event_type, user_id,
+         'u_' || substr(md5('s1:' || CAST(user_id AS VARCHAR)), 1, 12)
+           AS pseudo
+  FROM events WHERE user_id IS NOT NULL
+),
+per AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         count(DISTINCT pseudo) AS n_pseudo
+  FROM ev GROUP BY event_type
+),
+raw_j AS (
+  SELECT count(*) AS n FROM
+    (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click') c
+      USING (user_id)
+),
+ps_j AS (
+  SELECT count(*) AS n FROM
+    (SELECT DISTINCT pseudo FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT DISTINCT pseudo FROM ev WHERE event_type = 'click') c
+      USING (pseudo)
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_pseudo AS BIGINT) AS n_pseudo,
+       (n_users = n_pseudo) AS no_collisions,
+       (SELECT n FROM raw_j) = (SELECT n FROM ps_j) AS join_preserved
+FROM per ORDER BY event_type
+""")
+def d72_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import pseudonymize
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("event_type", "user_id",
+                  pseudonymize("user_id").alias("pseudo")))
+    per = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.count_distinct("pseudo").alias("n_pseudo")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id", "pseudo").distinct())
+    cl = (ev.filter(F.col("event_type") == "click")
+          .select("user_id", "pseudo").distinct())
+    raw_n = (pu.select("user_id").join(cl.select("user_id"), "user_id")
+             .agg(F.count(F.lit(1)).alias("_raw_n")))
+    ps_n = (pu.select("pseudo").join(cl.select("pseudo"), "pseudo")
+            .agg(F.count(F.lit(1)).alias("_ps_n")))
+    return (per.crossJoin(F.broadcast(raw_n))
+            .crossJoin(F.broadcast(ps_n))
+            .select("event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_pseudo").cast("long").alias("n_pseudo"),
+                    (F.col("n_users") == F.col("n_pseudo"))
+                    .alias("no_collisions"),
+                    (F.col("_raw_n") == F.col("_ps_n"))
+                    .alias("join_preserved"))
+            .orderBy("event_type"))

@@ -1208,3 +1208,20 @@ def with_canonical_url(df: DataFrame, url_col: str,
     return (d.withColumn(out_col, out)
             .drop("_proto", "_host", "_port", "_path", "_q",
                   "_params"))
+
+
+def pseudonymize(col, salt: str = "s1", width: int = 12) -> Column:
+    """Keyed pseudonymization — the privacy step between raw ids and
+    analysts: p = 'u_' + md5(salt:id) prefix. Deterministic per
+    (salt, id) so referential integrity survives (joins, distinct
+    counts and group-bys behave identically on pseudonyms), yet the
+    mapping is not invertible without the salt table. Rotating the
+    salt rotates the entire pseudonym space — the re-keying GDPR
+    erasure flows use. Collision odds at ``width`` hex chars are
+    n^2 / 2^(4*width); callers pin n_distinct(raw) ==
+    n_distinct(pseudo) as the online check (d72)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.lit("u_"),
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                   c.cast("string"))), 1, width))

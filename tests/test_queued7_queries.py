@@ -92,6 +92,8 @@ def test_queued7_plan_guards(spark):
     bnlj_ok = {
         # 1-row count broadcasts appended to the edge-summary row
         "g27_k_truss",
+        # 1-row join-count broadcasts (raw vs pseudo join parity)
+        "d72_pseudonymize",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):
