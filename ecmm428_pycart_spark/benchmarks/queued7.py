@@ -904,3 +904,68 @@ def d72_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("_raw_n") == F.col("_ps_n"))
                     .alias("join_preserved"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (the measure-before-you-salt diagnostic that
+# motivates q42/q48's salted shapes): per-key row counts for
+# orders.o_custkey reduced to concentration numbers — top-1 / top-10
+# key share and an exact integer Gini coefficient
+# (2*sum(i*x_sorted) - (n+1)*sum(x)) * 1e6 div (n*sum(x)) with the
+# (count, key) total order making ranks engine-identical. The rank
+# window runs over DISTINCT KEYS (|keys| rows, not |rows|) — the
+# zipf_fit bounded-window convention, documented; everything else is
+# one aggregate.
+# ---------------------------------------------------------------------------
+@q("q108_key_skew_report", """
+WITH k AS (
+  SELECT o_custkey AS key, count(*) AS c
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, key ASC) AS i,
+         row_number() OVER (ORDER BY c DESC, key ASC) AS rd
+  FROM k
+),
+agg AS (
+  SELECT count(*) AS n_keys, sum(c) AS n_rows,
+         sum(i * c) AS s_ic,
+         max(CASE WHEN rd = 1 THEN c END) AS top1,
+         sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS top10
+  FROM r
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(top1 * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+       CAST(top10 * 1000000 // n_rows AS BIGINT) AS top10_ppm,
+       CAST((2 * s_ic - (n_keys + 1) * n_rows) * 1000000
+            // (n_keys * n_rows) AS BIGINT) AS gini_ppm
+FROM agg
+""")
+def q108_key_skew_report(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k = (_t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_custkey").alias("key"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    r = (k.withColumn("i", F.row_number().over(
+            W.orderBy(F.col("c").asc(), F.col("key").asc())))
+         .withColumn("rd", F.row_number().over(
+            W.orderBy(F.col("c").desc(), F.col("key").asc()))))
+    return (r.agg(F.count(F.lit(1)).alias("n_keys"),
+                  F.sum("c").alias("n_rows"),
+                  F.sum(F.expr("i * c")).alias("s_ic"),
+                  F.max(F.when(F.col("rd") == 1, F.col("c")))
+                  .alias("top1"),
+                  F.sum(F.when(F.col("rd") <= 10, F.col("c"))
+                        .otherwise(F.lit(0))).alias("top10"))
+            .select(F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_keys").cast("long").alias("n_keys"),
+                    F.expr("top1 * 1000000 div n_rows").cast("long")
+                    .alias("top1_ppm"),
+                    F.expr("top10 * 1000000 div n_rows").cast("long")
+                    .alias("top10_ppm"),
+                    F.expr("(2 * s_ic - (n_keys + 1) * n_rows) "
+                           "* 1000000 div (n_keys * n_rows)")
+                    .cast("long").alias("gini_ppm")))
