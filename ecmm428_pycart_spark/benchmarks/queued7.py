@@ -969,3 +969,73 @@ def q108_key_skew_report(spark: SparkSession,
                     F.expr("(2 * s_ic - (n_keys + 1) * n_rows) "
                            "* 1000000 div (n_keys * n_rows)")
                     .cast("long").alias("gini_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# AllPairs prefix-filtered set-similarity join (dedup.prefix_filter_
+# pairs; Bayardo/Ma/Srikant WWW 2007): EXACT Jaccard >= 1/2 over word
+# 5-gram shingle sets with no all-pairs pass — rarest-first global
+# shingle order, per-doc prefix of length n - ceil(n/2) + 1, prefix-
+# only candidate join, integer length prune + intersection verify.
+# Lossless at the threshold (hand test proves it against brute force;
+# the sf0.001 corpus output is row-identical to the all-pairs SQL),
+# which MinHash (d05) and df-capped containment (d59) cannot claim.
+# Oracle replays the identical prefix pipeline; the (df ASC, shingle
+# ASC) total order makes the per-doc ranks engine-identical.
+# ---------------------------------------------------------------------------
+@q("d73_prefix_filter_join", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM t, unnest(range(1, len(w) - 3)) r(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+dfq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+rk AS (
+  SELECT g.doc_id, g.g, sz.n,
+         row_number() OVER (PARTITION BY g.doc_id
+                            ORDER BY dfq.df ASC, g.g ASC) AS r
+  FROM g JOIN dfq USING (g) JOIN sz USING (doc_id)
+),
+pf AS (SELECT doc_id, g FROM rk WHERE r <= n - (n + 1) // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+c2 AS (
+  SELECT a, b, sa.n AS n_a, sb.n AS n_b
+  FROM cand JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE 2 * least(sa.n, sb.n) >= greatest(sa.n, sb.n)
+),
+iv AS (
+  SELECT c.a, c.b, min(c.n_a) AS n_a, min(c.n_b) AS n_b,
+         count(*) AS inter
+  FROM c2 c
+  JOIN g ga ON ga.doc_id = c.a
+  JOIN g gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM iv WHERE 2 * inter >= n_a + n_b - inter
+ORDER BY jaccard_ppm DESC, a ASC, b ASC LIMIT 20
+""")
+def d73_prefix_filter_join(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(docs, n=5, t_num=1, t_den=2)
+    return (pairs.select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.col("inter").cast("long").alias("inter"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"))
+            .orderBy(F.col("jaccard_ppm").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))

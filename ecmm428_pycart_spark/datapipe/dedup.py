@@ -722,3 +722,71 @@ def retention_policy(df: DataFrame, clusters: DataFrame,
     return (d.withColumn("_rn", F.row_number().over(w))
             .select(id_col, F.col("_c").alias("cluster"),
                     (F.col("_rn") == 1).alias("keep")))
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        t_num: int = 1, t_den: int = 2) -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs prefix filtering
+    (Bayardo/Ma/Srikant, WWW 2007; the PPJoin family's base scheme):
+    every pair of docs whose word-``n``-gram shingle sets have
+    Jaccard >= ``t_num/t_den``, with NO false negatives and NO
+    all-pairs comparison. Complements the probabilistic detectors
+    (d05 MinHash-LSH misses borderline pairs, d59 caps posting
+    lists): this one is lossless at the threshold, so it is the
+    ground-truth generator recall evaluations need.
+
+    The filter: order the shingle universe rarest-first (global
+    document frequency ASC, shingle ASC — a total order both engines
+    replay identically), rank each doc's shingles in that order, and
+    index only the PREFIX of length |s| - ceil(t*|s|) + 1. Any pair
+    with Jaccard >= t must share at least one prefix shingle
+    (pigeonhole on the >= ceil(t*|s|) shared elements), so joining
+    prefixes loses nothing; frequent boilerplate shingles sort LAST
+    and almost never enter a prefix, which is what keeps posting
+    lists short WITHOUT d59's df cap. Candidates then pass the exact
+    length prune (t*|big| <= |small|) and exact-intersection verify —
+    all integer arithmetic (t_den*inter >= t_num*(n_a+n_b-inter)).
+
+    Scale shape: two shingle-keyed shuffles (df count, prefix
+    self-join) + one pair-keyed verify join; the per-doc rank window
+    is PARTITIONED BY doc (bounded by doc length, never global).
+    Output: (a, b, inter, n_a, n_b, jaccard_ppm), all integers."""
+    from pyspark.sql import Window as W
+
+    g = df.select(F.col(id_col).alias("_id"),
+                  F.explode(shingle_set(F.col(text_col), n))
+                  .alias("_g"))
+    sizes = g.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = g.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (g.join(dfreq, "_g").join(sizes, "_id")
+              .withColumn("_r", F.row_number().over(
+                  W.partitionBy("_id")
+                  .orderBy(F.col("_df").asc(), F.col("_g").asc()))))
+    prefix = ranked.filter(
+        F.col("_r") <= F.col("_n")
+        - F.expr(f"({t_num} * _n + {t_den - 1}) div {t_den}") + 1)
+    cand = (prefix.select(F.col("_g"), F.col("_id").alias("_a"))
+            .join(prefix.select(F.col("_g"), F.col("_id").alias("_b")),
+                  "_g")
+            .filter(F.col("_a") < F.col("_b"))
+            .select("_a", "_b").distinct()
+            .join(sizes.select(F.col("_id").alias("_a"),
+                               F.col("_n").alias("n_a")), "_a")
+            .join(sizes.select(F.col("_id").alias("_b"),
+                               F.col("_n").alias("n_b")), "_b")
+            .filter(F.expr(f"{t_den} * least(n_a, n_b) "
+                           f">= {t_num} * greatest(n_a, n_b)")))
+    # verify join: shingles of a matched against shingles of b
+    ga = g.select(F.col("_id").alias("_a"), F.col("_g"))
+    gb = g.select(F.col("_id").alias("_b"), F.col("_g"))
+    inter = (cand.join(ga, "_a").join(gb, ["_b", "_g"])
+             .groupBy("_a", "_b")
+             .agg(F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"),
+                  F.count(F.lit(1)).alias("inter"))
+             .filter(F.expr(f"{t_den} * inter "
+                            f">= {t_num} * (n_a + n_b - inter)")))
+    return inter.select(F.col("_a").alias("a"), F.col("_b").alias("b"),
+                        "inter", "n_a", "n_b",
+                        F.expr("inter * 1000000 div (n_a + n_b - inter)")
+                        .alias("jaccard_ppm"))

@@ -1188,3 +1188,43 @@ def test_hash_random_walks_python_replay(spark):
             cur = pick(w, t, cur)
             want[(w, t)] = cur
     assert got == want
+
+
+def test_prefix_filter_lossless_vs_bruteforce(spark):
+    """The AllPairs contract (dedup.prefix_filter_pairs): joining
+    only rarest-first PREFIXES loses no pair with Jaccard >= t —
+    output must equal brute-force exact all-pairs, including a pair
+    sitting EXACTLY on the threshold (2*inter == union)."""
+    import random
+
+    from ecmm428_pycart_spark.datapipe.dedup import prefix_filter_pairs
+
+    rnd = random.Random(73)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = [rnd.sample(vocab, rnd.randint(4, 12)) for _ in range(16)]
+    for i in (0, 3, 7):          # planted near-dups: one token swapped
+        clone = list(docs[i])
+        clone[0] = "w99"
+        docs.append(clone)
+    docs.append(["x", "y", "p"])     # ids 19/20: J == 1/2 exactly
+    docs.append(["x", "y", "q"])
+    docs.append(["u", "v", "m"])     # ids 21/22: J == 1/5, below t
+    docs.append(["u", "z2", "q2"])
+    df = spark.createDataFrame([(i, " ".join(d))
+                                for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    got = {(r.a, r.b): (r.inter, r.n_a, r.n_b, r.jaccard_ppm)
+           for r in prefix_filter_pairs(df, n=1).collect()}
+    sets = {i: set(d) for i, d in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 2 * inter >= union:
+                    want[(a, b)] = (inter, len(sets[a]), len(sets[b]),
+                                    inter * 1000000 // union)
+    assert got == want
+    assert (19, 20) in got           # exact-threshold pair kept
+    assert (21, 22) not in got       # below-threshold pair pruned
