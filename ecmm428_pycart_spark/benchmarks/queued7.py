@@ -1039,3 +1039,82 @@ def d73_prefix_filter_join(spark: SparkSession,
             .orderBy(F.col("jaccard_ppm").desc(), F.col("a").asc(),
                      F.col("b").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (graph.hits_scores; Kleinberg 1999) over
+# the queen grid made DIRECTED by the (a + 2b) % 3 <> 0 arc predicate
+# (direction-specific, so in- and out-neighborhoods genuinely differ
+# and hub != authority). 3 rounds of exact integer max-normalized
+# score flow — floor rescale to [0, 1e6] replaces L2 normalization,
+# making every round a pure BIGINT function both engines replay
+# identically; the oracle unrolls all 3 rounds (the g22 discipline).
+# The 1-row max aggregates broadcast back as the documented
+# single-row-BNLJ pattern.
+# ---------------------------------------------------------------------------
+# AS MATERIALIZED is load-bearing: each round CTE is referenced twice
+# (FROM + the max() scalar subquery), and this DuckDB build INLINES
+# multi-referenced CTEs, turning 3 rounds into 2^6 re-evaluations of
+# the grid join (>120 s at sf0.001; 0.04 s materialized).
+_G29_ROUND = """
+a{i} AS MATERIALIZED (
+  SELECT n.k, coalesce(s.v, 0) AS raw FROM nodes n LEFT JOIN (
+    SELECT e.b AS k, sum(h.v) AS v FROM e JOIN h{j} h ON h.k = e.a
+    GROUP BY e.b
+  ) s ON s.k = n.k
+),
+an{i} AS MATERIALIZED (
+  SELECT k, raw * 1000000 // (SELECT max(raw) FROM a{i}) AS v
+  FROM a{i}),
+b{i} AS MATERIALIZED (
+  SELECT n.k, coalesce(s.v, 0) AS raw FROM nodes n LEFT JOIN (
+    SELECT e.a AS k, sum(x.v) AS v FROM e JOIN an{i} x ON x.k = e.b
+    GROUP BY e.a
+  ) s ON s.k = n.k
+),
+h{i} AS MATERIALIZED (
+  SELECT k, raw * 1000000 // (SELECT max(raw) FROM b{i}) AS v
+  FROM b{i})"""
+
+
+@q("g29_hits_scores", f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e0 AS (
+  SELECT a.k AS a, b.k AS b FROM g a JOIN g b
+    ON a.k <> b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+),
+e AS MATERIALIZED (SELECT a, b FROM e0 WHERE (a + 2 * b) % 3 <> 0),
+nodes AS MATERIALIZED (SELECT a AS k FROM e UNION SELECT b AS k FROM e),
+h0 AS MATERIALIZED (SELECT k, CAST(1000000 AS BIGINT) AS v FROM nodes),
+{_G29_ROUND.format(i=1, j=0)},
+{_G29_ROUND.format(i=2, j=1)},
+{_G29_ROUND.format(i=3, j=2)}
+SELECT CAST(n.k AS BIGINT) AS node,
+       CAST(a3.v AS BIGINT) AS auth_ppm,
+       CAST(h3.v AS BIGINT) AS hub_ppm
+FROM nodes n JOIN an3 a3 ON a3.k = n.k JOIN h3 ON h3.k = n.k
+ORDER BY auth_ppm DESC, node ASC LIMIT 20
+""")
+def g29_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import hits_scores
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = (borders.select(F.col("focal").alias("src"),
+                        F.col("neighbor").alias("dst"))
+         .filter((F.col("src") + 2 * F.col("dst")) % 3 != 0))
+    out = hits_scores(e, rounds=3)
+    return (out.select(F.col("node").cast("long").alias("node"),
+                       F.col("auth_ppm").cast("long").alias("auth_ppm"),
+                       F.col("hub_ppm").cast("long").alias("hub_ppm"))
+            .orderBy(F.col("auth_ppm").desc(), F.col("node").asc())
+            .limit(20))

@@ -554,3 +554,61 @@ def hash_random_walks(edges: DataFrame, seeds: DataFrame,
         cur = nxt.localCheckpoint()
         out = out.unionByName(cur)
     return out
+
+
+def hits_scores(edges: DataFrame, rounds: int = 3,
+                scale: int = 1_000_000, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) in EXACT
+    integer arithmetic: per round, authority(v) = sum of hub(u) over
+    in-edges u->v, hub(u) = sum of authority(v) over out-edges, each
+    rescaled to [0, scale] by FLOOR division by that round's maximum
+    (the integer stand-in for the usual L-infinity normalization —
+    exact, engine-replayable, and overflow-safe: post-rescale values
+    are <= scale, so a sum is bounded by max_degree * scale). hub0 =
+    scale for every node. The result is a pure integer function of
+    (graph, rounds), so an oracle unrolls the rounds in SQL with no
+    float convention — the personalized_pagerank discipline.
+
+    Execution shape per round: two node-keyed join+sum passes (in-
+    edges then out-edges) and two 1-row max aggregates broadcast back
+    onto the node set (a BroadcastNestedLoopJoin with a single-row
+    build side — the documented g27/d72 pattern, constant cost), then
+    ``localCheckpoint`` to pin plan depth O(1). Nothing is quadratic
+    in |V| or |E|; nodes without in- (out-) edges hold score 0 via
+    left join + coalesce. Returns (node, auth_ppm, hub_ppm)."""
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    nodes = (e.select(F.col("_a").alias("_k"))
+             .unionByName(e.select(F.col("_b").alias("_k")))
+             .distinct().localCheckpoint())
+    hub = nodes.select("_k", F.lit(scale).cast("long").alias("_v"))
+    auth = None
+    for _ in range(rounds):
+        araw = (nodes.join(
+                    e.join(hub.select(F.col("_k").alias("_a"), "_v"),
+                           "_a")
+                    .groupBy(F.col("_b").alias("_k"))
+                    .agg(F.sum("_v").alias("_s")), "_k", "left")
+                .select("_k", F.coalesce("_s", F.lit(0).cast("long"))
+                        .alias("_raw")))
+        amax = araw.agg(F.max("_raw").alias("_m"))
+        auth = (araw.crossJoin(F.broadcast(amax))
+                .select("_k", F.expr(f"_raw * {scale} div _m")
+                        .alias("_v")).localCheckpoint())
+        hraw = (nodes.join(
+                    e.join(auth.select(F.col("_k").alias("_b"), "_v"),
+                           "_b")
+                    .groupBy(F.col("_a").alias("_k"))
+                    .agg(F.sum("_v").alias("_s")), "_k", "left")
+                .select("_k", F.coalesce("_s", F.lit(0).cast("long"))
+                        .alias("_raw")))
+        hmax = hraw.agg(F.max("_raw").alias("_m"))
+        hub = (hraw.crossJoin(F.broadcast(hmax))
+               .select("_k", F.expr(f"_raw * {scale} div _m")
+                       .alias("_v")).localCheckpoint())
+    return (nodes.join(auth.select(F.col("_k"),
+                                   F.col("_v").alias("auth_ppm")),
+                       "_k")
+            .join(hub.select(F.col("_k"), F.col("_v").alias("hub_ppm")),
+                  "_k")
+            .select(F.col("_k").alias("node"), "auth_ppm", "hub_ppm"))

@@ -94,6 +94,8 @@ def test_queued7_plan_guards(spark):
         "g27_k_truss",
         # 1-row join-count broadcasts (raw vs pseudo join parity)
         "d72_pseudonymize",
+        # 1-row per-round max aggregates broadcast back (integer HITS)
+        "g29_hits_scores",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):

@@ -1228,3 +1228,33 @@ def test_prefix_filter_lossless_vs_bruteforce(spark):
     assert got == want
     assert (19, 20) in got           # exact-threshold pair kept
     assert (21, 22) not in got       # below-threshold pair pruned
+
+
+def test_hits_scores_python_replay(spark):
+    """graph.hits_scores == a literal Python replay of the integer
+    max-normalized HITS rounds on a small directed graph (hubs
+    pointing at shared authorities must outrank chain nodes)."""
+    from ecmm428_pycart_spark.datapipe.graph import hits_scores
+
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (4, 2), (2, 5),
+             (5, 0), (3, 4)]
+    scale = 1_000_000
+    nodes = sorted({x for e in edges for x in e})
+    hub = {k: scale for k in nodes}
+    auth = None
+    for _ in range(3):
+        araw = {k: 0 for k in nodes}
+        for a, b in edges:
+            araw[b] += hub[a]
+        m = max(araw.values())
+        auth = {k: araw[k] * scale // m for k in nodes}
+        hraw = {k: 0 for k in nodes}
+        for a, b in edges:
+            hraw[a] += auth[b]
+        m = max(hraw.values())
+        hub = {k: hraw[k] * scale // m for k in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth_ppm, r.hub_ppm)
+           for r in hits_scores(df, rounds=3).collect()}
+    assert got == {k: (auth[k], hub[k]) for k in nodes}
+    assert max(got, key=lambda k: got[k][1]) == 0   # 3-out hub wins
