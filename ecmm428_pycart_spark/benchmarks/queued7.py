@@ -1118,3 +1118,77 @@ def g29_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("hub_ppm").cast("long").alias("hub_ppm"))
             .orderBy(F.col("auth_ppm").desc(), F.col("node").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score volume anomalies (funnel.rolling_zscore_outliers):
+# hourly event volumes per type scored against the 24 preceding
+# observed hours with the division-free integer test
+# (x*n - s)^2 > 9*(n*q - s^2) — exact BIGINT end to end, no float
+# convention, strict at the 3-sigma boundary (hand test pins the
+# exact-boundary, past-boundary and zero-variance cases). Reduced to
+# per-type counts + the max flagged excess; only full windows score.
+# ---------------------------------------------------------------------------
+@q("q109_rolling_anomalies", """
+WITH hc AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+wst AS (
+  SELECT event_type, hr, x,
+         count(*) OVER w AS n, sum(x) OVER w AS s,
+         sum(x * x) OVER w AS q
+  FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+sc AS (
+  SELECT event_type,
+         (x * n - s) * (x * n - s) - 9 * (n * q - s * s) AS excess
+  FROM wst WHERE n = 24
+),
+tot AS (SELECT event_type, count(*) AS n_hours FROM hc GROUP BY 1),
+agg AS (
+  SELECT event_type, count(*) AS n_scored,
+         sum(CASE WHEN excess > 0 THEN 1 ELSE 0 END) AS n_outliers,
+         max(CASE WHEN excess > 0 THEN excess END) AS max_excess
+  FROM sc GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(t.n_hours AS BIGINT) AS n_hours,
+       CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(a.n_outliers, 0) AS BIGINT) AS n_outliers,
+       CAST(coalesce(a.max_excess, 0) AS BIGINT) AS max_excess
+FROM tot t LEFT JOIN agg a USING (event_type)
+ORDER BY event_type
+""")
+def q109_rolling_anomalies(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        rolling_zscore_outliers)
+
+    ev = _t(spark, sf_dir, "events")
+    sc = rolling_zscore_outliers(ev, window=24, z=3)
+    tot = (ev.filter(F.col("ts").isNotNull())
+           .groupBy(F.col("event_type"),
+                    F.floor(F.unix_timestamp(
+                        F.col("ts").cast("timestamp")) / 3600)
+                    .cast("long").alias("hr"))
+           .agg(F.count(F.lit(1)).alias("x"))
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_hours")))
+    agg = (sc.groupBy(F.col("key").alias("event_type"))
+           .agg(F.count(F.lit(1)).alias("n_scored"),
+                F.sum("is_outlier").alias("n_outliers"),
+                F.max(F.when(F.col("excess") > 0, F.col("excess")))
+                .alias("max_excess")))
+    return (tot.join(agg, "event_type", "left")
+            .select("event_type",
+                    F.col("n_hours").cast("long").alias("n_hours"),
+                    F.coalesce("n_scored", F.lit(0)).cast("long")
+                    .alias("n_scored"),
+                    F.coalesce("n_outliers", F.lit(0)).cast("long")
+                    .alias("n_outliers"),
+                    F.coalesce("max_excess", F.lit(0)).cast("long")
+                    .alias("max_excess"))
+            .orderBy("event_type"))

@@ -292,3 +292,47 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
                  F.sum("_n").alias("n_events"),
                  F.max("_n").alias("max_session_events"),
                  F.round(F.avg("_dur"), 2).alias("avg_session_seconds")))
+
+
+def rolling_zscore_outliers(events: DataFrame, window: int = 24,
+                            z: int = 3, ts_col: str = "ts",
+                            key_col: str = "event_type") -> DataFrame:
+    """Rolling z-score anomaly scoring of hourly event volumes — the
+    volume-spike monitor ops dashboards run over a pipeline's event
+    stream, in EXACT integer arithmetic. Hours are epoch-seconds div
+    3600; per key, each hour's count x is scored against the
+    ``window`` PRECEDING observed hours (rows, not calendar hours —
+    silent hours produce no row, so the baseline is "the last N hours
+    with traffic", the documented contract; only FULL windows are
+    scored). The float-free test: z-squared = (x*n - s)^2 / (n*q -
+    s^2) with s/q the window's sum and sum-of-squares, so "z > 3"
+    becomes the pure BIGINT predicate (x*n - s)^2 > 9*(n*q - s^2) —
+    strictly-greater, so a point at EXACTLY 3 sigma is not flagged,
+    and a zero-variance baseline flags any deviation (the division-
+    free form needs no epsilon). Overflow: safe while hourly counts
+    stay under ~2e7 at window 24 (x*n squared < 2^63).
+
+    Plan: one (key, hour) count aggregate, then one bounded rows
+    window per key — never global, never bigger than ``window``
+    rows of state. Returns one row per scored hour: (key, hr, x, n,
+    s, q, is_outlier, excess) with excess = lhs - rhs (positive ==
+    flagged magnitude)."""
+    from pyspark.sql import Window as W
+
+    z2 = z * z
+    hc = (events.filter(F.col(ts_col).isNotNull())
+          .groupBy(F.col(key_col).alias("key"),
+                   F.floor(F.unix_timestamp(
+                       F.col(ts_col).cast("timestamp")) / 3600)
+                   .cast("long").alias("hr"))
+          .agg(F.count(F.lit(1)).alias("x")))
+    w = (W.partitionBy("key").orderBy("hr")
+         .rowsBetween(-window, -1))
+    scored = (hc.withColumn("n", F.count(F.lit(1)).over(w))
+              .withColumn("s", F.sum("x").over(w))
+              .withColumn("q", F.sum(F.col("x") * F.col("x")).over(w))
+              .filter(F.col("n") == window))
+    excess = (F.expr("(x * n - s) * (x * n - s)")
+              - F.lit(z2) * F.expr("n * q - s * s"))
+    return (scored.withColumn("excess", excess)
+            .withColumn("is_outlier", (F.col("excess") > 0).cast("int")))

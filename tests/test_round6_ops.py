@@ -1258,3 +1258,37 @@ def test_hits_scores_python_replay(spark):
            for r in hits_scores(df, rounds=3).collect()}
     assert got == {k: (auth[k], hub[k]) for k in nodes}
     assert max(got, key=lambda k: got[k][1]) == 0   # 3-out hub wins
+
+
+def test_rolling_zscore_boundary_and_zero_variance(spark):
+    """funnel.rolling_zscore_outliers: a point at EXACTLY 3 sigma is
+    NOT flagged (strict inequality), one past it is, and a
+    zero-variance baseline flags any deviation — the division-free
+    integer contract, checked against hand-computed s/q/excess."""
+    import datetime as dt
+
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        rolling_zscore_outliers)
+
+    def hours(key, xs):
+        rows = []
+        for h, x in enumerate(xs):
+            for i in range(x):
+                rows.append((key, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(hours=h, seconds=i)))
+        return rows
+
+    base = [9, 11] * 12                  # s=240, q=2424, n*q-s^2=576
+    data = (hours("a", base + [13])      # |x-10| == 3 sigma exactly
+            + hours("b", base + [14])    # 3 sigma exceeded
+            + hours("d", [10] * 24 + [11]))   # zero-variance baseline
+    df = spark.createDataFrame(data, "event_type string, ts timestamp")
+    got = {(r.key, r.hr): (r.n, r.s, r.q, r.is_outlier, r.excess)
+           for r in rolling_zscore_outliers(df).collect()}
+    h0 = int(dt.datetime(2024, 1, 1,
+                         tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert got[("a", h0 + 24)] == (24, 240, 2424, 0, 5184 - 5184)
+    assert got[("b", h0 + 24)] == (24, 240, 2424, 1, 9216 - 5184)
+    assert got[("d", h0 + 24)] == (24, 240, 2400, 1, 576)
+    # only full windows are scored: first 24 hours of each key absent
+    assert len(got) == 3
