@@ -1192,3 +1192,59 @@ def q109_rolling_anomalies(spark: SparkSession,
                     F.coalesce("max_excess", F.lit(0)).cast("long")
                     .alias("max_excess"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sample allocation (text.sample_allocation):
+# Hamilton/Hare largest-remainder apportionment of a 997-doc budget
+# across (lang, n_chars div 200) strata — floor quotas + one extra to
+# each of the largest remainders, ties by stratum key, so
+# sum(alloc) == 997 EXACTLY (rate-based d16/temperature mixing only
+# hit budgets in expectation). Pure integer function of the counts;
+# the windows run over |strata| rows only. The f CTE is MATERIALIZED
+# (referenced twice; this DuckDB build inlines multi-referenced CTEs
+# — the g29 lesson).
+# ---------------------------------------------------------------------------
+@q("d74_sample_allocation", """
+WITH s AS MATERIALIZED (
+  SELECT lang, n_chars // 200 AS len_bucket, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT sum(c) AS tot FROM s),
+f AS MATERIALIZED (
+  SELECT lang, len_bucket, c,
+         997 * c // tot AS floor_alloc, 997 * c % tot AS rem
+  FROM s, t
+),
+l AS (SELECT 997 - sum(floor_alloc) AS leftover FROM f),
+r AS (
+  SELECT f.*, l.leftover,
+         row_number() OVER (ORDER BY rem DESC, lang ASC,
+                            len_bucket ASC) AS rk
+  FROM f, l
+)
+SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(c AS BIGINT) AS c,
+       CAST(floor_alloc AS BIGINT) AS floor_alloc,
+       CAST(rem AS BIGINT) AS rem,
+       CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r ORDER BY lang, len_bucket
+""")
+def d74_sample_allocation(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import sample_allocation
+
+    s = (_t(spark, sf_dir, "documents")
+         .groupBy("lang", F.expr("n_chars div 200").alias("len_bucket"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    out = sample_allocation(s, 997, ["lang", "len_bucket"])
+    return (out.select("lang",
+                       F.col("len_bucket").cast("long")
+                       .alias("len_bucket"),
+                       F.col("c").cast("long").alias("c"),
+                       F.col("floor_alloc").cast("long")
+                       .alias("floor_alloc"),
+                       F.col("rem").cast("long").alias("rem"),
+                       F.col("alloc").cast("long").alias("alloc"))
+            .orderBy("lang", "len_bucket"))

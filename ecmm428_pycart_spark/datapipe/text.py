@@ -1225,3 +1225,44 @@ def pseudonymize(col, salt: str = "s1", width: int = 12) -> Column:
         F.lit("u_"),
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
                                    c.cast("string"))), 1, width))
+
+
+def sample_allocation(counts: DataFrame, budget: int,
+                      key_cols: list[str],
+                      count_col: str = "c") -> DataFrame:
+    """Hamilton/Hare largest-remainder apportionment of an integer
+    sample ``budget`` across strata — the exact-total allocator a
+    curation pipeline needs when "sample 10k docs, stratified by
+    (lang, length)" must mean EXACTLY 10k (rate-based sampling like
+    temperature_mix only hits the budget in expectation). Each
+    stratum gets floor(budget * c / total); the leftover
+    budget - sum(floors) units (provably < |strata|) go one each to
+    the largest remainders budget * c % total, ties broken by
+    ``key_cols`` ascending — a pure integer function of (counts,
+    budget) both engines replay identically.
+
+    Scale shape: the input is already a per-stratum aggregate
+    (|strata| rows — a dimension table), so the three whole-table
+    windows (total, leftover, remainder rank) run over |strata| rows,
+    never the corpus — the zipf_fit bounded-window convention.
+    Returns key_cols + (c, floor_alloc, rem, alloc); sum(alloc) ==
+    budget exactly."""
+    from pyspark.sql import Window as W
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w_all = W.partitionBy()
+    keys = [F.col(k).asc() for k in key_cols]
+    f = (counts.withColumn("_tot", F.sum(count_col).over(w_all))
+         .withColumn("floor_alloc",
+                     F.expr(f"{budget} * {count_col} div _tot"))
+         .withColumn("rem", F.expr(f"{budget} * {count_col} % _tot")))
+    r = (f.withColumn("_left",
+                      F.lit(budget) - F.sum("floor_alloc").over(w_all))
+         .withColumn("_rk", F.row_number().over(
+             W.orderBy(F.col("rem").desc(), *keys))))
+    return (r.withColumn("alloc",
+                         F.col("floor_alloc")
+                         + (F.col("_rk") <= F.col("_left"))
+                         .cast("long"))
+            .drop("_tot", "_left", "_rk"))

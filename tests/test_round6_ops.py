@@ -1292,3 +1292,25 @@ def test_rolling_zscore_boundary_and_zero_variance(spark):
     assert got[("d", h0 + 24)] == (24, 240, 2400, 1, 576)
     # only full windows are scored: first 24 hours of each key absent
     assert len(got) == 3
+
+
+def test_sample_allocation_hamilton_and_ties(spark):
+    """text.sample_allocation: the classic Hamilton worked example
+    (sum of allocations == budget exactly, extras to the largest
+    remainders) plus an all-tied remainder case resolved by key
+    order."""
+    from ecmm428_pycart_spark.datapipe.text import sample_allocation
+
+    df = spark.createDataFrame(
+        [("a", 47), ("b", 28), ("c", 15), ("d", 10)], "k string, c long")
+    got = {r.k: (r.floor_alloc, r.rem, r.alloc)
+           for r in sample_allocation(df, 10, ["k"]).collect()}
+    assert got == {"a": (4, 70, 5), "b": (2, 80, 3),
+                   "c": (1, 50, 1), "d": (1, 0, 1)}
+    assert sum(a for _, _, a in got.values()) == 10
+
+    tie = spark.createDataFrame([("x", 1), ("y", 1), ("z", 1)],
+                                "k string, c long")
+    got = {r.k: r.alloc for r in sample_allocation(tie, 2, ["k"])
+           .collect()}
+    assert got == {"x": 1, "y": 1, "z": 0}
