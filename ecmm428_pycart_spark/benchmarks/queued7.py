@@ -1248,3 +1248,59 @@ def d74_sample_allocation(spark: SparkSession,
                        F.col("rem").cast("long").alias("rem"),
                        F.col("alloc").cast("long").alias("alloc"))
             .orderBy("lang", "len_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# REAL TGA type-10 RLE decode (multimodal.decode_tga_pixels): the
+# m28 per-source rollup over run-length TARGA payloads — channel
+# sums re-derived in SQL from the generator algebra, the top-left
+# green orientation sentinel (37 on both bottom-up and top-down
+# encodes), and the CLOSED-FORM packet counts (5 RLE + 1 RAW per
+# row: runs of 3 across x < 15, two unique literals after) that only
+# a decoder actually walking the packet stream reproduces.
+# ---------------------------------------------------------------------------
+@q("m38_tga_pixel_stats", """
+WITH p AS (
+  SELECT doc_id, source, doc_id % 7 + 1 AS a, doc_id % 5 + 1 AS b
+  FROM documents
+),
+px AS (
+  SELECT p.doc_id, p.source,
+         sum((a * u.u + b * y.y) % 256) AS sr,
+         sum((a * u.u + b * y.y + 37) % 256) AS sg,
+         sum((a * u.u + b * y.y + 74) % 256) AS sb
+  FROM p,
+       (SELECT x, CASE WHEN x < 15 THEN x // 3 ELSE 100 + x END AS u
+        FROM unnest(range(0, 17)) t(x)) u,
+       unnest(range(0, 11)) y(y)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sr) AS BIGINT) AS total_r,
+       CAST(sum(sg) AS BIGINT) AS total_g,
+       CAST(sum(sb) AS BIGINT) AS total_b,
+       CAST(count(*) * 187 AS BIGINT) AS n_pix,
+       CAST(count(*) AS BIGINT) AS n_tl_correct,
+       CAST(count(*) * 55 AS BIGINT) AS total_rle,
+       CAST(count(*) * 11 AS BIGINT) AS total_raw
+FROM px GROUP BY source
+""")
+def m38_tga_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_tga_rle_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.tga_pixel_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.sum_r").cast("long").alias("total_r"),
+                 F.sum("s.sum_g").cast("long").alias("total_g"),
+                 F.sum("s.sum_b").cast("long").alias("total_b"),
+                 F.sum("s.n_pix").cast("long").alias("n_pix"),
+                 F.sum((F.col("s.tl_g") == 37).cast("long"))
+                 .alias("n_tl_correct"),
+                 F.sum("s.n_rle").cast("long").alias("total_rle"),
+                 F.sum("s.n_raw").cast("long").alias("total_raw")))

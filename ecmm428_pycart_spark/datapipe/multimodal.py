@@ -3615,3 +3615,155 @@ def gray_patch_means(payload: pd.Series) -> pd.Series:
              // (PATCH * PATCH))
         return [int(v) for v in t.reshape(-1)]
     return payload.map(go)
+
+
+# ---------------------------------------------------------------------------
+# REAL TGA RLE codec (round 5 continuation): Truevision TARGA type-10
+# (run-length-encoded true-color), the fourth fully hand-rolled
+# raster codec next to PNG/BMP/QOI — RLE packets (0x80|n-1 + one BGR
+# pixel) and RAW packets (n-1 + n BGR pixels) that by spec never
+# cross a scan line, bottom-up OR top-down row order via descriptor
+# bit 5, BGR byte order. Same discipline as the other codecs: every
+# offset/orientation assumption explicit, byte conservation checked,
+# no external libs. The synthetic pattern forces BOTH packet kinds on
+# every row (runs of 3 across x<15, two unique literals after), so
+# the packet counters are closed-form and gate-pinnable.
+# ---------------------------------------------------------------------------
+
+TGA_W, TGA_H = 17, 11
+
+
+def _tga_header(w: int, h: int, top_down: bool) -> bytes:
+    return struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0,
+                       w, h, 24, 0x20 if top_down else 0x00)
+
+
+def tga_bytes_rle(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """RLE-encode an (h, w, 3) uint8 RGB array as TGA type 10.
+    Greedy per stored row: maximal runs >= 2 become RLE packets,
+    literals batch into RAW packets; both capped at 128 pixels and
+    neither crosses a row (the spec's scan-line rule)."""
+    h, w, _ = arr.shape
+    rows = arr if top_down else arr[::-1]
+    out = [_tga_header(w, h, top_down)]
+    for y in range(h):
+        row = rows[y]
+        x = 0
+        while x < w:
+            run = 1
+            while (x + run < w and run < 128
+                   and (row[x + run] == row[x]).all()):
+                run += 1
+            if run >= 2:
+                p = row[x]
+                out.append(bytes([0x80 | (run - 1),
+                                  p[2], p[1], p[0]]))
+                x += run
+            else:
+                start = x
+                x += 1
+                while x < w and (x - start) < 128:
+                    if x + 1 < w and (row[x + 1] == row[x]).all():
+                        break
+                    x += 1
+                lit = row[start:x]
+                out.append(bytes([x - start - 1])
+                           + lit[:, ::-1].tobytes())
+    return b"".join(out)
+
+
+def decode_tga_pixels(buf: bytes):
+    """Decode a type-10 24-bit TGA to a logical top-down (h, w, 3)
+    RGB uint8 array + (n_rle, n_raw) packet counts. Validates the
+    header fields this codec owns, refuses packets that cross a scan
+    line, and requires exact byte conservation (no trailing bytes)."""
+    if len(buf) < 18:
+        raise ValueError("tga: truncated header")
+    (idl, cmt, ityp, _cf, _cl, _ce, _xo, _yo, w, h, bpp,
+     desc) = struct.unpack("<BBBHHBHHHHBB", buf[:18])
+    if idl != 0 or cmt != 0 or ityp != 10 or bpp != 24:
+        raise ValueError("tga: unsupported variant")
+    px = np.zeros((h, w, 3), np.uint8)
+    pos, n_rle, n_raw = 18, 0, 0
+    for y in range(h):
+        x = 0
+        while x < w:
+            if pos >= len(buf):
+                raise ValueError("tga: truncated packet stream")
+            hdr = buf[pos]
+            pos += 1
+            n = (hdr & 0x7F) + 1
+            if x + n > w:
+                raise ValueError("tga: packet crosses scan line")
+            if hdr & 0x80:
+                if pos + 3 > len(buf):
+                    raise ValueError("tga: truncated rle pixel")
+                b, g, r = buf[pos], buf[pos + 1], buf[pos + 2]
+                pos += 3
+                px[y, x:x + n] = (r, g, b)
+                n_rle += 1
+            else:
+                if pos + 3 * n > len(buf):
+                    raise ValueError("tga: truncated raw packet")
+                chunk = np.frombuffer(
+                    buf[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+                px[y, x:x + n] = chunk[:, ::-1]
+                n_raw += 1
+            x += n
+    if pos != len(buf):
+        raise ValueError("tga: trailing bytes")
+    if not (desc & 0x20):
+        px = px[::-1]
+    return px, n_rle, n_raw
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_tga_rle_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic TGA_W x TGA_H RLE TGA per doc: channel pattern
+    (a*u(x) + b*y + 37*c) % 256 with a = id%7+1, b = id%5+1 and
+    u(x) = x div 3 for x < 15 (runs of 3 -> RLE packets) else 100+x
+    (unique literals -> one RAW packet of 2 per row); odd ids encode
+    top-down, even bottom-up, against the same logical image."""
+    def gen(i: int) -> bytes:
+        a, b = i % 7 + 1, i % 5 + 1
+        x = np.arange(TGA_W)
+        u = np.where(x < 15, x // 3, 100 + x)
+        y, c = np.ogrid[:TGA_H, :3]
+        arr = ((a * u[None, :, None] + b * y[:, None]
+                + 37 * c[None, :]) % 256).astype(np.uint8)
+        return tga_bytes_rle(arr, top_down=bool(i % 2))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_TGA_STATS = T.StructType([
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("n_pix", T.LongType()),
+    T.StructField("tl_g", T.LongType()),
+    T.StructField("n_rle", T.LongType()),
+    T.StructField("n_raw", T.LongType()),
+])
+
+
+@F.pandas_udf(_TGA_STATS)
+def tga_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """Channel sums + pixel count + top-left green + packet counts
+    over a REAL TGA decode. Sums are orientation-invariant, so tl_g
+    is the orientation sentinel (logical (0,0) green == 37 for the
+    synthetic pattern on BOTH row orders); the packet counts pin that
+    the decoder really walked the RLE structure."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None,) * 7)
+            continue
+        px, n_rle, n_raw = decode_tga_pixels(bytes(buf))
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        rows.append((int(s[0]), int(s[1]), int(s[2]),
+                     int(px.shape[0] * px.shape[1]),
+                     int(px[0, 0, 1]), n_rle, n_raw))
+    return pd.DataFrame(rows, columns=["sum_r", "sum_g", "sum_b",
+                                       "n_pix", "tl_g", "n_rle",
+                                       "n_raw"])

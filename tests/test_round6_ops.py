@@ -1314,3 +1314,51 @@ def test_sample_allocation_hamilton_and_ties(spark):
     got = {r.k: r.alloc for r in sample_allocation(tie, 2, ["k"])
            .collect()}
     assert got == {"x": 1, "y": 1, "z": 0}
+
+
+def test_tga_roundtrip_both_orientations_and_guards():
+    """multimodal TGA codec: encode->decode identity on random
+    images in BOTH row orders, exact packet structure on the
+    synthetic pattern (5 RLE + 1 RAW per row), and the malformed-
+    input guards (truncation, row-crossing packet, trailing bytes)."""
+    import numpy as np
+    import pytest as _pt
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rng = np.random.default_rng(38)
+    for top_down in (False, True):
+        arr = rng.integers(0, 256, (7, 19, 3), dtype=np.uint8)
+        # plant runs so both packet kinds occur
+        arr[2, 3:9] = arr[2, 3]
+        buf = mm.tga_bytes_rle(arr, top_down=top_down)
+        px, n_rle, n_raw = mm.decode_tga_pixels(buf)
+        assert (px == arr).all()
+        assert n_rle >= 1 and n_raw >= 1
+
+    # constant image: RLE only, runs capped at 128
+    const = np.full((2, 200, 3), 7, np.uint8)
+    px, n_rle, n_raw = mm.decode_tga_pixels(mm.tga_bytes_rle(const))
+    assert (px == const).all() and n_raw == 0 and n_rle == 4
+
+    # the synthetic generator pattern: closed-form packet counts
+    a, b = 4, 3
+    x = np.arange(mm.TGA_W)
+    u = np.where(x < 15, x // 3, 100 + x)
+    y, c = np.ogrid[:mm.TGA_H, :3]
+    arr = ((a * u[None, :, None] + b * y[:, None] + 37 * c[None, :])
+           % 256).astype(np.uint8)
+    _, n_rle, n_raw = mm.decode_tga_pixels(mm.tga_bytes_rle(arr))
+    assert (n_rle, n_raw) == (5 * mm.TGA_H, mm.TGA_H)
+
+    good = mm.tga_bytes_rle(arr)
+    with _pt.raises(ValueError):
+        mm.decode_tga_pixels(good[:17])          # truncated header
+    with _pt.raises(ValueError):
+        mm.decode_tga_pixels(good[:-2])          # truncated packet
+    with _pt.raises(ValueError):
+        mm.decode_tga_pixels(good + b"\x00")     # trailing bytes
+    bad = bytearray(good)
+    bad[18] = 0x80 | 127                         # 128-run crosses row
+    with _pt.raises(ValueError):
+        mm.decode_tga_pixels(bytes(bad))
