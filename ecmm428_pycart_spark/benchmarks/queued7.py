@@ -1304,3 +1304,91 @@ def m38_tga_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_tl_correct"),
                  F.sum("s.n_rle").cast("long").alias("total_rle"),
                  F.sum("s.n_raw").cast("long").alias("total_raw")))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING rolling z-score anomalies (streaming.stream_rolling_
+# anomaly): q109's monitor EXECUTED through Structured Streaming —
+# applyInPandasWithState keyed by event_type, state = the hour->count
+# map (bounded by the horizon's distinct hours), each emission
+# rescoring its complete map with the division-free integer test.
+# Count accumulation is associative, so the final emission (per-key
+# argmax of the strictly-increasing n_events) is micro-batch-slicing
+# invariant and replays exactly in the batch SQL oracle; the hand
+# test additionally proves 2-slice == 3-slice == batch.
+# ---------------------------------------------------------------------------
+@q("st21_stream_rolling_anomaly", """
+WITH hc AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+wst AS (
+  SELECT event_type, hr, x,
+         count(*) OVER w AS n, sum(x) OVER w AS s,
+         sum(x * x) OVER w AS q
+  FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+sc AS (
+  SELECT event_type,
+         (x * n - s) * (x * n - s) - 9 * (n * q - s * s) AS excess
+  FROM wst WHERE n = 24
+),
+tot AS (SELECT event_type, count(*) AS n_hours, sum(x) AS n_events
+        FROM hc GROUP BY 1),
+agg AS (
+  SELECT event_type, count(*) AS n_scored,
+         sum(CASE WHEN excess > 0 THEN 1 ELSE 0 END) AS n_outliers,
+         max(CASE WHEN excess > 0 THEN excess END) AS max_excess
+  FROM sc GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(t.n_hours AS BIGINT) AS n_hours,
+       CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(a.n_outliers, 0) AS BIGINT) AS n_outliers,
+       CAST(coalesce(a.max_excess, 0) AS BIGINT) AS max_excess
+FROM tot t LEFT JOIN agg a USING (event_type)
+ORDER BY event_type
+""")
+def st21_stream_rolling_anomaly(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_rolling_anomaly,
+        write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st21_events_")
+    write_time_ordered_stream_dir(slices, d)
+    name = f"st21_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream_rolling_anomaly(
+            read_events_stream(spark, d, max_files_per_trigger=1),
+            window=24, z=3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
+    fin = (spark.table(name)
+           .withColumn("_rn", F.row_number().over(
+               W.partitionBy("event_type")
+               .orderBy(F.col("n_events").desc())))
+           .filter(F.col("_rn") == 1))
+    return (fin.select("event_type",
+                       F.col("n_events").cast("long").alias("n_events"),
+                       F.col("n_hours").cast("long").alias("n_hours"),
+                       F.col("n_scored").cast("long").alias("n_scored"),
+                       F.col("n_outliers").cast("long")
+                       .alias("n_outliers"),
+                       F.col("max_excess").cast("long")
+                       .alias("max_excess"))
+            .orderBy("event_type"))

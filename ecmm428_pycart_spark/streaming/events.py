@@ -457,3 +457,79 @@ def stream_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
 
     return (events.groupBy("event_type").applyInPandasWithState(
         update, _KMV_OUT, _KMV_STATE, "update", "NoTimeout"))
+
+
+_RA_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_hours", T.LongType()),
+    T.StructField("n_scored", T.LongType()),
+    T.StructField("n_outliers", T.LongType()),
+    T.StructField("max_excess", T.LongType()),
+])
+
+_RA_STATE = T.StructType([
+    T.StructField("hrs", T.ArrayType(T.LongType())),
+    T.StructField("cnts", T.ArrayType(T.LongType())),
+    T.StructField("n_ev", T.LongType()),
+])
+
+
+def stream_rolling_anomaly(events: DataFrame, window: int = 24,
+                           z: int = 3) -> DataFrame:
+    """STREAMING rolling z-score volume anomalies per event_type —
+    the stateful twin of funnel.rolling_zscore_outliers
+    (applyInPandasWithState, NoTimeout). State per key is the
+    hour -> count map of everything seen (epoch-hour keyed; bounded
+    by the monitoring horizon's distinct hours, ~720 per month —
+    production would evict hours older than watermark - window).
+    Count accumulation is a commutative/associative SUM, so the
+    FINAL emission's map — and therefore the full rescoring it
+    triggers — is independent of micro-batch slicing and replays
+    exactly in the batch SQL oracle (the st18 determinism
+    discipline). Each emission rescores its complete map with the
+    division-free integer test (x*n - s)^2 > z^2*(n*q - s^2) over
+    the ``window`` preceding observed hours, full windows only.
+
+    n_events strictly increases on every emission for a key (a key
+    only fires when its batch has rows), so downstream takes the
+    per-key argmax of n_events as the final answer."""
+    z2 = z * z
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        if state.exists:
+            hrs, cnts, n_ev = state.get
+            acc = dict(zip(hrs, cnts))
+        else:
+            acc, n_ev = {}, 0
+        for pdf in pdfs:
+            ts = pdf["ts"].dropna()
+            n_ev += len(ts)
+            hours = (ts.astype("int64") // (3600 * 10 ** 9))
+            for h, c in hours.value_counts().items():
+                acc[int(h)] = acc.get(int(h), 0) + int(c)
+        hrs = sorted(acc)
+        cnts = [acc[h] for h in hrs]
+        state.update((hrs, cnts, n_ev))
+        x = np.asarray(cnts, dtype=np.int64)
+        n_scored = n_outliers = 0
+        max_excess = 0
+        for i in range(window, len(x)):
+            w = x[i - window:i]
+            s, q = int(w.sum()), int((w * w).sum())
+            lhs = (int(x[i]) * window - s) ** 2
+            excess = lhs - z2 * (window * q - s * s)
+            n_scored += 1
+            if excess > 0:
+                n_outliers += 1
+                max_excess = max(max_excess, excess)
+        yield pd.DataFrame(
+            [(key[0], n_ev, len(hrs), n_scored, n_outliers,
+              max_excess)],
+            columns=["event_type", "n_events", "n_hours", "n_scored",
+                     "n_outliers", "max_excess"])
+
+    return (events.groupBy("event_type").applyInPandasWithState(
+        update, _RA_OUT, _RA_STATE, "update", "NoTimeout"))

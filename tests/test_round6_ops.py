@@ -1362,3 +1362,73 @@ def test_tga_roundtrip_both_orientations_and_guards():
     bad[18] = 0x80 | 127                         # 128-run crosses row
     with _pt.raises(ValueError):
         mm.decode_tga_pixels(bytes(bad))
+
+
+def test_stream_rolling_anomaly_slice_invariance(spark, tmp_path):
+    """streaming.stream_rolling_anomaly: the final emission is the
+    same for a 2-slice and a 3-slice replay (hour-count accumulation
+    is associative) and equals the batch
+    funnel.rolling_zscore_outliers aggregate on the same events."""
+    import datetime
+    import os
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        rolling_zscore_outliers)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_rolling_anomaly,
+        write_time_ordered_stream_dir)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(30):                       # 30 hours, varying load
+        for i in range(3 + (h * 7) % 5 + (6 if h == 27 else 0)):
+            rows.append((eid, base + datetime.timedelta(hours=h,
+                                                        seconds=i),
+                         1, "click" if eid % 2 else "view",
+                         1.0, None))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def run(n_slices):
+        d = str(tmp_path / f"ra{n_slices}")
+        os.makedirs(d)
+        write_time_ordered_stream_dir(
+            [ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
+             for i in range(n_slices)], d)
+        name = f"ra_{uuid.uuid4().hex[:8]}"
+        _await_stream(
+            spark,
+            stream_rolling_anomaly(
+                read_events_stream(spark, d, max_files_per_trigger=1),
+                window=6, z=3)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True))
+        from pyspark.sql import Window as W
+        t = spark.table(name)
+        fin = (t.withColumn("_rn", F.row_number().over(
+                   W.partitionBy("event_type")
+                   .orderBy(F.col("n_events").desc())))
+               .filter(F.col("_rn") == 1))
+        return {r.event_type: (r.n_events, r.n_hours, r.n_scored,
+                               r.n_outliers, r.max_excess)
+                for r in fin.collect()}
+
+    got2, got3 = run(2), run(3)
+    assert got2 == got3
+
+    sc = rolling_zscore_outliers(ev, window=6, z=3)
+    batch = {r.key: (r.n_scored, r.n_outliers, r.max_excess)
+             for r in (sc.groupBy("key")
+                       .agg(F.count(F.lit(1)).alias("n_scored"),
+                            F.sum("is_outlier").alias("n_outliers"),
+                            F.coalesce(
+                                F.max(F.when(F.col("excess") > 0,
+                                             F.col("excess"))),
+                                F.lit(0)).alias("max_excess"))
+                       .collect())}
+    assert {k: v[2:] for k, v in got2.items()} == batch
+    assert all(v[3] >= 1 for v in got2.values())   # h==27 spike flags
