@@ -1392,3 +1392,47 @@ def st21_stream_rolling_anomaly(spark: SparkSession,
                        F.col("max_excess").cast("long")
                        .alias("max_excess"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# CUBE + grouping_id (the grouping-sets sibling of q18's ROLLUP):
+# order revenue by region x order-priority with ALL four grouping
+# combinations in one pass, the grouping_id bitmask distinguishing
+# data NULLs from subtotal NULLs (the reason warehouses emit it).
+# Spark's cube()/grouping_id() against DuckDB's GROUP BY CUBE with
+# grouping(a)*2 + grouping(b); revenue in exact BIGINT cents.
+# ---------------------------------------------------------------------------
+@q("q110_cube_revenue", """
+SELECT r_name, o_orderpriority,
+       CAST(grouping(r_name) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+""")
+def q110_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (c.join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("c_custkey", "r_name"))
+    return (o.select("o_custkey", "o_orderpriority",
+                     F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("cents"))
+            .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+            .cube("r_name", "o_orderpriority")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").cast("long").alias("rev_cents"))
+            .select("r_name", "o_orderpriority", "gid",
+                    F.col("n_orders").cast("long").alias("n_orders"),
+                    "rev_cents"))
