@@ -1436,3 +1436,84 @@ def q110_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r_name", "o_orderpriority", "gid",
                     F.col("n_orders").cast("long").alias("n_orders"),
                     "rev_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Community quality: Newman modularity of the g19 LPA labeling
+# (graph.modularity_stats) in exact integers — per-community
+# contribution in_c * 2m - D_c^2 (Q = sum/(2m)^2), NO division so
+# negative terms need no floor convention. The oracle reuses g19's
+# unrolled LPA round template, materializes the final labeling once
+# (lf — the g29 inlining lesson), and restates the three aggregates;
+# the 1-row 2m total is the documented single-row-BNLJ broadcast.
+# ---------------------------------------------------------------------------
+def _g31_sql():
+    from ecmm428_pycart_spark.benchmarks.queued6 import _G19_ROUND
+    rounds = ",".join(_G19_ROUND.format(i=i, j=i - 1)
+                      for i in (1, 2, 3))
+    return f"""
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS MATERIALIZED (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+l0 AS (SELECT k, k % 16 AS lab FROM g),
+{rounds},
+lf AS MATERIALIZED (SELECT k, lab FROM l3),
+deg AS (SELECT a AS k, count(*) AS deg FROM und GROUP BY a),
+tm AS (SELECT count(*) AS two_m FROM und),
+ds AS (
+  SELECT l.lab, count(*) AS n_nodes,
+         sum(coalesce(d.deg, 0)) AS deg_sum
+  FROM lf l LEFT JOIN deg d USING (k) GROUP BY 1
+),
+ic AS (
+  SELECT la.lab, count(*) AS in_rows
+  FROM und u JOIN lf la ON la.k = u.a JOIN lf lb ON lb.k = u.b
+  WHERE la.lab = lb.lab GROUP BY 1
+)
+SELECT CAST(d.lab AS BIGINT) AS label,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(in_rows, 0) AS BIGINT) AS in_rows,
+       CAST(deg_sum AS BIGINT) AS deg_sum,
+       CAST(two_m AS BIGINT) AS two_m,
+       CAST(coalesce(in_rows, 0) * two_m - deg_sum * deg_sum
+            AS BIGINT) AS contrib
+FROM ds d LEFT JOIN ic USING (lab), tm
+ORDER BY n_nodes DESC, label ASC LIMIT 20
+"""
+
+
+@q("g31_lpa_modularity", _g31_sql())
+def g31_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.graph import (label_propagation,
+                                                     modularity_stats)
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = borders.select(F.col("focal").alias("src"),
+                       F.col("neighbor").alias("dst"))
+    seeds = grid.select(F.col("region_idx").alias("node"),
+                        (F.col("region_idx") % 16).alias("label"))
+    labels = label_propagation(e, seeds, rounds=3)
+    out = modularity_stats(e, labels)
+    return (out.select(F.col("label").cast("long").alias("label"),
+                       F.col("n_nodes").cast("long").alias("n_nodes"),
+                       F.col("in_rows").cast("long").alias("in_rows"),
+                       F.col("deg_sum").cast("long").alias("deg_sum"),
+                       F.col("two_m").cast("long").alias("two_m"),
+                       F.col("contrib").cast("long").alias("contrib"))
+            .orderBy(F.col("n_nodes").desc(), F.col("label").asc())
+            .limit(20))

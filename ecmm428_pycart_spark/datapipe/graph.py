@@ -612,3 +612,54 @@ def hits_scores(edges: DataFrame, rounds: int = 3,
             .join(hub.select(F.col("_k"), F.col("_v").alias("hub_ppm")),
                   "_k")
             .select(F.col("_k").alias("node"), "auth_ppm", "hub_ppm"))
+
+
+def modularity_stats(edges: DataFrame, labels: DataFrame,
+                     src: str = "src", dst: str = "dst",
+                     node_col: str = "node",
+                     label_col: str = "label") -> DataFrame:
+    """Newman modularity of a community assignment in EXACT integer
+    arithmetic — the quality score that tells you whether a label
+    propagation / clustering run found real structure (Q near 0 =
+    no better than random, Q > ~0.3 = meaningful communities).
+    Per community c: in_c = both-direction intra-community edge rows,
+    D_c = sum of member degrees, and the integer CONTRIBUTION
+    in_c * 2m - D_c^2 (modularity's per-community term scaled by
+    (2m)^2 — Q = sum(contrib) / (2m)^2), which avoids any division
+    so no floor-semantics convention is needed even for negative
+    terms. Overflow: D_c <= 2m, so contributions need (2m)^2 < 2^63
+    — fine below ~3e9 edge rows; shard the label space and rescale
+    for graphs beyond that.
+
+    Edge convention as the module header (both directions
+    materialized). Plan: two node-keyed label joins onto the edge
+    list, one degree aggregate, three small per-label aggregates,
+    and the 1-row 2m total broadcast back (the documented single-row
+    BNLJ pattern). Returns (label, n_nodes, in_rows, deg_sum,
+    two_m, contrib)."""
+    und = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    lab = labels.select(F.col(node_col).alias("_k"),
+                        F.col(label_col).cast("long").alias("_l"))
+    two_m = und.agg(F.count(F.lit(1)).alias("two_m"))
+    deg = und.groupBy(F.col("_a").alias("_k")) \
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    dsum = (lab.join(deg, "_k", "left")
+            .groupBy("_l")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.coalesce("_deg", F.lit(0))).alias("deg_sum")))
+    intra = (und
+             .join(lab.select(F.col("_k").alias("_a"),
+                              F.col("_l").alias("_la")), "_a")
+             .join(lab.select(F.col("_k").alias("_b"),
+                              F.col("_l").alias("_lb")), "_b")
+             .filter(F.col("_la") == F.col("_lb"))
+             .groupBy(F.col("_la").alias("_l"))
+             .agg(F.count(F.lit(1)).alias("in_rows")))
+    return (dsum.join(intra, "_l", "left")
+            .select(F.col("_l").alias(label_col), "n_nodes",
+                    F.coalesce("in_rows", F.lit(0).cast("long"))
+                    .alias("in_rows"), "deg_sum")
+            .crossJoin(F.broadcast(two_m))
+            .withColumn("contrib",
+                        F.col("in_rows") * F.col("two_m")
+                        - F.col("deg_sum") * F.col("deg_sum")))

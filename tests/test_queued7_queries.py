@@ -96,6 +96,8 @@ def test_queued7_plan_guards(spark):
         "d72_pseudonymize",
         # 1-row per-round max aggregates broadcast back (integer HITS)
         "g29_hits_scores",
+        # 1-row 2m edge total broadcast onto per-label stats
+        "g31_lpa_modularity",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):

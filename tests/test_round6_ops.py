@@ -1432,3 +1432,34 @@ def test_stream_rolling_anomaly_slice_invariance(spark, tmp_path):
                        .collect())}
     assert {k: v[2:] for k, v in got2.items()} == batch
     assert all(v[3] >= 1 for v in got2.values())   # h==27 spike flags
+
+
+def test_modularity_two_cliques_vs_python(spark):
+    """graph.modularity_stats on two triangles joined by one bridge
+    edge, labels = the two cliques: exact contributions match the
+    hand computation, sum(contrib)/(2m)^2 is the textbook Q, and a
+    degenerate all-one-community labeling scores contrib == 0
+    (in_rows == 2m, deg_sum == 2m)."""
+    from ecmm428_pycart_spark.datapipe.graph import modularity_stats
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    e = tri1 + tri2 + bridge
+    und = e + [(b, a) for a, b in e]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, label long")
+    got = {r.label: (r.n_nodes, r.in_rows, r.deg_sum, r.two_m,
+                     r.contrib)
+           for r in modularity_stats(edges, labels).collect()}
+    # 2m = 14 rows; each triangle: 6 intra rows; deg_sum = 7 for the
+    # bridge-side clique (2+2+3), contrib = 6*14 - 49 = 35.
+    assert got == {0: (3, 6, 7, 14, 35), 1: (3, 6, 7, 14, 35)}
+    q = sum(v[4] for v in got.values()) / 14 ** 2
+    assert abs(q - (12 / 14 - 2 * (7 / 14) ** 2)) < 1e-12
+
+    one = spark.createDataFrame([(i, 9) for i in range(6)],
+                                "node long, label long")
+    r = modularity_stats(edges, one).collect()[0]
+    assert (r.in_rows, r.deg_sum, r.contrib) == (14, 14, 0)
