@@ -1517,3 +1517,56 @@ def g31_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("contrib").cast("long").alias("contrib"))
             .orderBy(F.col("n_nodes").desc(), F.col("label").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# REAL protobuf wire-format walk (multimodal.decode_pb_fields): the
+# schema-free varint / zigzag / length-delimited byte grammar of
+# protobuf log shippers, decoded by a generic wire walk — multi-byte
+# varints, zigzag sints, packed repeated fields, one nested message,
+# fixed64/fixed32, and an unknown field skipped by wire type (the
+# forward-compatibility rule). Every decoded value has a closed-form
+# oracle from the doc columns, so a decode that misreads any byte
+# grammar rule diverges; per-source integer rollup.
+# ---------------------------------------------------------------------------
+@q("m39_protobuf_wire_stats", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 8 AS BIGINT) AS total_fields,
+       CAST(count(*) AS BIGINT) AS total_unknown,
+       CAST(sum(doc_id) AS BIGINT) AS sum_v1,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+                     ELSE -(doc_id % 1000) END) AS BIGINT) AS sum_v2,
+       CAST(sum(length(lang)) AS BIGINT) AS sum_len3,
+       CAST(sum(doc_id % 7 + doc_id % 11 + doc_id % 13) AS BIGINT)
+         AS sum_packed,
+       CAST(sum(n_chars) AS BIGINT) AS sum_nested,
+       CAST(sum((doc_id * 2654435761) % 4294967296) AS BIGINT)
+         AS sum_f64_mod,
+       CAST(sum(doc_id % 65536) AS BIGINT) AS sum_f32
+FROM documents GROUP BY source
+""")
+def m39_protobuf_wire_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_pb_payload(
+            F.col("doc_id"), F.col("lang"), F.col("source"),
+            F.col("n_chars")))
+    st = payload.withColumn(
+        "s", multimodal.pb_field_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_fields").cast("long").alias("total_fields"),
+                 F.sum("s.n_unknown").cast("long")
+                 .alias("total_unknown"),
+                 F.sum("s.v1").cast("long").alias("sum_v1"),
+                 F.sum("s.v2").cast("long").alias("sum_v2"),
+                 F.sum("s.len3").cast("long").alias("sum_len3"),
+                 F.sum("s.packed_sum").cast("long").alias("sum_packed"),
+                 F.sum("s.nested_n").cast("long").alias("sum_nested"),
+                 F.sum("s.f64_mod").cast("long").alias("sum_f64_mod"),
+                 F.sum("s.f32").cast("long").alias("sum_f32")))

@@ -1463,3 +1463,43 @@ def test_modularity_two_cliques_vs_python(spark):
                                 "node long, label long")
     r = modularity_stats(edges, one).collect()[0]
     assert (r.in_rows, r.deg_sum, r.contrib) == (14, 14, 0)
+
+
+def test_pb_wire_walk_spec_vectors_and_guards():
+    """Protobuf wire codec: the spec's canonical varint/zigzag byte
+    vectors, unknown-field skipping by wire type, and the malformed-
+    input guards (truncation, overlong varint, group wire types)."""
+    import pytest as _pt
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    # protobuf.dev's worked examples
+    assert mm.pb_varint(1) == b"\x01"
+    assert mm.pb_varint(300) == b"\xac\x02"
+    assert mm.pb_zigzag(0) == 0
+    assert mm.pb_zigzag(-1) == 1
+    assert mm.pb_zigzag(1) == 2
+    assert mm.pb_zigzag(-2) == 3
+    assert mm.pb_tag(1, 0) == b"\x08"      # field 1 varint -> 0x08
+
+    msg = mm.pb_message_bytes(301, "en", "web", 442)
+    d = mm.decode_pb_fields(msg)
+    assert d == {"n_fields": 8, "n_unknown": 1, "v1": 301, "v2": -301,
+                 "len3": 2, "packed_sum": 0 + 4 + 2, "nested_n": 442,
+                 "f64_mod": (301 * 2654435761) % 2 ** 32, "f32": 301}
+
+    with _pt.raises(ValueError):
+        mm.decode_pb_fields(msg[:-1])              # truncated fixed
+    with _pt.raises(ValueError):
+        mm.decode_pb_fields(b"\x08\x80")           # truncated varint
+    with _pt.raises(ValueError):
+        mm.decode_pb_fields(b"\x80" * 11)          # overlong varint
+    with _pt.raises(ValueError):
+        mm.decode_pb_fields(mm.pb_tag(1, 3))       # group wire type
+    # unknown fields of every wire type are skipped, not errors
+    extra = (mm.pb_tag(12, 0) + mm.pb_varint(7)
+             + mm.pb_tag(13, 2) + mm.pb_varint(3) + b"abc"
+             + mm.pb_tag(14, 5) + b"\x01\x02\x03\x04")
+    d2 = mm.decode_pb_fields(msg + extra)
+    assert d2["n_unknown"] == 4 and d2["n_fields"] == 11
+    assert d2["v1"] == 301                         # known fields intact
