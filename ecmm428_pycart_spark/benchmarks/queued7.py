@@ -1570,3 +1570,139 @@ def m39_protobuf_wire_stats(spark: SparkSession,
                  F.sum("s.nested_n").cast("long").alias("sum_nested"),
                  F.sum("s.f64_mod").cast("long").alias("sum_f64_mod"),
                  F.sum("s.f32").cast("long").alias("sum_f32")))
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal profile (the baseline q109/st21's rolling
+# monitor needs next: "is 3x traffic at 14:00 a spike, or just
+# afternoon?"): per (event_type, UTC hour-of-day), observed-hour
+# count, total volume, per-hour mean in ppm, and the seasonal INDEX
+# — this hod's mean over the type's overall mean, in ppm — all
+# integer floor arithmetic (hod = epoch-hour % 24, calendar-free).
+# ---------------------------------------------------------------------------
+@q("q111_seasonal_profile", """
+WITH hc AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+hod AS (
+  SELECT event_type, hr % 24 AS hod, count(*) AS n_hours,
+         sum(x) AS total
+  FROM hc GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, sum(total) AS grand, sum(n_hours) AS all_hours
+  FROM hod GROUP BY 1
+)
+SELECT h.event_type, CAST(h.hod AS BIGINT) AS hod,
+       CAST(h.n_hours AS BIGINT) AS n_hours,
+       CAST(h.total AS BIGINT) AS total,
+       CAST(h.total * 1000000 // h.n_hours AS BIGINT) AS mean_ppm,
+       CAST(h.total * b.all_hours * 1000000
+            // (h.n_hours * b.grand) AS BIGINT) AS season_ppm
+FROM hod h JOIN base b USING (event_type)
+ORDER BY event_type, hod
+""")
+def q111_seasonal_profile(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    hc = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .groupBy("event_type",
+                   F.floor(F.unix_timestamp(
+                       F.col("ts").cast("timestamp")) / 3600)
+                   .cast("long").alias("hr"))
+          .agg(F.count(F.lit(1)).alias("x")))
+    hod = (hc.groupBy("event_type",
+                      (F.col("hr") % 24).alias("hod"))
+           .agg(F.count(F.lit(1)).alias("n_hours"),
+                F.sum("x").alias("total")))
+    base = (hod.groupBy("event_type")
+            .agg(F.sum("total").alias("grand"),
+                 F.sum("n_hours").alias("all_hours")))
+    return (hod.join(F.broadcast(base), "event_type")
+            .select("event_type",
+                    F.col("hod").cast("long").alias("hod"),
+                    F.col("n_hours").cast("long").alias("n_hours"),
+                    F.col("total").cast("long").alias("total"),
+                    F.expr("total * 1000000 div n_hours").cast("long")
+                    .alias("mean_ppm"),
+                    F.expr("total * all_hours * 1000000 "
+                           "div (n_hours * grand)").cast("long")
+                    .alias("season_ppm"))
+            .orderBy("event_type", "hod"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (the outlier-resistant mean the q40
+# IQR report motivates): per event_type, clamp value-cents to the
+# exact order statistics at ceil(0.05n) / ceil(0.95n) (1-based rank
+# — the quantile_disc discipline, no interpolation convention
+# needed) and report the winsorized sum + clip count. The rank
+# window is the st20 per-type sort shape.
+# ---------------------------------------------------------------------------
+@q("d75_winsorized_stats", """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END)
+           AS c_lo,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+           AS c_hi
+  FROM r GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(max(b.n) AS BIGINT) AS n_rows,
+       CAST(max(b.c_lo) AS BIGINT) AS lo_cents,
+       CAST(max(b.c_hi) AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(v.cents, b.c_lo), b.c_hi)) AS BIGINT)
+         AS winsor_sum_cents,
+       CAST(sum(CASE WHEN v.cents < b.c_lo OR v.cents > b.c_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM v JOIN b USING (event_type)
+GROUP BY 1 ORDER BY event_type
+""")
+def d75_winsorized_stats(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    r = (v.withColumn("rn", F.row_number().over(
+             W.partitionBy("event_type").orderBy("cents")))
+         .withColumn("n", F.count(F.lit(1)).over(
+             W.partitionBy("event_type"))))
+    b = (r.groupBy("event_type")
+         .agg(F.max("n").alias("n"),
+              F.max(F.when(F.col("rn")
+                           == F.expr("(n * 5 + 99) div 100"),
+                           F.col("cents"))).alias("c_lo"),
+              F.max(F.when(F.col("rn")
+                           == F.expr("(n * 95 + 99) div 100"),
+                           F.col("cents"))).alias("c_hi")))
+    return (v.join(F.broadcast(b), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_rows"),
+                 F.max("c_lo").cast("long").alias("lo_cents"),
+                 F.max("c_hi").cast("long").alias("hi_cents"),
+                 F.sum(F.least(F.greatest(F.col("cents"),
+                                          F.col("c_lo")),
+                               F.col("c_hi"))).cast("long")
+                 .alias("winsor_sum_cents"),
+                 F.sum(((F.col("cents") < F.col("c_lo"))
+                        | (F.col("cents") > F.col("c_hi")))
+                       .cast("long")).alias("n_clipped"))
+            .orderBy("event_type"))
