@@ -1706,3 +1706,35 @@ def d75_winsorized_stats(spark: SparkSession,
                         | (F.col("cents") > F.col("c_hi")))
                        .cast("long")).alias("n_clipped"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# REAL LZ4 block roundtrip over the corpus text (multimodal.lz4_
+# compress_block/_decompress_block): every document's utf-8 bytes
+# compressed with the greedy hash-chain encoder and decoded back by
+# the spec-faithful token walk; the gate pins the DECODED byte count
+# (strlen) and the 60-bit md5 fingerprint of the decoded bytes
+# against the closed-form oracle on the original text — an exact
+# roundtrip proof through the match/literal grammar, per source.
+# ---------------------------------------------------------------------------
+@q("m40_lz4_roundtrip", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                % 1000000000) AS BIGINT) AS fp_sum
+FROM documents GROUP BY source
+""")
+def m40_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_lz4_payload(F.col("text")))
+    st = payload.withColumn(
+        "s", multimodal.lz4_roundtrip_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_bytes").cast("long").alias("total_bytes"),
+                 F.sum(F.col("s.fp") % 1000000000).cast("long")
+                 .alias("fp_sum")))

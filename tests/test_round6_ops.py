@@ -1503,3 +1503,47 @@ def test_pb_wire_walk_spec_vectors_and_guards():
     d2 = mm.decode_pb_fields(msg + extra)
     assert d2["n_unknown"] == 4 and d2["n_fields"] == 11
     assert d2["v1"] == 301                         # known fields intact
+
+
+def test_lz4_block_roundtrip_overlap_and_guards():
+    """LZ4 block codec: randomized roundtrips over repetitive+random
+    mixes, the RLE-style overlapping match (offset < matchlen), real
+    compression on repetitive text, and the malformed-input guards."""
+    import random
+
+    import pytest as _pt
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rnd = random.Random(40)
+    for trial in range(60):
+        parts = []
+        for _ in range(rnd.randint(0, 6)):
+            if rnd.random() < 0.5:
+                parts.append(bytes([rnd.randrange(256)])
+                             * rnd.randint(1, 300))
+            else:
+                parts.append(bytes(rnd.randrange(256)
+                                   for _ in range(rnd.randint(0, 80))))
+        data = b"".join(parts)
+        assert mm.lz4_decompress_block(
+            mm.lz4_compress_block(data)) == data, trial
+
+    # hand-built overlapping match: 4 literals 'abcd', then offset 1
+    # matchlen 8 -> 'abcd' + 'd'*8 (byte-serial self-copy)
+    seq = bytes([0x44]) + b"abcd" + b"\x01\x00" + bytes([0x00])
+    assert mm.lz4_decompress_block(seq) == b"abcd" + b"d" * 8
+
+    t = b"the quick brown fox " * 50
+    c = mm.lz4_compress_block(t)
+    assert mm.lz4_decompress_block(c) == t
+    assert len(c) < len(t) // 10          # real match coverage
+
+    with _pt.raises(ValueError):
+        mm.lz4_decompress_block(c[:-1])                # truncation
+    with _pt.raises(ValueError):
+        mm.lz4_decompress_block(bytes([0x04]) + b"abcd"
+                                + b"\x00\x00" + bytes([0x00]))  # off 0
+    with _pt.raises(ValueError):
+        mm.lz4_decompress_block(bytes([0x04]) + b"abcd"
+                                + b"\xff\x00" + bytes([0x00]))  # OOR
