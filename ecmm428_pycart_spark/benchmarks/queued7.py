@@ -1738,3 +1738,91 @@ def m40_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s.n_bytes").cast("long").alias("total_bytes"),
                  F.sum(F.col("s.fp") % 1000000000).cast("long")
                  .alias("fp_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line session concurrency (the capacity-planning number on
+# top of q100's sessionization): sessions become +1/-1 endpoint
+# deltas on closed [s, e] second intervals, the running sum over
+# distinct endpoint times is the concurrency profile, and the gate
+# pins its max, the EARLIEST time it is reached, and total active
+# seconds. The sweep window runs over distinct endpoint seconds
+# (two per session), never the event stream; the 1-row aggregates
+# broadcast back as the documented single-row-BNLJ pattern. sb/run
+# are MATERIALIZED (multi-referenced — the g29 inlining lesson).
+# ---------------------------------------------------------------------------
+@q("q112_session_concurrency", """
+WITH ev AS (SELECT user_id, event_id, ts FROM events
+            WHERE ts IS NOT NULL),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS session_id
+  FROM flagged
+),
+sb AS MATERIALIZED (
+  SELECT user_id, session_id,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                   min(ts)) AS s,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                   max(ts)) AS e
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM sb
+  UNION ALL SELECT e + 1 AS t, -1 AS d FROM sb
+),
+prof AS (SELECT t, sum(d) AS nd FROM deltas GROUP BY t),
+run AS MATERIALIZED (
+  SELECT t, sum(nd) OVER (ORDER BY t) AS conc FROM prof
+),
+mx AS (SELECT max(conc) AS max_conc FROM run)
+SELECT CAST((SELECT count(*) FROM sb) AS BIGINT) AS n_sessions,
+       CAST(mx.max_conc AS BIGINT) AS max_conc,
+       CAST((SELECT min(t) FROM run WHERE conc = mx.max_conc)
+            AS BIGINT) AS t_at_max,
+       CAST((SELECT sum(e - s + 1) FROM sb) AS BIGINT)
+         AS total_active_secs
+FROM mx
+""")
+def q112_session_concurrency(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.funnel import sessionize
+
+    ses = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    sb = (ses.groupBy("user_id", "session_id")
+          .agg(F.min(F.col("ts").cast("timestamp")).cast("long")
+               .alias("s"),
+               F.max(F.col("ts").cast("timestamp")).cast("long")
+               .alias("e"))
+          .localCheckpoint())
+    deltas = (sb.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+              .unionByName(sb.select((F.col("e") + 1).alias("t"),
+                                     F.lit(-1).alias("d"))))
+    run = (deltas.groupBy("t").agg(F.sum("d").alias("nd"))
+           .withColumn("conc", F.sum("nd").over(W.orderBy("t"))))
+    a1 = sb.agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum(F.col("e") - F.col("s") + 1)
+                .alias("total_active_secs"))
+    mx = run.agg(F.max("conc").alias("max_conc"))
+    at = (run.crossJoin(F.broadcast(mx))
+          .filter(F.col("conc") == F.col("max_conc"))
+          .agg(F.min("t").alias("t_at_max"),
+               F.max("conc").alias("max_conc")))
+    return (a1.crossJoin(F.broadcast(at))
+            .select(F.col("n_sessions").cast("long")
+                    .alias("n_sessions"),
+                    F.col("max_conc").cast("long").alias("max_conc"),
+                    F.col("t_at_max").cast("long").alias("t_at_max"),
+                    F.col("total_active_secs").cast("long")
+                    .alias("total_active_secs")))

@@ -98,6 +98,8 @@ def test_queued7_plan_guards(spark):
         "g29_hits_scores",
         # 1-row 2m edge total broadcast onto per-label stats
         "g31_lpa_modularity",
+        # 1-row max/argmax aggregates broadcast in the sweep-line join
+        "q112_session_concurrency",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):
