@@ -1826,3 +1826,59 @@ def q112_session_concurrency(spark: SparkSession,
                     F.col("t_at_max").cast("long").alias("t_at_max"),
                     F.col("total_active_secs").cast("long")
                     .alias("total_active_secs")))
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (funnel.clamped_balance): the wallet model
+# — credits (signup/purchase) add value-cents, everything else
+# spends, and the balance truncates at ZERO with each overdraw
+# counted. The max(0, .) recurrence is not window algebra (every
+# prefix depends on every prior clamp), so both engines FOLD the
+# ordered ledger: Spark's aggregate() over the array_sort'ed
+# (micros, event_id) structs, DuckDB's list_reduce over an ORDER
+# BY'd list aggregate, both with the balance*65536 + clamps packed
+# BIGINT accumulator — identical integer recurrences.
+# ---------------------------------------------------------------------------
+@q("q113_clamped_balance", """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type IN ('signup', 'purchase')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+  FROM events WHERE ts IS NOT NULL
+),
+arr AS (
+  SELECT user_id, count(*) AS n_events, sum(d) AS net_cents,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(d ORDER BY us, event_id)) AS ds
+  FROM ev GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_events, net_cents,
+         list_reduce(ds, (acc, x) ->
+           greatest(acc // 65536 + x, CAST(0 AS BIGINT)) * 65536
+           + acc % 65536
+           + (CASE WHEN acc // 65536 + x < 0 THEN 1 ELSE 0 END)) AS p
+  FROM arr
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(net_cents AS BIGINT) AS net_cents,
+       CAST(p // 65536 AS BIGINT) AS final_cents,
+       CAST(p % 65536 AS BIGINT) AS n_clamps
+FROM f ORDER BY user_id
+""")
+def q113_clamped_balance(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import clamped_balance
+
+    out = clamped_balance(_t(spark, sf_dir, "events"))
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("n_events").cast("long").alias("n_events"),
+                       F.col("net_cents").cast("long")
+                       .alias("net_cents"),
+                       F.col("final_cents").cast("long")
+                       .alias("final_cents"),
+                       F.col("n_clamps").cast("long")
+                       .alias("n_clamps"))
+            .orderBy("user_id"))

@@ -336,3 +336,49 @@ def rolling_zscore_outliers(events: DataFrame, window: int = 24,
               - F.lit(z2) * F.expr("n * q - s * s"))
     return (scored.withColumn("excess", excess)
             .withColumn("is_outlier", (F.col("excess") > 0).cast("int")))
+
+
+def clamped_balance(events: DataFrame, credit_types=("signup",
+                                                     "purchase"),
+                    id_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    type_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Per-user CLAMPED running balance — the wallet/credit model
+    where spending can never take the balance below zero (each
+    overdraw is truncated at 0 and counted). Genuinely outside
+    window algebra: max(0, .) inside the recurrence makes every
+    prefix depend on every clamp before it, so this is the module's
+    funnel-fold discipline — one shuffle groups the user's ledger,
+    ``array_sort`` orders it by (epoch-micros, event_id), and a
+    native ``F.aggregate`` fold walks it with the accumulator PACKED
+    into one BIGINT: balance * 65536 + clamp_count (balance stays
+    nonnegative by construction, clamps bounded by the user's event
+    count — re-widen the pack for users beyond 65k events). Credits
+    (``credit_types``) add value-cents; everything else subtracts.
+    An engine-independent integer recurrence, so a SQL oracle
+    replays it with an ordered list aggregate + list_reduce.
+    Returns (id, n_events, net_cents, final_cents, n_clamps)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = F.when(F.col(type_col).isin(*credit_types), cents) \
+        .otherwise(-cents)
+    ev = (events.filter(F.col(ts_col).isNotNull())
+          .select(F.col(id_col),
+                  F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  .alias("_us"),
+                  F.col(order_col).alias("_oid"), d.alias("_d")))
+    arr = (ev.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("_d").alias("net_cents"),
+                F.array_sort(F.collect_list(
+                    F.struct("_us", "_oid", "_d"))).alias("_a")))
+    packed = F.expr("""
+        aggregate(_a, cast(0 as bigint), (acc, x) ->
+          greatest(acc div 65536 + x._d, cast(0 as bigint)) * 65536
+          + acc % 65536
+          + (case when acc div 65536 + x._d < 0 then 1 else 0 end))
+    """)
+    return (arr.withColumn("_p", packed)
+            .select(id_col, "n_events", "net_cents",
+                    F.expr("_p div 65536").alias("final_cents"),
+                    F.expr("_p % 65536").alias("n_clamps")))

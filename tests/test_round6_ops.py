@@ -1547,3 +1547,34 @@ def test_lz4_block_roundtrip_overlap_and_guards():
     with _pt.raises(ValueError):
         mm.lz4_decompress_block(bytes([0x04]) + b"abcd"
                                 + b"\xff\x00" + bytes([0x00]))  # OOR
+
+
+def test_clamped_balance_ledger_replay(spark):
+    """funnel.clamped_balance on a hand ledger: overdraws truncate at
+    zero and count as clamps; order is (ts, event_id) so a same-
+    timestamp pair resolves by id; matches a Python fold."""
+    import datetime as dt
+
+    from ecmm428_pycart_spark.datapipe.funnel import clamped_balance
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, ts, user, type, value): +500, -900 (clamp), +300
+        (1, t0, 1, "purchase", 5.0),
+        (2, t0 + dt.timedelta(seconds=1), 1, "click", 9.0),
+        (3, t0 + dt.timedelta(seconds=2), 1, "signup", 3.0),
+        # user 2: same-ts pair — id order decides: +200 then -100
+        (4, t0, 2, "purchase", 2.0),
+        (5, t0, 2, "view", 1.0),
+        # user 3: immediate overdraw from zero
+        (6, t0, 3, "error", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.user_id: (r.n_events, r.net_cents, r.final_cents,
+                       r.n_clamps)
+           for r in clamped_balance(df).collect()}
+    assert got == {1: (3, -100, 300, 1),
+                   2: (2, 100, 100, 0),
+                   3: (1, -400, 0, 1)}
