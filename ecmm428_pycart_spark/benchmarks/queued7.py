@@ -1882,3 +1882,56 @@ def q113_clamped_balance(spark: SparkSession,
                        F.col("n_clamps").cast("long")
                        .alias("n_clamps"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve (the redundancy-growth readout crawl curation
+# watches: as a crawl grows, what fraction of each new doc's
+# content is genuinely new?): per word-3-gram, the FIRST doc_id that
+# contains it (one gram-keyed min aggregate); a doc's novelty = the
+# ppm share of its distinct grams it introduced; rolled up into
+# doc_id-div-100 "crawl batches" so the gate reads the decay curve.
+# Pure gram-keyed shuffles (the d28/d59 cost class), no windows.
+# ---------------------------------------------------------------------------
+@q("d76_novelty_curve", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gr
+  FROM t, unnest(range(1, len(w) - 1)) r(i)
+),
+fst AS (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM g JOIN fst f USING (gr) GROUP BY g.doc_id
+)
+SELECT CAST(doc_id // 100 AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_novel) AS BIGINT) AS total_novel,
+       CAST(sum(n_novel) * 1000000 // sum(n_grams) AS BIGINT)
+         AS novelty_ppm
+FROM per_doc GROUP BY 1 ORDER BY batch
+""")
+def d76_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import shingle_set
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id",
+                    F.explode(shingle_set(F.col("text"), 3))
+                    .alias("gr"))
+    fst = g.groupBy("gr").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (g.join(fst, "gr")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum((F.col("first_doc") == F.col("doc_id"))
+                          .cast("long")).alias("n_novel")))
+    return (per_doc.groupBy(F.expr("doc_id div 100").cast("long")
+                            .alias("batch"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").cast("long").alias("total_grams"),
+                 F.sum("n_novel").cast("long").alias("total_novel"),
+                 F.expr("sum(n_novel) * 1000000 div sum(n_grams)")
+                 .cast("long").alias("novelty_ppm"))
+            .orderBy("batch"))
