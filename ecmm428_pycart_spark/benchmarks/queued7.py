@@ -1935,3 +1935,60 @@ def d76_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(n_novel) * 1000000 div sum(n_grams)")
                  .cast("long").alias("novelty_ppm"))
             .orderBy("batch"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar distribution drift (s29's sibling for value columns — the
+# PSI-style monitor a pipeline runs between snapshots): events split
+# into two cohorts by epoch-DAY PARITY (deterministic, no median
+# convention), values bucketed to 20-dollar cents bands, and a
+# division-safe integer chi-square score per event_type:
+# sum((a-b)^2 * 1e6 // (a+b)) over buckets — plus the single worst
+# bucket's contribution. Two aggregates, no windows, no floats.
+# ---------------------------------------------------------------------------
+@q("q114_value_drift", """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 AS half,
+         CAST(floor(value * 100) AS BIGINT) // 2000 AS bucket
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+b AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c
+  FROM v GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(a) AS BIGINT) AS n_even_days,
+       CAST(sum(c) AS BIGINT) AS n_odd_days,
+       CAST(sum((a - c) * (a - c) * 1000000 // (a + c)) AS BIGINT)
+         AS chi2_ppm,
+       CAST(max((a - c) * (a - c) * 1000000 // (a + c)) AS BIGINT)
+         AS worst_bucket_ppm
+FROM b GROUP BY event_type ORDER BY event_type
+""")
+def q114_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (_t(spark, sf_dir, "events")
+         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+         .select("event_type",
+                 (F.floor(F.unix_timestamp(
+                     F.col("ts").cast("timestamp")) / 86400)
+                  .cast("long") % 2).alias("half"),
+                 F.expr("floor(value * 100) div 2000").cast("long")
+                 .alias("bucket")))
+    b = (v.groupBy("event_type", "bucket")
+         .agg(F.sum((F.col("half") == 0).cast("long")).alias("a"),
+              F.sum((F.col("half") == 1).cast("long")).alias("c")))
+    return (b.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("a").cast("long").alias("n_even_days"),
+                 F.sum("c").cast("long").alias("n_odd_days"),
+                 F.sum(F.expr("(a - c) * (a - c) * 1000000 "
+                              "div (a + c)")).cast("long")
+                 .alias("chi2_ppm"),
+                 F.max(F.expr("(a - c) * (a - c) * 1000000 "
+                              "div (a + c)")).cast("long")
+                 .alias("worst_bucket_ppm"))
+            .orderBy("event_type"))
