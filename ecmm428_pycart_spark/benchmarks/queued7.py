@@ -1992,3 +1992,50 @@ def q114_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "div (a + c)")).cast("long")
                  .alias("worst_bucket_ppm"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# REAL Parquet RLE/bit-packing hybrid decode (multimodal.rle_bp_
+# decode): the integer encoding under every parquet column, walked
+# over synthetic 64-value 4-bit streams whose shape forces both
+# group kinds — 4 runs of 10 (RLE) then 24 stride-3 literals (three
+# bit-packed groups of 8). The gate pins value sums (closed-form
+# from the generator algebra), the exact group counts only a real
+# header walk reproduces, and a position sentinel (the last value).
+# ---------------------------------------------------------------------------
+@q("m41_rle_bp_stats", """
+WITH p AS (SELECT doc_id, source, doc_id % 7 + 1 AS a FROM documents),
+s AS (
+  SELECT p.doc_id, p.source,
+         (SELECT sum(10 * ((p.a * k.k) % 16))
+          FROM unnest(range(0, 4)) k(k))
+         + (SELECT sum((p.a + 3 * j.j) % 16)
+            FROM unnest(range(40, 64)) j(j)) AS vsum,
+         (p.a + 189) % 16 AS last_val
+  FROM p
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 64 AS BIGINT) AS total_vals,
+       CAST(sum(vsum) AS BIGINT) AS total_sum,
+       CAST(count(*) * 4 AS BIGINT) AS total_rle,
+       CAST(count(*) * 3 AS BIGINT) AS total_bp,
+       CAST(sum(last_val) AS BIGINT) AS last_val_sum
+FROM s GROUP BY source
+""")
+def m41_rle_bp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_rle_bp_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.rle_bp_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_vals").cast("long").alias("total_vals"),
+                 F.sum("s.vsum").cast("long").alias("total_sum"),
+                 F.sum("s.n_rle").cast("long").alias("total_rle"),
+                 F.sum("s.n_bp").cast("long").alias("total_bp"),
+                 F.sum("s.last_val").cast("long")
+                 .alias("last_val_sum")))

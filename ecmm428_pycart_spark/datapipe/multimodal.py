@@ -4084,3 +4084,148 @@ def lz4_roundtrip_stats(payload: pd.Series) -> pd.DataFrame:
         fp = int(hashlib.md5(dec).hexdigest()[:15], 16)
         rows.append((len(dec), fp, len(dec) - len(buf)))
     return pd.DataFrame(rows, columns=["n_bytes", "fp", "saved"])
+
+
+# ---------------------------------------------------------------------------
+# REAL Parquet RLE/bit-packing hybrid codec (round 5 continuation):
+# the integer encoding under every parquet column (definition levels,
+# dictionary indices) — varint group headers whose LSB selects RLE
+# (run_len << 1 | 0, then the value in ceil(w/8) fixed bytes) or
+# bit-packed (n_groups << 1 | 1, then n_groups * 8 values LSB-first
+# at w bits each). Greedy encoder: runs >= 8 become RLE, everything
+# else flushes as bit-packed groups of 8 (zero-padded only at stream
+# end). Same discipline as the other codecs: explicit offsets, byte
+# conservation, malformed-input guards, stdlib only.
+# ---------------------------------------------------------------------------
+
+def rle_bp_encode(values, width: int) -> bytes:
+    """Encode nonnegative ints < 2**width with the parquet hybrid.
+    Pending literals are flushed in full groups of 8 and stay < 8
+    between steps, so ZERO-padding happens only at stream end (a
+    mid-stream pad would corrupt the value sequence); a run reached
+    while literals are pending first completes their group, then the
+    REMAINDER of the run is re-considered for RLE."""
+    if not 1 <= width <= 32:
+        raise ValueError("width must be in [1, 32]")
+    vbytes = (width + 7) // 8
+    out = bytearray()
+    pending: list = []
+
+    def flush_group():
+        out.extend(pb_varint((1 << 1) | 1))
+        acc = bits = 0
+        for v in pending[:8]:
+            acc |= v << bits
+            bits += width
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        del pending[:8]
+
+    i, n = 0, len(values)
+    while i < n:
+        v = values[i]
+        if v < 0 or v >> width:
+            raise ValueError("value out of range for width")
+        run = 1
+        while i + run < n and values[i + run] == v:
+            run += 1
+        if pending:
+            take = min(run, 8 - len(pending))
+            pending.extend([v] * take)
+            i += take
+            if len(pending) == 8:
+                flush_group()
+            continue
+        if run >= 8:
+            out.extend(pb_varint(run << 1))
+            out.extend(int(v).to_bytes(vbytes, "little"))
+            i += run
+        else:
+            pending.extend([v] * run)
+            i += run
+            if len(pending) >= 8:
+                flush_group()
+    if pending:
+        while len(pending) < 8:
+            pending.append(0)
+        flush_group()
+    return bytes(out)
+
+
+def rle_bp_decode(buf: bytes, count: int, width: int):
+    """Decode exactly ``count`` values; returns (values, n_rle_groups,
+    n_bp_groups). Trailing pad values beyond ``count`` must be zero;
+    trailing bytes or truncation raise."""
+    vbytes = (width + 7) // 8
+    vals: list = []
+    pos, n_rle, n_bp = 0, 0, 0
+    while pos < len(buf):
+        header, pos = _pb_read_varint(buf, pos)
+        if header & 1:
+            groups = header >> 1
+            nbytes = groups * width
+            if pos + nbytes > len(buf):
+                raise ValueError("rle_bp: truncated bit-packed group")
+            acc = int.from_bytes(buf[pos:pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << width) - 1
+            for g in range(groups * 8):
+                vals.append((acc >> (g * width)) & mask)
+            n_bp += 1
+        else:
+            run = header >> 1
+            if pos + vbytes > len(buf):
+                raise ValueError("rle_bp: truncated rle value")
+            v = int.from_bytes(buf[pos:pos + vbytes], "little")
+            pos += vbytes
+            vals.extend([v] * run)
+            n_rle += 1
+    if pos != len(buf):
+        raise ValueError("rle_bp: trailing bytes")
+    if len(vals) < count or any(vals[count:]):
+        raise ValueError("rle_bp: wrong value count or nonzero pad")
+    return vals[:count], n_rle, n_bp
+
+
+RLE_BP_COUNT, RLE_BP_WIDTH = 64, 4
+
+_RLEBP_STATS = T.StructType([
+    T.StructField("n_vals", T.LongType()),
+    T.StructField("vsum", T.LongType()),
+    T.StructField("n_rle", T.LongType()),
+    T.StructField("n_bp", T.LongType()),
+    T.StructField("last_val", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_rle_bp_payload(doc_id: pd.Series) -> pd.Series:
+    """64 4-bit values per doc: 4 runs of 10 ((a*k) % 16 — RLE
+    groups), then 24 stride-3 values ((a + 3i) % 16, no runs — three
+    bit-packed groups of 8); a = id % 7 + 1."""
+    def gen(i: int) -> bytes:
+        a = i % 7 + 1
+        vals = []
+        for k in range(4):
+            vals.extend([(a * k) % 16] * 10)
+        vals.extend((a + 3 * j) % 16 for j in range(40, 64))
+        return rle_bp_encode(vals, RLE_BP_WIDTH)
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_RLEBP_STATS)
+def rle_bp_stats(payload: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None,) * 5)
+            continue
+        vals, n_rle, n_bp = rle_bp_decode(bytes(buf), RLE_BP_COUNT,
+                                          RLE_BP_WIDTH)
+        rows.append((len(vals), sum(vals), n_rle, n_bp, vals[-1]))
+    return pd.DataFrame(rows, columns=["n_vals", "vsum", "n_rle",
+                                       "n_bp", "last_val"])

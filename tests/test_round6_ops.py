@@ -1578,3 +1578,57 @@ def test_clamped_balance_ledger_replay(spark):
     assert got == {1: (3, -100, 300, 1),
                    2: (2, 100, 100, 0),
                    3: (1, -400, 0, 1)}
+
+
+def test_rle_bp_hybrid_roundtrip_and_guards():
+    """Parquet RLE/bit-packing hybrid: randomized roundtrips across
+    bit widths, the no-mid-stream-pad discipline (a run arriving
+    while literals are pending completes their group first), exact
+    group counts on the synthetic pattern, and the guards."""
+    import random
+
+    import pytest as _pt
+
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    rnd = random.Random(41)
+    for w in (1, 4, 8, 13, 32):
+        for _ in range(25):
+            n = rnd.randint(0, 120)
+            vals = []
+            while len(vals) < n:
+                if rnd.random() < 0.4:
+                    vals.extend([rnd.randrange(1 << w)]
+                                * rnd.randint(1, 30))
+                else:
+                    vals.append(rnd.randrange(1 << w))
+            vals = vals[:n]
+            got, _, _ = mm.rle_bp_decode(
+                mm.rle_bp_encode(vals, w), len(vals), w)
+            assert got == vals, (w, n)
+
+    # 3 literals then a run of 20: five literals absorbed to complete
+    # the group, the remaining 15 emitted RLE — no mid-stream pad
+    vals = [1, 2, 3] + [9] * 20
+    buf = mm.rle_bp_encode(vals, 4)
+    got, n_rle, n_bp = mm.rle_bp_decode(buf, len(vals), 4)
+    assert got == vals and (n_rle, n_bp) == (1, 1)
+
+    # the synthetic gate pattern: 4 RLE runs of 10 + 3 literal groups
+    a = 4
+    vals = []
+    for k in range(4):
+        vals.extend([(a * k) % 16] * 10)
+    vals += [(a + 3 * j) % 16 for j in range(40, 64)]
+    _, n_rle, n_bp = mm.rle_bp_decode(mm.rle_bp_encode(vals, 4),
+                                      64, 4)
+    assert (n_rle, n_bp) == (4, 3)
+
+    with _pt.raises(ValueError):
+        mm.rle_bp_encode([16], 4)                 # out of range
+    with _pt.raises(ValueError):
+        mm.rle_bp_decode(buf[:-1], len(vals), 4)  # truncation
+    with _pt.raises(ValueError):
+        mm.rle_bp_decode(buf + b"\x00", 23, 4)    # trailing bytes
+    with _pt.raises(ValueError):
+        mm.rle_bp_decode(buf, 22, 4)              # nonzero pad claim
