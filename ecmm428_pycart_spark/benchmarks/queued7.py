@@ -2039,3 +2039,80 @@ def m41_rle_bp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s.n_bp").cast("long").alias("total_bp"),
                  F.sum("s.last_val").cast("long")
                  .alias("last_val_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Graph partition quality under node-hash placement (the diagnostic
+# that decides whether a 100 TB graph needs smarter partitioning
+# than hash: edge-cut share + balance): nodes placed by k % 8, per
+# partition the node count, internal edge rows and cut edge rows
+# (endpoint partitions differ), with the cut share in ppm. One
+# closed-form "label" join onto the queen-grid edge list — the g31
+# aggregate shape minus the LPA chain; everything integer.
+# ---------------------------------------------------------------------------
+@q("g32_partition_quality", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+ed AS (
+  SELECT a % 8 AS part,
+         CASE WHEN a % 8 = b % 8 THEN 1 ELSE 0 END AS internal
+  FROM und
+),
+np AS (SELECT k % 8 AS part, count(*) AS n_nodes FROM g GROUP BY 1),
+es AS (
+  SELECT part, sum(internal) AS n_internal,
+         sum(1 - internal) AS n_cut
+  FROM ed GROUP BY part
+)
+SELECT CAST(np.part AS BIGINT) AS part,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(n_internal, 0) AS BIGINT) AS n_internal,
+       CAST(coalesce(n_cut, 0) AS BIGINT) AS n_cut,
+       CAST(coalesce(n_cut, 0) * 1000000
+            // greatest(coalesce(n_internal, 0)
+                        + coalesce(n_cut, 0), 1) AS BIGINT)
+         AS cut_ppm
+FROM np LEFT JOIN es USING (part)
+ORDER BY part
+""")
+def g32_partition_quality(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select(F.col("focal").alias("a"),
+                         F.col("neighbor").alias("b"))
+    np_ = (grid.select((F.col("region_idx") % 8).alias("part"))
+           .groupBy("part").agg(F.count(F.lit(1)).alias("n_nodes")))
+    ed = und.select((F.col("a") % 8).alias("part"),
+                    (F.col("a") % 8 == F.col("b") % 8).cast("long")
+                    .alias("internal"))
+    es = (ed.groupBy("part")
+          .agg(F.sum("internal").alias("n_internal"),
+               F.sum(1 - F.col("internal")).alias("n_cut")))
+    return (np_.join(es, "part", "left")
+            .select(F.col("part").cast("long").alias("part"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.coalesce("n_internal", F.lit(0)).cast("long")
+                    .alias("n_internal"),
+                    F.coalesce("n_cut", F.lit(0)).cast("long")
+                    .alias("n_cut"),
+                    F.expr("coalesce(n_cut, 0) * 1000000 div "
+                           "greatest(coalesce(n_internal, 0) "
+                           "+ coalesce(n_cut, 0), 1)").cast("long")
+                    .alias("cut_ppm"))
+            .orderBy("part"))

@@ -100,6 +100,8 @@ def test_queued7_plan_guards(spark):
         "g31_lpa_modularity",
         # 1-row max/argmax aggregates broadcast in the sweep-line join
         "q112_session_concurrency",
+        # 1-row grid-side aggregate broadcast (_customer_grid)
+        "g32_partition_quality",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):
