@@ -2116,3 +2116,72 @@ def g32_partition_quality(spark: SparkSession,
                            "+ coalesce(n_cut, 0), 1)").cast("long")
                     .alias("cut_ppm"))
             .orderBy("part"))
+
+
+# ---------------------------------------------------------------------------
+# Supplier shipping-coverage islands (gaps-and-islands interval
+# coalescing — the warranty/uptime/promo-window rollup every
+# warehouse engine ships): each lineitem opens a coverage interval
+# of 1 + (quantity % 14) inclusive epoch-days from its ship date;
+# per supplier the merged-island count, covered days and longest
+# continuous stretch. funnel.interval_islands does the per-key
+# ordered-window merge (running max-end -> break flags -> prefix
+# sum); the oracle replays the identical window algebra in SQL.
+# Ties order-invariant, everything integer.
+# ---------------------------------------------------------------------------
+@q("q115_interval_islands", """
+WITH iv AS (
+  SELECT l_suppkey AS k,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS s,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+           + CAST(l_quantity AS BIGINT) % 14 AS e
+  FROM lineitem
+),
+m AS (
+  SELECT k, s, e,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pme
+  FROM iv
+),
+isl AS (
+  SELECT k, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM m
+),
+gi AS (
+  SELECT k, island, min(s) AS i_s, max(e) AS i_e,
+         count(*) AS n_iv
+  FROM isl GROUP BY k, island
+)
+SELECT CAST(k AS BIGINT) AS suppkey,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered_days,
+       CAST(max(i_e - i_s + 1) AS BIGINT) AS max_island_days
+FROM gi GROUP BY k ORDER BY suppkey
+""")
+def q115_interval_islands(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.funnel import interval_islands
+
+    day = F.floor(F.unix_timestamp(F.col("l_shipdate")) / 86400) \
+        .cast("long")
+    iv = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("k"), day.alias("s"),
+                  (day + F.col("l_quantity").cast("long") % 14)
+                  .alias("e")))
+    out = interval_islands(iv, "k", "s", "e")
+    return (out.select(F.col("k").cast("long").alias("suppkey"),
+                       F.col("n_intervals").cast("long")
+                       .alias("n_intervals"),
+                       F.col("n_islands").cast("long")
+                       .alias("n_islands"),
+                       F.col("covered_units").cast("long")
+                       .alias("covered_days"),
+                       F.col("max_island_units").cast("long")
+                       .alias("max_island_days"))
+            .orderBy("suppkey"))

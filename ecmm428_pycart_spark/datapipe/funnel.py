@@ -382,3 +382,47 @@ def clamped_balance(events: DataFrame, credit_types=("signup",
             .select(id_col, "n_events", "net_cents",
                     F.expr("_p div 65536").alias("final_cents"),
                     F.expr("_p % 65536").alias("n_clamps")))
+
+
+def interval_islands(df: DataFrame, key_col: str, start_col: str,
+                     end_col: str, merge_gap: int = 0) -> DataFrame:
+    """Gaps-and-islands interval coalescing — merge a key's
+    overlapping integer intervals into maximal covered "islands"
+    (the classic warranty-coverage / machine-uptime / promo-window
+    rollup). An interval joins the current island iff its start is
+    <= the running max of all previous ends + ``merge_gap``; with
+    the default gap 0 touching intervals ([1,5],[5,9]) merge but
+    merely adjacent ones ([1,5],[6,7]) do not (ends inclusive).
+
+    Plan shape: one shuffle partitions by key; a per-key ordered
+    window (start, end — exact ties are order-invariant: only the
+    first of an identical run can open an island and all of them
+    land in it) takes the running max-end over ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING, a prefix sum of the break flags numbers
+    the islands, and two hash aggregates roll islands then keys up.
+    No unpartitioned window, nothing quadratic; per-key cost is the
+    key's interval count — the same per-entity-history contract as
+    ``sessionize``. Returns per key: n_intervals, n_islands,
+    covered_units (sum over islands of end - start + 1),
+    max_island_units."""
+    from pyspark.sql import Window as W
+
+    k, s, e = F.col(key_col), F.col(start_col), F.col(end_col)
+    wo = W.partitionBy(key_col).orderBy(start_col, end_col)
+    pme = F.max(e).over(wo.rowsBetween(W.unboundedPreceding, -1))
+    brk = (pme.isNull() | (s > pme + F.lit(merge_gap))).cast("long")
+    isl = (df.select(k, s.cast("long").alias(start_col),
+                     e.cast("long").alias(end_col))
+           .withColumn("_brk", brk)
+           .withColumn("_island", F.sum("_brk").over(
+               wo.rowsBetween(W.unboundedPreceding, 0))))
+    per_island = (isl.groupBy(key_col, "_island")
+                  .agg(F.min(start_col).alias("_is"),
+                       F.max(end_col).alias("_ie"),
+                       F.count(F.lit(1)).alias("_n")))
+    span = F.col("_ie") - F.col("_is") + 1
+    return (per_island.groupBy(key_col)
+            .agg(F.sum("_n").alias("n_intervals"),
+                 F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(span).alias("covered_units"),
+                 F.max(span).alias("max_island_units")))

@@ -1632,3 +1632,35 @@ def test_rle_bp_hybrid_roundtrip_and_guards():
         mm.rle_bp_decode(buf + b"\x00", 23, 4)    # trailing bytes
     with _pt.raises(ValueError):
         mm.rle_bp_decode(buf, 22, 4)              # nonzero pad claim
+
+
+def test_interval_islands_hand_cases(spark):
+    from ecmm428_pycart_spark.datapipe.funnel import interval_islands
+
+    rows = [
+        # key 1: [1,5] + nested [2,3] + touching [5,9] -> one island
+        # [1,9]; adjacent-but-not-touching [11,12] -> second island.
+        Row(k=1, s=1, e=5), Row(k=1, s=2, e=3),
+        Row(k=1, s=5, e=9), Row(k=1, s=11, e=12),
+        # key 2: single point interval.
+        Row(k=2, s=7, e=7),
+        # key 3: adjacent [1,5],[6,7] stay separate at gap 0.
+        Row(k=3, s=1, e=5), Row(k=3, s=6, e=7),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.k: r for r in
+           interval_islands(df, "k", "s", "e").collect()}
+    assert (got[1].n_intervals, got[1].n_islands,
+            got[1].covered_units, got[1].max_island_units) \
+        == (4, 2, 11, 9)
+    assert (got[2].n_intervals, got[2].n_islands,
+            got[2].covered_units, got[2].max_island_units) \
+        == (1, 1, 1, 1)
+    assert (got[3].n_intervals, got[3].n_islands,
+            got[3].covered_units, got[3].max_island_units) \
+        == (2, 2, 7, 5)
+    # gap 1 bridges the adjacency on key 3.
+    got3 = {r.k: r for r in
+            interval_islands(df, "k", "s", "e",
+                             merge_gap=1).collect()}
+    assert (got3[3].n_islands, got3[3].covered_units) == (1, 7)
