@@ -2185,3 +2185,37 @@ def q115_interval_islands(spark: SparkSession,
                        F.col("max_island_units").cast("long")
                        .alias("max_island_days"))
             .orderBy("suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# REAL DEFLATE roundtrip over the corpus text (multimodal.inflate /
+# zlib_decompress_manual): every document's utf-8 bytes compressed
+# with stdlib zlib (the canonical producer) and decoded back by the
+# hand-rolled RFC 1951 bit walk — stored + fixed-Huffman + dynamic-
+# Huffman blocks, byte-serial LZ77 copies, Adler-32 trailer verified
+# against the hand-rolled checksum. The gate pins the DECODED byte
+# count and 60-bit md5 fingerprint against the closed-form oracle on
+# the original text (the m40 discipline for a far richer grammar).
+# ---------------------------------------------------------------------------
+@q("m42_inflate_roundtrip", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                % 1000000000) AS BIGINT) AS fp_sum
+FROM documents GROUP BY source
+""")
+def m42_inflate_roundtrip(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_zlib_payload(F.col("text")))
+    st = payload.withColumn(
+        "s", multimodal.inflate_roundtrip_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_bytes").cast("long").alias("total_bytes"),
+                 F.sum(F.col("s.fp") % 1000000000).cast("long")
+                 .alias("fp_sum")))

@@ -4229,3 +4229,240 @@ def rle_bp_stats(payload: pd.Series) -> pd.DataFrame:
         rows.append((len(vals), sum(vals), n_rle, n_bp, vals[-1]))
     return pd.DataFrame(rows, columns=["n_vals", "vsum", "n_rle",
                                        "n_bp", "last_val"])
+
+
+# ---------------------------------------------------------------------------
+# REAL DEFLATE decoder (round 5 continuation): the RFC 1951 bit
+# grammar under gzip / zlib / PNG / zip — stored blocks, fixed
+# Huffman, and fully dynamic Huffman (the 16/17/18 run-length coded
+# code-length code included), with the LZ77 length/distance copy
+# loop byte-serial so overlapping matches replay exactly. The zlib
+# (RFC 1950) wrapper parse checks CMF/FLG and verifies the trailer
+# against a hand-rolled Adler-32. Encoding stays with stdlib zlib
+# (a canonical producer); the decoder is what the pipeline owns —
+# same discipline as the other codecs: explicit bit offsets,
+# malformed-input guards, no codec libs.
+# ---------------------------------------------------------------------------
+
+_DEFLATE_LEN_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23,
+                     27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131,
+                     163, 195, 227, 258)
+_DEFLATE_LEN_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+                      3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+_DEFLATE_DIST_BASE = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+                      97, 129, 193, 257, 385, 513, 769, 1025, 1537,
+                      2049, 3073, 4097, 6145, 8193, 12289, 16385,
+                      24577)
+_DEFLATE_DIST_EXTRA = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+                       6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12,
+                       13, 13)
+_DEFLATE_CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3,
+                      13, 2, 14, 1, 15)
+_FIXED_LIT_LENGTHS = ([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST_LENGTHS = [5] * 32
+
+
+def _huff_table(lengths) -> dict:
+    """Canonical Huffman decode table per RFC 1951 §3.2.2: codes of
+    each length are consecutive integers, shorter lengths first.
+    Keyed by (n_bits, code-so-far) -> symbol."""
+    max_len = max(lengths) if lengths else 0
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    table = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+class _BitReader:
+    """LSB-first bit cursor over a byte string (the DEFLATE bit
+    order); Huffman codes are read MSB-of-code-first, one stream bit
+    at a time."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit offset
+
+    def bits(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("deflate: truncated stream")
+        v = 0
+        d, p = self.data, self.pos
+        for i in range(n):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+    def symbol(self, table: dict) -> int:
+        code = 0
+        length = 0
+        for _ in range(15):
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("deflate: invalid Huffman code")
+
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_dynamic_tables(br: _BitReader):
+    hlit = br.bits(5) + 257
+    hdist = br.bits(5) + 1
+    hclen = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(hclen):
+        cl_lengths[_DEFLATE_CLC_ORDER[i]] = br.bits(3)
+    cl_table = _huff_table(cl_lengths)
+    lengths = []
+    while len(lengths) < hlit + hdist:
+        sym = br.symbol(cl_table)
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            if not lengths:
+                raise ValueError("deflate: repeat before first code")
+            lengths.extend([lengths[-1]] * (3 + br.bits(2)))
+        elif sym == 17:
+            lengths.extend([0] * (3 + br.bits(3)))
+        else:
+            lengths.extend([0] * (11 + br.bits(7)))
+    if len(lengths) != hlit + hdist:
+        raise ValueError("deflate: code-length overrun")
+    return (_huff_table(lengths[:hlit]),
+            _huff_table(lengths[hlit:]))
+
+
+_FIXED_TABLES = (_huff_table(_FIXED_LIT_LENGTHS),
+                 _huff_table(_FIXED_DIST_LENGTHS))
+
+
+def inflate(data: bytes) -> bytes:
+    """Decode a raw DEFLATE stream (RFC 1951): all three block
+    types, byte-serial match copy (offset < length overlaps replay
+    exactly, the RLE idiom)."""
+    br = _BitReader(data)
+    out = bytearray()
+    while True:
+        bfinal = br.bits(1)
+        btype = br.bits(2)
+        if btype == 3:
+            raise ValueError("deflate: reserved block type 3")
+        if btype == 0:
+            br.align_byte()
+            start = br.pos >> 3
+            if start + 4 > len(data):
+                raise ValueError("deflate: truncated stored header")
+            ln = data[start] | (data[start + 1] << 8)
+            nlen = data[start + 2] | (data[start + 3] << 8)
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("deflate: stored LEN/NLEN mismatch")
+            if start + 4 + ln > len(data):
+                raise ValueError("deflate: truncated stored block")
+            out += data[start + 4:start + 4 + ln]
+            br.pos = (start + 4 + ln) << 3
+        else:
+            lit_t, dist_t = (_FIXED_TABLES if btype == 1
+                             else _read_dynamic_tables(br))
+            while True:
+                sym = br.symbol(lit_t)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    if sym > 285:
+                        raise ValueError("deflate: bad length code")
+                    idx = sym - 257
+                    length = (_DEFLATE_LEN_BASE[idx]
+                              + br.bits(_DEFLATE_LEN_EXTRA[idx]))
+                    dsym = br.symbol(dist_t)
+                    if dsym > 29:
+                        raise ValueError("deflate: bad distance code")
+                    dist = (_DEFLATE_DIST_BASE[dsym]
+                            + br.bits(_DEFLATE_DIST_EXTRA[dsym]))
+                    if dist > len(out):
+                        raise ValueError("deflate: distance too far")
+                    for _ in range(length):
+                        out.append(out[-dist])
+        if bfinal:
+            return bytes(out)
+
+
+def adler32_manual(data: bytes) -> int:
+    """RFC 1950 Adler-32, hand-rolled (sums mod 65521, deferred with
+    the standard 5552-byte batch bound so the Python loop stays
+    cheap)."""
+    a, b = 1, 0
+    for i in range(0, len(data), 5552):
+        for byte in data[i:i + 5552]:
+            a += byte
+            b += a
+        a %= 65521
+        b %= 65521
+    return (b << 16) | a
+
+
+def zlib_decompress_manual(buf: bytes) -> bytes:
+    """Parse the RFC 1950 zlib wrapper around a DEFLATE body: CM
+    must be 8 (deflate), FCHECK must make CMF*256+FLG divisible by
+    31, preset dictionaries (FDICT) are unsupported, and the
+    big-endian Adler-32 trailer must match the hand-rolled checksum
+    of the decoded output."""
+    if len(buf) < 6:
+        raise ValueError("zlib: too short")
+    cmf, flg = buf[0], buf[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("zlib: CM is not deflate")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("zlib: FCHECK failed")
+    if flg & 0x20:
+        raise ValueError("zlib: FDICT unsupported")
+    out = inflate(buf[2:-4])
+    trailer = int.from_bytes(buf[-4:], "big")
+    if adler32_manual(out) != trailer:
+        raise ValueError("zlib: Adler-32 mismatch")
+    return out
+
+
+_INFLATE_STATS = T.StructType([
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("fp", T.LongType()),
+    T.StructField("saved", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_zlib_payload(text: pd.Series) -> pd.Series:
+    import zlib
+    return text.map(lambda t: zlib.compress(t.encode(), 6))
+
+
+@F.pandas_udf(_INFLATE_STATS)
+def inflate_roundtrip_stats(payload: pd.Series) -> pd.DataFrame:
+    """Hand-inflate + Adler-verify each zlib payload and fingerprint
+    the DECODED bytes (strlen + 60-bit md5 prefix) so the SQL oracle
+    on the original text pins an exact roundtrip through the whole
+    Huffman/LZ77 grammar; saved = decoded - compressed."""
+    import hashlib
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None))
+            continue
+        dec = zlib_decompress_manual(bytes(buf))
+        fp = int(hashlib.md5(dec).hexdigest()[:15], 16)
+        rows.append((len(dec), fp, len(dec) - len(buf)))
+    return pd.DataFrame(rows, columns=["n_bytes", "fp", "saved"])

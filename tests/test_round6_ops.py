@@ -1664,3 +1664,51 @@ def test_interval_islands_hand_cases(spark):
             interval_islands(df, "k", "s", "e",
                              merge_gap=1).collect()}
     assert (got3[3].n_islands, got3[3].covered_units) == (1, 7)
+
+
+def test_inflate_all_block_types_and_guards():
+    import zlib
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        adler32_manual, inflate, zlib_decompress_manual)
+    import random
+
+    rng = random.Random(42)
+    cases = [b"", b"a", b"hello world " * 50,
+             bytes(rng.randrange(256) for _ in range(5000)),
+             b"ab" * 3000,  # overlapping-match (dist < len) replay
+             bytes(rng.randrange(4) for _ in range(20000))]
+    # level 0 = stored blocks; 1/6/9 = fixed/dynamic mixes.
+    for lvl in (0, 1, 6, 9):
+        for d in cases:
+            assert zlib_decompress_manual(zlib.compress(d, lvl)) == d
+    # force every encoder strategy the spec allows.
+    for strat in (zlib.Z_FIXED, zlib.Z_RLE, zlib.Z_HUFFMAN_ONLY):
+        for d in cases:
+            co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, strat)
+            assert zlib_decompress_manual(co.compress(d)
+                                          + co.flush()) == d
+    # hand-built stored block: BFINAL=1 BTYPE=00, LEN=3 NLEN=~3.
+    assert inflate(bytes([0x01, 0x03, 0x00, 0xFC, 0xFF])
+                   + b"abc") == b"abc"
+    assert adler32_manual(b"Wikipedia") == zlib.adler32(b"Wikipedia")
+    # guards: reserved BTYPE, NLEN mismatch, bad FCHECK, FDICT,
+    # corrupted trailer, truncation.
+    with pytest.raises(ValueError, match="reserved block"):
+        inflate(bytes([0x07, 0x00]))
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        inflate(bytes([0x01, 0x03, 0x00, 0x00, 0x00]) + b"abc")
+    good = bytearray(zlib.compress(b"payload", 6))
+    bad = bytearray(good)
+    bad[1] ^= 0x01
+    with pytest.raises(ValueError, match="FCHECK"):
+        zlib_decompress_manual(bytes(bad))
+    bad = bytearray(good)
+    bad[1] |= 0x20
+    with pytest.raises(ValueError, match="zlib"):
+        zlib_decompress_manual(bytes(bad))
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="Adler-32"):
+        zlib_decompress_manual(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|too short"):
+        zlib_decompress_manual(good[:4])
