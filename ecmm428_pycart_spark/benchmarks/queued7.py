@@ -2219,3 +2219,90 @@ def m42_inflate_roundtrip(spark: SparkSession,
                  F.sum("s.n_bytes").cast("long").alias("total_bytes"),
                  F.sum(F.col("s.fp") % 1000000000).cast("long")
                  .alias("fp_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase connected components (graph.cc_two_phase — the SoCC'14
+# large-star/small-star algorithm whose O(log^2 n) rounds replace
+# O(diameter) label propagation on deep graphs at 100 TB): customers
+# in blocks of 8 consecutive keys, chain edges (k, k+1) kept with
+# md5-probability 0.7 and skip edges (k, k+2) with 0.25 — a forest
+# of sub-8-node components whose diameter is <= 7, so the oracle can
+# replay plain min-label propagation with SEVEN unrolled MATERIALIZED
+# rounds (the g19/g26 discipline) while the Spark side runs the
+# star-contraction algorithm; identical labels prove both. Gate =
+# the component-size histogram + min-label checksum.
+# ---------------------------------------------------------------------------
+_G33_RNG = ("(CAST(concat('0x', substr(md5('{p}' || CAST(a.k AS "
+            "VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0")
+_G33_ROUND = """
+r{i} AS MATERIALIZED (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl FROM r{j}
+    UNION ALL
+    SELECT s.b AS node, l.lbl FROM sym s JOIN r{j} l ON l.node = s.a
+  ) GROUP BY node
+)"""
+
+
+@q("g33_cc_two_phase", f"""
+WITH nodes AS (SELECT c_custkey AS k FROM customer),
+ch AS (
+  SELECT a.k AS a, a.k + 1 AS b
+  FROM nodes a JOIN nodes c ON c.k = a.k + 1
+  WHERE a.k % 8 <> 7 AND {_G33_RNG.format(p='cc')} < 0.7
+),
+sk AS (
+  SELECT a.k AS a, a.k + 2 AS b
+  FROM nodes a JOIN nodes c ON c.k = a.k + 2
+  WHERE a.k % 8 <= 5 AND {_G33_RNG.format(p='sk')} < 0.25
+),
+e AS MATERIALIZED (SELECT a, b FROM ch UNION ALL
+                   SELECT a, b FROM sk),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL
+                     SELECT b AS a, a AS b FROM e),
+r0 AS MATERIALIZED (SELECT k AS node, k AS lbl FROM nodes),
+{",".join(_G33_ROUND.format(i=i, j=i - 1) for i in range(1, 8))},
+comp AS (SELECT lbl AS component, count(*) AS sz
+         FROM r7 GROUP BY lbl)
+SELECT CAST(sz AS BIGINT) AS comp_size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(component % 1000000000) AS BIGINT) AS min_label_sum
+FROM comp GROUP BY sz ORDER BY comp_size
+""")
+def g33_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.graph import cc_two_phase
+    from ecmm428_pycart_spark.datapipe.text import md5_uniform
+
+    cust = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"))
+    k = F.col("k")
+
+    def draw(prefix):
+        return md5_uniform(F.concat(F.lit(prefix), k.cast("string")))
+
+    cand = cust.select(
+        k.alias("a"),
+        F.when((k % 8 != 7) & (draw("cc") < 0.7), k + 1).alias("b1"),
+        F.when((k % 8 <= 5) & (draw("sk") < 0.25), k + 2).alias("b2"))
+    tgt = cust.select(k.alias("b"))
+    edges = (cand.select("a", F.col("b1").alias("b"))
+             .filter(F.col("b").isNotNull()).join(tgt, "b")
+             .union(cand.select("a", F.col("b2").alias("b"))
+                    .filter(F.col("b").isNotNull()).join(tgt, "b")))
+    labels = cc_two_phase(edges, "a", "b")
+    full = (cust.join(labels, cust.k == labels.node, "left")
+            .select(k.alias("node"),
+                    F.coalesce("component", k).alias("component")))
+    comp = (full.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("sz")))
+    return (comp.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_components"),
+                 F.sum(F.col("component") % 1000000000)
+                 .alias("min_label_sum"))
+            .select(F.col("sz").cast("long").alias("comp_size"),
+                    F.col("n_components").cast("long")
+                    .alias("n_components"),
+                    F.col("min_label_sum").cast("long")
+                    .alias("min_label_sum"))
+            .orderBy("comp_size"))

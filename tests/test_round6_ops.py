@@ -1712,3 +1712,48 @@ def test_inflate_all_block_types_and_guards():
         zlib_decompress_manual(bytes(bad))
     with pytest.raises(ValueError, match="truncated|too short"):
         zlib_decompress_manual(good[:4])
+
+
+def test_cc_two_phase_vs_union_find(spark):
+    import random
+    from ecmm428_pycart_spark.datapipe.graph import cc_two_phase
+
+    def uf_labels(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id labels for nodes that appear in edges
+        touched = {x for e in edges for x in e}
+        return {x: find(x) for x in touched}
+
+    # long path 0-1-...-19 (multi-round star contraction), two
+    # separate small components, a cycle.
+    path = [(i, i + 1) for i in range(20)]
+    extra = [(30, 31), (31, 32), (40, 41), (50, 51), (51, 52),
+             (52, 50)]
+    edges = path + extra
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges])
+    got = {r.node: r.component
+           for r in cc_two_phase(df).collect()}
+    assert got == uf_labels(60, edges)
+
+    # randomized graph replay
+    rng = random.Random(7)
+    redges = [(rng.randrange(200), rng.randrange(200))
+              for _ in range(150)]
+    redges = [(a, b) for a, b in redges if a != b]
+    rdf = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in redges])
+    got = {r.node: r.component
+           for r in cc_two_phase(rdf).collect()}
+    assert got == uf_labels(200, redges)
