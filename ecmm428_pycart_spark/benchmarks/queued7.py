@@ -2306,3 +2306,68 @@ def g33_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("min_label_sum").cast("long")
                     .alias("min_label_sum"))
             .orderBy("comp_size"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement on the corpus (text.annotator_agreement
+# — Cohen 1960, the label-QA gate a labeled training set runs before
+# trusting its classes): two pseudo-annotators derive from a shared
+# md5 "true" class (3 classes) with independent md5-gated noise
+# (annotator a keeps truth w.p. 0.8, b w.p. 0.75, else an md5
+# re-draw), so agreement is well above chance and every statistic is
+# a pure integer function both engines replay. kappa ships UNDIVIDED
+# (num, den) — the g31 negative-division discipline — beside po/pe
+# floor-division ppms. 1-row aggregates meet in the documented
+# single-row broadcast.
+# ---------------------------------------------------------------------------
+_D77_U = ("(CAST(concat('0x', substr(md5('{p}' || CAST(doc_id AS "
+          "VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0")
+_D77_B = ("CAST(concat('0x', substr(md5('{p}' || CAST(doc_id AS "
+          "VARCHAR)), 1, 8)) AS UBIGINT) % 3")
+
+
+@q("d77_label_agreement", f"""
+WITH lab AS (
+  SELECT CASE WHEN {_D77_U.format(p='na')} < 0.8
+              THEN {_D77_B.format(p='t')}
+              ELSE {_D77_B.format(p='a')} END AS a,
+         CASE WHEN {_D77_U.format(p='nb')} < 0.75
+              THEN {_D77_B.format(p='t')}
+              ELSE {_D77_B.format(p='b')} END AS b
+  FROM documents
+),
+base AS (SELECT count(*) AS n_items,
+                sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+         FROM lab),
+ma AS (SELECT a AS c, count(*) AS na FROM lab GROUP BY a),
+mb AS (SELECT b AS c, count(*) AS nb FROM lab GROUP BY b),
+sm AS (SELECT sum(na * nb) AS s, count(*) AS n_classes
+       FROM ma JOIN mb USING (c))
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(n_agree * 1000000 // n_items AS BIGINT) AS po_ppm,
+       CAST(s * 1000000 // (n_items * n_items) AS BIGINT) AS pe_ppm,
+       CAST(n_agree * n_items - s AS BIGINT) AS kappa_num,
+       CAST(n_items * n_items - s AS BIGINT) AS kappa_den
+FROM base, sm
+""")
+def d77_label_agreement(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (
+        annotator_agreement, md5_bucket, md5_uniform)
+
+    did = F.col("doc_id").cast("string")
+
+    def u(p):
+        return md5_uniform(F.concat(F.lit(p), did))
+
+    def bkt(p):
+        return md5_bucket(F.concat(F.lit(p), did), 3).cast("long")
+
+    lab = _t(spark, sf_dir, "documents").select(
+        F.when(u("na") < 0.8, bkt("t")).otherwise(bkt("a"))
+        .alias("a"),
+        F.when(u("nb") < 0.75, bkt("t")).otherwise(bkt("b"))
+        .alias("b"))
+    return annotator_agreement(lab, "a", "b")

@@ -1266,3 +1266,44 @@ def sample_allocation(counts: DataFrame, budget: int,
                          + (F.col("_rk") <= F.col("_left"))
                          .cast("long"))
             .drop("_tot", "_left", "_rk"))
+
+
+def annotator_agreement(df: DataFrame, a_col: str,
+                        b_col: str) -> DataFrame:
+    """Inter-annotator agreement in EXACT integers — the label-QA
+    readout every human/model-labeled training set needs (Cohen
+    1960). Observed agreement po = n_agree / N and chance agreement
+    pe = sum_c (N_a(c) * N_b(c)) / N^2 are emitted as ppm floor
+    divisions; Cohen's kappa = (po - pe) / (1 - pe) is emitted
+    UNDIVIDED as (kappa_num, kappa_den) = (n_agree*N - S, N*N - S),
+    S = sum_c N_a(c)*N_b(c) — the g31 discipline: kappa_num can be
+    negative (below-chance agreement) and Spark `div` truncates
+    where DuckDB `//` floors, so no division crosses the engines.
+
+    Plan shape: one count/agree aggregate over the labels plus two
+    per-class marginal aggregates joined on class (class cardinality
+    rows — dimension-sized); the three 1-row frames meet in the
+    documented single-row broadcast pattern. Returns one row:
+    (n_items, n_agree, n_classes, po_ppm, pe_ppm, kappa_num,
+    kappa_den)."""
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum((a == b).cast("long")).alias("n_agree"))
+    ma = df.groupBy(a.alias("_c")).agg(F.count(F.lit(1)).alias("_na"))
+    mb = df.groupBy(b.alias("_c")).agg(F.count(F.lit(1)).alias("_nb"))
+    s = (ma.join(mb, "_c")
+         .agg(F.sum(F.col("_na") * F.col("_nb")).alias("s"),
+              F.count(F.lit(1)).alias("n_classes")))
+    return (base.crossJoin(s)
+            .select(F.col("n_items").cast("long").alias("n_items"),
+                    F.col("n_agree").cast("long").alias("n_agree"),
+                    F.col("n_classes").cast("long")
+                    .alias("n_classes"),
+                    F.expr("n_agree * 1000000 div n_items")
+                    .cast("long").alias("po_ppm"),
+                    F.expr("s * 1000000 div (n_items * n_items)")
+                    .cast("long").alias("pe_ppm"),
+                    (F.col("n_agree") * F.col("n_items") - F.col("s"))
+                    .cast("long").alias("kappa_num"),
+                    (F.col("n_items") * F.col("n_items") - F.col("s"))
+                    .cast("long").alias("kappa_den")))

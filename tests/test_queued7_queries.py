@@ -102,6 +102,8 @@ def test_queued7_plan_guards(spark):
         "q112_session_concurrency",
         # 1-row grid-side aggregate broadcast (_customer_grid)
         "g32_partition_quality",
+        # two 1-row aggregates (base stats x marginal-product sum)
+        "d77_label_agreement",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):

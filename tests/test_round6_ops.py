@@ -1757,3 +1757,35 @@ def test_cc_two_phase_vs_union_find(spark):
     got = {r.node: r.component
            for r in cc_two_phase(rdf).collect()}
     assert got == uf_labels(200, redges)
+
+
+def test_annotator_agreement_known_kappa(spark):
+    from ecmm428_pycart_spark.datapipe.text import annotator_agreement
+
+    # classic 2x2 worked example: 50 items,
+    # a=yes,b=yes: 20; a=yes,b=no: 5; a=no,b=yes: 10; a=no,b=no: 15.
+    rows = ([Row(a="y", b="y")] * 20 + [Row(a="y", b="n")] * 5
+            + [Row(a="n", b="y")] * 10 + [Row(a="n", b="n")] * 15)
+    r = annotator_agreement(spark.createDataFrame(rows),
+                            "a", "b").head()
+    # po = 35/50 = 0.7; S = 25*30 + 25*20 = 1250;
+    # pe = 1250/2500 = 0.5; kappa = 0.2/0.5 = 0.4.
+    assert (r.n_items, r.n_agree, r.n_classes) == (50, 35, 2)
+    assert (r.po_ppm, r.pe_ppm) == (700000, 500000)
+    assert (r.kappa_num, r.kappa_den) == (35 * 50 - 1250,
+                                          2500 - 1250)
+    assert r.kappa_num * 10 == 4 * r.kappa_den  # kappa == 0.4
+
+    # perfect agreement -> kappa_num == kappa_den
+    rows = [Row(a=str(i % 3), b=str(i % 3)) for i in range(30)]
+    r = annotator_agreement(spark.createDataFrame(rows),
+                            "a", "b").head()
+    assert r.n_agree == 30 and r.kappa_num == r.kappa_den
+
+    # below-chance: everything disagrees on a 50/50 split ->
+    # negative numerator survives undivided.
+    rows = [Row(a="0", b="1")] * 10 + [Row(a="1", b="0")] * 10
+    r = annotator_agreement(spark.createDataFrame(rows),
+                            "a", "b").head()
+    assert r.n_agree == 0 and r.kappa_num < 0
+    assert r.kappa_num == 0 * 20 - 200 and r.kappa_den == 400 - 200
