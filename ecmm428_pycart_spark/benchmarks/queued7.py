@@ -2371,3 +2371,72 @@ def d77_label_agreement(spark: SparkSession,
         F.when(u("nb") < 0.75, bkt("t")).otherwise(bkt("b"))
         .alias("b"))
     return annotator_agreement(lab, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings compression accounting (text.postings_
+# varint_stats — the delta+LEB128 layout under every search/dedup
+# index): the corpus tokenized on the single-space convention, one
+# posting list per term, the REAL encoder runs and decodes back in
+# an Arrow-batched UDF (refusing to emit on mismatch), and the gate
+# rolls byte counts up by the term's md5 bucket. The oracle computes
+# the SAME byte counts closed-form — LEB128 length is a pure CASE on
+# the gap (1B < 2^7, 2B < 2^14, 3B < 2^21, else 4B here) over a
+# lag-window of the sorted postings — so encoder length correctness
+# is proved gap by gap, and the decoded id_sum proves the roundtrip.
+# ---------------------------------------------------------------------------
+@q("d78_postings_varint", """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+ord AS (
+  SELECT term, doc_id,
+         lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+  FROM tok
+),
+per_term AS (
+  SELECT term, count(*) AS n_postings, sum(doc_id) AS id_sum,
+         sum(CASE
+               WHEN coalesce(doc_id - prev, doc_id) < 128 THEN 1
+               WHEN coalesce(doc_id - prev, doc_id) < 16384 THEN 2
+               WHEN coalesce(doc_id - prev, doc_id) < 2097152 THEN 3
+               ELSE 4 END) AS vbytes
+  FROM ord GROUP BY term
+)
+SELECT CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT)
+            % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n_postings) AS BIGINT) AS n_postings,
+       CAST(sum(n_postings) * 8 AS BIGINT) AS raw_bytes,
+       CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+       CAST(sum(id_sum) % 1000000000 AS BIGINT) AS id_sum_mod
+FROM per_term GROUP BY 1 ORDER BY bucket
+""")
+def d78_postings_varint(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (
+        md5_bucket, postings_varint_stats, tokens)
+
+    pairs = (_t(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.explode(tokens(F.col("text"))).alias("term")))
+    st = postings_varint_stats(pairs, "term", "doc_id")
+    return (st.groupBy(md5_bucket("term", 16).cast("long")
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("n_postings").alias("n_postings"),
+                 (F.sum("n_postings") * 8).alias("raw_bytes"),
+                 F.sum("varint_bytes").alias("varint_bytes"),
+                 (F.sum("id_sum") % 1000000000).alias("id_sum_mod"))
+            .select(F.col("bucket"),
+                    F.col("n_terms").cast("long").alias("n_terms"),
+                    F.col("n_postings").cast("long")
+                    .alias("n_postings"),
+                    F.col("raw_bytes").cast("long").alias("raw_bytes"),
+                    F.col("varint_bytes").cast("long")
+                    .alias("varint_bytes"),
+                    F.col("id_sum_mod").cast("long")
+                    .alias("id_sum_mod"))
+            .orderBy("bucket"))

@@ -1789,3 +1789,38 @@ def test_annotator_agreement_known_kappa(spark):
                             "a", "b").head()
     assert r.n_agree == 0 and r.kappa_num < 0
     assert r.kappa_num == 0 * 20 - 200 and r.kappa_den == 400 - 200
+
+
+def test_postings_varint_codec_and_stats(spark):
+    from ecmm428_pycart_spark.datapipe.text import (
+        postings_decode, postings_encode, postings_varint_stats,
+        varint_encode)
+
+    # LEB128 boundary lengths
+    for v, n in [(0, 1), (127, 1), (128, 2), (16383, 2), (16384, 3),
+                 (2097151, 3), (2097152, 4)]:
+        assert len(varint_encode(v)) == n, v
+    # roundtrips: first id 0, multi-byte gaps at boundaries
+    for ids in ([0], [0, 127, 255], [5], [0, 128, 16512],
+                 list(range(0, 5000, 7)), [1, 2, 3, 131, 16515]):
+        assert postings_decode(postings_encode(ids)) == ids
+    # guards
+    with pytest.raises(ValueError, match="strictly increasing"):
+        postings_encode([3, 3])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        postings_encode([5, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        postings_decode(b"\x80")
+    # Spark stats vs a Python replay on a toy index
+    pairs = [Row(term="a", doc_id=d) for d in [0, 1, 200, 1 << 20]] \
+        + [Row(term="b", doc_id=d) for d in [7]] \
+        + [Row(term="a", doc_id=1)]  # duplicate pair collapses
+    got = {r.term: r for r in
+           postings_varint_stats(
+               spark.createDataFrame(pairs)).collect()}
+    a_ids = [0, 1, 200, 1 << 20]
+    assert got["a"].n_postings == 4
+    assert got["a"].varint_bytes == len(postings_encode(a_ids))
+    assert got["a"].id_sum == sum(a_ids)
+    assert (got["b"].n_postings, got["b"].varint_bytes,
+            got["b"].id_sum) == (1, 1, 7)
