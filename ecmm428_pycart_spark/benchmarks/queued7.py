@@ -2440,3 +2440,64 @@ def d78_postings_varint(spark: SparkSession,
                     F.col("id_sum_mod").cast("long")
                     .alias("id_sum_mod"))
             .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance over order totals (the classic
+# forensic/data-quality screen: naturally-grown monetary amounts
+# follow P(d) = log10(1 + 1/d); fabricated or truncated feeds
+# don't): first digit of the cents amount, observed vs expected
+# counts with the expectation as the standard rounded-ppm constants
+# (they sum to exactly 1e6), and the integer chi-square contribution
+# per digit (dev^2 * 1e6 // exp — squared numerator keeps the
+# division nonnegative, the q114 discipline). N reaches each of the
+# 9 digit rows through a bounded all-rows window (the zipf_fit
+# convention), not a broadcast join.
+# ---------------------------------------------------------------------------
+_BENFORD_CASE = """CASE digit
+  WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"""
+
+
+@q("q116_benford_digits", f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+e AS (
+  SELECT digit, n, sum(n) OVER () AS n_total,
+         ({_BENFORD_CASE}) * sum(n) OVER () // 1000000 AS exp_n
+  FROM c
+)
+SELECT CAST(digit AS BIGINT) AS digit,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(exp_n AS BIGINT) AS expected_n,
+       CAST(n - exp_n AS BIGINT) AS dev,
+       CAST((n - exp_n) * (n - exp_n) * 1000000
+            // greatest(exp_n, 1) AS BIGINT) AS chi2_ppm
+FROM e ORDER BY digit
+""")
+def q116_benford_digits(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    c = (_t(spark, sf_dir, "orders").select(digit.alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    # 9-row frame: the all-rows window is bounded by construction.
+    e = (c.withColumn("n_total", F.sum("n").over(W.partitionBy()))
+         .withColumn("exp_n", F.expr(
+             f"({_BENFORD_CASE}) * n_total div 1000000")))
+    return (e.select(F.col("digit").cast("long").alias("digit"),
+                     F.col("n").cast("long").alias("n_orders"),
+                     F.col("exp_n").cast("long").alias("expected_n"),
+                     (F.col("n") - F.col("exp_n")).cast("long")
+                     .alias("dev"),
+                     F.expr("(n - exp_n) * (n - exp_n) * 1000000 "
+                            "div greatest(exp_n, 1)").cast("long")
+                     .alias("chi2_ppm"))
+            .orderBy("digit"))
