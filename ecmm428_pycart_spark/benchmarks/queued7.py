@@ -2501,3 +2501,70 @@ def q116_benford_digits(spark: SparkSession,
                             "div greatest(exp_n, 1)").cast("long")
                      .alias("chi2_ppm"))
             .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity in exact integers (Newman 2002's r over the
+# queen grid — do high-degree nodes attach to high-degree nodes?):
+# per directed edge the endpoint degrees (one degree aggregate + two
+# key-equi joins back onto the edge list), then one row of moments:
+# r = (M*S1 - S2^2) / (M*S3 - S2^2) with S1 = sum(du*dv),
+# S2 = sum(du), S3 = sum(du^2). Numerator can be negative (grids
+# are locally disassortative at the rim), so r ships UNDIVIDED as
+# (r_num, r_den) — the g31/d77 discipline. Oracle = the g32
+# closed-form grid edges, same moments.
+# ---------------------------------------------------------------------------
+@q("g34_degree_assortativity", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS k, count(*) AS d FROM und GROUP BY a),
+j AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM und JOIN deg da ON da.k = und.a JOIN deg db ON db.k = und.b
+)
+SELECT CAST(count(*) AS BIGINT) AS m_directed,
+       CAST(sum(du * dv) AS BIGINT) AS s1,
+       CAST(sum(du) AS BIGINT) AS s2,
+       CAST(sum(du * du) AS BIGINT) AS s3,
+       CAST(count(*) * sum(du * dv) - sum(du) * sum(du) AS BIGINT)
+         AS r_num,
+       CAST(count(*) * sum(du * du) - sum(du) * sum(du) AS BIGINT)
+         AS r_den
+FROM j
+""")
+def g34_degree_assortativity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select(F.col("focal").alias("a"),
+                         F.col("neighbor").alias("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")) \
+        .withColumnRenamed("a", "k")
+    j = (und.join(deg.select(F.col("k").alias("a"),
+                             F.col("d").alias("du")), "a")
+         .join(deg.select(F.col("k").alias("b"),
+                          F.col("d").alias("dv")), "b"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("m_directed"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("s1"),
+        F.sum("du").cast("long").alias("s2"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("s3"),
+        (F.count(F.lit(1)) * F.sum(F.col("du") * F.col("dv"))
+         - F.sum("du") * F.sum("du")).cast("long").alias("r_num"),
+        (F.count(F.lit(1)) * F.sum(F.col("du") * F.col("du"))
+         - F.sum("du") * F.sum("du")).cast("long").alias("r_den"))

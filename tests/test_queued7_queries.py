@@ -102,6 +102,7 @@ def test_queued7_plan_guards(spark):
         "q112_session_concurrency",
         # 1-row grid-side aggregate broadcast (_customer_grid)
         "g32_partition_quality",
+        "g34_degree_assortativity",
         # two 1-row aggregates (base stats x marginal-product sum)
         "d77_label_agreement",
     }
