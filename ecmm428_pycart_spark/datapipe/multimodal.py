@@ -4284,7 +4284,7 @@ def _huff_table(lengths) -> dict:
     return table
 
 
-class _BitReader:
+class _DeflateBitReader:
     """LSB-first bit cursor over a byte string (the DEFLATE bit
     order); Huffman codes are read MSB-of-code-first, one stream bit
     at a time."""
@@ -4318,7 +4318,7 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
-def _read_dynamic_tables(br: _BitReader):
+def _read_dynamic_tables(br: _DeflateBitReader):
     hlit = br.bits(5) + 257
     hdist = br.bits(5) + 1
     hclen = br.bits(4) + 4
@@ -4353,7 +4353,7 @@ def inflate(data: bytes) -> bytes:
     """Decode a raw DEFLATE stream (RFC 1951): all three block
     types, byte-serial match copy (offset < length overlaps replay
     exactly, the RLE idiom)."""
-    br = _BitReader(data)
+    br = _DeflateBitReader(data)
     out = bytearray()
     while True:
         bfinal = br.bits(1)
