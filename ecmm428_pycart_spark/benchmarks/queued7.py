@@ -2568,3 +2568,51 @@ def g34_degree_assortativity(spark: SparkSession,
          - F.sum("du") * F.sum("du")).cast("long").alias("r_num"),
         (F.count(F.lit(1)) * F.sum(F.col("du") * F.col("du"))
          - F.sum("du") * F.sum("du")).cast("long").alias("r_den"))
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies (Good 1953 — the smoothing
+# table every n-gram LM and vocabulary-coverage estimate starts
+# from): token counts, then N_r = how many distinct tokens occur
+# exactly r times, each row carrying its probability mass r * N_r
+# and the Good-Turing adjusted-count NUMERATOR (r+1) * N_{r+1}
+# (the denominator is the row's own N_r — division never crosses
+# the engines). N_{r+1} arrives by a key-equi self-join of the
+# frequency table on r+1 (frequency-of-frequency tables are
+# dimension-sized: O(distinct counts), never O(vocab)); the page is
+# the r <= 20 head where smoothing actually applies.
+# ---------------------------------------------------------------------------
+@q("d79_good_turing", """
+WITH tc AS (
+  SELECT tok, count(*) AS r
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ff AS (SELECT r, count(*) AS n_r FROM tc GROUP BY r)
+SELECT CAST(f.r AS BIGINT) AS r,
+       CAST(f.n_r AS BIGINT) AS n_tokens,
+       CAST(f.r * f.n_r AS BIGINT) AS mass,
+       CAST(coalesce((f.r + 1) * g.n_r, 0) AS BIGINT) AS gt_num
+FROM ff f LEFT JOIN ff g ON g.r = f.r + 1
+WHERE f.r <= 20
+ORDER BY r
+""")
+def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    tc = (_t(spark, sf_dir, "documents")
+          .select(F.explode(tokens(F.col("text"))).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("r")))
+    ff = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = ff.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_next"))
+    return (ff.join(nxt, "r", "left")
+            .filter(F.col("r") <= 20)
+            .select(F.col("r").cast("long").alias("r"),
+                    F.col("n_r").cast("long").alias("n_tokens"),
+                    (F.col("r") * F.col("n_r")).cast("long")
+                    .alias("mass"),
+                    F.coalesce((F.col("r") + 1) * F.col("n_next"),
+                               F.lit(0)).cast("long").alias("gt_num"))
+            .orderBy("r"))
