@@ -2616,3 +2616,82 @@ def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce((F.col("r") + 1) * F.col("n_next"),
                                F.lit(0)).cast("long").alias("gt_num"))
             .orderBy("r"))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING value-distribution drift (streaming.stream_value_drift
+# — the stateful twin of q114, closing the pairing the rolling-
+# anomaly monitor started): per event_type the bucket -> (even-day,
+# odd-day) count map accumulates in applyInPandasWithState across
+# three time-ordered slices; every emission rescores the full map
+# with the squared-numerator integer chi-square, and the final
+# emission (per-key argmax of the strictly-increasing n_events) is
+# slicing-invariant — the hand test proves 2-slice == 3-slice ==
+# replay — so the batch q114 SQL is the exact oracle.
+# ---------------------------------------------------------------------------
+@q("st22_stream_value_drift", """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 AS half,
+         CAST(floor(value * 100) AS BIGINT) // 2000 AS bucket
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+b AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c
+  FROM v GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(a) AS BIGINT) AS n_even_days,
+       CAST(sum(c) AS BIGINT) AS n_odd_days,
+       CAST(sum((a - c) * (a - c) * 1000000 // (a + c)) AS BIGINT)
+         AS chi2_ppm,
+       CAST(max((a - c) * (a - c) * 1000000 // (a + c)) AS BIGINT)
+         AS worst_bucket_ppm
+FROM b GROUP BY event_type ORDER BY event_type
+""")
+def st22_stream_value_drift(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_value_drift,
+        write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st22_events_")
+    write_time_ordered_stream_dir(slices, d)
+    name = f"st22_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        stream_value_drift(
+            read_events_stream(spark, d, max_files_per_trigger=1),
+            band_cents=2000)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
+    fin = (spark.table(name)
+           .withColumn("_rn", F.row_number().over(
+               W.partitionBy("event_type")
+               .orderBy(F.col("n_events").desc())))
+           .filter(F.col("_rn") == 1))
+    return (fin.select("event_type",
+                       F.col("n_buckets").cast("long")
+                       .alias("n_buckets"),
+                       F.col("n_even_days").cast("long")
+                       .alias("n_even_days"),
+                       F.col("n_odd_days").cast("long")
+                       .alias("n_odd_days"),
+                       F.col("chi2_ppm").cast("long")
+                       .alias("chi2_ppm"),
+                       F.col("worst_bucket_ppm").cast("long")
+                       .alias("worst_bucket_ppm"))
+            .orderBy("event_type"))

@@ -533,3 +533,79 @@ def stream_rolling_anomaly(events: DataFrame, window: int = 24,
 
     return (events.groupBy("event_type").applyInPandasWithState(
         update, _RA_OUT, _RA_STATE, "update", "NoTimeout"))
+
+
+_VD_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_buckets", T.LongType()),
+    T.StructField("n_even_days", T.LongType()),
+    T.StructField("n_odd_days", T.LongType()),
+    T.StructField("chi2_ppm", T.LongType()),
+    T.StructField("worst_bucket_ppm", T.LongType()),
+])
+
+_VD_STATE = T.StructType([
+    T.StructField("bks", T.ArrayType(T.LongType())),
+    T.StructField("evens", T.ArrayType(T.LongType())),
+    T.StructField("odds", T.ArrayType(T.LongType())),
+    T.StructField("n_ev", T.LongType()),
+])
+
+
+def stream_value_drift(events: DataFrame,
+                       band_cents: int = 2000) -> DataFrame:
+    """STREAMING value-distribution drift per event_type — the
+    stateful twin of q114: amounts bucketed to ``band_cents`` bands,
+    cohorts split by epoch-day parity, and the integer chi-square
+    drift score rescored on every emission. State per key is the
+    bucket -> (even-day count, odd-day count) map (bounded by the
+    value range over the band width — price-shaped columns stay in
+    the tens of buckets; production would clamp the tails). Count
+    accumulation is a commutative/associative SUM, so the final
+    emission — per-key argmax of the strictly-increasing n_events —
+    is micro-batch-slicing invariant and replays exactly in the
+    batch SQL oracle (the st21 discipline). The chi-square uses the
+    q114 squared-numerator form: (a-c)^2 * 1e6 // (a+c), every term
+    nonnegative."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        acc, n_ev = {}, 0
+        if state.exists:
+            bks, evens, odds, n_ev = state.get
+            acc = {int(b): [int(e), int(o)]
+                   for b, e, o in zip(bks, evens, odds)}
+        for pdf in pdfs:
+            sub = pdf.dropna(subset=["ts", "value"])
+            n_ev += len(sub)
+            if not len(sub):
+                continue
+            days = sub["ts"].astype("int64") // (86400 * 10 ** 9)
+            half = (days % 2).astype("int64")
+            import numpy as np
+            bucket = (np.floor(sub["value"] * 100)
+                      .astype("int64") // band_cents)
+            for b, h in zip(bucket, half):
+                slot = acc.setdefault(int(b), [0, 0])
+                slot[int(h)] += 1
+        bks = sorted(acc)
+        state.update((bks, [acc[b][0] for b in bks],
+                      [acc[b][1] for b in bks], n_ev))
+        chi2 = worst = 0
+        n_even = n_odd = 0
+        for b in bks:
+            a, c = acc[b]
+            n_even += a
+            n_odd += c
+            contrib = (a - c) * (a - c) * 1000000 // (a + c)
+            chi2 += contrib
+            worst = max(worst, contrib)
+        yield pd.DataFrame(
+            [(key[0], n_ev, len(bks), n_even, n_odd, chi2, worst)],
+            columns=["event_type", "n_events", "n_buckets",
+                     "n_even_days", "n_odd_days", "chi2_ppm",
+                     "worst_bucket_ppm"])
+
+    return (events.groupBy("event_type").applyInPandasWithState(
+        update, _VD_OUT, _VD_STATE, "update", "NoTimeout"))

@@ -1824,3 +1824,82 @@ def test_postings_varint_codec_and_stats(spark):
     assert got["a"].id_sum == sum(a_ids)
     assert (got["b"].n_postings, got["b"].varint_bytes,
             got["b"].id_sum) == (1, 1, 7)
+
+
+def test_stream_value_drift_slice_invariance(spark, tmp_path):
+    """streaming.stream_value_drift: 2-slice == 3-slice == a Python
+    replay of the q114 chi-square on the same events (bucket-count
+    accumulation is associative)."""
+    import datetime
+    import math
+    import os
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_value_drift,
+        write_time_ordered_stream_dir)
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(240):
+        day, val = eid % 5, float((eid * 37) % 400)
+        # drifting type: odd days systematically pricier
+        if eid % 2:
+            val += 200.0 * (day % 2)
+        rows.append((eid, base + datetime.timedelta(
+            days=day, minutes=eid), 1,
+            "drift" if eid % 2 else "flat", val, None))
+    # null ts / null value rows must be ignored on both sides
+    rows.append((900, None, 1, "drift", 5.0, None))
+    rows.append((901, base, 1, "flat", None, None))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def run(n_slices):
+        d = str(tmp_path / f"vd{n_slices}")
+        os.makedirs(d)
+        write_time_ordered_stream_dir(
+            [ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
+             for i in range(n_slices)], d)
+        name = f"vd_{uuid.uuid4().hex[:8]}"
+        _await_stream(
+            spark,
+            stream_value_drift(
+                read_events_stream(spark, d, max_files_per_trigger=1),
+                band_cents=2000)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True))
+        from pyspark.sql import Window as W
+        fin = (spark.table(name)
+               .withColumn("_rn", F.row_number().over(
+                   W.partitionBy("event_type")
+                   .orderBy(F.col("n_events").desc())))
+               .filter(F.col("_rn") == 1))
+        return {r.event_type: (r.n_events, r.n_buckets,
+                               r.n_even_days, r.n_odd_days,
+                               r.chi2_ppm, r.worst_bucket_ppm)
+                for r in fin.collect()}
+
+    got2, got3 = run(2), run(3)
+    assert got2 == got3
+
+    # Python replay of the q114 definition
+    exp = {}
+    for (eid, ts, _u, et, val, _p) in rows:
+        if ts is None or val is None:
+            continue
+        half = (int(ts.timestamp()) // 86400) % 2
+        bucket = math.floor(val * 100) // 2000
+        acc = exp.setdefault(et, {})
+        slot = acc.setdefault(bucket, [0, 0])
+        slot[half] += 1
+    for et, acc in exp.items():
+        n_even = sum(v[0] for v in acc.values())
+        n_odd = sum(v[1] for v in acc.values())
+        contribs = [(a - c) * (a - c) * 1000000 // (a + c)
+                    for a, c in acc.values()]
+        assert got2[et][1:] == (len(acc), n_even, n_odd,
+                                sum(contribs), max(contribs)), et
+    assert got2["drift"][4] > got2["flat"][4]
