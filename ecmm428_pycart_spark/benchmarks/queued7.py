@@ -2695,3 +2695,39 @@ def st22_stream_value_drift(spark: SparkSession,
                        F.col("worst_bucket_ppm").cast("long")
                        .alias("worst_bucket_ppm"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# REAL gzip roundtrip over the corpus (multimodal.gzip_decompress_
+# manual on stdlib-encoded members): decoded strlen + md5 pin the
+# DEFLATE body exactly as m42 does, and MTIME — pinned to doc_id by
+# the producer — surfaces in the gate as sum(doc_id), so the header
+# walk (magic/FLG/optional fields) is proved closed-form too; the
+# trailer's CRC-32 and ISIZE are verified in-UDF by the hand-rolled
+# table-driven checksum before any row is emitted.
+# ---------------------------------------------------------------------------
+@q("m43_gzip_roundtrip", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                % 1000000000) AS BIGINT) AS fp_sum,
+       CAST(sum(doc_id) AS BIGINT) AS mtime_sum
+FROM documents GROUP BY source
+""")
+def m43_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_gzip_payload(F.col("text"),
+                                                 F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.gzip_roundtrip_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_bytes").cast("long").alias("total_bytes"),
+                 F.sum(F.col("s.fp") % 1000000000).cast("long")
+                 .alias("fp_sum"),
+                 F.sum("s.mtime").cast("long").alias("mtime_sum")))

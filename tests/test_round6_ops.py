@@ -1903,3 +1903,51 @@ def test_stream_value_drift_slice_invariance(spark, tmp_path):
         assert got2[et][1:] == (len(acc), n_even, n_odd,
                                 sum(contribs), max(contribs)), et
     assert got2["drift"][4] > got2["flat"][4]
+
+
+def test_gzip_member_walk_and_guards():
+    import gzip
+    import zlib
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        crc32_manual, gzip_decompress_manual)
+
+    data = b"the quick brown fox " * 100
+    assert crc32_manual(data) == zlib.crc32(data)
+    assert crc32_manual(b"") == 0
+    dec, mtime, fname = gzip_decompress_manual(
+        gzip.compress(data, 6, mtime=12345))
+    assert dec == data and mtime == 12345 and fname is None
+
+    # hand-built header exercising FEXTRA + FNAME + FCOMMENT + FHCRC
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(data) + co.flush()
+    hdr = bytearray([0x1F, 0x8B, 8, 4 | 8 | 16 | 2,
+                     1, 0, 0, 0, 0, 255])
+    hdr += (3).to_bytes(2, "little") + b"abc"
+    hdr += b"file.txt\x00" + b"a comment\x00"
+    hdr += (crc32_manual(bytes(hdr)) & 0xFFFF).to_bytes(2, "little")
+    good = bytes(hdr) + raw \
+        + zlib.crc32(data).to_bytes(4, "little") \
+        + (len(data) % (1 << 32)).to_bytes(4, "little")
+    dec2, mt2, fn2 = gzip_decompress_manual(good)
+    assert dec2 == data and mt2 == 1 and fn2 == "file.txt"
+
+    # guards: magic, CM, reserved FLG, header CRC, trailer CRC, ISIZE
+    base = bytearray(gzip.compress(data, 6, mtime=0))
+    for mutate, msg in [
+            (lambda b: b.__setitem__(0, 0x1E), "bad magic"),
+            (lambda b: b.__setitem__(2, 9), "CM"),
+            (lambda b: b.__setitem__(3, 0x80), "reserved"),
+            (lambda b: b.__setitem__(len(b) - 5, b[-5] ^ 0xFF),
+             "CRC-32 mismatch"),
+            (lambda b: b.__setitem__(len(b) - 1, b[-1] ^ 0xFF),
+             "ISIZE"),
+    ]:
+        bad = bytearray(base)
+        mutate(bad)
+        with pytest.raises(ValueError, match=msg):
+            gzip_decompress_manual(bytes(bad))
+    hc = bytearray(good)
+    hc[13] ^= 0xFF  # corrupt an FEXTRA data byte under the FHCRC
+    with pytest.raises(ValueError, match="header CRC"):
+        gzip_decompress_manual(bytes(hc))
