@@ -2731,3 +2731,59 @@ def m43_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("s.fp") % 1000000000).cast("long")
                  .alias("fp_sum"),
                  F.sum("s.mtime").cast("long").alias("mtime_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (graph.association_rules — the
+# Apriori support/confidence/lift readout on the g25 co-purchase
+# base): customer baskets of distinct parts, over-degree baskets
+# capped at 40 BEFORE the wedge join, metrics measured on the same
+# capped incidence so they stay internally consistent. Support and
+# confidences are exact ppm floor divisions; lift ships undivided
+# (n_ab * n_baskets vs n_a * n_b). Top-20 pairs, deterministic
+# (n_ab desc, a, b) order; the basket total reaches pair rows as
+# the documented 1-row broadcast.
+# ---------------------------------------------------------------------------
+@q("q117_association_rules", """
+WITH inc AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT u, count(*) AS d FROM inc GROUP BY u),
+kept AS (SELECT inc.* FROM inc JOIN deg USING (u) WHERE deg.d <= 40),
+nb AS (SELECT count(DISTINCT u) AS n_baskets FROM kept),
+item AS (SELECT v, count(*) AS n FROM kept GROUP BY v),
+p AS (
+  SELECT a.v AS a, b.v AS b, count(*) AS n_ab
+  FROM kept a JOIN kept b ON a.u = b.u AND a.v < b.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ia.n AS BIGINT) AS n_a,
+       CAST(ib.n AS BIGINT) AS n_b,
+       CAST(n_ab * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+       CAST(n_ab * 1000000 // ia.n AS BIGINT) AS conf_ab_ppm,
+       CAST(n_ab * 1000000 // ib.n AS BIGINT) AS conf_ba_ppm,
+       CAST(n_ab * n_baskets AS BIGINT) AS lift_num,
+       CAST(ia.n * ib.n AS BIGINT) AS lift_den
+FROM p JOIN item ia ON ia.v = p.a JOIN item ib ON ib.v = p.b, nb
+ORDER BY n_ab DESC, a ASC, b ASC LIMIT 20
+""")
+def q117_association_rules(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.graph import association_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inc = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("u"),
+                   F.col("l_partkey").alias("v")))
+    out = association_rules(inc, max_src_degree=40, min_weight=2)
+    cols = ["a", "b", "n_ab", "n_a", "n_b", "support_ppm",
+            "conf_ab_ppm", "conf_ba_ppm", "lift_num", "lift_den"]
+    return (out.select(*[F.col(c).cast("long").alias(c)
+                         for c in cols])
+            .orderBy(F.col("n_ab").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))

@@ -752,3 +752,51 @@ def cc_two_phase(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (all_nodes.join(lbl, "node", "left")
             .select("node", F.coalesce("component", "node")
                     .alias("component")))
+
+
+def association_rules(edges: DataFrame, src: str = "u",
+                      dst: str = "v",
+                      max_src_degree: int | None = None,
+                      min_weight: int = 2) -> DataFrame:
+    """Association-rule metrics over (basket, item) incidence — the
+    Apriori readout (Agrawal & Srikant 1994) on top of the
+    bipartite_project wedge join: for each co-occurring item pair
+    (a < b), support and both confidences as exact ppm floor
+    divisions, and lift UNDIVIDED as (lift_num, lift_den) =
+    (n_ab * n_baskets, n_a * n_b) — everything nonnegative integers,
+    so the whole page replays in SQL. Same mega-basket discipline as
+    bipartite_project: ``max_src_degree`` drops over-degree baskets
+    BEFORE the wedge join, and the capped incidence set is the one
+    the marginals and basket count are measured on (metrics stay
+    internally consistent). The basket total reaches the pair rows
+    as a 1-row broadcast — the documented single-row pattern.
+    Returns (a, b, n_ab, n_a, n_b, support_ppm, conf_ab_ppm,
+    conf_ba_ppm, lift_num, lift_den)."""
+    e = edges.select(F.col(src).alias("_u"),
+                     F.col(dst).alias("_v")).distinct()
+    if max_src_degree is not None:
+        ok = (e.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+              .filter(F.col("_d") <= max_src_degree).select("_u"))
+        e = e.join(ok, "_u")
+    pairs = (e.select("_u", F.col("_v").alias("a"))
+             .join(e.select("_u", F.col("_v").alias("b")), "_u")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_weight))
+    item = e.groupBy(F.col("_v").alias("_i")) \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    nb = e.agg(F.countDistinct("_u").alias("n_baskets"))
+    j = (pairs
+         .join(item.select(F.col("_i").alias("a"),
+                           F.col("_n").alias("n_a")), "a")
+         .join(item.select(F.col("_i").alias("b"),
+                           F.col("_n").alias("n_b")), "b")
+         .crossJoin(nb))
+    return j.select(
+        "a", "b", "n_ab", "n_a", "n_b",
+        F.expr("n_ab * 1000000 div n_baskets").alias("support_ppm"),
+        F.expr("n_ab * 1000000 div n_a").alias("conf_ab_ppm"),
+        F.expr("n_ab * 1000000 div n_b").alias("conf_ba_ppm"),
+        (F.col("n_ab") * F.col("n_baskets")).alias("lift_num"),
+        (F.col("n_a") * F.col("n_b")).alias("lift_den"))

@@ -105,6 +105,8 @@ def test_queued7_plan_guards(spark):
         "g34_degree_assortativity",
         # two 1-row aggregates (base stats x marginal-product sum)
         "d77_label_agreement",
+        # 1-row basket-count broadcast onto the pair rows
+        "q117_association_rules",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):

@@ -1951,3 +1951,32 @@ def test_gzip_member_walk_and_guards():
     hc[13] ^= 0xFF  # corrupt an FEXTRA data byte under the FHCRC
     with pytest.raises(ValueError, match="header CRC"):
         gzip_decompress_manual(bytes(hc))
+
+
+def test_association_rules_hand_counts(spark):
+    from ecmm428_pycart_spark.datapipe.graph import association_rules
+
+    baskets = {1: "ABC", 2: "AB", 3: "AC", 4: "B"}
+    rows = [Row(u=u, v=i) for u, s in baskets.items() for i in s]
+    out = {(r.a, r.b): r for r in association_rules(
+        spark.createDataFrame(rows), min_weight=1).collect()}
+    # n_baskets=4, n_A=3, n_B=3, n_C=2, AB=2, AC=2, BC=1
+    ab = out[("A", "B")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 3)
+    assert ab.support_ppm == 2 * 1000000 // 4
+    assert ab.conf_ab_ppm == 2 * 1000000 // 3
+    assert (ab.lift_num, ab.lift_den) == (8, 9)     # lift < 1
+    ac = out[("A", "C")]
+    assert (ac.lift_num, ac.lift_den) == (8, 6)     # lift > 1
+    bc = out[("B", "C")]
+    assert (bc.n_ab, bc.conf_ba_ppm) == (1, 1000000 // 2)
+    # min_weight=2 drops BC; degree cap 2 drops basket 1 entirely
+    out2 = association_rules(spark.createDataFrame(rows),
+                             min_weight=2).collect()
+    assert {(r.a, r.b) for r in out2} == {("A", "B"), ("A", "C")}
+    out3 = {(r.a, r.b): r for r in association_rules(
+        spark.createDataFrame(rows), max_src_degree=2,
+        min_weight=1).collect()}
+    # without basket 1: AB only in u2, AC only in u3; marginals drop
+    assert out3[("A", "B")].n_ab == 1
+    assert out3[("A", "B")].n_a == 2  # A in u2, u3
