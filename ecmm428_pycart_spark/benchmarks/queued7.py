@@ -2787,3 +2787,90 @@ def q117_association_rules(spark: SparkSession,
             .orderBy(F.col("n_ab").desc(), F.col("a").asc(),
                      F.col("b").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-similarity histogram (the embedding-collapse diagnostic a
+# retrieval corpus runs before trusting its encoder: healthy spaces
+# put random pairs near cos 0; a collapsed space piles mass at high
+# cos): one md5-sampled partner per vector (j = md5 % n, i != j —
+# n pairs, never a quadratic join), components floor-quantized to
+# 1e-3 (engine-deterministic; keeps d^2 * 20 under int64), and the
+# histogram keyed by (sign(dot), squared-cosine ventile
+# d^2*20 // (|a|^2|b|^2)) — every statistic a pure integer. The
+# vector count reaches the sampler as the documented 1-row
+# broadcast.
+# ---------------------------------------------------------------------------
+@q("s30_similarity_histogram", """
+WITH n AS (SELECT count(*) AS nv FROM embeddings),
+pr AS (
+  SELECT vec_id AS i, embedding AS ea,
+         CAST(CAST(concat('0x', substr(md5('pt' ||
+              CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % nv AS BIGINT) AS j
+  FROM embeddings, n
+),
+z AS (
+  SELECT pr.i, pr.j,
+         CAST(floor(unnest(pr.ea)::DOUBLE * 1000) AS BIGINT) AS qa,
+         CAST(floor(unnest(b.embedding)::DOUBLE * 1000) AS BIGINT)
+           AS qb
+  FROM pr JOIN embeddings b ON b.vec_id = pr.j
+  WHERE pr.i <> pr.j
+),
+d AS (
+  SELECT i, j, sum(qa * qb) AS dot,
+         sum(qa * qa) AS na, sum(qb * qb) AS nb
+  FROM z GROUP BY i, j
+),
+h AS (
+  SELECT CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+           AS sign,
+         dot * dot * 20 // greatest(na * nb, 1) AS cos2_ventile,
+         dot
+  FROM d
+)
+SELECT CAST(sign AS BIGINT) AS sign,
+       CAST(cos2_ventile AS BIGINT) AS cos2_ventile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(dot) AS BIGINT) AS dot_sum
+FROM h GROUP BY sign, cos2_ventile ORDER BY sign, cos2_ventile
+""")
+def s30_similarity_histogram(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id",
+                                                 "embedding")
+    qv = F.transform(F.col("embedding"),
+                     lambda x: F.floor(x.cast("double") * 1000)
+                     .cast("long"))
+    q_ = emb.select(F.col("vec_id").alias("i"), qv.alias("qa"))
+    nv = q_.agg(F.count(F.lit(1)).alias("nv"))
+    partner = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("pt"), F.col("i").cast("string"))),
+        1, 8), 16, 10).cast("long") % F.col("nv"))
+    pr = (q_.crossJoin(nv)
+          .select("i", "qa", partner.alias("j"))
+          .filter(F.col("i") != F.col("j")))
+    b = q_.select(F.col("i").alias("j"), F.col("qa").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, x: a + x)
+    sq = (lambda c: F.aggregate(
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"), lambda a, x: a + x))
+    d = (pr.join(b, "j")
+         .select(dot.alias("dot"), sq("qa").alias("na"),
+                 sq("qb").alias("nb")))
+    h = d.select(
+        F.signum("dot").cast("long").alias("sign"),
+        F.expr("dot * dot * 20 div greatest(na * nb, 1)")
+        .alias("cos2_ventile"),
+        "dot")
+    return (h.groupBy("sign", "cos2_ventile")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("dot").alias("dot_sum"))
+            .select(F.col("sign").cast("long").alias("sign"),
+                    F.col("cos2_ventile").cast("long")
+                    .alias("cos2_ventile"),
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("dot_sum").cast("long").alias("dot_sum"))
+            .orderBy("sign", "cos2_ventile"))

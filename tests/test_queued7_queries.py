@@ -107,6 +107,8 @@ def test_queued7_plan_guards(spark):
         "d77_label_agreement",
         # 1-row basket-count broadcast onto the pair rows
         "q117_association_rules",
+        # 1-row vector-count broadcast into the md5 pair sampler
+        "s30_similarity_histogram",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):
