@@ -2874,3 +2874,52 @@ def s30_similarity_histogram(spark: SparkSession,
                     F.col("n_pairs").cast("long").alias("n_pairs"),
                     F.col("dot_sum").cast("long").alias("dot_sum"))
             .orderBy("sign", "cos2_ventile"))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-filter PNG encode/decode roundtrip (multimodal.png_
+# encode_adaptive — per-row minimum-sum-of-absolute-differences
+# selection over ALL FIVE spec filters, the libpng heuristic; the
+# first producer to exercise the decoder's Sub/Up/Average/Paeth
+# grammar rather than filter-0 rows): pixels follow the closed form
+# v(y,x,c) = ((id%9+1)*(x+2y) + 11c + (x*y)%7) % 256, so the oracle
+# reproduces pixel count, value sum, and an x-weighted checksum by
+# expanding the SAME formula over generate_series — no image bytes
+# cross the oracle boundary, only arithmetic both engines share.
+# ---------------------------------------------------------------------------
+@q("m44_adaptive_png_roundtrip", """
+WITH g AS (
+  SELECT d.doc_id, d.source, y.i AS y, x.i AS x, c.i AS c
+  FROM documents d,
+       unnest(range(0, 16)) y(i),
+       unnest(range(0, 16)) x(i),
+       unnest(range(0, 3)) c(i)
+),
+v AS (
+  SELECT source, x,
+         ((doc_id % 9 + 1) * (x + 2 * y) + 11 * c + (x * y) % 7)
+           % 256 AS val
+  FROM g
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS BIGINT) AS pix_sum,
+       CAST(sum(val * (x + 1)) % 1000000000 AS BIGINT) AS xw_sum
+FROM v GROUP BY source ORDER BY source
+""")
+def m44_adaptive_png_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload",
+        multimodal.synth_adaptive_png_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.adaptive_png_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_pixels").cast("long").alias("n_pixels"),
+                 F.sum("s.pix_sum").cast("long").alias("pix_sum"),
+                 (F.sum("s.xw_sum") % 1000000000).cast("long")
+                 .alias("xw_sum"))
+            .orderBy("source"))

@@ -4574,3 +4574,109 @@ def gzip_roundtrip_stats(payload: pd.Series) -> pd.DataFrame:
         rows.append((len(dec), fp, mtime, len(dec) - len(buf)))
     return pd.DataFrame(rows, columns=["n_bytes", "fp", "mtime",
                                        "saved"])
+
+
+# ---------------------------------------------------------------------------
+# REAL adaptive PNG encoder (round 5 continuation): per-row filter
+# selection across ALL FIVE spec filters (None/Sub/Up/Average/
+# Paeth) by the libpng minimum-sum-of-absolute-differences
+# heuristic — the encode-side twin that finally exercises the
+# decoder's full filter grammar (png_bytes_* producers are
+# filter-0-only). Vectorized numpy per row; ties break to the
+# lowest filter id, so the byte stream is deterministic.
+# ---------------------------------------------------------------------------
+
+def _paeth_predict(left: np.ndarray, up: np.ndarray,
+                   upleft: np.ndarray) -> np.ndarray:
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_encode_adaptive(arr: np.ndarray) -> bytes:
+    """Encode (H, W) or (H, W, C in {1, 3}) uint8 as a
+    non-interlaced 8-bit gray/RGB PNG with per-row adaptive
+    filtering: each row is encoded with the spec filter (0-4) whose
+    filtered bytes minimize the sum of absolute signed differences
+    (the libpng heuristic). Round-trips through decode_png_pixels."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.dtype != np.uint8 \
+            or arr.shape[2] not in (1, 3):
+        raise ValueError("png_encode_adaptive expects (H, W, 1|3) "
+                         "uint8")
+    h, w, ch = arr.shape
+    bpp = ch
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8),
+                                 prior[:-bpp]])
+        cands = [
+            row,
+            (row.astype(np.int16) - left) % 256,
+            (row.astype(np.int16) - prior) % 256,
+            (row.astype(np.int16)
+             - (left.astype(np.int16) + prior) // 2) % 256,
+            (row.astype(np.int16)
+             - _paeth_predict(left, prior, upleft)) % 256,
+        ]
+        cands = [c.astype(np.uint8) for c in cands]
+        costs = [int(np.minimum(c, 256 - c.astype(np.int16))
+                     .sum()) for c in cands]
+        fid = costs.index(min(costs))
+        raw.append(fid)
+        raw += cands[fid].tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 0,
+                       0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+_ADPNG_STATS = T.StructType([
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("xw_sum", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_adaptive_png_payload(doc_id: pd.Series) -> pd.Series:
+    """16x16 RGB pattern v(y,x,c) = ((id%9+1)*(x+2y) + 11c + (x*y)%7)
+    % 256 — gradients plus a nonlinear term so different rows pick
+    different filters — through the adaptive encoder."""
+    def gen(i: int) -> bytes:
+        a = i % 9 + 1
+        y, x = np.mgrid[0:16, 0:16]
+        c = np.arange(3)
+        v = ((a * (x + 2 * y))[:, :, None] + 11 * c[None, None, :]
+             + ((x * y) % 7)[:, :, None]) % 256
+        return png_encode_adaptive(v.astype(np.uint8))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_ADPNG_STATS)
+def adaptive_png_stats(payload: pd.Series) -> pd.DataFrame:
+    """Decode back through the full-filter-grammar decoder and pin
+    pixel count, value sum, and an x-weighted checksum (catches any
+    transposition the plain sum would miss)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None))
+            continue
+        px = decode_png_pixels(bytes(buf)).astype(np.int64)
+        xw = (px * (np.arange(px.shape[1]) + 1)[None, :, None]).sum()
+        rows.append((int(px.size), int(px.sum()),
+                     int(xw % 1000000000)))
+    return pd.DataFrame(rows, columns=["n_pixels", "pix_sum",
+                                       "xw_sum"])

@@ -121,3 +121,12 @@ def test_queued7_plan_guards(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_queued7_respects_deferred_budget():
+    """Same arithmetic one round later: round 7 defers ALL of
+    queued7 into round 8's 50-slot window alongside the two
+    sentinels, so queued7 is hard-capped at 48 — overflow goes to a
+    future queued8 module."""
+    from ecmm428_pycart_spark.benchmarks import queued7
+    assert len(queued7.QUERIES) <= 48, len(queued7.QUERIES)

@@ -1980,3 +1980,49 @@ def test_association_rules_hand_counts(spark):
     # without basket 1: AB only in u2, AC only in u3; marginals drop
     assert out3[("A", "B")].n_ab == 1
     assert out3[("A", "B")].n_a == 2  # A in u2, u3
+
+
+def test_png_adaptive_encoder_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_png_pixels, png_encode_adaptive)
+
+    def filters_of(buf, h, w, ch):
+        i, idat = 8, b""
+        while i + 8 <= len(buf):
+            (ln,) = struct.unpack(">I", buf[i:i + 4])
+            if buf[i + 4:i + 8] == b"IDAT":
+                idat += buf[i + 8:i + 8 + ln]
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w * ch + 1
+        return {raw[r * stride] for r in range(h)}
+
+    rng = np.random.default_rng(3)
+    rand = rng.integers(0, 256, (20, 13, 3), dtype=np.uint8)
+    grad_x = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    grad_x3 = grad_x[:, :, None] * np.ones((1, 1, 3), np.uint8)
+    gray = rng.integers(0, 256, (9, 9), dtype=np.uint8)
+    seen = set()
+    for arr in (rand, grad_x3, np.zeros((5, 5, 3), np.uint8), gray):
+        buf = png_encode_adaptive(arr)
+        src = arr if arr.ndim == 3 else arr[:, :, None]
+        assert np.array_equal(decode_png_pixels(buf), src)
+        h, w = src.shape[:2]
+        seen |= filters_of(buf, h, w, src.shape[2])
+    # the heuristic must actually be adaptive: noise keeps rows
+    # unfiltered-ish, x-gradients pick Sub, identical rows pick Up,
+    # and the structured gate pattern reaches Paeth.
+    y, x = np.mgrid[0:16, 0:16]
+    c = np.arange(3)
+    v = (((4 * (x + 2 * y))[:, :, None] + 11 * c[None, None, :]
+          + ((x * y) % 7)[:, :, None]) % 256).astype(np.uint8)
+    seen |= filters_of(png_encode_adaptive(v), 16, 16, 3)
+    assert {1, 2, 4} <= seen and len(seen) >= 4, seen
+    with pytest.raises(ValueError, match="uint8"):
+        png_encode_adaptive(np.zeros((4, 4, 3), np.int32))
+    with pytest.raises(ValueError, match="uint8"):
+        png_encode_adaptive(np.zeros((4, 4, 2), np.uint8))
