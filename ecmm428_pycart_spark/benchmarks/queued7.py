@@ -2923,3 +2923,58 @@ def m44_adaptive_png_roundtrip(spark: SparkSession,
                  (F.sum("s.xw_sum") % 1000000000).cast("long")
                  .alias("xw_sum"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Roaring-bitmap container accounting (Chambi/Lemire 2016 — the
+# sizing pass behind every bitmap index): per return flag, the
+# distinct orderkey set split into 2^16-value containers
+# (key >> 16), each container choosing the spec's array layout
+# (2 bytes/value, cardinality <= 4096) or bitmap layout (fixed 8 KiB)
+# — exactly the decision rule the format applies (run containers
+# omitted; they need the run-length pass this page is sizing).
+# Two hash aggregates keyed on (flag, container); everything
+# integer and closed-form in SQL.
+# ---------------------------------------------------------------------------
+@q("q118_roaring_containers", """
+WITH s AS (
+  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k
+  FROM lineitem
+),
+c AS (
+  SELECT flag, k // 65536 AS container, count(*) AS n
+  FROM s GROUP BY 1, 2
+),
+t AS (
+  SELECT flag,
+         CASE WHEN n <= 4096 THEN 'array' ELSE 'bitmap' END AS ctype,
+         n,
+         CASE WHEN n <= 4096 THEN 2 * n ELSE 8192 END AS bytes
+  FROM c
+)
+SELECT flag, ctype,
+       CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(sum(n) AS BIGINT) AS n_values,
+       CAST(sum(bytes) AS BIGINT) AS est_bytes
+FROM t GROUP BY flag, ctype ORDER BY flag, ctype
+""")
+def q118_roaring_containers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    s = (_t(spark, sf_dir, "lineitem")
+         .select(F.col("l_returnflag").alias("flag"),
+                 F.col("l_orderkey").alias("k"))
+         .distinct())
+    c = (s.groupBy("flag", F.expr("k div 65536").alias("container"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.select(
+        "flag",
+        F.when(F.col("n") <= 4096, F.lit("array"))
+        .otherwise(F.lit("bitmap")).alias("ctype"),
+        "n",
+        F.when(F.col("n") <= 4096, 2 * F.col("n"))
+        .otherwise(F.lit(8192)).alias("bytes"))
+    return (t.groupBy("flag", "ctype")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_containers"),
+                 F.sum("n").cast("long").alias("n_values"),
+                 F.sum("bytes").cast("long").alias("est_bytes"))
+            .orderBy("flag", "ctype"))
