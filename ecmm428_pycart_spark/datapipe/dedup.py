@@ -790,3 +790,45 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
                         "inter", "n_a", "n_b",
                         F.expr("inter * 1000000 div (n_a + n_b - inter)")
                         .alias("jaccard_ppm"))
+
+
+def sorted_neighborhood_pairs(sim: DataFrame, id_col: str = "doc_id",
+                              fp_col: str = "simhash",
+                              window: int = 3,
+                              block_bits: int = 8) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995) — the third dedup-blocking family next to minhash-LSH
+    banding and simhash byte-bands: block records by the
+    fingerprint's low ``block_bits`` bits, sort within each block by
+    (fingerprint, id), and pair every record with its ``window``
+    predecessors. Candidates are O(n * window) by construction —
+    the SNM contract — and the sort is per-block (a partitioned
+    window keyed on the block, never a global sort; blocks are
+    2^block_bits-way parallel at any corpus size). Ties order
+    deterministically via the id tiebreak. Returns (block, doc_a,
+    doc_b, hamming) — hamming of the two fingerprints, for the
+    caller's verify threshold."""
+    from pyspark.sql import Window as W
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    blk = F.col(fp_col).bitwiseAND((1 << block_bits) - 1)
+    s = sim.select(F.col(id_col).alias("_id"),
+                   F.col(fp_col).alias("_fp"), blk.alias("block"))
+    w = W.partitionBy("block").orderBy("_fp", "_id")
+    for k in range(1, window + 1):
+        s = (s.withColumn(f"_i{k}", F.lag("_id", k).over(w))
+             .withColumn(f"_f{k}", F.lag("_fp", k).over(w)))
+    lags = s.select(
+        "block", "_id", "_fp",
+        F.explode(F.array(*[
+            F.struct(F.col(f"_i{k}").alias("a_id"),
+                     F.col(f"_f{k}").alias("a_fp"))
+            for k in range(1, window + 1)])).alias("_prev"))
+    return (lags.filter(F.col("_prev.a_id").isNotNull())
+            .select("block",
+                    F.col("_prev.a_id").alias("doc_a"),
+                    F.col("_id").alias("doc_b"),
+                    F.bit_count(F.col("_prev.a_fp")
+                                .bitwiseXOR(F.col("_fp")))
+                    .cast("int").alias("hamming")))

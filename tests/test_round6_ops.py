@@ -2026,3 +2026,29 @@ def test_png_adaptive_encoder_roundtrip_and_filters():
         png_encode_adaptive(np.zeros((4, 4, 3), np.int32))
     with pytest.raises(ValueError, match="uint8"):
         png_encode_adaptive(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_sorted_neighborhood_known_pairs(spark):
+    from ecmm428_pycart_spark.datapipe.dedup import (
+        sorted_neighborhood_pairs)
+
+    # block = fp & 3 (block_bits=2). Block 1: fps 1, 5, 9, 13 ->
+    # sorted run of 4; window 2 pairs each with its two
+    # predecessors. Block 2: fps 2, 6 -> one pair. A negative fp
+    # lands by its two's-complement low bits (-3 & 3 == 1).
+    rows = [Row(doc_id=i, simhash=f) for i, f in
+            [(1, 1), (2, 5), (3, 9), (4, 13), (5, 2), (6, 6),
+             (7, -3)]]
+    got = {(r.doc_a, r.doc_b): (r.block, r.hamming)
+           for r in sorted_neighborhood_pairs(
+               spark.createDataFrame(rows), window=2,
+               block_bits=2).collect()}
+    # block 1 sorted by fp: -3 sorts first (doc 7), then 1,5,9,13
+    expect_pairs = {(7, 1), (7, 2), (1, 2), (2, 3), (1, 3), (3, 4),
+                    (2, 4), (5, 6)}
+    assert set(got) == expect_pairs, sorted(got)
+    assert got[(1, 2)][1] == bin(1 ^ 5).count("1")
+    assert got[(5, 6)] == (2, bin(2 ^ 6).count("1"))
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(spark.createDataFrame(rows),
+                                  window=0)

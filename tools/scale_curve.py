@@ -79,7 +79,7 @@ SCALE_SET = [
 def main():
     names = sys.argv[1:] or SCALE_SET
     from ecmm428_pycart_spark.benchmarks import get_queries, queued
-    from ecmm428_pycart_spark.benchmarks import queued6, queued7
+    from ecmm428_pycart_spark.benchmarks import queued6, queued7, queued8
     from ecmm428_pycart_spark.session import get_spark
 
     spark = get_spark("scale-curve")
@@ -87,6 +87,7 @@ def main():
     qs.update(queued.QUERIES)   # round-5 queue is measurable too
     qs.update(queued6.QUERIES)  # round-6 queue likewise
     qs.update(queued7.QUERIES)  # round-7 overflow queue likewise
+    qs.update(queued8.QUERIES)  # round-8 overflow queue likewise
 
     # warm JVM + python workers on the smallest sf so per-cell numbers
     # measure the work, not process startup
