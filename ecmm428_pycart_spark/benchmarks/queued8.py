@@ -104,3 +104,73 @@ def d80_sorted_neighborhood(spark: SparkSession,
 
 
 ORACLES["d80_sorted_neighborhood"] = _d80_sql()
+
+
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation, raw integer moments (Moran
+# 1950 — the is-this-map-clustered statistic every spatial engine
+# ships, on the cartogram heritage's queen grid): region value
+# x = (k*7) % 100, deviations n-scaled to stay integer
+# (d_i = n*x_i - sum x), and the page carries the four raw moments
+# n, W (directed edge count), sum over edges of d_i*d_j (negative
+# for dispersed maps — never divided), and sum of d_i^2; Moran's
+# I = (n * sum_w) / (W * sum_d2) is left to the reader because the
+# full products overflow int64 at sf0.1 — the g31 discipline taken
+# one step further. Oracle = the g32 closed-form grid.
+# ---------------------------------------------------------------------------
+@q("g35_morans_i", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c_custkey * 7 % 100) AS BIGINT) AS sx
+  FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx,
+         c_custkey // side AS gy,
+         n * (c_custkey * 7 % 100) - sx AS d
+  FROM customer, p
+),
+e AS (
+  SELECT a.d AS da, b.d AS db
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+m AS (
+  SELECT CAST(2 * count(*) AS BIGINT) AS w_directed,
+         CAST(2 * sum(da * db) AS BIGINT) AS sum_w_didj
+  FROM e
+),
+s AS (SELECT CAST(sum(d * d) AS BIGINT) AS sum_d2,
+             CAST(count(*) AS BIGINT) AS n_nodes FROM g)
+SELECT n_nodes, w_directed, sum_w_didj, sum_d2 FROM s, m
+""")
+def g35_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select(F.col("focal").alias("a"),
+                         F.col("neighbor").alias("b"))
+    cust = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"),
+                (F.col("c_custkey") * 7 % 100).alias("x"))
+    tot = cust.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("sx"))
+    d = (cust.crossJoin(tot)
+         .select("k", (F.col("n") * F.col("x") - F.col("sx"))
+                 .alias("d")))
+    e = (und.join(d.select(F.col("k").alias("a"),
+                           F.col("d").alias("da")), "a")
+         .join(d.select(F.col("k").alias("b"),
+                        F.col("d").alias("db")), "b"))
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("w_directed"),
+              F.sum(F.col("da") * F.col("db")).cast("long")
+              .alias("sum_w_didj"))
+    s = d.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+              F.sum(F.col("d") * F.col("d")).cast("long")
+              .alias("sum_d2"))
+    return s.crossJoin(m).select("n_nodes", "w_directed",
+                                 "sum_w_didj", "sum_d2")

@@ -89,7 +89,11 @@ def test_queued8_plan_guards(spark):
     CartesianProduct, no row-at-a-time Python, BNLJ only for
     documented 1-row build sides."""
     from ecmm428_pycart_spark.benchmarks import queued8
-    bnlj_ok = set()
+    bnlj_ok = {
+        # 1-row grid-side + (n, sum x) aggregates broadcast
+        # (_customer_grid / Moran deviation scaling)
+        "g35_morans_i",
+    }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
