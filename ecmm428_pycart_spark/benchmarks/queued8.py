@@ -174,3 +174,67 @@ def g35_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("sum_d2"))
     return s.crossJoin(m).select("n_nodes", "w_directed",
                                  "sum_w_didj", "sum_d2")
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension join (the Kimball date-dim pattern every
+# warehouse model starts from): a generated day spine from min to
+# max order date (explode(sequence) — the dimension is BUILT, not
+# scanned), orders left-joined onto it so zero-order days still
+# count, rolled up by (quarter, day-of-week). Convention note baked
+# into the oracle: DuckDB dayofweek is Sunday=0, Spark's Sunday=1 —
+# the +1 is the contract. Revenue in exact BIGINT cents.
+# ---------------------------------------------------------------------------
+@q("q119_date_dimension", """
+WITH r AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+dim AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM r
+),
+dim2 AS (
+  SELECT d, dayofweek(d) + 1 AS dow, quarter(d) AS q FROM dim
+),
+o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(q AS BIGINT) AS quarter,
+       CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_orders,
+       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS revenue_cents
+FROM dim2 LEFT JOIN o USING (d)
+GROUP BY q, dow ORDER BY quarter, dow
+""")
+def q119_date_dimension(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"),
+                   F.max(F.to_date("o_orderdate")).alias("hi"))
+    dim = r.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    dim2 = dim.select("d", F.dayofweek("d").alias("dow"),
+                      F.quarter("d").alias("q"))
+    o = (orders.select(F.to_date("o_orderdate").alias("d"),
+                       F.round(F.col("o_totalprice") * 100)
+                       .cast("long").alias("cents"))
+         .groupBy("d")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("cents").alias("cents")))
+    j = dim2.join(o, "d", "left")
+    return (j.groupBy("q", "dow")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum(F.coalesce("n", F.lit(0))).alias("n_orders"),
+                 F.sum(F.coalesce("cents", F.lit(0)))
+                 .alias("revenue_cents"))
+            .select(F.col("q").cast("long").alias("quarter"),
+                    F.col("dow").cast("long").alias("dow"),
+                    F.col("n_days").cast("long").alias("n_days"),
+                    F.col("n_orders").cast("long").alias("n_orders"),
+                    F.col("revenue_cents").cast("long")
+                    .alias("revenue_cents"))
+            .orderBy("quarter", "dow"))
