@@ -238,3 +238,65 @@ def q119_date_dimension(spark: SparkSession,
                     F.col("revenue_cents").cast("long")
                     .alias("revenue_cents"))
             .orderBy("quarter", "dow"))
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law encode -> WAV -> decode roundtrip (multimodal.ulaw_
+# compress closing the pair with m29's expansion): a closed-form
+# integer sawtooth per doc runs through the REAL compressor, the
+# fmt-7 WAV container, and the real decoder; the oracle replays the
+# ENTIRE compress->expand chain in SQL (bias, CASE-segment exponent,
+# mantissa shift, re-expansion) over generate_series — the companding
+# math itself is the thing being cross-checked, sample by sample.
+# ---------------------------------------------------------------------------
+@q("m45_ulaw_roundtrip", """
+WITH s AS (
+  SELECT d.doc_id, d.source,
+         ((d.doc_id % 7 + 1) * (t.i + 1) * 37) % 60001 - 30000 AS x
+  FROM documents d, unnest(range(0, 128)) t(i)
+),
+c AS (
+  SELECT doc_id, source, x,
+         least(abs(x), 32635) + 132 AS mag
+  FROM s
+),
+e AS (
+  SELECT doc_id, source, x, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS exp
+  FROM c
+),
+v AS (
+  SELECT source,
+         CASE WHEN x < 0
+              THEN 132 - (132 + ((mag >> (exp + 3)) & 15) * 8)
+                   * (1 << exp)
+              ELSE (132 + ((mag >> (exp + 3)) & 15) * 8)
+                   * (1 << exp) - 132 END AS sample
+  FROM e
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(sample) AS BIGINT) AS s_sum,
+       CAST(min(sample) AS BIGINT) AS s_min,
+       CAST(max(sample) AS BIGINT) AS s_max
+FROM v GROUP BY source ORDER BY source
+""")
+def m45_ulaw_roundtrip(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload",
+        multimodal.synth_ulaw_wav_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.ulaw_roundtrip_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_samples").cast("long").alias("n_samples"),
+                 F.sum("s.s_sum").cast("long").alias("s_sum"),
+                 F.min("s.s_min").cast("long").alias("s_min"),
+                 F.max("s.s_max").cast("long").alias("s_max"))
+            .orderBy("source"))

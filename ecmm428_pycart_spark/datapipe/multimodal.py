@@ -4680,3 +4680,59 @@ def adaptive_png_stats(payload: pd.Series) -> pd.DataFrame:
                      int(xw % 1000000000)))
     return pd.DataFrame(rows, columns=["n_pixels", "pix_sum",
                                        "xw_sum"])
+
+
+# ---------------------------------------------------------------------------
+# REAL G.711 mu-law ENCODER (round 5 continuation) — the compress
+# side of m29's _ulaw_expand, closing the telephony codec pair:
+# bias the clipped magnitude by 132, segment = position of the top
+# bit above bit 7, keep 4 mantissa bits, invert everything (the
+# CCITT transmission convention). Bit-exact inverse of the
+# expansion on all byte values except 0x7F (negative zero, which
+# canonically re-encodes as 0xFF). All-integer, so the whole
+# encode->decode chain is SQL-expressible.
+# ---------------------------------------------------------------------------
+
+def ulaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """Linear 16-bit PCM -> G.711 mu-law bytes (vectorized)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+_ULAWRT_STATS = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("s_sum", T.LongType()),
+    T.StructField("s_min", T.LongType()),
+    T.StructField("s_max", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_ulaw_wav_payload(doc_id: pd.Series) -> pd.Series:
+    """128-sample integer sawtooth x(t) = ((a*(t+1)*37) % 60001)
+    - 30000 (a = id%7+1) — full signed range, no clipping — through
+    the REAL mu-law compressor into a fmt-7 WAV container."""
+    def gen(i: int) -> bytes:
+        a = i % 7 + 1
+        t = np.arange(128)
+        x = ((a * (t + 1) * 37) % 60001) - 30000
+        return wav_bytes_ulaw(1, 8000, ulaw_compress(x).tobytes())
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_ULAWRT_STATS)
+def ulaw_roundtrip_stats(payload: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None,) * 4)
+            continue
+        s = decode_wav_samples(bytes(buf)).astype(np.int64)
+        rows.append((int(s.size), int(s.sum()), int(s.min()),
+                     int(s.max())))
+    return pd.DataFrame(rows, columns=["n_samples", "s_sum",
+                                       "s_min", "s_max"])

@@ -2052,3 +2052,28 @@ def test_sorted_neighborhood_known_pairs(spark):
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(spark.createDataFrame(rows),
                                   window=0)
+
+
+def test_ulaw_compress_inverse_and_clip():
+    import numpy as np
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        _ulaw_expand, ulaw_compress)
+
+    # bit-exact inverse of the expansion on every byte except 0x7F
+    # (negative zero canonically re-encodes as 0xFF)
+    b = np.arange(256, dtype=np.uint8)
+    rt = ulaw_compress(_ulaw_expand(b))
+    assert list(np.nonzero(rt != b)[0]) == [0x7F]
+    assert rt[0x7F] == 0xFF
+    # clipping: everything past 32635 encodes like 32635
+    assert ulaw_compress(np.array([32767])) \
+        == ulaw_compress(np.array([32635]))
+    assert ulaw_compress(np.array([-32768])) \
+        == ulaw_compress(np.array([-32635]))
+    # quantization error bounded by half the widest segment step
+    x = np.arange(-32768, 32768, dtype=np.int32)
+    clip = np.clip(x, -32635, 32635)
+    err = np.abs(_ulaw_expand(ulaw_compress(x)) - clip)
+    assert err.max() <= 512
+    # zero is exact
+    assert _ulaw_expand(ulaw_compress(np.array([0])))[0] == 0
