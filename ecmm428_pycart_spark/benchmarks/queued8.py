@@ -300,3 +300,83 @@ def m45_ulaw_roundtrip(spark: SparkSession,
                  F.min("s.s_min").cast("long").alias("s_min"),
                  F.max("s.s_max").cast("long").alias("s_max"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Euler-characteristic topology audit of the spatial substrate
+# (V - E + F = 2, Euler 1758 — the planarity/connectivity invariant
+# a geo layer can assert about itself): the customer grid under
+# ROOK adjacency (4-neighborhood — planar by construction, unlike
+# queen's crossing diagonals), edges and unit-square faces counted
+# by existence joins against the actual node set (NOT closed-form
+# arithmetic — the point is to audit the construction), and the
+# characteristic V - E + (squares + outer face) pinned to exactly 2.
+# The side length reaches the grid as the documented 1-row
+# broadcast.
+# ---------------------------------------------------------------------------
+@q("g36_euler_audit", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx, side
+  FROM customer, p
+),
+ks AS (SELECT k FROM g),
+h AS (
+  SELECT a.k FROM g a JOIN ks b ON b.k = a.k + 1
+  WHERE a.gx < a.side - 1
+),
+v AS (SELECT a.k FROM g a JOIN ks b ON b.k = a.k + a.side),
+sq AS (
+  SELECT a.k FROM g a
+  JOIN ks r ON r.k = a.k + 1
+  JOIN ks d ON d.k = a.k + a.side
+  JOIN ks dr ON dr.k = a.k + a.side + 1
+  WHERE a.gx < a.side - 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM ks) AS n_nodes,
+         (SELECT count(*) FROM h) + (SELECT count(*) FROM v)
+           AS n_edges,
+         (SELECT count(*) FROM sq) AS n_squares
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_squares AS BIGINT) AS n_squares,
+       CAST(n_nodes - n_edges + n_squares + 1 AS BIGINT)
+         AS euler_char
+FROM c
+""")
+def g36_euler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"))
+    p = cust.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long")
+                 .alias("side"))
+    g = (cust.crossJoin(p)
+         .select("k", (F.col("k") % F.col("side")).alias("gx"),
+                 "side"))
+    ks = g.select(F.col("k").alias("k2"))
+    h = (g.filter(F.col("gx") < F.col("side") - 1)
+         .join(ks, F.col("k2") == F.col("k") + 1))
+    v = g.join(ks, F.col("k2") == F.col("k") + F.col("side"))
+    sq = (g.filter(F.col("gx") < F.col("side") - 1)
+          .join(ks.select(F.col("k2").alias("r")),
+                F.col("r") == F.col("k") + 1)
+          .join(ks.select(F.col("k2").alias("d")),
+                F.col("d") == F.col("k") + F.col("side"))
+          .join(ks.select(F.col("k2").alias("dr")),
+                F.col("dr") == F.col("k") + F.col("side") + 1))
+    nn = cust.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = (h.agg(F.count(F.lit(1)).alias("nh"))
+          .crossJoin(v.agg(F.count(F.lit(1)).alias("nv")))
+          .select((F.col("nh") + F.col("nv")).alias("n_edges")))
+    nsq = sq.agg(F.count(F.lit(1)).alias("n_squares"))
+    return (nn.crossJoin(ne).crossJoin(nsq)
+            .select(F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    F.col("n_squares").cast("long")
+                    .alias("n_squares"),
+                    (F.col("n_nodes") - F.col("n_edges")
+                     + F.col("n_squares") + 1).cast("long")
+                    .alias("euler_char")))

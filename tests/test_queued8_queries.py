@@ -93,6 +93,9 @@ def test_queued8_plan_guards(spark):
         # 1-row grid-side + (n, sum x) aggregates broadcast
         # (_customer_grid / Moran deviation scaling)
         "g35_morans_i",
+        # 1-row side-length + count aggregates broadcast (grid build
+        # and the V/E/F scalar assembly)
+        "g36_euler_audit",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
