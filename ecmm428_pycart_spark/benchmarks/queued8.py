@@ -380,3 +380,67 @@ def g36_euler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_nodes") - F.col("n_edges")
                      + F.col("n_squares") + 1).cast("long")
                     .alias("euler_char")))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (the evaluation page for d03's
+# stopword classifier against the corpus's ground-truth lang
+# column — the accuracy audit a pipeline runs before trusting a
+# filter routed by predicted language): confusion cells plus both
+# marginals (true-language and predicted-language totals, key-equi
+# joins of dimension-sized tables), recall/precision left as ppm
+# floor divisions per cell. The prediction SQL is REUSED verbatim
+# from d03's oracle (one definition), wrapped as a subquery.
+# ---------------------------------------------------------------------------
+def _d81_sql():
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        ORACLES as _DQ_ORACLES)
+    return f"""
+WITH base AS ({_DQ_ORACLES["d03_lang_id"]}),
+cells AS (
+  SELECT lang, pred_lang, count(*) AS n
+  FROM base GROUP BY 1, 2
+),
+lt AS (SELECT lang, count(*) AS lang_total FROM base GROUP BY 1),
+pt AS (SELECT pred_lang, count(*) AS pred_total
+       FROM base GROUP BY 1)
+SELECT c.lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n_docs,
+       CAST(lt.lang_total AS BIGINT) AS lang_total,
+       CAST(pt.pred_total AS BIGINT) AS pred_total,
+       CAST(c.n * 1000000 // lt.lang_total AS BIGINT) AS recall_ppm,
+       CAST(c.n * 1000000 // pt.pred_total AS BIGINT)
+         AS precision_ppm
+FROM cells c JOIN lt USING (lang) JOIN pt USING (pred_lang)
+ORDER BY lang, pred_lang
+"""
+
+
+@q("d81_lang_confusion", None)
+def d81_lang_confusion(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import text
+
+    base = text.lang_id(_t(spark, sf_dir, "documents")) \
+        .select("lang", "pred_lang")
+    cells = (base.groupBy("lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("n")))
+    lt = base.groupBy("lang").agg(F.count(F.lit(1))
+                                  .alias("lang_total"))
+    pt = base.groupBy("pred_lang").agg(F.count(F.lit(1))
+                                       .alias("pred_total"))
+    return (cells.join(lt, "lang").join(pt, "pred_lang")
+            .select("lang", "pred_lang",
+                    F.col("n").cast("long").alias("n_docs"),
+                    F.col("lang_total").cast("long")
+                    .alias("lang_total"),
+                    F.col("pred_total").cast("long")
+                    .alias("pred_total"),
+                    F.expr("n * 1000000 div lang_total").cast("long")
+                    .alias("recall_ppm"),
+                    F.expr("n * 1000000 div pred_total").cast("long")
+                    .alias("precision_ppm"))
+            .orderBy("lang", "pred_lang"))
+
+
+ORACLES["d81_lang_confusion"] = _d81_sql()
