@@ -444,3 +444,72 @@ def d81_lang_confusion(spark: SparkSession,
 
 
 ORACLES["d81_lang_confusion"] = _d81_sql()
+
+
+# ---------------------------------------------------------------------------
+# Native session_window sessionization (API-surface coverage: the
+# engine's built-in session aggregation, which merges events whose
+# gap is <= the duration — verified to share q100's strict->gap
+# boundary, an exactly-1800s gap stays one session): per user the
+# session count, event total, the largest session and total active
+# seconds (last - first per session), all from ONE groupBy on
+# (user, session_window) — no lag windows, no fold; the oracle is
+# the lag-based sessionization chain proving both formulations
+# agree row for row.
+# ---------------------------------------------------------------------------
+@q("q120_native_session_window", """
+WITH ev AS (
+  SELECT user_id, ts FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS nf
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT user_id, sid, count(*) AS n,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+              AS BIGINT) AS dur
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       CAST(sum(dur) AS BIGINT) AS active_seconds
+FROM per GROUP BY user_id ORDER BY user_id
+""")
+def q120_native_session_window(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("user_id", F.col("ts").cast("timestamp")
+                  .alias("ts")))
+    per = (ev.groupBy("user_id",
+                      F.session_window("ts", "30 minutes"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                (F.unix_timestamp(F.max("ts"))
+                 - F.unix_timestamp(F.min("ts"))).alias("dur")))
+    return (per.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n").alias("n_events"),
+                 F.max("n").alias("max_session_events"),
+                 F.sum("dur").alias("active_seconds"))
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("n_sessions").cast("long")
+                    .alias("n_sessions"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("max_session_events").cast("long")
+                    .alias("max_session_events"),
+                    F.col("active_seconds").cast("long")
+                    .alias("active_seconds"))
+            .orderBy("user_id"))
