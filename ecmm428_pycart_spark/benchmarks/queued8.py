@@ -513,3 +513,64 @@ def q120_native_session_window(spark: SparkSession,
                     F.col("active_seconds").cast("long")
                     .alias("active_seconds"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Chunking losslessness audit (the inverse proof for d20's sliding-
+# window chunker — the property a training pipeline silently relies
+# on: overlapping chunks reassemble to EXACTLY the original
+# document): chunk inline with the d20 geometry (window 50, stride
+# 40), keep each chunk's NEW tokens (the whole first chunk; from
+# index window-stride onward for the rest — empty when a short tail
+# chunk adds nothing, which slice() yields naturally), reassemble
+# per doc in chunk order, and md5-match against the original text.
+# The oracle only states the original fingerprints (closed form) —
+# the reassembly equaling them IS the audit. All native array ops,
+# one doc-keyed shuffle.
+# ---------------------------------------------------------------------------
+@q("d82_chunk_reassembly", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_match,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                % 1000000000) AS BIGINT) AS fp_sum
+FROM documents GROUP BY source ORDER BY source
+""")
+def d82_chunk_reassembly(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    window, stride = 50, 40
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("orig_md5"),
+        tokens(F.col("text")).alias("_toks"))
+    chunked = (docs
+               .withColumn("_n", F.size("_toks"))
+               .withColumn("start", F.explode(F.sequence(
+                   F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)),
+                   F.lit(stride))))
+               .filter(F.col("start") < F.col("_n")))
+    chunk = F.slice("_toks", F.col("start") + 1, window)
+    new_toks = F.when(F.col("start") == 0, chunk).otherwise(
+        F.slice(chunk, window - stride + 1, stride))
+    parts = chunked.select(
+        "doc_id", "source", "orig_md5",
+        (F.col("start") / stride).cast("int").alias("idx"),
+        new_toks.alias("new_toks"))
+    re_ = (parts.groupBy("doc_id", "source", "orig_md5")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("idx", "new_toks"))).alias("_ps"))
+           .withColumn("rebuilt", F.concat_ws(" ", F.flatten(
+               F.expr("transform(_ps, p -> p.new_toks)")))))
+    return (re_.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.md5("rebuilt") == F.col("orig_md5"))
+                       .cast("long")).alias("n_match"),
+                 F.sum(F.conv(F.substring(F.md5("rebuilt"), 1, 15),
+                              16, 10).cast("long") % 1000000000)
+                 .alias("fp_sum"))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_match").cast("long").alias("n_match"),
+                    F.col("fp_sum").cast("long").alias("fp_sum"))
+            .orderBy("source"))
