@@ -574,3 +574,44 @@ def d82_chunk_reassembly(spark: SparkSession,
                     F.col("n_match").cast("long").alias("n_match"),
                     F.col("fp_sum").cast("long").alias("fp_sum"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# ZIP with DEFLATE members (multimodal.zip_bytes_mixed /
+# decode_zip_members — completing m30's STORE-only manifest walk):
+# each doc becomes a two-member archive (text DEFLATEd + a STOREd
+# metadata member carrying the doc_id digits), decoded back through
+# the central-directory walk with method-8 payloads routed through
+# the repo's own inflate and CRC-checked by the table-driven
+# CRC-32; stdlib zipfile independently reads the same archives in
+# the hand test. The gate pins member counts, decoded text bytes +
+# fingerprints, and the metadata member's value sum — all closed
+# form on the original table.
+# ---------------------------------------------------------------------------
+@q("m46_zip_deflate_roundtrip", """
+SELECT source,
+       CAST(2 * count(*) AS BIGINT) AS n_members,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                % 1000000000) AS BIGINT) AS fp_sum,
+       CAST(sum(doc_id) AS BIGINT) AS meta_sum
+FROM documents GROUP BY source
+""")
+def m46_zip_deflate_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    payload = docs.withColumn(
+        "payload",
+        multimodal.synth_zip_deflate_payload(F.col("text"),
+                                             F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.zip_deflate_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_members").cast("long").alias("n_members"),
+                 F.sum("s.n_bytes").cast("long").alias("total_bytes"),
+                 F.sum(F.col("s.fp") % 1000000000).cast("long")
+                 .alias("fp_sum"),
+                 F.sum("s.meta_val").cast("long").alias("meta_sum")))

@@ -4736,3 +4736,131 @@ def ulaw_roundtrip_stats(payload: pd.Series) -> pd.DataFrame:
                      int(s.max())))
     return pd.DataFrame(rows, columns=["n_samples", "s_sum",
                                        "s_min", "s_max"])
+
+
+# ---------------------------------------------------------------------------
+# ZIP with DEFLATE members (round 5 continuation): the general-
+# method writer/reader pair completing m30's STORE-only manifest
+# walk — method-8 member bytes are raw RFC 1951 streams, so the
+# reader routes them through THIS repo's hand-rolled ``inflate``
+# and cross-checks the central directory's CRC-32 with the
+# table-driven ``crc32_manual``. Same deterministic layout contract
+# as zip_bytes_store (fixed DOS time/date).
+# ---------------------------------------------------------------------------
+
+def zip_bytes_mixed(members) -> bytes:
+    """ZIP encoder taking (name, data, method) with method 0 (STORE)
+    or 8 (DEFLATE, raw stream via stdlib zlib at level 6)."""
+    import zlib
+
+    out, central, offsets = [], [], []
+    pos = 0
+    payloads = []
+    for name, data, method in members:
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+        elif method == 0:
+            payload = data
+        else:
+            raise ValueError(f"unsupported method {method}")
+        payloads.append(payload)
+    for (name, data, method), payload in zip(members, payloads):
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        lh = (struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, method,
+                          0, 0x21, crc, len(payload), len(data),
+                          len(nb), 0) + nb + payload)
+        offsets.append(pos)
+        out.append(lh)
+        pos += len(lh)
+    for (name, data, method), payload, off in zip(members, payloads,
+                                                  offsets):
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        central.append(
+            struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0,
+                        method, 0, 0x21, crc, len(payload),
+                        len(data), len(nb), 0, 0, 0, 0, 0, off) + nb)
+    cd = b"".join(central)
+    eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(members),
+                       len(members), len(cd), pos, 0)
+    return b"".join(out) + cd + eocd
+
+
+def decode_zip_members(b: bytes):
+    """Walk the central directory and return (name, decoded_bytes)
+    per member — STORE passed through, DEFLATE through the
+    hand-rolled ``inflate`` — verifying each member's CRC-32 with
+    ``crc32_manual`` and its uncompressed size. Unknown methods
+    raise."""
+    eocd = b.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no end-of-central-directory record")
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", b[eocd + 10:eocd + 20])
+    out, i = [], cd_off
+    for _ in range(n_entries):
+        if b[i:i + 4] != b"PK\x01\x02":
+            raise ValueError("bad central-directory signature")
+        (crc, csize, usize, nlen, xlen, clen) = struct.unpack(
+            "<IIIHHH", b[i + 16:i + 34])
+        method, = struct.unpack("<H", b[i + 10:i + 12])
+        off, = struct.unpack("<I", b[i + 42:i + 46])
+        name = b[i + 46:i + 46 + nlen].decode()
+        if b[off:off + 4] != b"PK\x03\x04":
+            raise ValueError("central offset does not hit a local "
+                             "header")
+        lnlen, lxlen = struct.unpack("<HH", b[off + 26:off + 30])
+        payload = b[off + 30 + lnlen + lxlen:
+                    off + 30 + lnlen + lxlen + csize]
+        if method == 0:
+            data = payload
+        elif method == 8:
+            data = inflate(payload)
+        else:
+            raise NotImplementedError(f"zip method {method}")
+        if len(data) != usize:
+            raise ValueError("zip: uncompressed size mismatch")
+        if crc32_manual(data) != crc:
+            raise ValueError("zip: member CRC-32 mismatch")
+        out.append((name, data))
+        i += 46 + nlen + xlen + clen
+    return out
+
+
+_ZIPD_STATS = T.StructType([
+    T.StructField("n_members", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("fp", T.LongType()),
+    T.StructField("meta_val", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_zip_deflate_payload(text: pd.Series,
+                              doc_id: pd.Series) -> pd.Series:
+    """Two members per doc: the text DEFLATEd plus a STOREd metadata
+    member carrying the doc_id digits — both methods in one
+    archive."""
+    return pd.Series([
+        zip_bytes_mixed([("t.txt", t.encode(), 8),
+                         ("m.txt", str(int(i)).encode(), 0)])
+        for t, i in zip(text, doc_id)])
+
+
+@F.pandas_udf(_ZIPD_STATS)
+def zip_deflate_stats(payload: pd.Series) -> pd.DataFrame:
+    import hashlib
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None,) * 4)
+            continue
+        members = dict(decode_zip_members(bytes(buf)))
+        t = members["t.txt"]
+        rows.append((len(members), len(t),
+                     int(hashlib.md5(t).hexdigest()[:15], 16),
+                     int(members["m.txt"].decode())))
+    return pd.DataFrame(rows, columns=["n_members", "n_bytes", "fp",
+                                       "meta_val"])

@@ -2077,3 +2077,34 @@ def test_ulaw_compress_inverse_and_clip():
     assert err.max() <= 512
     # zero is exact
     assert _ulaw_expand(ulaw_compress(np.array([0])))[0] == 0
+
+
+def test_zip_deflate_members_roundtrip_and_guards():
+    import io
+    import zipfile
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_zip_members, zip_bytes_mixed)
+
+    data = b"hello zip world " * 200
+    z = zip_bytes_mixed([("a.txt", data, 8), ("b.bin", b"\x00\x01", 0),
+                         ("c.txt", b"", 8)])
+    assert decode_zip_members(z) == [("a.txt", data),
+                                     ("b.bin", b"\x00\x01"),
+                                     ("c.txt", b"")]
+    # independent validation: stdlib zipfile reads our archive
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert zf.read("a.txt") == data and zf.read("b.bin") == b"\x00\x01"
+    # deflate actually compressed the repetitive member
+    assert len(z) < len(data)
+    # guards: corrupt member payload -> CRC mismatch; bad method;
+    # missing EOCD
+    bad = bytearray(z)
+    start = z.index(b"a.txt") + 5
+    bad[start] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate|CRC"):
+        decode_zip_members(bytes(bad))
+    with pytest.raises(ValueError, match="method"):
+        zip_bytes_mixed([("x", b"d", 9)])
+    with pytest.raises(ValueError, match="end-of-central"):
+        decode_zip_members(b"not a zip")
