@@ -615,3 +615,92 @@ def m46_zip_deflate_roundtrip(spark: SparkSession,
                  F.sum(F.col("s.fp") % 1000000000).cast("long")
                  .alias("fp_sum"),
                  F.sum("s.meta_val").cast("long").alias("meta_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC with tombstones (streaming.read_cdc_state on top of
+# the st07 foreachBatch append sink — the WHEN MATCHED ... DELETE
+# half every MERGE needs): a running per-user aggregation in update
+# mode appends one (user, totals, op) row per touched batch, where
+# op turns into a tombstone when the running event count lands on
+# n % 7 == 3; the read side takes each user's LATEST batch and
+# drops tombstoned keys entirely. Batch ids equal event_id % 3 by
+# the time-ordered slice construction, and each user's final
+# emission carries their GLOBAL totals (their last batch saw their
+# last event), so the whole state machine replays closed-form: the
+# oracle is one per-user aggregate + the same op rule.
+# ---------------------------------------------------------------------------
+@q("st23_stream_cdc_tombstones", """
+WITH u AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_events, cents,
+         CASE WHEN n_events % 7 = 3 THEN 1 ELSE 0 END AS dead
+  FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(1 - dead) AS BIGINT) AS n_live,
+       CAST(sum(dead) AS BIGINT) AS n_tombstoned,
+       CAST(sum(CASE WHEN dead = 0 THEN n_events ELSE 0 END)
+            AS BIGINT) AS live_events,
+       CAST(sum(CASE WHEN dead = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS live_cents
+FROM f
+""")
+def st23_stream_cdc_tombstones(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        foreach_batch_upsert_writer, read_cdc_state,
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    src = _scratch("st23_events_")
+    sink = _scratch("st23_state_")
+    write_time_ordered_stream_dir(slices, src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1) \
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    agg = (stream.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .alias("cents"))
+           .withColumn("op", F.when(F.col("n_events") % 7 == 3,
+                                    F.lit("delete"))
+                       .otherwise(F.lit("upsert"))))
+    q_ = (agg.writeStream.foreachBatch(
+        foreach_batch_upsert_writer(sink))
+        .outputMode("update")
+        .option("checkpointLocation", _scratch("st23_ckpt_"))
+        .trigger(availableNow=True))
+    _await_stream(spark, q_)
+    all_latest = spark.read.parquet(sink)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.col("_batch_id").desc())
+    latest = (all_latest.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1))
+    live = read_cdc_state(spark, sink, ["user_id"])
+    n_users = latest.agg(F.count(F.lit(1)).alias("n_users"))
+    stats = live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("n_events").alias("live_events"),
+        F.sum("cents").alias("live_cents"))
+    return (n_users.crossJoin(stats)
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_live").cast("long").alias("n_live"),
+                    (F.col("n_users") - F.col("n_live")).cast("long")
+                    .alias("n_tombstoned"),
+                    F.col("live_events").cast("long")
+                    .alias("live_events"),
+                    F.col("live_cents").cast("long")
+                    .alias("live_cents")))

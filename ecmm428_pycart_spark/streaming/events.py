@@ -609,3 +609,22 @@ def stream_value_drift(events: DataFrame,
 
     return (events.groupBy("event_type").applyInPandasWithState(
         update, _VD_OUT, _VD_STATE, "update", "NoTimeout"))
+
+
+def read_cdc_state(spark: SparkSession, path: str, key_cols,
+                   op_col: str = "op",
+                   delete_value: str = "delete") -> DataFrame:
+    """Current state of a CDC append sink that carries TOMBSTONES:
+    per key the row from the LATEST batch (the upsert argmax of
+    read_upsert_state), then keys whose latest row is a delete drop
+    out entirely — the read-side of MERGE ... WHEN MATCHED AND
+    op = 'delete' THEN DELETE. Retried batches re-append identical
+    (key, batch) rows and collapse in the argmax, so deletes are as
+    idempotent as upserts."""
+    from pyspark.sql import Window as W
+    df = spark.read.parquet(path)
+    w = W.partitionBy(*key_cols).orderBy(F.col("_batch_id").desc())
+    latest = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn", "_batch_id"))
+    return latest.filter(F.col(op_col) != delete_value)

@@ -96,6 +96,8 @@ def test_queued8_plan_guards(spark):
         # 1-row side-length + count aggregates broadcast (grid build
         # and the V/E/F scalar assembly)
         "g36_euler_audit",
+        # 1-row total-users x live-stats aggregates broadcast
+        "st23_stream_cdc_tombstones",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
