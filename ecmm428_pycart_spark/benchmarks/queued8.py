@@ -704,3 +704,42 @@ def st23_stream_cdc_tombstones(spark: SparkSession,
                     .alias("live_events"),
                     F.col("live_cents").cast("long")
                     .alias("live_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Exact raw-moment profile (the distribution-shape audit a column
+# profiler runs beyond mean/variance — skewness and kurtosis
+# without a single float): per return flag the first four raw
+# power sums of the integer quantity column (bounded 1..50, so
+# sum(x^4) stays comfortably inside int64 at any scale factor — the
+# overflow arithmetic is part of the page's contract). Central
+# moments, skewness and kurtosis are exact rational functions of
+# (n, s1..s4); the division stays with the reader per the g31/g35
+# discipline. One partial-aggregating groupBy.
+# ---------------------------------------------------------------------------
+@q("q121_moment_profile", """
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS s1,
+       CAST(sum(q * q) AS BIGINT) AS s2,
+       CAST(sum(q * q * q) AS BIGINT) AS s3,
+       CAST(sum(q * q * q * q) AS BIGINT) AS s4
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY flag
+""")
+def q121_moment_profile(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    q_ = F.col("l_quantity").cast("long")
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), q_.alias("q"))
+    return (base.groupBy("flag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("q").cast("long").alias("s1"),
+                 F.sum(F.col("q") * F.col("q")).cast("long")
+                 .alias("s2"),
+                 F.sum(F.col("q") * F.col("q") * F.col("q"))
+                 .cast("long").alias("s3"),
+                 F.sum(F.col("q") * F.col("q") * F.col("q")
+                       * F.col("q")).cast("long").alias("s4"))
+            .orderBy("flag"))
