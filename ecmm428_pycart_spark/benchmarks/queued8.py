@@ -743,3 +743,77 @@ def q121_moment_profile(spark: SparkSession,
                  F.sum(F.col("q") * F.col("q") * F.col("q")
                        * F.col("q")).cast("long").alias("s4"))
             .orderBy("flag"))
+
+
+# ---------------------------------------------------------------------------
+# Robots-exclusion crawl filtering (text.robots_filter — RFC 9309
+# longest-match: the per-URL admission decision every crawl
+# pipeline runs before fetching): synthetic paths exercising plain
+# disallows, a longer allow carving a hole in a disallowed subtree,
+# the prefix-not-directory subtlety (/tmpx beating /tmp), and the
+# equal-length allow-wins tie; rules are a constant broadcast
+# dimension so the corpus never shuffles for the match. The gate is
+# the per-(winning rule, verdict) admission accounting.
+# ---------------------------------------------------------------------------
+_D83_RULES = ("(1, 'disallow', '/private'), "
+              "(2, 'allow', '/private/pub'), "
+              "(3, 'disallow', '/tmp'), "
+              "(4, 'allow', '/tmpx'), "
+              "(5, 'disallow', '/dup'), (6, 'allow', '/dup')")
+_D83_PATH = """CASE doc_id % 6
+  WHEN 0 THEN '/private/doc' || doc_id % 10
+  WHEN 1 THEN '/private/pub/doc' || doc_id % 10
+  WHEN 2 THEN '/tmp/cache' || doc_id % 10
+  WHEN 3 THEN '/tmpxtra/doc' || doc_id % 10
+  WHEN 4 THEN '/dup/page' || doc_id % 10
+  ELSE '/public/p' || doc_id % 5 END"""
+
+
+@q("d83_robots_filter", f"""
+WITH u AS (SELECT doc_id, {_D83_PATH} AS path FROM documents),
+r(rule_id, rtype, prefix) AS (VALUES {_D83_RULES}),
+j AS (
+  SELECT u.doc_id, u.path, r.rule_id, r.rtype,
+         len(r.prefix) AS plen
+  FROM u LEFT JOIN r ON starts_with(u.path, r.prefix)
+),
+w AS (
+  SELECT doc_id, path, rule_id, rtype, plen,
+         row_number() OVER (PARTITION BY path, doc_id
+                            ORDER BY plen DESC NULLS LAST,
+                            (rtype = 'allow') DESC NULLS LAST,
+                            rule_id ASC NULLS LAST) AS rn
+  FROM j
+)
+SELECT CAST(coalesce(rule_id, 0) AS BIGINT) AS rule_id,
+       coalesce(rtype = 'allow', TRUE) AS allowed,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(plen, 0)) AS BIGINT) AS matched_len_sum
+FROM w WHERE rn = 1
+GROUP BY 1, 2 ORDER BY rule_id
+""")
+def d83_robots_filter(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from ecmm428_pycart_spark.datapipe.text import robots_filter
+
+    rules = spark.createDataFrame(
+        [Row(rule_id=1, rtype="disallow", prefix="/private"),
+         Row(rule_id=2, rtype="allow", prefix="/private/pub"),
+         Row(rule_id=3, rtype="disallow", prefix="/tmp"),
+         Row(rule_id=4, rtype="allow", prefix="/tmpx"),
+         Row(rule_id=5, rtype="disallow", prefix="/dup"),
+         Row(rule_id=6, rtype="allow", prefix="/dup")])
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_D83_PATH).alias("path"))
+    out = robots_filter(u, rules)
+    return (out.groupBy("rule_id", "allowed")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("matched_len").alias("matched_len_sum"))
+            .select(F.col("rule_id").cast("long").alias("rule_id"),
+                    "allowed",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("matched_len_sum").cast("long")
+                    .alias("matched_len_sum"))
+            .orderBy("rule_id"))

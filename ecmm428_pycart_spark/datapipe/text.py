@@ -1407,3 +1407,39 @@ def postings_varint_stats(pairs: DataFrame, term_col: str = "term",
             .select("term", F.col("_s.n_postings").alias("n_postings"),
                     F.col("_s.varint_bytes").alias("varint_bytes"),
                     F.col("_s.id_sum").alias("id_sum")))
+
+
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  path_col: str = "path") -> DataFrame:
+    """Robots-exclusion filtering with the REP longest-match rule
+    (RFC 9309 / the Googlebot semantics every crawler implements):
+    each path is matched against a BROADCAST rule set of
+    (rule_id, rtype in {'allow','disallow'}, prefix); the matched
+    rule with the longest prefix wins, exact-length ties go to
+    allow, and an unmatched path is allowed with rule_id 0. The
+    prefix join is a broadcast nested-loop against a constant-size
+    ruleset (robots files are dimension data — tens of lines), so
+    the corpus never shuffles. Returns the input plus
+    (rule_id, matched_len, allowed)."""
+    from pyspark.sql import Window as W
+
+    r = F.broadcast(rules.select(
+        F.col("rule_id"), F.col("rtype"), F.col("prefix"),
+        F.length("prefix").alias("_plen")))
+    # per-row identity: rows sharing a path must each keep their own
+    # winning rule (the id never surfaces — it only scopes the argmax)
+    src = df.withColumn("_rid", F.monotonically_increasing_id())
+    j = src.join(r, F.col(path_col).startswith(F.col("prefix")),
+                 "left")
+    w = W.partitionBy("_rid").orderBy(
+        F.col("_plen").desc_nulls_last(),
+        (F.col("rtype") == "allow").desc_nulls_last(),
+        F.col("rule_id").asc_nulls_last())
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*df.columns,
+                    F.coalesce("rule_id", F.lit(0)).alias("rule_id"),
+                    F.coalesce("_plen", F.lit(0))
+                    .alias("matched_len"),
+                    F.coalesce(F.col("rtype") == "allow",
+                               F.lit(True)).alias("allowed")))

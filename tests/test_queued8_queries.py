@@ -98,6 +98,9 @@ def test_queued8_plan_guards(spark):
         "g36_euler_audit",
         # 1-row total-users x live-stats aggregates broadcast
         "st23_stream_cdc_tombstones",
+        # constant 6-row robots ruleset broadcast for the prefix
+        # match (REP rules are dimension data)
+        "d83_robots_filter",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):

@@ -2108,3 +2108,27 @@ def test_zip_deflate_members_roundtrip_and_guards():
         zip_bytes_mixed([("x", b"d", 9)])
     with pytest.raises(ValueError, match="end-of-central"):
         decode_zip_members(b"not a zip")
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from ecmm428_pycart_spark.datapipe.text import robots_filter
+
+    rules = spark.createDataFrame(
+        [Row(rule_id=1, rtype="disallow", prefix="/private"),
+         Row(rule_id=2, rtype="allow", prefix="/private/pub"),
+         Row(rule_id=3, rtype="disallow", prefix="/tmp"),
+         Row(rule_id=4, rtype="allow", prefix="/tmpx"),
+         Row(rule_id=5, rtype="disallow", prefix="/dup"),
+         Row(rule_id=6, rtype="allow", prefix="/dup")])
+    paths = ["/private/a", "/private/pub/a", "/public/x",
+             "/tmp/f", "/tmpxtra", "/dup/page"]
+    out = {r.path: (r.rule_id, r.allowed)
+           for r in robots_filter(
+               spark.createDataFrame([Row(path=p) for p in paths]),
+               rules).collect()}
+    assert out["/private/a"] == (1, False)        # plain disallow
+    assert out["/private/pub/a"] == (2, True)     # longer allow wins
+    assert out["/public/x"] == (0, True)          # no match -> allow
+    assert out["/tmp/f"] == (3, False)
+    assert out["/tmpxtra"] == (4, True)           # /tmpx longer /tmp
+    assert out["/dup/page"] == (6, True)          # equal len -> allow
