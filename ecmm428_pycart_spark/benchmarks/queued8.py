@@ -817,3 +817,109 @@ def d83_robots_filter(spark: SparkSession,
                     F.col("matched_len_sum").cast("long")
                     .alias("matched_len_sum"))
             .orderBy("rule_id"))
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent contribution rollup (the drill-down page every
+# BI layer renders: each nation's share of its region's revenue,
+# each region's share of the world): two grains computed as plain
+# partial aggregates, shares joined upward as exact ppm floor
+# divisions — no window over the fact table, the parent totals are
+# dimension-sized joins. Revenue in exact BIGINT cents through the
+# customer -> orders chain with dims broadcast.
+# ---------------------------------------------------------------------------
+@q("q122_percent_of_parent", """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region, sum(cents) AS r_cents FROM rev GROUP BY 1),
+tot AS (SELECT sum(cents) AS t_cents FROM rev)
+SELECT rev.region, rev.nation,
+       CAST(rev.cents AS BIGINT) AS cents,
+       CAST(rev.cents * 1000000 // reg.r_cents AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(reg.r_cents * 1000000 // tot.t_cents AS BIGINT)
+         AS region_share_ppm
+FROM rev JOIN reg USING (region), tot
+ORDER BY region, nation
+""")
+def q122_percent_of_parent(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o.o_custkey == F.col("c_custkey"))
+           .join(F.broadcast(n.select("n_nationkey", "n_name",
+                                      "n_regionkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r.select("r_regionkey", "r_name")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("long")).alias("cents")))
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("r_cents"))
+    tot = rev.agg(F.sum("cents").alias("t_cents"))
+    return (rev.join(reg, "region").crossJoin(tot)
+            .select("region", "nation",
+                    F.col("cents").cast("long").alias("cents"),
+                    F.expr("cents * 1000000 div r_cents")
+                    .cast("long").alias("share_of_region_ppm"),
+                    F.expr("r_cents * 1000000 div t_cents")
+                    .cast("long").alias("region_share_ppm"))
+            .orderBy("region", "nation"))
+
+
+# ---------------------------------------------------------------------------
+# netpbm P5/P6 roundtrip (multimodal.pnm_encode/pnm_decode — the
+# zero-dependency raster interchange format, mixed per doc: P6 RGB
+# on even ids, P5 gray on odd): pixels follow the closed form
+# v(y,x,c) = ((id%11+1)*(3x+y) + 7c) % 256 over a 12x17 raster, so
+# the oracle expands the SAME formula per parity over
+# generate_series; the y-weighted checksum catches transpositions.
+# ---------------------------------------------------------------------------
+@q("m47_pnm_roundtrip", """
+WITH g AS (
+  SELECT d.doc_id, d.source, y.i AS y, x.i AS x, c.i AS c
+  FROM documents d,
+       unnest(range(0, 12)) y(i),
+       unnest(range(0, 17)) x(i),
+       unnest(range(0, 3)) c(i)
+  WHERE d.doc_id % 2 = 0 OR c.i = 0
+),
+v AS (
+  SELECT source, y,
+         ((doc_id % 11 + 1) * (3 * x + y)
+          + CASE WHEN doc_id % 2 = 0 THEN 7 * c ELSE 0 END)
+           % 256 AS val
+  FROM g
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS BIGINT) AS pix_sum,
+       CAST(sum(val * (y + 1)) % 1000000000 AS BIGINT) AS yw_sum
+FROM v GROUP BY source ORDER BY source
+""")
+def m47_pnm_roundtrip(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_pnm_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.pnm_pixel_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_pixels").cast("long").alias("n_pixels"),
+                 F.sum("s.pix_sum").cast("long").alias("pix_sum"),
+                 (F.sum("s.yw_sum") % 1000000000).cast("long")
+                 .alias("yw_sum"))
+            .orderBy("source"))

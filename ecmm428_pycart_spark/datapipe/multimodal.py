@@ -4864,3 +4864,99 @@ def zip_deflate_stats(payload: pd.Series) -> pd.DataFrame:
                      int(members["m.txt"].decode())))
     return pd.DataFrame(rows, columns=["n_members", "n_bytes", "fp",
                                        "meta_val"])
+
+
+# ---------------------------------------------------------------------------
+# REAL netpbm codec (round 5 continuation): P5 (binary graymap) and
+# P6 (binary pixmap) — the zero-dependency interchange format image
+# pipelines exchange raw rasters in. The header grammar is the part
+# worth owning: whitespace-separated tokens with '#' comments legal
+# between (not inside) tokens, exactly one whitespace byte after
+# maxval, then raw samples. Encoder emits the canonical single-space
+# form; decoder accepts the full grammar.
+# ---------------------------------------------------------------------------
+
+def pnm_encode(arr: np.ndarray) -> bytes:
+    """(H, W) uint8 -> P5, (H, W, 3) uint8 -> P6, maxval 255."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("pnm_encode expects (H, W[, 3]) uint8")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("pnm_encode expects 3 channels for P6")
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def pnm_decode(b: bytes) -> np.ndarray:
+    """Decode P5/P6 (maxval <= 255) honoring comments and arbitrary
+    token whitespace. Returns (H, W) or (H, W, 3) uint8."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM stream")
+    ch = 3 if b[:2] == b"P6" else 1
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos:pos + 1] == b"#":
+            nl = b.index(b"\n", pos)
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("pnm: truncated header")
+        vals.append(int(b[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("pnm: 16-bit maxval unsupported")
+    pos += 1  # exactly one whitespace byte after maxval
+    n = w * h * ch
+    data = b[pos:pos + n]
+    if len(data) != n:
+        raise ValueError("pnm: truncated raster")
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, 3)
+
+
+_PNM_STATS = T.StructType([
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("yw_sum", T.LongType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_pnm_payload(doc_id: pd.Series) -> pd.Series:
+    """12x17 P6 for even ids, P5 for odd; pixels follow
+    v(y,x,c) = ((id%11+1)*(3x+y) + 7c) % 256 (c = 0 for P5)."""
+    def gen(i: int) -> bytes:
+        a = i % 11 + 1
+        y, x = np.mgrid[0:12, 0:17]
+        if i % 2 == 0:
+            c = np.arange(3)
+            v = ((a * (3 * x + y))[:, :, None] + 7 * c) % 256
+        else:
+            v = (a * (3 * x + y)) % 256
+        return pnm_encode(v.astype(np.uint8))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+@F.pandas_udf(_PNM_STATS)
+def pnm_pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None))
+            continue
+        px = pnm_decode(bytes(buf)).astype(np.int64)
+        if px.ndim == 2:
+            yw = (px * (np.arange(px.shape[0]) + 1)[:, None]).sum()
+        else:
+            yw = (px * (np.arange(px.shape[0]) + 1)[:, None, None]) \
+                .sum()
+        rows.append((int(px.size), int(px.sum()),
+                     int(yw % 1000000000)))
+    return pd.DataFrame(rows, columns=["n_pixels", "pix_sum",
+                                       "yw_sum"])

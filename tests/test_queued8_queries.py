@@ -101,6 +101,8 @@ def test_queued8_plan_guards(spark):
         # constant 6-row robots ruleset broadcast for the prefix
         # match (REP rules are dimension data)
         "d83_robots_filter",
+        # 1-row grand-total broadcast onto the contribution rows
+        "q122_percent_of_parent",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):

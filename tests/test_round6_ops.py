@@ -2132,3 +2132,27 @@ def test_robots_filter_longest_match_semantics(spark):
     assert out["/tmp/f"] == (3, False)
     assert out["/tmpxtra"] == (4, True)           # /tmpx longer /tmp
     assert out["/dup/page"] == (6, True)          # equal len -> allow
+
+
+def test_pnm_codec_grammar_and_guards():
+    import numpy as np
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        pnm_decode, pnm_encode)
+
+    rng = np.random.default_rng(1)
+    for arr in (rng.integers(0, 256, (7, 9, 3), dtype=np.uint8),
+                rng.integers(0, 256, (5, 4), dtype=np.uint8)):
+        assert np.array_equal(pnm_decode(pnm_encode(arr)), arr)
+    # full header grammar: comments between tokens, mixed whitespace
+    hdr = b"P6 # c1\n# full line comment\n  9\t7\n# last\n255\n"
+    raw = bytes(rng.integers(0, 256, 9 * 7 * 3).astype(np.uint8))
+    dec = pnm_decode(hdr + raw)
+    assert dec.shape == (7, 9, 3) and dec.tobytes() == raw
+    with pytest.raises(ValueError, match="PGM/PPM"):
+        pnm_decode(b"P3\n1 1\n255\n0 0 0")   # ASCII variant rejected
+    with pytest.raises(ValueError, match="truncated raster"):
+        pnm_decode(b"P5\n4 4\n255\n" + b"\x00" * 15)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        pnm_decode(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="uint8"):
+        pnm_encode(np.zeros((2, 2), np.int32))
