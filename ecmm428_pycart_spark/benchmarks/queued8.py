@@ -923,3 +923,71 @@ def m47_pnm_roundtrip(spark: SparkSession,
                  (F.sum("s.yw_sum") % 1000000000).cast("long")
                  .alias("yw_sum"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) site grouping (text.registrable_domain
+# — the publicsuffix.org longest-suffix rule; per-HOST grouping
+# over-splits sites, so every crawler keys politeness and dedup
+# state on eTLD+1): synthetic hosts exercising multi-label public
+# suffixes (co.uk beating uk), a private-registry suffix
+# (github.io beating io), a host that IS a suffix (no registrable
+# part), and an unmatched TLD. Constant broadcast suffix list; the
+# gate is the per-registrable site census.
+# ---------------------------------------------------------------------------
+_D84_HOST = """CASE doc_id % 6
+  WHEN 0 THEN 'www.shop' || doc_id % 3 || '.com'
+  WHEN 1 THEN 'blog.example' || doc_id % 2 || '.co.uk'
+  WHEN 2 THEN 'user' || doc_id % 3 || '.github.io'
+  WHEN 3 THEN 'a.b.example.ac.uk'
+  WHEN 4 THEN 'co.uk'
+  ELSE 'node' || doc_id % 2 || '.unmatched.zz' END"""
+_D84_SFX = ("('com'), ('org'), ('uk'), ('co.uk'), ('ac.uk'), "
+            "('github.io'), ('io')")
+
+
+@q("d84_registrable_domain", f"""
+WITH u AS (SELECT doc_id, {_D84_HOST} AS host FROM documents),
+s(suffix) AS (VALUES {_D84_SFX}),
+j AS (
+  SELECT u.doc_id, u.host, s.suffix, len(s.suffix) AS slen
+  FROM u LEFT JOIN s
+    ON u.host = s.suffix OR ends_with(u.host, '.' || s.suffix)
+),
+w AS (
+  SELECT doc_id, host, suffix, slen,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY slen DESC NULLS LAST) AS rn
+  FROM j
+),
+r AS (
+  SELECT host,
+         CASE WHEN suffix IS NULL OR host = suffix THEN NULL
+              ELSE (string_split(substr(host, 1,
+                        len(host) - slen - 1), '.'))[-1]
+                   || '.' || suffix END AS registrable
+  FROM w WHERE rn = 1
+)
+SELECT coalesce(registrable, '(none)') AS registrable,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r GROUP BY 1 ORDER BY registrable
+""")
+def d84_registrable_domain(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from ecmm428_pycart_spark.datapipe.text import registrable_domain
+
+    sfx = spark.createDataFrame(
+        [Row(suffix=s) for s in
+         ["com", "org", "uk", "co.uk", "ac.uk", "github.io", "io"]])
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_D84_HOST).alias("host"))
+    out = registrable_domain(u, sfx)
+    return (out.groupBy(F.coalesce("registrable", F.lit("(none)"))
+                        .alias("registrable"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long")
+                 .alias("n_hosts"))
+            .orderBy("registrable"))

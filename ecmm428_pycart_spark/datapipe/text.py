@@ -1443,3 +1443,41 @@ def robots_filter(df: DataFrame, rules: DataFrame,
                     .alias("matched_len"),
                     F.coalesce(F.col("rtype") == "allow",
                                F.lit(True)).alias("allowed")))
+
+
+def registrable_domain(df: DataFrame, suffixes: DataFrame,
+                       host_col: str = "host") -> DataFrame:
+    """Public-suffix (eTLD+1) extraction — the Mozilla
+    publicsuffix.org algorithm every crawler keys per-site state on
+    (host-level grouping over-splits: blog.example.co.uk and
+    www.example.co.uk are ONE site, example.co.uk): match the host
+    against a BROADCAST suffix list on label boundaries (exact match
+    or '.suffix' tail), take the LONGEST matching suffix, and the
+    registrable domain is one more label + the suffix. A host that
+    IS a public suffix has no registrable part (NULL). Suffix lists
+    are dimension data (~10k lines in the wild) — the corpus never
+    shuffles for the match. Returns the input plus
+    (public_suffix, registrable)."""
+    from pyspark.sql import Window as W
+
+    sfx = F.broadcast(suffixes.select(
+        F.col("suffix"), F.length("suffix").alias("_slen")))
+    src = df.withColumn("_rid", F.monotonically_increasing_id())
+    h = F.col(host_col)
+    j = src.join(
+        sfx, (h == F.col("suffix"))
+        | h.endswith(F.concat(F.lit("."), F.col("suffix"))), "left")
+    w = W.partitionBy("_rid").orderBy(F.col("_slen").desc_nulls_last())
+    best = (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    prefix = F.expr(
+        f"substring({host_col}, 1, "
+        f"length({host_col}) - _slen - 1)")
+    label = F.element_at(F.split(prefix, "\\."), -1)
+    return (best.select(
+        *df.columns,
+        F.col("suffix").alias("public_suffix"),
+        F.when(F.col("suffix").isNull()
+               | (h == F.col("suffix")), F.lit(None))
+        .otherwise(F.concat(label, F.lit("."), F.col("suffix")))
+        .alias("registrable")))

@@ -103,6 +103,9 @@ def test_queued8_plan_guards(spark):
         "d83_robots_filter",
         # 1-row grand-total broadcast onto the contribution rows
         "q122_percent_of_parent",
+        # constant 7-row public-suffix list broadcast for the
+        # label-boundary match
+        "d84_registrable_domain",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):

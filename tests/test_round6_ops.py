@@ -2156,3 +2156,33 @@ def test_pnm_codec_grammar_and_guards():
         pnm_decode(b"P5\n1 1\n65535\n\x00\x00")
     with pytest.raises(ValueError, match="uint8"):
         pnm_encode(np.zeros((2, 2), np.int32))
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from ecmm428_pycart_spark.datapipe.text import registrable_domain
+
+    sfx = spark.createDataFrame(
+        [Row(suffix=s) for s in
+         ["com", "org", "uk", "co.uk", "ac.uk", "github.io", "io"]])
+    hosts = ["www.example.com", "blog.example.co.uk",
+             "a.b.example.co.uk", "example.ac.uk", "co.uk",
+             "user1.github.io", "deep.user2.github.io",
+             "plain.io", "unmatched.zz"]
+    out = {r.host: (r.public_suffix, r.registrable)
+           for r in registrable_domain(
+               spark.createDataFrame([Row(host=h) for h in hosts]),
+               sfx).collect()}
+    assert out["www.example.com"] == ("com", "example.com")
+    # longest suffix wins: co.uk beats uk
+    assert out["blog.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["a.b.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["example.ac.uk"] == ("ac.uk", "example.ac.uk")
+    # a host that IS a suffix has no registrable part
+    assert out["co.uk"] == ("co.uk", None)
+    # private suffix: github.io beats io
+    assert out["user1.github.io"] == ("github.io",
+                                      "user1.github.io")
+    assert out["deep.user2.github.io"] == ("github.io",
+                                           "user2.github.io")
+    assert out["plain.io"] == ("io", "plain.io")
+    assert out["unmatched.zz"] == (None, None)
