@@ -991,3 +991,56 @@ def d84_registrable_domain(spark: SparkSession,
                  F.countDistinct("host").cast("long")
                  .alias("n_hosts"))
             .orderBy("registrable"))
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension handling (the Kimball inferred-member
+# pattern: facts referencing a dimension key the dim feed hasn't
+# delivered yet must neither drop nor block — they join to a
+# placeholder row that a later dim update corrects): the dim feed
+# is simulated by withholding every custkey % 10 == 0 from
+# customer; orders LEFT JOIN the partial dim, unmatched facts mint
+# inferred members (nation '(inferred)'), and the gate accounts
+# revenue by member status x nation so the backfill's blast radius
+# is visible. Broadcast dim, one fact pass.
+# ---------------------------------------------------------------------------
+@q("q123_inferred_members", """
+WITH dim AS (
+  SELECT c_custkey, n_name
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE c_custkey % 10 <> 0
+),
+j AS (
+  SELECT coalesce(d.n_name, '(inferred)') AS nation,
+         CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS inferred,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+)
+SELECT nation,
+       CAST(max(inferred) AS BIGINT) AS is_inferred,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY nation ORDER BY nation
+""")
+def q123_inferred_members(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    dim = (c.filter(F.col("c_custkey") % 10 != 0)
+           .join(F.broadcast(n),
+                 c.c_nationkey == n.n_nationkey)
+           .select("c_custkey", "n_name"))
+    j = (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey,
+                "left")
+         .select(F.coalesce("n_name", F.lit("(inferred)"))
+                 .alias("nation"),
+                 F.col("c_custkey").isNull().cast("long")
+                 .alias("inferred"),
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents")))
+    return (j.groupBy("nation")
+            .agg(F.max("inferred").cast("long").alias("is_inferred"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("revenue_cents"))
+            .orderBy("nation"))
