@@ -1044,3 +1044,45 @@ def q123_inferred_members(spark: SparkSession,
                  F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum("cents").cast("long").alias("revenue_cents"))
             .orderBy("nation"))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated-subquery top-k (SQL API surface: the
+# per-row-subquery formulation of top-k-per-group — the form BI
+# tools and migrating warehouse users actually write; Catalyst
+# decorrelates it into the same join+window plan the explicit form
+# produces, which is the point of the check): each customer's two
+# largest orders via LATERAL ... ORDER BY ... LIMIT 2, rolled up so
+# the page stays compact. The oracle runs the IDENTICAL LATERAL
+# text — both engines decorrelate the same semantics.
+# ---------------------------------------------------------------------------
+_Q124_SQL = """
+WITH t AS (
+  SELECT c.c_custkey AS custkey, l.o_orderkey AS orderkey,
+         l.cents
+  FROM {cust} c,
+  LATERAL (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM {ord} WHERE o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey ASC LIMIT 2
+  ) l
+)
+SELECT CAST(custkey % 10 AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS top2_cents,
+       CAST(max(cents) AS BIGINT) AS best_cents,
+       CAST(sum(orderkey) % 1000000000 AS BIGINT) AS key_checksum
+FROM t GROUP BY 1 ORDER BY cohort
+"""
+
+
+@q("q124_lateral_topk",
+   _Q124_SQL.format(cust="customer", ord="orders"))
+def q124_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("q124_customer")
+    _t(spark, sf_dir, "orders") \
+        .createOrReplaceTempView("q124_orders")
+    return spark.sql(_Q124_SQL.format(cust="q124_customer",
+                                      ord="q124_orders"))
