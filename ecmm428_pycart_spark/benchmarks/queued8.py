@@ -1086,3 +1086,57 @@ def q124_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("q124_orders")
     return spark.sql(_Q124_SQL.format(cust="q124_customer",
                                       ord="q124_orders"))
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS under NULLs (the three-valued-logic trap
+# every SQL migration trips over: one NULL in the subquery makes
+# NOT IN return ZERO rows, while NOT EXISTS keeps its anti-join
+# meaning): the key list injects a NULL for every custkey % 100 = 7,
+# and the page pins all four quantifier counts side by side —
+# n_not_in must be 0 BY THE STANDARD, n_not_exists is the real
+# complement, and in/exists agree. Spark compiles the NOT IN into a
+# null-aware anti join; the identical SQL text runs on both
+# engines.
+# ---------------------------------------------------------------------------
+_Q125_SQL = """
+WITH keys AS (
+  SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL
+              ELSE c_custkey END AS k
+  FROM {cust}
+)
+SELECT
+  (SELECT count(*) FROM {ord}
+   WHERE o_custkey NOT IN (SELECT k FROM keys))
+    AS n_not_in,
+  (SELECT count(*) FROM {ord} o
+   WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey))
+    AS n_not_exists,
+  (SELECT count(*) FROM {ord}
+   WHERE o_custkey IN (SELECT k FROM keys)) AS n_in,
+  (SELECT count(*) FROM {ord} o
+   WHERE EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey))
+    AS n_exists,
+  (SELECT count(*) FROM {ord}) AS n_orders
+"""
+
+
+@q("q125_not_in_null_trap", f"""
+WITH raw AS ({_Q125_SQL.format(cust="customer", ord="orders")})
+SELECT CAST(n_not_in AS BIGINT) AS n_not_in,
+       CAST(n_not_exists AS BIGINT) AS n_not_exists,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_exists AS BIGINT) AS n_exists,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM raw
+""")
+def q125_not_in_null_trap(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("q125_customer")
+    _t(spark, sf_dir, "orders") \
+        .createOrReplaceTempView("q125_orders")
+    raw = spark.sql(_Q125_SQL.format(cust="q125_customer",
+                                     ord="q125_orders"))
+    return raw.select(*[F.col(c).cast("long").alias(c)
+                        for c in raw.columns])
