@@ -1140,3 +1140,78 @@ def q125_not_in_null_trap(spark: SparkSession,
                                      ord="q125_orders"))
     return raw.select(*[F.col(c).cast("long").alias(c)
                         for c in raw.columns])
+
+
+# ---------------------------------------------------------------------------
+# Foreign-key DISCOVERY profiling (the schema-inference pass a
+# catalog runs on undocumented data — q104 checks declared
+# integrity, this one finds candidates): for each candidate
+# (child column -> parent column) pair, distinct cardinalities,
+# the count of child values contained in the parent, containment
+# as ppm, and whether the parent side is actually unique — the
+# standard inclusion-dependency score. Four true FKs and one
+# deliberate non-FK pair keep the scorer honest. Each pair is two
+# distinct aggregates + one semi-join on dimension-sized key sets.
+# ---------------------------------------------------------------------------
+_Q126_PAIRS = [
+    ("li_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("o_cust", "orders", "o_custkey", "customer", "c_custkey"),
+    ("li_supp", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("li_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("bogus", "orders", "o_custkey", "supplier", "s_suppkey"),
+]
+_Q126_ONE = """
+SELECT '{label}' AS pair,
+       (SELECT count(DISTINCT {ck}) FROM {ct}) AS n_child,
+       (SELECT count(DISTINCT {pk}) FROM {pt}) AS n_parent,
+       (SELECT count(*) FROM {pt}) AS n_parent_rows,
+       (SELECT count(*) FROM
+         (SELECT DISTINCT {ck} AS v FROM {ct}) c
+         WHERE v IN (SELECT {pk} FROM {pt})) AS n_contained
+"""
+
+
+@q("q126_fk_discovery", f"""
+WITH raw AS ({" UNION ALL ".join(
+    _Q126_ONE.format(label=lb, ct=ct, ck=ck, pt=pt, pk=pk)
+    for lb, ct, ck, pt, pk in _Q126_PAIRS)})
+SELECT pair,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(n_contained * 1000000 // n_child AS BIGINT)
+         AS containment_ppm,
+       n_parent = n_parent_rows AS parent_unique
+FROM raw ORDER BY pair
+""")
+def q126_fk_discovery(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    parts = []
+    for lb, ct, ck, pt, pk in _Q126_PAIRS:
+        child = _t(spark, sf_dir, ct).select(F.col(ck).alias("v")) \
+            .distinct()
+        parent = _t(spark, sf_dir, pt)
+        pkeys = parent.select(F.col(pk).alias("v"))
+        contained = child.join(pkeys.distinct(), "v", "left_semi")
+        one = (child.agg(F.count(F.lit(1)).alias("n_child"))
+               .crossJoin(pkeys.agg(
+                   F.countDistinct("v").alias("n_parent"),
+                   F.count(F.lit(1)).alias("n_parent_rows")))
+               .crossJoin(contained.agg(
+                   F.count(F.lit(1)).alias("n_contained")))
+               .select(F.lit(lb).alias("pair"), "n_child",
+                       "n_parent", "n_parent_rows", "n_contained"))
+        parts.append(one)
+    raw = parts[0]
+    for p_ in parts[1:]:
+        raw = raw.union(p_)
+    return (raw.select(
+        "pair",
+        F.col("n_child").cast("long").alias("n_child"),
+        F.col("n_parent").cast("long").alias("n_parent"),
+        F.col("n_contained").cast("long").alias("n_contained"),
+        F.expr("n_contained * 1000000 div n_child").cast("long")
+        .alias("containment_ppm"),
+        (F.col("n_parent") == F.col("n_parent_rows"))
+        .alias("parent_unique"))
+        .orderBy("pair"))

@@ -106,6 +106,8 @@ def test_queued8_plan_guards(spark):
         # constant 7-row public-suffix list broadcast for the
         # label-boundary match
         "d84_registrable_domain",
+        # per-pair 1-row cardinality aggregates broadcast together
+        "q126_fk_discovery",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
