@@ -1215,3 +1215,64 @@ def q126_fk_discovery(spark: SparkSession,
         (F.col("n_parent") == F.col("n_parent_rows"))
         .alias("parent_unique"))
         .orderBy("pair"))
+
+
+# ---------------------------------------------------------------------------
+# Join fan-out inflation audit (the most common silent BI bug:
+# joining a header to its lines and summing a HEADER measure counts
+# it once per line): the naive orders-joined-to-lineitem sum of
+# o_totalprice versus the correct pre-aggregated form, side by
+# side per priority with the inflation in ppm — a negative-control
+# page like the NOT IN trap, pinning that both engines inflate
+# IDENTICALLY (the bug is semantics, not engine) and that the
+# pre-aggregate kills it. Also carries avg lines per order
+# undivided (line_count, order_count).
+# ---------------------------------------------------------------------------
+@q("q127_fanout_inflation", """
+WITH correct AS (
+  SELECT o_orderpriority AS pri,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+naive AS (
+  SELECT o.o_orderpriority AS pri,
+         count(*) AS n_rows,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+           AS inflated_cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT pri,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_rows AS BIGINT) AS n_join_rows,
+       CAST(cents AS BIGINT) AS correct_cents,
+       CAST(inflated_cents AS BIGINT) AS inflated_cents,
+       CAST(inflated_cents * 1000000 // cents AS BIGINT)
+         AS inflation_ppm
+FROM correct JOIN naive USING (pri)
+ORDER BY pri
+""")
+def q127_fanout_inflation(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    correct = (o.groupBy(F.col("o_orderpriority").alias("pri"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(cents).alias("cents")))
+    naive = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .groupBy(F.col("o_orderpriority").alias("pri"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(cents).alias("inflated_cents")))
+    return (correct.join(naive, "pri")
+            .select("pri",
+                    F.col("n_orders").cast("long").alias("n_orders"),
+                    F.col("n_rows").cast("long").alias("n_join_rows"),
+                    F.col("cents").cast("long")
+                    .alias("correct_cents"),
+                    F.col("inflated_cents").cast("long")
+                    .alias("inflated_cents"),
+                    F.expr("inflated_cents * 1000000 div cents")
+                    .cast("long").alias("inflation_ppm"))
+            .orderBy("pri"))
