@@ -1276,3 +1276,72 @@ def q127_fanout_inflation(spark: SparkSession,
                     F.expr("inflated_cents * 1000000 div cents")
                     .cast("long").alias("inflation_ppm"))
             .orderBy("pri"))
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (the companion readout to the d76
+# novelty curve and d79's frequency table: how does DISTINCT
+# vocabulary grow as the crawl accumulates tokens? V(n) ~ K*n^beta
+# — sublinear growth is the health signal; a linear curve means
+# boilerplate or spam minting tokens): tokens attributed to the
+# FIRST doc containing them (one token-keyed min aggregate),
+# rolled into doc_id-div-100 crawl batches, with running totals
+# over the bounded batch table. The K/beta fit is the reader's —
+# the raw curve is exact integers.
+# ---------------------------------------------------------------------------
+@q("d85_heaps_curve", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+firsts AS (
+  SELECT t, min(doc_id) // 100 AS first_batch
+  FROM tok GROUP BY t
+),
+nv AS (SELECT first_batch AS batch, count(*) AS new_vocab
+       FROM firsts GROUP BY 1),
+bt AS (SELECT doc_id // 100 AS batch, count(*) AS batch_tokens
+       FROM tok GROUP BY 1),
+c AS (
+  SELECT bt.batch, bt.batch_tokens, coalesce(nv.new_vocab, 0)
+           AS new_vocab
+  FROM bt LEFT JOIN nv ON nv.batch = bt.batch
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(batch_tokens AS BIGINT) AS batch_tokens,
+       CAST(new_vocab AS BIGINT) AS new_vocab,
+       CAST(sum(batch_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(new_vocab) OVER w AS BIGINT) AS cum_vocab
+FROM c
+WINDOW w AS (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY batch
+""")
+def d85_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    firsts = (tok.groupBy("t")
+              .agg(F.expr("min(doc_id) div 100").alias("batch")))
+    nv = firsts.groupBy("batch").agg(F.count(F.lit(1))
+                                     .alias("new_vocab"))
+    bt = (tok.groupBy(F.expr("doc_id div 100").alias("batch"))
+          .agg(F.count(F.lit(1)).alias("batch_tokens")))
+    c = (bt.join(nv, "batch", "left")
+         .withColumn("new_vocab",
+                     F.coalesce("new_vocab", F.lit(0))))
+    # bounded window: one row per crawl batch
+    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, 0)
+    return (c.select(F.col("batch").cast("long").alias("batch"),
+                     F.col("batch_tokens").cast("long")
+                     .alias("batch_tokens"),
+                     F.col("new_vocab").cast("long")
+                     .alias("new_vocab"),
+                     F.sum("batch_tokens").over(w).cast("long")
+                     .alias("cum_tokens"),
+                     F.sum("new_vocab").over(w).cast("long")
+                     .alias("cum_vocab"))
+            .orderBy("batch"))
