@@ -1345,3 +1345,82 @@ def d85_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("new_vocab").over(w).cast("long")
                      .alias("cum_vocab"))
             .orderBy("batch"))
+
+
+# ---------------------------------------------------------------------------
+# Local Moran (LISA) quadrant census (Anselin 1995 — the per-region
+# follow-up to g35's global statistic: WHICH regions sit in
+# high-high clusters vs low-high outliers?): with the same n-scaled
+# integer deviations, each region's quadrant is (sign of its own
+# deviation) x (sign of its neighbors' deviation sum) and its local
+# contribution is d_i * sum_j d_j — the page is the quadrant census
+# with summed contributions, all undivided integers (HH/LL carry
+# positive contributions, HL/LH negative; their total reconciles
+# with g35's sum_w_didj). One neighbor-sum aggregate + one join.
+# ---------------------------------------------------------------------------
+@q("g38_lisa_quadrants", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c_custkey * 7 % 100) AS BIGINT) AS sx
+  FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx,
+         c_custkey // side AS gy,
+         n * (c_custkey * 7 % 100) - sx AS d
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+ns AS (
+  SELECT und.a AS k, sum(g.d) AS nd
+  FROM und JOIN g ON g.k = und.b GROUP BY und.a
+),
+q_ AS (
+  SELECT CASE WHEN g.d >= 0 THEN 'H' ELSE 'L' END
+         || CASE WHEN ns.nd >= 0 THEN 'H' ELSE 'L' END AS quadrant,
+         g.d * ns.nd AS contrib
+  FROM g JOIN ns ON ns.k = g.k
+)
+SELECT quadrant,
+       CAST(count(*) AS BIGINT) AS n_regions,
+       CAST(sum(contrib) AS BIGINT) AS contrib_sum
+FROM q_ GROUP BY quadrant ORDER BY quadrant
+""")
+def g38_lisa_quadrants(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    und = borders.select(F.col("focal").alias("a"),
+                         F.col("neighbor").alias("b"))
+    cust = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"),
+                (F.col("c_custkey") * 7 % 100).alias("x"))
+    tot = cust.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("sx"))
+    d = (cust.crossJoin(tot)
+         .select("k", (F.col("n") * F.col("x") - F.col("sx"))
+                 .alias("d")))
+    ns = (und.join(d.select(F.col("k").alias("b"),
+                            F.col("d").alias("db")), "b")
+          .groupBy(F.col("a").alias("k"))
+          .agg(F.sum("db").alias("nd")))
+    j = d.join(ns, "k")
+    quad = F.concat(
+        F.when(F.col("d") >= 0, F.lit("H")).otherwise(F.lit("L")),
+        F.when(F.col("nd") >= 0, F.lit("H")).otherwise(F.lit("L")))
+    return (j.select(quad.alias("quadrant"),
+                     (F.col("d") * F.col("nd")).alias("contrib"))
+            .groupBy("quadrant")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_regions"),
+                 F.sum("contrib").cast("long").alias("contrib_sum"))
+            .orderBy("quadrant"))

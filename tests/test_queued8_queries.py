@@ -93,6 +93,7 @@ def test_queued8_plan_guards(spark):
         # 1-row grid-side + (n, sum x) aggregates broadcast
         # (_customer_grid / Moran deviation scaling)
         "g35_morans_i",
+        "g38_lisa_quadrants",
         # 1-row side-length + count aggregates broadcast (grid build
         # and the V/E/F scalar assembly)
         "g36_euler_audit",
