@@ -1424,3 +1424,44 @@ def g38_lisa_quadrants(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_regions"),
                  F.sum("contrib").cast("long").alias("contrib_sum"))
             .orderBy("quadrant"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot -> unpivot inverse proof (the schema-transform integrity
+# check nobody writes until a wide export silently dropped a
+# column: long-to-wide then wide-to-long must reproduce the direct
+# long aggregation exactly): per-user cents pivoted into one column
+# per event type (explicit, sorted pivot values — the bounded
+# dimension collected once), unpivoted back, null cells dropped
+# (a user without a type has no long row), and rolled up per type.
+# The oracle states only the DIRECT aggregation — matching it is
+# the roundtrip proof.
+# ---------------------------------------------------------------------------
+@q("q128_pivot_roundtrip", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM (
+  SELECT user_id, event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, event_type
+) GROUP BY event_type ORDER BY event_type
+""")
+def q128_pivot_roundtrip(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "event_type",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    types = sorted(r.event_type for r in
+                   ev.select("event_type").distinct().collect())
+    wide = (ev.groupBy("user_id").pivot("event_type", types)
+            .agg(F.sum("cents")))
+    long_ = wide.unpivot("user_id", types, "event_type", "cents") \
+        .filter(F.col("cents").isNotNull())
+    return (long_.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("cents").cast("long").alias("cents"))
+            .orderBy("event_type"))
