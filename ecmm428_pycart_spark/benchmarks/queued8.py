@@ -1465,3 +1465,127 @@ def q128_pivot_roundtrip(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
                  F.sum("cents").cast("long").alias("cents"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-table sign-LSH recall curve (the tuning dial for the OTHER
+# index family next to s26's IVF nprobe sweep: each extra hash
+# table ORs in another 8-bit sign bucket, recall climbs toward 1 as
+# tables are added — the L-vs-recall tradeoff from Indyk & Motwani
+# / Gionis et al. 1999): tables are disjoint 8-dim sign bands, the
+# candidate set for t tables is any-band collision with the query,
+# and each tier reports candidate volume + recall@10 against the
+# exact top-10. Oracle replays the band arithmetic + union + rerank
+# closed-form.
+# ---------------------------------------------------------------------------
+_S31_TIERS = (1, 2, 4, 8)
+
+
+def _s31_band_sql(col: str, i: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{8 * i + j + 1}] > 0 THEN {1 << j} "
+        f"ELSE 0 END" for j in range(8))
+
+
+def _s31_sql() -> str:
+    bands = ",\n         ".join(
+        f"CAST({_s31_band_sql('embedding', i)} AS INTEGER) AS b{i}"
+        for i in range(8))
+    qbands = ",\n         ".join(
+        f"CAST({_s31_band_sql('q', i)} AS INTEGER) AS qb{i}"
+        for i in range(8))
+    tiers, rows = [], []
+    for t in _S31_TIERS:
+        cond = " OR ".join(f"b.b{i} = qv.qb{i}" for i in range(t))
+        tiers.append(f"""
+c{t} AS (
+  SELECT b.vec_id FROM b, qv WHERE {cond}
+),
+s{t} AS (
+  SELECT vec_id FROM (
+    SELECT s.vec_id, s.cos FROM scored s JOIN c{t} USING (vec_id)
+    ORDER BY s.cos DESC, s.vec_id ASC LIMIT 10)
+),
+r{t} AS (
+  SELECT {t} AS n_tables,
+         (SELECT count(*) FROM c{t}) AS n_candidates,
+         (SELECT count(*) FROM s{t} JOIN ex USING (vec_id))
+           AS n_hits
+)""")
+        rows.append(f"SELECT * FROM r{t}")
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         {bands}
+  FROM embeddings
+),
+qv AS (
+  SELECT {qbands}
+  FROM (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+),
+scored AS (
+  SELECT vec_id,
+         round(sum(ex * qx) / (sqrt(sum(ex * ex))
+               * sqrt(sum(qx * qx))), 6) AS cos
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS ex,
+               unnest(q)::DOUBLE AS qx
+        FROM embeddings,
+             (SELECT embedding AS q FROM embeddings
+              WHERE vec_id = 0))
+  GROUP BY vec_id
+),
+ex AS (SELECT vec_id FROM scored
+       ORDER BY cos DESC, vec_id ASC LIMIT 10),
+{','.join(tiers)}
+SELECT CAST(n_tables AS BIGINT) AS n_tables,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / 10.0, 6) AS recall_at_10
+FROM ({" UNION ALL ".join(rows)}) ORDER BY n_tables
+"""
+
+
+@q("s31_lsh_tables_recall", _s31_sql())
+def s31_lsh_tables_recall(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    exact = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+
+    def band(col, i):
+        e = F.col(col)
+        terms = [F.when(F.element_at(e, 8 * i + j + 1) > 0,
+                        F.lit(1 << j)).otherwise(F.lit(0))
+                 for j in range(8)]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out.cast("int")
+
+    b = emb.select("vec_id", "label", "embedding",
+                   *[band("embedding", i).alias(f"b{i}")
+                     for i in range(8)])
+    qrow = qv.select(
+        *[band("q", i).alias(f"qb{i}") for i in range(8)]).head()
+    out = None
+    for t in _S31_TIERS:
+        cond = F.lit(False)
+        for i in range(t):
+            cond = cond | (F.col(f"b{i}") == F.lit(qrow[f"qb{i}"]))
+        cand = b.filter(cond)
+        ids = similarity.cosine_topk(
+            cand.select("vec_id", "label", "embedding"), qv,
+            k=10).select("vec_id")
+        row = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(ids.join(exact, "vec_id")
+                          .agg(F.count(F.lit(1)).alias("n_hits")))
+               .select(F.lit(t).cast("long").alias("n_tables"),
+                       F.col("n_candidates").cast("long")
+                       .alias("n_candidates"),
+                       F.col("n_hits").cast("long").alias("n_hits"),
+                       F.round(F.col("n_hits") / 10.0, 6)
+                       .alias("recall_at_10")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_tables")

@@ -109,6 +109,8 @@ def test_queued8_plan_guards(spark):
         "d84_registrable_domain",
         # per-pair 1-row cardinality aggregates broadcast together
         "q126_fk_discovery",
+        # query-vector / 1-row recall aggregates broadcast per tier
+        "s31_lsh_tables_recall",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
