@@ -1589,3 +1589,50 @@ def s31_lsh_tables_recall(spark: SparkSession,
                        .alias("recall_at_10")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_tables")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation (API surface: F.window with
+# a slide shorter than the duration — every event lands in
+# duration/slide overlapping windows; the smoothing shape behind
+# rolling dashboards): 2-hour windows hopping every 30 minutes over
+# the event stream, rolled up by window start's minute-of-day so
+# the page is bounded. The oracle expands the 4 overlapping window
+# starts per event closed-form (floor to the slide grid, then the
+# 3 earlier starts still covering the event).
+# ---------------------------------------------------------------------------
+@q("q129_hopping_windows", """
+WITH ev AS (
+  SELECT epoch(ts) AS es,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT (CAST(floor(es / 1800) AS BIGINT) - k.i) * 1800 AS wstart,
+         cents
+  FROM ev, unnest(range(0, 4)) k(i)
+)
+SELECT CAST(wstart % 86400 // 60 AS BIGINT) AS start_minute,
+       CAST(count(*) AS BIGINT) AS n_event_windows,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM w GROUP BY 1 ORDER BY start_minute
+""")
+def q129_hopping_windows(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.col("ts").cast("timestamp").alias("ts"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    win = ev.groupBy(F.window("ts", "2 hours", "30 minutes")
+                     .alias("w")) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").alias("cents"))
+    start_min = (F.unix_timestamp(F.col("w.start")) % 86400) \
+        .cast("long")
+    return (win.groupBy(F.expr(
+        "CAST(unix_timestamp(w.start) % 86400 div 60 AS BIGINT)")
+        .alias("start_minute"))
+        .agg(F.sum("n").cast("long").alias("n_event_windows"),
+             F.sum("cents").cast("long").alias("cents"))
+        .orderBy("start_minute"))
