@@ -1636,3 +1636,75 @@ def q129_hopping_windows(spark: SparkSession,
         .agg(F.sum("n").cast("long").alias("n_event_windows"),
              F.sum("cents").cast("long").alias("cents"))
         .orderBy("start_minute"))
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 ingestion hygiene audit (text.utf8_audit — the byte-level
+# validity pass a crawl runs before trusting .decode(), catching
+# the overlong-encoding smuggling vector, surrogates, out-of-range
+# code points and truncation): the pure-ASCII corpus gets one
+# deterministic injection per doc by doc_id % 5 — a valid 3-byte
+# euro, an overlong '/', an encoded surrogate, U+110000, or a
+# truncated sequence — so every violation class the validator names
+# is exercised and every count is closed-form (base ASCII bytes ==
+# strlen; the corpus is byte==char clean, asserted by the oracle's
+# strlen=length equality).
+# ---------------------------------------------------------------------------
+@q("d86_utf8_audit", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS ascii_bytes,
+       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_three,
+       CAST(sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlong,
+       CAST(sum(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_surrogate,
+       CAST(sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_too_large,
+       CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated
+FROM documents
+WHERE strlen(text) = length(text)
+GROUP BY source ORDER BY source
+""")
+def d86_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ecmm428_pycart_spark.datapipe.text import utf8_audit
+
+    inject = {0: "€".encode(), 1: b"\xC0\xAF",
+              2: b"\xED\xA0\x80", 3: b"\xF4\x90\x80\x80",
+              4: b"\xE2\x82"}
+
+    @F.pandas_udf(T.StructType([
+        T.StructField(k, T.LongType())
+        for k in ("ascii", "three", "overlong", "surrogate",
+                  "too_large", "truncated")]))
+    def _audit(text, doc_id):
+        rows = []
+        for t, i in zip(text, doc_id):
+            c = utf8_audit(t.encode() + inject[int(i) % 5])
+            rows.append((c["ascii"], c["three"], c["overlong"],
+                         c["surrogate"], c["too_large"],
+                         c["truncated"]))
+        return pd.DataFrame(rows, columns=["ascii", "three",
+                                           "overlong", "surrogate",
+                                           "too_large", "truncated"])
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    st = docs.withColumn("s", _audit("text", "doc_id"))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("s.ascii").cast("long").alias("ascii_bytes"),
+                 F.sum("s.three").cast("long").alias("n_three"),
+                 F.sum("s.overlong").cast("long").alias("n_overlong"),
+                 F.sum("s.surrogate").cast("long")
+                 .alias("n_surrogate"),
+                 F.sum("s.too_large").cast("long")
+                 .alias("n_too_large"),
+                 F.sum("s.truncated").cast("long")
+                 .alias("n_truncated"))
+            .orderBy("source"))

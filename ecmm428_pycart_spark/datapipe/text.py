@@ -1481,3 +1481,57 @@ def registrable_domain(df: DataFrame, suffixes: DataFrame,
                | (h == F.col("suffix")), F.lit(None))
         .otherwise(F.concat(label, F.lit("."), F.col("suffix")))
         .alias("registrable")))
+
+
+def utf8_audit(data: bytes) -> dict:
+    """Hand-rolled UTF-8 validity audit (RFC 3629) — the ingestion
+    hygiene pass a crawl runs before trusting .decode(): counts
+    valid sequences by length and classifies every violation the
+    spec names — overlong encodings (the classic smuggling vector),
+    surrogate code points, values above U+10FFFF, stray/invalid
+    continuation bytes, and truncation at end of input. Pure
+    byte-level walk, stdlib only."""
+    c = {k: 0 for k in ("ascii", "two", "three", "four", "overlong",
+                        "surrogate", "too_large", "bad_lead",
+                        "bad_continuation", "truncated")}
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b < 0x80:
+            c["ascii"] += 1
+            i += 1
+            continue
+        if 0x80 <= b <= 0xBF or b >= 0xF8:
+            c["bad_lead"] += 1
+            i += 1
+            continue
+        need = 1 if b < 0xE0 else 2 if b < 0xF0 else 3
+        tail = data[i + 1:i + 1 + need]
+        if len(tail) < need:
+            c["truncated"] += 1
+            break
+        if any(not (0x80 <= t <= 0xBF) for t in tail):
+            c["bad_continuation"] += 1
+            i += 1
+            continue
+        if need == 1:
+            cp = ((b & 0x1F) << 6) | (tail[0] & 0x3F)
+            kind, floor_ = "two", 0x80
+        elif need == 2:
+            cp = ((b & 0x0F) << 12) | ((tail[0] & 0x3F) << 6) \
+                | (tail[1] & 0x3F)
+            kind, floor_ = "three", 0x800
+        else:
+            cp = ((b & 0x07) << 18) | ((tail[0] & 0x3F) << 12) \
+                | ((tail[1] & 0x3F) << 6) | (tail[2] & 0x3F)
+            kind, floor_ = "four", 0x10000
+        if cp < floor_:
+            c["overlong"] += 1
+        elif 0xD800 <= cp <= 0xDFFF:
+            c["surrogate"] += 1
+        elif cp > 0x10FFFF:
+            c["too_large"] += 1
+        else:
+            c[kind] += 1
+        i += 1 + need
+    return c

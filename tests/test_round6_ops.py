@@ -2186,3 +2186,28 @@ def test_registrable_domain_psl_semantics(spark):
                                            "user2.github.io")
     assert out["plain.io"] == ("io", "plain.io")
     assert out["unmatched.zz"] == (None, None)
+
+
+def test_utf8_audit_spec_vectors():
+    from ecmm428_pycart_spark.datapipe.text import utf8_audit
+
+    c = utf8_audit("abc€𝄞ü".encode())
+    assert (c["ascii"], c["two"], c["three"], c["four"]) \
+        == (3, 1, 1, 1)
+    assert sum(v for k, v in c.items()
+               if k not in ("ascii", "two", "three", "four")) == 0
+    # the spec's named violations, one vector each
+    assert utf8_audit(b"\xC0\xAF")["overlong"] == 1       # 2-byte '/'
+    assert utf8_audit(b"\xE0\x80\xAF")["overlong"] == 1   # 3-byte
+    assert utf8_audit(b"\xF0\x80\x80\xAF")["overlong"] == 1
+    assert utf8_audit(b"\xED\xA0\x80")["surrogate"] == 1  # U+D800
+    assert utf8_audit(b"\xF4\x90\x80\x80")["too_large"] == 1
+    assert utf8_audit(b"\xE2\x82")["truncated"] == 1
+    assert utf8_audit(b"\x80")["bad_lead"] == 1           # stray cont
+    assert utf8_audit(b"\xFF")["bad_lead"] == 1
+    assert utf8_audit(b"\xE2\x41\x41")["bad_continuation"] == 1
+    # a valid decode agrees with Python's own decoder on counts
+    s = ("мир 你好 🎉 plain").encode()
+    c = utf8_audit(s)
+    assert c["ascii"] + c["two"] + c["three"] + c["four"] \
+        == len(s.decode())
