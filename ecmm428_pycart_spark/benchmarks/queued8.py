@@ -1708,3 +1708,62 @@ def d86_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s.truncated").cast("long")
                  .alias("n_truncated"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation in exact integers (the metric-vs-metric
+# sanity check a profiler runs — does document length actually track
+# vocabulary richness?): both metrics ranked by row_number with the
+# doc_id tiebreak (deterministic on both engines), rho = 1 -
+# 6*sum(d^2) / (n(n^2-1)) shipped UNDIVIDED as (n, sum_d2, rho_num,
+# rho_den) with rho_num possibly negative — the g31 discipline. The
+# two corpus-wide rank windows follow the d75/st20 convention: at
+# 100 TB swap exact ranks for percentile_approx buckets (noted in
+# SCALING.md) or rank within hash buckets.
+# ---------------------------------------------------------------------------
+@q("d87_spearman_metrics", """
+WITH m AS (
+  SELECT doc_id, strlen(text) AS chars,
+         len(list_distinct(string_split(text, ' '))) AS vocab
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY chars, doc_id) AS r1,
+         row_number() OVER (ORDER BY vocab, doc_id) AS r2
+  FROM m
+),
+s AS (
+  SELECT count(*) AS n,
+         sum((r1 - r2) * (r1 - r2)) AS sum_d2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
+       CAST(n * (n * n - 1) AS BIGINT) AS rho_den
+FROM s
+""")
+def d87_spearman_metrics(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    m = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("chars"),
+        F.size(F.array_distinct(tokens(F.col("text"))))
+        .alias("vocab"))
+    r = m.select(
+        F.row_number().over(W.orderBy("chars", "doc_id")).alias("r1"),
+        F.row_number().over(W.orderBy("vocab", "doc_id")).alias("r2"))
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    s = r.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(d2).alias("sum_d2"))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        (F.col("n") * (F.col("n") * F.col("n") - 1)
+         - 6 * F.col("sum_d2")).cast("long").alias("rho_num"),
+        (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long")
+        .alias("rho_den"))
