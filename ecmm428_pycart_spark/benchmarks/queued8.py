@@ -1767,3 +1767,60 @@ def d87_spearman_metrics(spark: SparkSession,
          - 6 * F.col("sum_d2")).cast("long").alias("rho_num"),
         (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long")
         .alias("rho_den"))
+
+
+# ---------------------------------------------------------------------------
+# MP3 stream measurement without decode (multimodal.mp3_walk — the
+# frame-header hop every audio ingest runs to get frame count,
+# bitrate mix and duration before deciding to transcode): synthetic
+# streams exercise all 14 bitrate indices, all 3 samplerates and
+# both padding states; the oracle expands the SAME header table and
+# frame-size formula (144 * bitrate // samplerate + padding,
+# 1152000 // samplerate ms per frame) over the frame index range.
+# ---------------------------------------------------------------------------
+_M48_BR = ("CASE 1 + (doc_id + f.i) % 14 "
+           + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(
+               (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320)) if i >= 1)
+           + " END")
+_M48_SR = ("CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+           "ELSE 32000 END")
+
+
+@q("m48_mp3_stream_stats", f"""
+WITH fr AS (
+  SELECT d.doc_id, d.source, f.i,
+         {_M48_BR} AS br, {_M48_SR} AS sr
+  FROM documents d, unnest(range(0, 11)) f(i)
+  WHERE f.i < 6 + d.doc_id % 5
+),
+v AS (
+  SELECT source, br, sr,
+         144 * br * 1000 // sr + (i % 2) AS flen,
+         1152000 // sr AS fms
+  FROM fr
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(br) AS BIGINT) AS bitrate_kbps_sum,
+       CAST(sum(flen) AS BIGINT) AS total_bytes,
+       CAST(sum(fms) AS BIGINT) AS total_ms
+FROM v GROUP BY source ORDER BY source
+""")
+def m48_mp3_stream_stats(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_mp3_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.mp3_stream_stats(F.col("payload"))) \
+        .withColumn("n_bytes", F.length("payload"))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_frames").cast("long").alias("n_frames"),
+                 F.sum("s.br_sum").cast("long")
+                 .alias("bitrate_kbps_sum"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.sum("s.total_ms").cast("long").alias("total_ms"))
+            .orderBy("source"))

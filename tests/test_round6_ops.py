@@ -2211,3 +2211,38 @@ def test_utf8_audit_spec_vectors():
     c = utf8_audit(s)
     assert c["ascii"] + c["two"] + c["three"] + c["four"] \
         == len(s.decode())
+
+
+def test_mp3_frame_walk_and_guards():
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        _MP3_BITRATES, _MP3_RATES, mp3_frame_bytes, mp3_walk)
+
+    buf = b"".join(mp3_frame_bytes(1 + (3 + f) % 14, 0, f % 2)
+                   for f in range(8))
+    n, br, rate, ms = mp3_walk(buf)
+    assert n == 8 and rate == 44100
+    assert br == sum(_MP3_BITRATES[1 + (3 + f) % 14]
+                     for f in range(8))
+    assert ms == 8 * (1152000 // 44100)
+    # every (bitrate, rate, padding) combo roundtrips as one frame
+    for bi in range(1, 15):
+        for ri in range(3):
+            for pad in (0, 1):
+                f = mp3_frame_bytes(bi, ri, pad)
+                assert len(f) == (144 * _MP3_BITRATES[bi] * 1000
+                                  // _MP3_RATES[ri]) + pad
+                assert mp3_walk(f)[0] == 1
+    with pytest.raises(ValueError, match="lost sync"):
+        mp3_walk(b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated frame"):
+        mp3_walk(buf[:-1])
+    bad = bytearray(mp3_frame_bytes(1, 0, 0))
+    bad[1] &= 0b11100111  # version -> MPEG-2.5 (reserved here)
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        mp3_walk(bytes(bad))
+    free = bytearray(mp3_frame_bytes(1, 0, 0))
+    free[2] &= 0x0F       # bitrate index -> 0 (free format)
+    with pytest.raises(ValueError, match="free/bad bitrate"):
+        mp3_walk(bytes(free))
+    with pytest.raises(ValueError, match="bad bitrate"):
+        mp3_frame_bytes(15, 0, 0)
