@@ -1824,3 +1824,70 @@ def m48_mp3_stream_stats(spark: SparkSession,
                  F.sum("n_bytes").cast("long").alias("total_bytes"),
                  F.sum("s.total_ms").cast("long").alias("total_ms"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING hopping windows (the st-twin of q129: the same 2-hour/
+# 30-minute overlapping aggregation run through Structured
+# Streaming in update mode across three time-ordered slices): each
+# micro-batch re-emits the windows it touched with running counts,
+# so the final state per window is its per-window argmax of the
+# strictly-increasing count (the st21 finalization discipline), and
+# the batch expansion oracle pins it exactly.
+# ---------------------------------------------------------------------------
+@q("st24_stream_hopping", """
+WITH ev AS (
+  SELECT epoch(ts) AS es,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT (CAST(floor(es / 1800) AS BIGINT) - k.i) * 1800 AS wstart,
+         cents
+  FROM ev, unnest(range(0, 4)) k(i)
+)
+SELECT CAST(wstart % 86400 // 60 AS BIGINT) AS start_minute,
+       CAST(count(*) AS BIGINT) AS n_event_windows,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM w GROUP BY 1 ORDER BY start_minute
+""")
+def st24_stream_hopping(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.benchmarks.relational import (
+        _await_stream, _scratch)
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+    d = _scratch("st24_events_")
+    write_time_ordered_stream_dir(slices, d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1) \
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    agg = (stream.groupBy(F.window("ts", "2 hours", "30 minutes")
+                          .alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .alias("cents")))
+    name = f"st24_{uuid.uuid4().hex[:8]}"
+    _await_stream(
+        spark,
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
+    fin = (spark.table(name)
+           .withColumn("_rn", F.row_number().over(
+               W.partitionBy("w").orderBy(F.col("n").desc())))
+           .filter(F.col("_rn") == 1))
+    return (fin.groupBy(F.expr(
+        "CAST(unix_timestamp(w.start) % 86400 div 60 AS BIGINT)")
+        .alias("start_minute"))
+        .agg(F.sum("n").cast("long").alias("n_event_windows"),
+             F.sum("cents").cast("long").alias("cents"))
+        .orderBy("start_minute"))
