@@ -1891,3 +1891,58 @@ def st24_stream_hopping(spark: SparkSession,
         .agg(F.sum("n").cast("long").alias("n_event_windows"),
              F.sum("cents").cast("long").alias("cents"))
         .orderBy("start_minute"))
+
+
+# ---------------------------------------------------------------------------
+# Schema-drift-safe union (API surface both engines grew for the
+# same reason: feeds evolve, and positional UNION silently mixes
+# columns — Spark's unionByName(allowMissingColumns=True) vs
+# DuckDB's UNION ALL BY NAME): a v1 feed (orderkey, cents) and a v2
+# feed adding a priority column combine by NAME, absent columns
+# null-filled, and the page accounts rows and null counts per feed
+# version — the drift audit a lakehouse runs on every producer
+# upgrade.
+# ---------------------------------------------------------------------------
+@q("q130_union_by_name", """
+WITH v1 AS (
+  SELECT 'v1' AS feed, o_orderkey AS orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT 'v2' AS feed, o_orderkey AS orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT feed,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(count(priority) AS BIGINT) AS n_priority_present,
+       CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_priority_null
+FROM u GROUP BY feed ORDER BY feed
+""")
+def q130_union_by_name(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = (o.filter(F.col("o_orderkey") % 2 == 0)
+          .select(F.lit("v1").alias("feed"),
+                  F.col("o_orderkey").alias("orderkey"),
+                  cents.alias("cents")))
+    v2 = (o.filter(F.col("o_orderkey") % 2 == 1)
+          .select(F.lit("v2").alias("feed"),
+                  F.col("o_orderkey").alias("orderkey"),
+                  cents.alias("cents"),
+                  F.col("o_orderpriority").alias("priority")))
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (u.groupBy("feed")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("cents").cast("long").alias("cents"),
+                 F.count("priority").cast("long")
+                 .alias("n_priority_present"),
+                 F.sum(F.col("priority").isNull().cast("long"))
+                 .cast("long").alias("n_priority_null"))
+            .orderBy("feed"))
