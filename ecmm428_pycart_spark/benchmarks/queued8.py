@@ -1946,3 +1946,57 @@ def q130_union_by_name(spark: SparkSession,
                  F.sum(F.col("priority").isNull().cast("long"))
                  .cast("long").alias("n_priority_null"))
             .orderBy("feed"))
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant ingestion casts (TRY_CAST — the API both engines
+# grew so one malformed row can't fail a 100 TB load the way ANSI
+# CAST does): a synthetic dirty string column mixes clean integers,
+# int64-overflowing digits (both engines null them — the silent
+# truncation CAST would commit elsewhere), whitespace-padded
+# numbers (both trim before casting), empty strings and garbage;
+# the page accounts parsed vs null per dirt class and sums the
+# recovered values. NOT portable and therefore excluded: decimal
+# strings — DuckDB's TRY_CAST('5.75' AS BIGINT) ROUNDS to 6 while
+# Spark rejects it, a genuine cross-engine semantics gap worth
+# this comment.
+# ---------------------------------------------------------------------------
+_Q131_DIRTY = """CASE doc_id % 5
+  WHEN 0 THEN CAST(doc_id AS STRING)
+  WHEN 1 THEN '9999999999999999999' || CAST(doc_id AS STRING)
+  WHEN 2 THEN '  ' || CAST(doc_id AS STRING) || ' '
+  WHEN 3 THEN ''
+  ELSE 'n/a' END"""
+
+
+@q("q131_try_cast_ingest", f"""
+WITH d AS (
+  SELECT doc_id % 5 AS dirt_class, {_Q131_DIRTY} AS raw
+  FROM documents
+),
+c AS (SELECT dirt_class, raw, TRY_CAST(raw AS BIGINT) AS v FROM d)
+SELECT CAST(dirt_class AS BIGINT) AS dirt_class,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rejected,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS value_sum
+FROM c GROUP BY dirt_class ORDER BY dirt_class
+""")
+def q131_try_cast_ingest(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("dirt_class"),
+        F.expr(_Q131_DIRTY).alias("raw"))
+    c = d.withColumn("v", F.expr("TRY_CAST(raw AS BIGINT)"))
+    return (c.groupBy("dirt_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.count("v").cast("long").alias("n_parsed"),
+                 F.sum(F.col("v").isNull().cast("long")).cast("long")
+                 .alias("n_rejected"),
+                 F.coalesce(F.sum("v"), F.lit(0)).cast("long")
+                 .alias("value_sum"))
+            .select(F.col("dirt_class").cast("long")
+                    .alias("dirt_class"), "n_rows", "n_parsed",
+                    "n_rejected", "value_sum")
+            .orderBy("dirt_class"))
