@@ -684,13 +684,10 @@ def st23_stream_cdc_tombstones(spark: SparkSession,
         .option("checkpointLocation", _scratch("st23_ckpt_"))
         .trigger(availableNow=True))
     _await_stream(spark, q_)
-    all_latest = spark.read.parquet(sink)
-    from pyspark.sql import Window as W
-    w = W.partitionBy("user_id").orderBy(F.col("_batch_id").desc())
-    latest = (all_latest.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1))
     live = read_cdc_state(spark, sink, ["user_id"])
-    n_users = latest.agg(F.count(F.lit(1)).alias("n_users"))
+    # every user ever emitted appears in the sink; no argmax needed
+    n_users = (spark.read.parquet(sink)
+               .agg(F.countDistinct("user_id").alias("n_users")))
     stats = live.agg(
         F.count(F.lit(1)).alias("n_live"),
         F.sum("n_events").alias("live_events"),
@@ -1192,7 +1189,7 @@ def q126_fk_discovery(spark: SparkSession,
             .distinct()
         parent = _t(spark, sf_dir, pt)
         pkeys = parent.select(F.col(pk).alias("v"))
-        contained = child.join(pkeys.distinct(), "v", "left_semi")
+        contained = child.join(pkeys, "v", "left_semi")
         one = (child.agg(F.count(F.lit(1)).alias("n_child"))
                .crossJoin(pkeys.agg(
                    F.countDistinct("v").alias("n_parent"),
@@ -1601,7 +1598,7 @@ def s31_lsh_tables_recall(spark: SparkSession,
 # starts per event closed-form (floor to the slide grid, then the
 # 3 earlier starts still covering the event).
 # ---------------------------------------------------------------------------
-@q("q129_hopping_windows", """
+_Q129_SQL = """
 WITH ev AS (
   SELECT epoch(ts) AS es,
          CAST(round(value * 100) AS BIGINT) AS cents
@@ -1616,7 +1613,10 @@ SELECT CAST(wstart % 86400 // 60 AS BIGINT) AS start_minute,
        CAST(count(*) AS BIGINT) AS n_event_windows,
        CAST(sum(cents) AS BIGINT) AS cents
 FROM w GROUP BY 1 ORDER BY start_minute
-""")
+"""
+
+
+@q("q129_hopping_windows", _Q129_SQL)
 def q129_hopping_windows(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
     ev = (_t(spark, sf_dir, "events")
@@ -1628,8 +1628,6 @@ def q129_hopping_windows(spark: SparkSession,
                      .alias("w")) \
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("cents").alias("cents"))
-    start_min = (F.unix_timestamp(F.col("w.start")) % 86400) \
-        .cast("long")
     return (win.groupBy(F.expr(
         "CAST(unix_timestamp(w.start) % 86400 div 60 AS BIGINT)")
         .alias("start_minute"))
@@ -1723,7 +1721,7 @@ def d86_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("d87_spearman_metrics", """
 WITH m AS (
-  SELECT doc_id, strlen(text) AS chars,
+  SELECT doc_id, length(text) AS chars,
          len(list_distinct(string_split(text, ' '))) AS vocab
   FROM documents
 ),
@@ -1835,22 +1833,7 @@ def m48_mp3_stream_stats(spark: SparkSession,
 # strictly-increasing count (the st21 finalization discipline), and
 # the batch expansion oracle pins it exactly.
 # ---------------------------------------------------------------------------
-@q("st24_stream_hopping", """
-WITH ev AS (
-  SELECT epoch(ts) AS es,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-),
-w AS (
-  SELECT (CAST(floor(es / 1800) AS BIGINT) - k.i) * 1800 AS wstart,
-         cents
-  FROM ev, unnest(range(0, 4)) k(i)
-)
-SELECT CAST(wstart % 86400 // 60 AS BIGINT) AS start_minute,
-       CAST(count(*) AS BIGINT) AS n_event_windows,
-       CAST(sum(cents) AS BIGINT) AS cents
-FROM w GROUP BY 1 ORDER BY start_minute
-""")
+@q("st24_stream_hopping", _Q129_SQL)
 def st24_stream_hopping(spark: SparkSession,
                         sf_dir: str) -> DataFrame:
     import uuid
