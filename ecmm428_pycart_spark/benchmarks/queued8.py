@@ -1983,3 +1983,76 @@ def q131_try_cast_ingest(spark: SparkSession,
                     .alias("dirt_class"), "n_rows", "n_parsed",
                     "n_rejected", "value_sum")
             .orderBy("dirt_class"))
+
+
+# ---------------------------------------------------------------------------
+# Placement-strategy comparison (answering the question g32's
+# diagnostic poses: IS there a placement smarter than hash for this
+# graph?): the same queen-grid edge list scored under node-hash
+# placement (k % 8) and contiguous block placement (k // ceil(n/8))
+# side by side — block placement keeps grid neighbors together and
+# cuts an order of magnitude fewer edges, the locality argument
+# behind range partitioning of spatial keys at 100 TB. One edge
+# list, two label functions, one union.
+# ---------------------------------------------------------------------------
+@q("g40_placement_compare", """
+WITH p AS (
+  SELECT CAST(ceiling(sqrt(count(*))) AS BIGINT) AS side,
+         CAST(ceiling(count(*) / 8.0) AS BIGINT) AS blk
+  FROM customer
+),
+g AS (
+  SELECT c_custkey AS k, c_custkey % side AS gx,
+         c_custkey // side AS gy
+  FROM customer, p
+),
+e AS (
+  SELECT a.k AS a, b.k AS b
+  FROM g a JOIN g b
+    ON (a.k < b.k AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+),
+s AS (
+  SELECT 'hash' AS placement,
+         sum(CASE WHEN a % 8 = b % 8 THEN 0 ELSE 1 END) AS n_cut,
+         count(*) AS n_edges
+  FROM e
+  UNION ALL
+  SELECT 'block' AS placement,
+         sum(CASE WHEN a // blk = b // blk THEN 0 ELSE 1 END)
+           AS n_cut,
+         count(*) AS n_edges
+  FROM e, p
+)
+SELECT placement,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_cut AS BIGINT) AS n_cut,
+       CAST(n_cut * 1000000 // n_edges AS BIGINT) AS cut_ppm
+FROM s ORDER BY placement
+""")
+def g40_placement_compare(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _customer_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    e = (borders.filter(F.col("focal") < F.col("neighbor"))
+         .select(F.col("focal").alias("a"),
+                 F.col("neighbor").alias("b")))
+    blk = _t(spark, sf_dir, "customer").agg(
+        F.ceil(F.count(F.lit(1)) / 8.0).cast("long").alias("blk"))
+    ej = e.crossJoin(blk)
+    rows = []
+    for name, cut in [
+            ("hash", (F.col("a") % 8 != F.col("b") % 8)),
+            ("block", F.expr("a div blk") != F.expr("b div blk"))]:
+        rows.append(ej.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(cut.cast("long")).alias("n_cut"))
+            .select(F.lit(name).alias("placement"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    F.col("n_cut").cast("long").alias("n_cut"),
+                    F.expr("n_cut * 1000000 div n_edges")
+                    .cast("long").alias("cut_ppm")))
+    return rows[0].union(rows[1]).orderBy("placement")

@@ -94,6 +94,7 @@ def test_queued8_plan_guards(spark):
         # (_customer_grid / Moran deviation scaling)
         "g35_morans_i",
         "g38_lisa_quadrants",
+        "g40_placement_compare",
         # 1-row side-length + count aggregates broadcast (grid build
         # and the V/E/F scalar assembly)
         "g36_euler_audit",
