@@ -2056,3 +2056,47 @@ def g40_placement_compare(spark: SparkSession,
                     F.expr("n_cut * 1000000 div n_edges")
                     .cast("long").alias("cut_ppm")))
     return rows[0].union(rows[1]).orderBy("placement")
+
+
+# ---------------------------------------------------------------------------
+# Cross-format transcode chain (multimodal.tga_png_transcode_stats:
+# TGA RLE decode -> adaptive PNG encode -> PNG decode, refusing to
+# emit on any raster mismatch — three hand-rolled codecs composing
+# losslessly in one Arrow batch, the normalization shape an image
+# ingest actually runs): the oracle replays the m38 TGA pixel
+# generator closed-form (17x11, runs-then-literals pattern) plus an
+# x-weighted checksum of the final raster.
+# ---------------------------------------------------------------------------
+@q("m49_tga_png_transcode", """
+WITH px AS (
+  SELECT d.doc_id, d.source,
+         ((d.doc_id % 7 + 1) * u.u + (d.doc_id % 5 + 1) * y.y
+          + 37 * c.c) % 256 AS val,
+         u.x
+  FROM documents d,
+       (SELECT x, CASE WHEN x < 15 THEN x // 3 ELSE 100 + x END AS u
+        FROM unnest(range(0, 17)) t(x)) u,
+       unnest(range(0, 11)) y(y),
+       unnest(range(0, 3)) c(c)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(val) AS BIGINT) AS sum_rgb,
+       CAST(sum(val * (x + 1)) % 1000000000 AS BIGINT) AS xw_sum
+FROM px GROUP BY source ORDER BY source
+""")
+def m49_tga_png_transcode(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_tga_rle_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.tga_png_transcode_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.sum("s.n_pix").cast("long").alias("n_pix"),
+                 F.sum("s.sum_rgb").cast("long").alias("sum_rgb"),
+                 (F.sum("s.xw_sum") % 1000000000).cast("long")
+                 .alias("xw_sum"))
+            .orderBy("source"))

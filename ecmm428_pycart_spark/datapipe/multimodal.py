@@ -5056,3 +5056,35 @@ def mp3_stream_stats(payload: pd.Series) -> pd.DataFrame:
         rows.append(mp3_walk(bytes(buf)))
     return pd.DataFrame(rows, columns=["n_frames", "br_sum",
                                        "sample_rate", "total_ms"])
+
+
+_TRANSCODE_STATS = T.StructType([
+    T.StructField("n_pix", T.LongType()),
+    T.StructField("sum_rgb", T.LongType()),
+    T.StructField("xw_sum", T.LongType()),
+])
+
+
+@F.pandas_udf(_TRANSCODE_STATS)
+def tga_png_transcode_stats(payload: pd.Series) -> pd.DataFrame:
+    """Cross-format transcode chain: decode a type-10 RLE TGA,
+    re-encode the pixels through the adaptive-filter PNG encoder,
+    decode THAT, refuse to emit unless the two rasters are
+    byte-identical, and fingerprint the result — three codecs
+    composing losslessly in one pass, the shape an image-ingest
+    normalization stage actually runs."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None))
+            continue
+        px, _, _ = decode_tga_pixels(bytes(buf))
+        rt = decode_png_pixels(png_encode_adaptive(px))
+        if not np.array_equal(rt, px):
+            raise ValueError("transcode: raster mismatch")
+        a = rt.astype(np.int64)
+        xw = (a * (np.arange(a.shape[1]) + 1)[None, :, None]).sum()
+        rows.append((int(a.size), int(a.sum()),
+                     int(xw % 1000000000)))
+    return pd.DataFrame(rows, columns=["n_pix", "sum_rgb",
+                                       "xw_sum"])
