@@ -2100,3 +2100,89 @@ def m49_tga_png_transcode(spark: SparkSession,
                  (F.sum("s.xw_sum") % 1000000000).cast("long")
                  .alias("xw_sum"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Shard-rebalance accounting under modulo vs rendezvous hashing
+# (Thaler & Ravishankar's HRW — the consistent-placement scheme
+# whose guarantee is the whole point: growing 8 shards to 10 moves
+# ~2/10 of keys, where modulo placement reshuffles ~90% of the
+# corpus): every key scores each bucket by an md5 draw, placement =
+# argmax (deterministic tiebreak on bucket id), and the page pins
+# moved-key counts and ppms for both schemes side by side. The
+# bucket dimension is generated (10 rows per key), never a shuffle
+# of state.
+# ---------------------------------------------------------------------------
+_D88_W = ("CAST(concat('0x', substr(md5('hrw' || CAST(k AS STRING)"
+          " || '|' || CAST(b AS STRING)), 1, 8)) AS UBIGINT)")
+
+
+@q("d88_hrw_rebalance", f"""
+WITH keys AS (SELECT c_custkey AS k FROM customer),
+w AS (
+  SELECT k, b.b, {_D88_W} AS wt
+  FROM keys, unnest(range(0, 10)) b(b)
+),
+a8 AS (
+  SELECT k, b AS s8 FROM (
+    SELECT k, b, row_number() OVER (PARTITION BY k
+        ORDER BY wt DESC, b ASC) AS rn
+    FROM w WHERE b < 8) WHERE rn = 1
+),
+a10 AS (
+  SELECT k, b AS s10 FROM (
+    SELECT k, b, row_number() OVER (PARTITION BY k
+        ORDER BY wt DESC, b ASC) AS rn
+    FROM w) WHERE rn = 1
+),
+j AS (
+  SELECT keys.k,
+         CASE WHEN keys.k % 8 <> keys.k % 10 THEN 1 ELSE 0 END
+           AS mod_moved,
+         CASE WHEN a8.s8 <> a10.s10 THEN 1 ELSE 0 END AS hrw_moved
+  FROM keys JOIN a8 USING (k) JOIN a10 USING (k)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(mod_moved) AS BIGINT) AS mod_moved,
+       CAST(sum(hrw_moved) AS BIGINT) AS hrw_moved,
+       CAST(sum(mod_moved) * 1000000 // count(*) AS BIGINT)
+         AS mod_moved_ppm,
+       CAST(sum(hrw_moved) * 1000000 // count(*) AS BIGINT)
+         AS hrw_moved_ppm
+FROM j
+""")
+def d88_hrw_rebalance(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    keys = _t(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"))
+    w_ = keys.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("b"))
+    wt = F.conv(F.substring(F.md5(F.concat(
+        F.lit("hrw"), F.col("k").cast("string"), F.lit("|"),
+        F.col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+    w_ = w_.withColumn("wt", wt)
+
+    def assign(df, n, out):
+        win = W.partitionBy("k").orderBy(F.col("wt").desc(),
+                                         F.col("b").asc())
+        return (df.filter(F.col("b") < n)
+                .withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1)
+                .select("k", F.col("b").alias(out)))
+
+    j = (keys.join(assign(w_, 8, "s8"), "k")
+         .join(assign(w_, 10, "s10"), "k")
+         .select((F.col("k") % 8 != F.col("k") % 10).cast("long")
+                 .alias("mod_moved"),
+                 (F.col("s8") != F.col("s10")).cast("long")
+                 .alias("hrw_moved")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("mod_moved").cast("long").alias("mod_moved"),
+        F.sum("hrw_moved").cast("long").alias("hrw_moved"),
+        F.expr("sum(mod_moved) * 1000000 div count(*)").cast("long")
+        .alias("mod_moved_ppm"),
+        F.expr("sum(hrw_moved) * 1000000 div count(*)").cast("long")
+        .alias("hrw_moved_ppm"))
