@@ -2186,3 +2186,57 @@ def d88_hrw_rebalance(spark: SparkSession,
         .alias("mod_moved_ppm"),
         F.expr("sum(hrw_moved) * 1000000 div count(*)").cast("long")
         .alias("hrw_moved_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed engagement score in pure integers (the
+# recommender/LTV recency weighting, with the decay an exact
+# bit-shift instead of exp(): value halves every 30 days of age —
+# cents >> (age_days // 30) — so the score is engine-replayable to
+# the last bit; power-of-two decay epochs are precisely the trick
+# integer-only scoring systems use): age measured against the
+# corpus's max event time (1-row broadcast), rolled up per user
+# cohort. Shifts are capped at 62 to stay in int64.
+# ---------------------------------------------------------------------------
+@q("q132_decayed_engagement", """
+WITH mx AS (
+  SELECT CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS max_day
+  FROM events WHERE ts IS NOT NULL
+),
+e AS (
+  SELECT user_id % 10 AS cohort,
+         CAST(round(value * 100) AS BIGINT)
+           >> least((max_day - CAST(floor(epoch(ts) / 86400)
+                                    AS BIGINT)) // 30, 62) AS dec_c,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, mx WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(dec_c) AS BIGINT) AS decayed_cents
+FROM e GROUP BY cohort ORDER BY cohort
+""")
+def q132_decayed_engagement(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("user_id",
+                  F.floor(F.unix_timestamp(
+                      F.col("ts").cast("timestamp")) / 86400)
+                  .cast("long").alias("day"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    mx = ev.agg(F.max("day").alias("max_day"))
+    e = (ev.crossJoin(mx)
+         .select((F.col("user_id") % 10).alias("cohort"),
+                 "cents",
+                 F.expr("cents >> CAST(least((max_day - day) div 30,"
+                        " 62) AS INT)").alias("dec_c")))
+    return (e.groupBy("cohort")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("cents").cast("long").alias("raw_cents"),
+                 F.sum("dec_c").cast("long").alias("decayed_cents"))
+            .select(F.col("cohort").cast("long").alias("cohort"),
+                    "n_events", "raw_cents", "decayed_cents")
+            .orderBy("cohort"))

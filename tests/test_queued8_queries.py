@@ -112,6 +112,8 @@ def test_queued8_plan_guards(spark):
         "q126_fk_discovery",
         # query-vector / 1-row recall aggregates broadcast per tier
         "s31_lsh_tables_recall",
+        # 1-row max-event-day broadcast anchoring the decay ages
+        "q132_decayed_engagement",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
