@@ -110,6 +110,21 @@ HEADLINE = [
     "m20_audio_spectrum",
     "m21_mel_energies",
     "q85_product_profit",
+    # round-6 families (queued6 registered this round): robust dedup,
+    # sketches, graph propagation, codec stats, ANN eval, stream top-k
+    "d53_edit_neardup",
+    "d58_countmin_sketch",
+    "d60_winnow_dup",
+    "d62_cdc_chunks",
+    "g19_label_propagation",
+    "g22_personalized_pagerank",
+    "m25_image_phash",
+    "m31_qoi_pixel_stats",
+    "q102_hll_merge_rollup",
+    "q105_column_profile",
+    "s23_binary_hamming_topk",
+    "s24_ann_recall_eval",
+    "st17_stream_window_topk",
 ]
 
 

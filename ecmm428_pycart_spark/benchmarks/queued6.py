@@ -1875,7 +1875,8 @@ def d61_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("source").agg(F.count(F.lit(1)).alias("n_exact")))
     sk = kmv_sketch(g, "gram", "source", k=64)
     est = kmv_estimates(sk, k=64)
-    pairs = kmv_pair_stats(sk, k=64)
+    pairs = kmv_pair_stats(sk, k=64,
+                           groups=["src0", "src1", "src2", "src3"])
     return (pairs
             .join(ex.select(F.col("source").alias("a"),
                             F.col("n_exact").alias("n_a_exact")), "a")

@@ -28,80 +28,10 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-5 ROTATION: the deferred backlog + two sentinels (see
-    # NEXT_ROUND_SENTINELS budget arithmetic in tests/test_gate_coverage.py)
-    "s08_int8_quantize",
+    # ROUND-6 ROTATION: the round-5 deferred backlog + two
+    # sentinels (q01 relational core, g04 dorling parity)
+    "q01_pricing_summary",
     "g04_dorling_positions",
-    "q53_local_supplier_volume",
-    "q54_returned_items",
-    "q55_late_shipment_priority",
-    "q56_large_volume_customers",
-    "q57_order_count_distribution",
-    "q58_dormant_high_balance",
-    "q64_priority_mix",
-    "d10_hash_sample",
-    "d16_stratified_sample",
-    "d20_doc_chunks",
-    "d21_seq_packing",
-    "s06_array_ops",
-    "m13_wav_bitdepths",
-    "d34_window_dedup",
-    "m14_png16_pixels",
-    "q67_rollup_revenue",
-    "q68_pivot_year_flag",
-    "q69_dpp_prune",
-    "q70_top_supplier",
-    "q71_lone_late_supplier",
-    "q72_scd2_history",
-    "m15_audio_frames",
-    "d35_bloom_decontaminate",
-    "m16_image_dhash",
-    "st09_stream_outer_join",
-    "q73_set_ops",
-    "st10_stream_chained_agg",
-    "s13_ivf_pq_topk",
-    "q74_decile_stats",
-    "g15_convex_hull",
-    "m17_gif_pixels",
-    "q75_observed_metrics",
-    "q76_variant_json",
-    "g16_simplify_dp",
-    "m18_gif_frame_sample",
-    "m19_mjpeg_avi_frames",
-    "q77_schema_evolution",
-    "q78_range_frame_window",
-    "q79_python_datasource",
-    "st11_python_stream_source",
-    "st12_python_stream_sink",
-    "d36_window_dedup_removal",
-    "st13_stream_restart_resume",
-    "st14_stream_timeout_sessions",
-    "q80_small_qty_revenue",
-    "q81_market_share",
-    "q82_disjunctive_revenue",
-    "q83_exists_priority",
-]
-
-# Queries registered this round that did NOT fit the round-5 window;
-# they MUST form (with the q01/g04 sentinels) round 6's window —
-# exactly 48 + 2 = 50.
-#
-# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
-# round 5 on the live tree: rotation + sentinel swap + gate tests
-# green, then reverted). It sets
-#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
-#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
-# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
-# round-6 gate queries then register directly and append here while
-# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
-# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
-# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
-# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
-# fails if any registered query is neither historically checked, in
-# the current window, nor in this list.
-DEFERRED_TO_NEXT_ROUND = [
-    # round-4 continuation queue (benchmarks/queued.py), registered round 5,
-    # gated round 6 — every entry oracle-validated at all three sfs + local[7]
     "d42_bpe_encode",
     "d43_perplexity_buckets",
     "d44_zipf_fit",
@@ -133,21 +63,95 @@ DEFERRED_TO_NEXT_ROUND = [
     "s20_hard_negatives",
     "s21_ann_knn_join",
     "st15_stream_funnel",
-    # round-5 library-op registrations (docs/ROUND5_QUEUE.md table) —
-    # oracle-verified at sf0.001/0.01/0.1 on registration
-    "s14_semdedup", "s15_truncated_rerank", "s16_rrf_hybrid",
-    "d37_bigram_lm", "d38_bm25", "d39_heavy_hitters",
-    "d40_bpe_merges", "d41_hashing_tf",
-    "m20_audio_spectrum", "m21_mel_energies", "m22_augmentations",
+    "s14_semdedup",
+    "s15_truncated_rerank",
+    "s16_rrf_hybrid",
+    "d37_bigram_lm",
+    "d38_bm25",
+    "d39_heavy_hitters",
+    "d40_bpe_merges",
+    "d41_hashing_tf",
+    "m20_audio_spectrum",
+    "m21_mel_energies",
+    "m22_augmentations",
     "g17_k_core",
-    # m05 re-gates in round 6: its round-4 green attested the retired
-    # byte-slicing stub, not the round-5 REAL AVI-decode frame sampler
     "m05_frame_sample",
-    # round-5 additions (sessionization, embedding standardization,
-    # incremental-ingestion dedup, ANN index persistence) —
-    # oracle-verified at sf0.001/0.01/0.1 on registration
-    "q100_sessionization", "s22_embedding_normalize",
-    "d49_incremental_dedup", "s17_index_persistence",
+    "q100_sessionization",
+    "s22_embedding_normalize",
+    "d49_incremental_dedup",
+    "s17_index_persistence",
+]
+
+# Queries registered this round that did NOT fit the round-5 window;
+# they MUST form (with the q01/g04 sentinels) round 6's window —
+# exactly 48 + 2 = 50.
+#
+# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
+# round 5 on the live tree: rotation + sentinel swap + gate tests
+# green, then reverted). It sets
+#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
+#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
+# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
+# round-6 gate queries then register directly and append here while
+# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
+# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
+# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
+# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
+# fails if any registered query is neither historically checked, in
+# the current window, nor in this list.
+DEFERRED_TO_NEXT_ROUND = [
+    # round-6 queue (benchmarks/queued6.py), registered via
+    # tools/register_queued6.py — every entry oracle-green at
+    # sf0.001/0.01/0.1 under the gate canonicalization +
+    # plan/scalar guards before registration; gated round 7
+    "d50_normalized_dedup",
+    "d51_dp_release",
+    "d52_classifier_filter",
+    "d53_edit_neardup",
+    "d54_sentence_dedup",
+    "d55_code_filter",
+    "d56_url_host_filter",
+    "d57_script_mix",
+    "d58_countmin_sketch",
+    "d59_containment_dup",
+    "d60_winnow_dup",
+    "d61_kmv_distinct",
+    "d62_cdc_chunks",
+    "d64_pii_scrub",
+    "d65_lsh_tuning_sweep",
+    "d66_homoglyph_dedup",
+    "g19_label_propagation",
+    "g20_bfs_layers",
+    "g21_link_prediction",
+    "g22_personalized_pagerank",
+    "g25_copurchase_graph",
+    "m25_image_phash",
+    "m26_channel_norm_stats",
+    "m27_wav_silence_trim",
+    "m28_bmp_pixel_stats",
+    "m29_ulaw_wav_stats",
+    "m30_zip_manifest",
+    "m31_qoi_pixel_stats",
+    "m32_tiff_strip_stats",
+    "m33_wav_decimate",
+    "m34_mixed_media_dispatch",
+    "m35_srt_parse",
+    "q101_approx_quantile_bounds",
+    "q102_hll_merge_rollup",
+    "q103_incremental_rollup",
+    "q104_fk_integrity",
+    "q105_column_profile",
+    "s23_binary_hamming_topk",
+    "s24_ann_recall_eval",
+    "s25_matryoshka_recall",
+    "s26_ivf_nprobe_recall",
+    "s27_embedding_diagnostics",
+    "s28_faceted_topk",
+    "st16_stream_approx_distinct",
+    "st17_stream_window_topk",
+    "st18_stream_kmv_distinct",
+    "st19_stream_bloom_filter",
+    "st20_stream_approx_median",
 ]
 
 
@@ -164,8 +168,8 @@ def _modules():
     # hard imports: a failure here must propagate — silently dropping a
     # module would remove entire query families from the correctness gate
     from ecmm428_pycart_spark.benchmarks import (datapipe_queries, geo_queries,
-                                                 queued)
-    return [relational, datapipe_queries, geo_queries, queued]
+                                                 queued, queued6)
+    return [relational, datapipe_queries, geo_queries, queued, queued6]
 
 
 def _window_first(d: dict) -> dict:

@@ -982,7 +982,8 @@ def kmv_estimates(sketch: DataFrame, k: int = 64,
 
 
 def kmv_pair_stats(sketch: DataFrame, k: int = 64,
-                   group_col: str = "source") -> DataFrame:
+                   group_col: str = "source",
+                   groups: list | None = None) -> DataFrame:
     """Pairwise set-algebra estimates from full KMV sketches: for each
     group pair (a < b), merge the two sketches (k smallest of the
     distinct union — the exact KMV merge), count how many union-sketch
@@ -996,12 +997,25 @@ def kmv_pair_stats(sketch: DataFrame, k: int = 64,
     Plan: the pair frame is |groups|^2 rows (tiny — group keys, not
     data) broadcast onto the k-row sketches; merge + match are
     equi-joins keyed on (pair, hash); nothing touches the raw data
-    again."""
+    again. Callers that know their (bounded) group universe should
+    pass it as ``groups`` — the pair frame then becomes a
+    driver-literal LocalTableScan, which makes the O(|groups|^2)
+    bound PROVABLE from the physical plan (the BNLJ tiny-build-side
+    audit in tests/test_plan_shapes.py) instead of inferred; pairs
+    whose groups have no sketch rows drop out in the inner merge
+    join exactly as they do on the distinct-derived path."""
     sk = sketch.select(F.col(group_col).alias("_s"), "h")
-    gs = sk.select("_s").distinct()
-    pairs = (gs.select(F.col("_s").alias("a"))
-             .crossJoin(F.broadcast(gs.select(F.col("_s").alias("b"))))
-             .filter(F.col("a") < F.col("b")))
+    if groups is not None:
+        gl = sorted(groups)
+        pairs = sketch.sparkSession.createDataFrame(
+            [(a, b) for i, a in enumerate(gl) for b in gl[i + 1:]],
+            schema=["a", "b"])
+    else:
+        gs = sk.select("_s").distinct()
+        pairs = (gs.select(F.col("_s").alias("a"))
+                 .crossJoin(F.broadcast(
+                     gs.select(F.col("_s").alias("b"))))
+                 .filter(F.col("a") < F.col("b")))
     uh = (pairs.join(sk.withColumnRenamed("_s", "a"), "a")
           .unionByName(pairs.join(sk.withColumnRenamed("_s", "b"), "b")
                        .select("a", "b", "h"))

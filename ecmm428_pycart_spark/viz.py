@@ -133,7 +133,7 @@ def to_png(df: DataFrame, path: str, geometry_col: str = "geometry",
     replaced by an even-odd rasterizer + the repo's stdlib PNG codec).
     Returns the PNG bytes; same collect-then-draw client-side contract
     and coordinate mapping (y flipped) as ``to_svg``."""
-    from ecmm428_pycart_spark.datapipe.multimodal import png_bytes_rgb
+    from ecmm428_pycart_spark.datapipe.multimodal import png_encode_adaptive
 
     rows = df.select(geometry_col).collect()
     geoms = [core.loads(bytes(r[geometry_col])) for r in rows
@@ -160,7 +160,7 @@ def to_png(df: DataFrame, path: str, geometry_col: str = "geometry",
         mask = np.zeros((height, width), dtype=bool)
         _fill_even_odd(mask, _rings(g), tx, ty)
         raster[mask] = _hex_rgb(_PALETTE[i % len(_PALETTE)])
-    png = png_bytes_rgb(raster)
+    png = png_encode_adaptive(raster)
     with open(path, "wb") as f:
         f.write(png)
     return png

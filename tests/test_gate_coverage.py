@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # never-green query (its r4 err was the driver's array canonicalizer
 # crash, fixed by the scalar reshape) must be driver-proven this round.
 # q01 stays registered and is 4x driver-green (r1-r4).
-SENTINELS = {"s08_int8_quantize", "g04_dorling_positions"}
+SENTINELS = {"q01_pricing_summary", "g04_dorling_positions"}
 
 # Round 6's window: the round-5 deferred backlog (31 queued + the
 # newly registered library ops) + these two multiply-green sentinels.

@@ -250,6 +250,15 @@ def test_png_figure_sink(spark, tmp_path):
         assert tuple(px[dy, dx]) == used[i], (i, dx, dy)
     # file written and self-consistent
     assert (tmp_path / "squares.png").read_bytes() == png
+    # round 6: the sink routes through the ADAPTIVE-filter encoder
+    # (m49's png_encode_adaptive) — re-encoding the decoded raster
+    # through it reproduces the emitted bytes exactly, pinning the
+    # encoder identity (the per-row minimum-sum-of-abs heuristic is
+    # deterministic; it does NOT always beat filter-0 on flat fills,
+    # so no size assertion)
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        png_encode_adaptive)
+    assert png_encode_adaptive(px) == png
 
 
 def test_real_container_format_decoders(spark):

@@ -147,6 +147,15 @@ _BNLJ_OK = {
     "q91_rfm_segments",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "q95_curation_pipeline",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
     "s20_hard_negatives",  # see tests/test_queued_queries._QUEUED_BNLJ_OK
+    "q101_approx_quantile_bounds",  # see tests/test_queued6_queries (1-row broadcasts)
+    "s23_binary_hamming_topk",  # see tests/test_queued6_queries (1-row broadcasts)
+    "s24_ann_recall_eval",  # see tests/test_queued6_queries (1-row broadcasts)
+    "s25_matryoshka_recall",  # see tests/test_queued6_queries (1-row broadcasts)
+    "s26_ivf_nprobe_recall",  # see tests/test_queued6_queries (1-row broadcasts)
+    "g21_link_prediction",  # see tests/test_queued6_queries (1-row broadcasts)
+    "d65_lsh_tuning_sweep",  # see tests/test_queued6_queries (1-row broadcasts)
+    "q104_fk_integrity",  # see tests/test_queued6_queries (1-row broadcasts)
+    "s28_faceted_topk",  # see tests/test_queued6_queries (1-row broadcasts)
 }
 
 

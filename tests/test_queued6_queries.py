@@ -49,15 +49,16 @@ def test_queued6_matches_oracle(spark, duck, name):
     assert sp == du, (name, sp[:3], du[:3])
 
 
-def test_queued6_is_not_registered_yet():
-    """Round-5's deferred budget is exactly full, so these must stay
-    OUT of the registry until round 6's rotation empties it;
-    registering one early would orphan it from the 2-round gate
-    contract (flip to full-overlap when apply_round6 lands them)."""
+def test_queued6_is_fully_registered():
+    """Since round 6 the queue IS registered (it forms the round-7
+    deferred backlog): every queued6.py entry must appear in the
+    registry, or it would silently fall outside the 2-round gate
+    rotation. (Round 5 asserted the inverse — the queue stayed OUT
+    until apply_round6 freed the budget.)"""
     from ecmm428_pycart_spark.benchmarks import queued6
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
-    overlap = set(queued6.QUERIES) & set(get_queries())
-    assert not overlap, f"queued6 queries already registered: {overlap}"
+    missing = set(queued6.QUERIES) - set(get_queries())
+    assert not missing, f"queued6 queries not registered: {missing}"
 
 
 def test_queued6_outputs_are_scalar_typed(duck):
@@ -89,9 +90,6 @@ def test_queued6_plan_guards(spark):
         # g19/g20 share the shape but hide it behind their iterative
         # helpers' localCheckpoint lineage truncation
         "g21_link_prediction",
-        # group-key pair frame: |groups|-row broadcast cross join in
-        # kmv_pair_stats (pairs of source NAMES, never data rows)
-        "d61_kmv_distinct",
         "d65_lsh_tuning_sweep",  # 1-row count broadcasts (3 tiers)
         "q104_fk_integrity",  # 1-row count broadcasts (6 relations)
         "s28_faceted_topk",  # 1-row query-vector broadcast
