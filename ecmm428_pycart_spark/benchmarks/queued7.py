@@ -2978,3 +2978,143 @@ def q118_roaring_containers(spark: SparkSession,
                  F.sum("n").cast("long").alias("n_values"),
                  F.sum("bytes").cast("long").alias("est_bytes"))
             .orderBy("flag", "ctype"))
+
+
+# ---------------------------------------------------------------------------
+# REAL WARC walk (multimodal.decode_warc_records — ISO 28500, the
+# Common Crawl container): version line, case/order-insensitive
+# header fields (fixtures alternate casing and order by record
+# parity), Content-Length-framed payload slicing that never scans
+# payload bytes for separators, and the mandatory two-CRLF record
+# terminator. The oracle replays the generative closed forms:
+# K = id%3+1 records, payload byte (97+(id+j)%26) x ((id%17)+3j+5),
+# host (id//7)%5 (floor-div so hosts VARY within a source under the
+# corpus's stride-20 source assignment).
+# ---------------------------------------------------------------------------
+@q("m50_warc_record_stats", """
+WITH d AS (SELECT doc_id, source, doc_id % 3 + 1 AS k FROM documents),
+r AS (
+  SELECT d.doc_id, d.source, j.j,
+         (d.doc_id % 17) + 3 * j.j + 5 AS len,
+         97 + (d.doc_id + j.j) % 26 AS c
+  FROM d, unnest(range(0, d.k)) j(j)
+),
+a AS (
+  SELECT doc_id, source,
+         count(*) AS n_rec,
+         sum(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) AS n_resp,
+         sum(len) AS content,
+         sum(c * len) AS psum
+  FROM r GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_rec) AS BIGINT) AS total_records,
+       CAST(sum(n_resp) AS BIGINT) AS n_responses,
+       CAST(sum(content) AS BIGINT) AS total_content,
+       CAST(sum(psum) AS BIGINT) AS payload_sum,
+       CAST(count(DISTINCT 'host' || CAST((doc_id // 7) % 5 AS VARCHAR))
+            AS BIGINT) AS n_hosts
+FROM a GROUP BY source
+""")
+def m50_warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = docs.withColumn(
+        "payload", multimodal.synth_warc_payload(F.col("doc_id")))
+    st = payload.withColumn(
+        "s", multimodal.warc_record_stats(F.col("payload")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_records").cast("long")
+                 .alias("total_records"),
+                 F.sum("s.n_responses").cast("long")
+                 .alias("n_responses"),
+                 F.sum("s.total_content").cast("long")
+                 .alias("total_content"),
+                 F.sum("s.payload_sum").cast("long")
+                 .alias("payload_sum"),
+                 F.countDistinct("s.first_host").cast("long")
+                 .alias("n_hosts")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing weights (text.mixing_weights —
+# Lample & Conneau 2019 §3.1 alpha-smoothed multilingual sampling,
+# alpha = 1/2): w_i ∝ sqrt(p_i), emitted as exact-integer ppm via
+# floor(sqrt(n)) (IEEE sqrt correctly rounded, n << 2^52) and BIGINT
+# floor division — no float crosses the compare. One corpus groupBy
+# plus a 1-row total broadcast.
+# ---------------------------------------------------------------------------
+@q("d91_mixing_weights", """
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (SELECT source, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sq FROM c),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tot,
+             CAST(sum(sq) AS BIGINT) AS s_tot FROM s)
+SELECT source, n_tokens,
+       CAST(n_tokens * 1000000 // n_tot AS BIGINT) AS p_ppm,
+       CAST(sq * 1000000 // s_tot AS BIGINT) AS w_ppm
+FROM s, t
+""")
+def d91_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import mixing_weights
+    return mixing_weights(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Positional duplicated-span detection (dedup.dup_span_stats — the
+# Lee et al. 2022 arXiv:2107.06499 exact-substring dedup signal over
+# word 8-grams): a position is duplicated when its 8-gram occurs in
+# >= 2 documents (df capped at 64 — boilerplate grams are dropped,
+# and documented as dropped, not silently all-pairs'd); spans are
+# maximal runs of consecutive duplicated positions via the islands
+# idiom under per-document windows. Grams shuffle as 16-hex md5
+# prefixes, never as text. The corpus genuinely contains cross-doc
+# verbatim spans (max_run ~80 at sf0.001), so the rollup is
+# non-vacuous at every scale.
+# ---------------------------------------------------------------------------
+@q("d90_dup_spans", """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+g AS (
+  SELECT doc_id, source, i.i AS pos,
+         substring(md5(array_to_string(t[i.i + 1:i.i + 8], ' ')),
+                   1, 16) AS gh
+  FROM toks, unnest(range(0, len(t) - 7)) i(i)
+  WHERE len(t) >= 8
+),
+dupg AS (SELECT gh FROM g GROUP BY gh
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+hits AS (SELECT g.doc_id, g.source, g.pos FROM g JOIN dupg USING (gh)),
+runs AS (SELECT doc_id, source, pos,
+                pos - row_number()
+                      OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         FROM hits),
+pr AS (SELECT doc_id, source, rid, count(*) AS run_len
+       FROM runs GROUP BY 1, 2, 3),
+per AS (SELECT doc_id, source, sum(run_len) AS n_dup,
+               max(run_len) AS mr
+        FROM pr GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_dup,
+       CAST(sum(n_dup) AS BIGINT) AS dup_positions,
+       CAST(max(mr) AS BIGINT) AS max_run
+FROM per GROUP BY source
+""")
+def d90_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    per = dup_span_stats(docs, n=8, max_df=64)
+    return (per.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs_dup"),
+                 F.sum("n_dup_positions").cast("long")
+                 .alias("dup_positions"),
+                 F.max("max_run").cast("long").alias("max_run")))

@@ -832,3 +832,55 @@ def sorted_neighborhood_pairs(sim: DataFrame, id_col: str = "doc_id",
                     F.bit_count(F.col("_prev.a_fp")
                                 .bitwiseXOR(F.col("_fp")))
                     .cast("int").alias("hamming")))
+
+
+def dup_span_stats(df: DataFrame, n: int = 8, max_df: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional duplicated-span detection — the exact-substring
+    dedup signal of Lee et al. 2022 (arXiv:2107.06499, "Deduplicating
+    Training Data Makes Language Models Better"), restated over word
+    n-grams: a position is DUPLICATED when its n-gram also occurs in
+    at least one other document, and a span is a maximal run of
+    consecutive duplicated positions. Long runs are verbatim
+    cross-document substrings (licenses, boilerplate, mirrored
+    articles) that set-similarity dedup (minhash/simhash) dilutes
+    away when the rest of the document differs.
+
+    Returns one row per document that has at least one duplicated
+    position: (id_col, n_dup_positions, max_run).
+
+    Scale shape: positional n-grams via a native transform over the
+    token array (|tokens| rows, no Python); each gram is reduced to
+    its 16-hex-char md5 prefix BEFORE the document-frequency shuffle
+    so the exchange carries 16-byte keys, not n-gram text; grams with
+    df > ``max_df`` (boilerplate headers/footers — the df-cap
+    discipline, dropped grams are boilerplate by definition and
+    would only inflate every run they touch) and df < 2 are filtered
+    at the aggregate, so the join back to positions is bounded;
+    run detection is the islands idiom under a per-document window
+    (pos - row_number), never a global sort."""
+    toks = F.split(F.col(text_col), " ")
+    grams = (df.filter(F.size(toks) >= n)
+             .select(id_col,
+                     F.posexplode(F.expr(
+                         f"transform(sequence(0, size(split({text_col}"
+                         f", ' ')) - {n}), i -> substring(md5("
+                         f"array_join(slice(split({text_col}, ' '), "
+                         f"i + 1, {n}), ' ')), 1, 16))"))
+                     .alias("pos", "gh")))
+    dupg = (grams.groupBy("gh")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("gh"))
+    hits = grams.join(dupg, "gh").select(id_col, "pos")
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("rid",
+                           F.col("pos") - F.row_number().over(w))
+    per_run = (runs.groupBy(id_col, "rid")
+               .agg(F.count(F.lit(1)).alias("run_len")))
+    return (per_run.groupBy(id_col)
+            .agg(F.sum("run_len").cast("long")
+                 .alias("n_dup_positions"),
+                 F.max("run_len").cast("long").alias("max_run")))

@@ -1549,3 +1549,38 @@ def utf8_audit(data: bytes) -> dict:
             c[kind] += 1
         i += 1 + need
     return c
+
+
+def mixing_weights(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Temperature-scaled domain mixing weights — the sampling-rate
+    computation every multi-source training-data pipeline runs before
+    interleaving corpora (the alpha-smoothed sampling of multilingual
+    pretraining, Lample & Conneau 2019 §3.1 / XLM-R, with the common
+    alpha = 0.5): w_i ∝ p_i^0.5 where p_i is source i's share of the
+    corpus token count. Upsamples the tail sources relative to raw
+    proportion without letting any head source dominate.
+
+    Exact-integer contract: alpha = 1/2 is computed as
+    floor(sqrt(n_tokens)) per source — IEEE sqrt is correctly rounded
+    and n < 2^52, so the floor is exact and engine-independent — and
+    both the raw share and the smoothed weight are emitted as ppm via
+    BIGINT floor division. No float ever crosses the comparison
+    boundary.
+
+    Scale shape: one groupBy over the corpus (map-side partial sums of
+    a native length expression), then a 1-row total aggregate
+    broadcast back onto the |sources|-row frame — the corpus is read
+    once and never shuffled on anything wider than the group key."""
+    cnt = (df.groupBy(group_col)
+           .agg(F.sum(token_count(F.col(text_col)))
+                .cast("long").alias("n_tokens")))
+    sq = cnt.withColumn(
+        "sq", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    tot = sq.agg(F.sum("n_tokens").alias("n_tot"),
+                 F.sum("sq").alias("s_tot"))
+    return (sq.crossJoin(F.broadcast(tot))
+            .select(group_col, "n_tokens",
+                    F.expr("n_tokens * 1000000 div n_tot")
+                    .alias("p_ppm"),
+                    F.expr("sq * 1000000 div s_tot").alias("w_ppm")))

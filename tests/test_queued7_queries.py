@@ -109,6 +109,9 @@ def test_queued7_plan_guards(spark):
         "q117_association_rules",
         # 1-row vector-count broadcast into the md5 pair sampler
         "s30_similarity_histogram",
+        # 1-row corpus-total aggregate broadcast onto the
+        # |sources|-row frame (mixing_weights)
+        "d91_mixing_weights",
     }
     offenders = {}
     for name, fn in sorted(queued7.QUERIES.items()):

@@ -2246,3 +2246,108 @@ def test_mp3_frame_walk_and_guards():
         mp3_walk(bytes(free))
     with pytest.raises(ValueError, match="bad bitrate"):
         mp3_frame_bytes(15, 0, 0)
+
+
+def test_warc_roundtrip_and_framing():
+    """REAL WARC walk (ISO 28500): header case/order insensitivity,
+    Content-Length framing that ignores payload content (a payload
+    embedding 'WARC/1.0' must NOT resync), and loud failures on every
+    malformed shape."""
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_warc_records, warc_bytes)
+
+    buf = warc_bytes([
+        ("response", "http://host3.example/p0", b"alpha"),
+        # odd record: lower-cased, reversed header order (writer
+        # contract) AND a payload containing the record marker
+        ("request", "https://other.example:8080/q", b"WARC/1.0\r\nfake"),
+        ("response", "http://host3.example/p2", b""),
+    ])
+    rs = decode_warc_records(buf)
+    assert [r["warc_type"] for r in rs] == ["response", "request",
+                                            "response"]
+    assert rs[1]["payload"] == b"WARC/1.0\r\nfake"
+    assert rs[1]["host"] == "other.example:8080"
+    assert rs[2]["content_length"] == 0
+    assert sum(r["content_length"] for r in rs) == 5 + 14 + 0
+    # malformed shapes all raise (never silent resync)
+    for bad, msg in [
+            (b"HTTP/1.0\r\n\r\n", "version"),
+            (b"WARC/1.0\r\nWARC-Type: x\r\n\r\n", "Content-Length"),
+            (b"WARC/1.0\r\ncontent-length: 5\r\n\r\nab\r\n\r\n",
+             "separator|truncated"),
+            (buf[:-2], "separator|truncated"),
+            (buf[:10], "unterminated"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_warc_records(bad)
+
+
+def test_warc_stats_udf_closed_forms(spark):
+    """synth_warc_payload -> warc_record_stats matches the generative
+    algebra for hand-picked ids (incl. id 0 and a 3-record id)."""
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 7, 38)])
+    out = {r["doc_id"]: r["s"] for r in df.withColumn(
+        "s", mm.warc_record_stats(
+            mm.synth_warc_payload(F.col("doc_id")))).collect()}
+    for i in (0, 7, 38):
+        k = i % 3 + 1
+        lens = [(i % 17) + 3 * j + 5 for j in range(k)]
+        s = out[i]
+        assert s["n_records"] == k
+        assert s["n_responses"] == sum(1 for j in range(k)
+                                       if j % 2 == 0)
+        assert s["total_content"] == sum(lens)
+        assert s["payload_sum"] == sum(
+            (97 + (i + j) % 26) * lens[j] for j in range(k))
+        assert s["first_host"] == f"host{(i // 7) % 5}.example"
+
+
+def test_mixing_weights_hand_case(spark):
+    """alpha=1/2 smoothing on a constructed 3-source corpus: token
+    counts 100/400/2500 -> sqrt 10/20/50 -> weights 125000/250000/
+    625000 ppm exactly (vs raw 33333/133333/833333): the tail source
+    is upsampled ~3.7x, the head damped, the exact-integer contract
+    honored (floor div, weights sum to <= 1e6)."""
+    from ecmm428_pycart_spark.datapipe.text import mixing_weights
+
+    rows = []
+    for src, n in (("a", 100), ("b", 400), ("c", 2500)):
+        rows.append(Row(doc_id=len(rows), source=src,
+                        text=" ".join(["tok"] * n)))
+    out = {r["source"]: r for r in
+           mixing_weights(spark.createDataFrame(rows)).collect()}
+    assert out["a"]["n_tokens"] == 100
+    assert (out["a"]["w_ppm"], out["b"]["w_ppm"],
+            out["c"]["w_ppm"]) == (125000, 250000, 625000)
+    assert (out["a"]["p_ppm"], out["b"]["p_ppm"],
+            out["c"]["p_ppm"]) == (33333, 133333, 833333)
+
+
+def test_dup_span_stats_hand_case(spark):
+    """Constructed corpus: docs A and B share one verbatim 12-token
+    span (-> 5 consecutive duplicated 8-gram positions in each), doc
+    C shares nothing, docs D+E+... all share a boilerplate span with
+    df above the cap (-> excluded). Exact run accounting."""
+    from ecmm428_pycart_spark.datapipe.dedup import dup_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        Row(doc_id=0, text=f"a0 a1 a2 {shared} a3 a4 a5"),
+        Row(doc_id=1, text=f"z0 z1 {shared} z2 z3 z4 z5"),
+        Row(doc_id=2, text=" ".join(f"c{i}" for i in range(30))),
+    ]
+    # 5 docs all sharing `boiler` -> its gram df = 5 > max_df 4
+    for d in range(3, 8):
+        rows.append(Row(doc_id=d, text=f"u{d}x {boiler} v{d}y"))
+    out = {r["doc_id"]: r for r in
+           dup_span_stats(spark.createDataFrame(rows), n=8,
+                          max_df=4).collect()}
+    # a 12-token shared span yields 12-8+1 = 5 consecutive dup grams
+    assert set(out) == {0, 1}
+    for d in (0, 1):
+        assert out[d]["n_dup_positions"] == 5
+        assert out[d]["max_run"] == 5
