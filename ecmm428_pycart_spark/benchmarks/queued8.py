@@ -2240,3 +2240,57 @@ def q132_decayed_engagement(spark: SparkSession,
             .select(F.col("cohort").cast("long").alias("cohort"),
                     "n_events", "raw_cents", "decayed_cents")
             .orderBy("cohort"))
+
+
+# ---------------------------------------------------------------------------
+# Concatenated-member .warc.gz walk (multimodal.decode_gzip_members
+# + decode_warc_records — RFC 1952 §2.2 member concatenation, the
+# Common Crawl production layout: ONE gzip member per WARC record so
+# archives split on member boundaries without inflating the file).
+# The hand-rolled inflate now reports its consumed byte length
+# (inflate_consumed), which is what locates each member's CRC/ISIZE
+# trailer and the next member's header. The oracle replays the
+# verified closed form for record bytes: 154 + type_len(8|7) +
+# content-length digits (1|2) + clen, clen = (id%17)+3j+5.
+# ---------------------------------------------------------------------------
+@q("m51_warc_gz_members", """
+WITH d AS (SELECT doc_id, source, doc_id % 3 + 1 AS k FROM documents),
+r AS (
+  SELECT d.doc_id, d.source, j.j,
+         (d.doc_id % 17) + 3 * j.j + 5 AS clen,
+         97 + (d.doc_id + j.j) % 26 AS c
+  FROM d, unnest(range(0, d.k)) j(j)
+),
+a AS (
+  SELECT doc_id, source,
+         count(*) AS n_members,
+         sum(154 + CASE WHEN j % 2 = 0 THEN 8 ELSE 7 END
+                 + CASE WHEN clen >= 10 THEN 2 ELSE 1 END
+                 + clen) AS raw,
+         sum(c * clen) AS psum
+  FROM r GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_members) AS BIGINT) AS total_members,
+       CAST(sum(raw) AS BIGINT) AS total_raw,
+       CAST(sum(n_members) AS BIGINT) AS total_records,
+       CAST(sum(psum) AS BIGINT) AS payload_sum
+FROM a GROUP BY source
+""")
+def m51_warc_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    st = docs.withColumn(
+        "s", multimodal.warc_gz_member_stats(
+            multimodal.synth_warc_gz_payload(F.col("doc_id"))))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_members").cast("long")
+                 .alias("total_members"),
+                 F.sum("s.total_raw").cast("long").alias("total_raw"),
+                 F.sum("s.n_records").cast("long")
+                 .alias("total_records"),
+                 F.sum("s.payload_sum").cast("long")
+                 .alias("payload_sum")))

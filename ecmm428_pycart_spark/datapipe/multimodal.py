@@ -4353,6 +4353,14 @@ def inflate(data: bytes) -> bytes:
     """Decode a raw DEFLATE stream (RFC 1951): all three block
     types, byte-serial match copy (offset < length overlaps replay
     exactly, the RLE idiom)."""
+    return inflate_consumed(data)[0]
+
+
+def inflate_consumed(data: bytes) -> tuple[bytes, int]:
+    """``inflate`` plus the byte length of the deflate stream
+    actually consumed (final bit position rounded up to a byte) —
+    the member walker for concatenated-gzip containers (m51) needs
+    the end offset to find the next member's header."""
     br = _DeflateBitReader(data)
     out = bytearray()
     while True:
@@ -4398,7 +4406,7 @@ def inflate(data: bytes) -> bytes:
                     for _ in range(length):
                         out.append(out[-dist])
         if bfinal:
-            return bytes(out)
+            return bytes(out), (br.pos + 7) >> 3
 
 
 def adler32_manual(data: bytes) -> int:
@@ -4501,22 +4509,25 @@ def crc32_manual(data: bytes) -> int:
     return c ^ 0xFFFFFFFF
 
 
-def gzip_decompress_manual(buf: bytes):
-    """Parse one RFC 1952 gzip member: returns (decoded_bytes,
-    mtime, fname). Validates magic, CM, reserved FLG bits, the
-    optional header CRC16 (low 16 bits of the header's CRC-32), the
-    CRC-32 trailer and ISIZE (mod 2^32)."""
-    if len(buf) < 18:
+def _gzip_member_at(buf: bytes, base: int):
+    """Parse ONE RFC 1952 gzip member starting at ``base``: returns
+    (decoded_bytes, mtime, fname, end_offset). Validates magic, CM,
+    reserved FLG bits, the optional header CRC16 (low 16 bits of the
+    header's CRC-32), the CRC-32 trailer and ISIZE (mod 2^32). The
+    trailer is located from the deflate stream's actual consumed
+    length (``inflate_consumed``), never from the buffer end — the
+    concatenated-member walk depends on it."""
+    if len(buf) - base < 18:
         raise ValueError("gzip: too short")
-    if buf[0] != 0x1F or buf[1] != 0x8B:
+    if buf[base] != 0x1F or buf[base + 1] != 0x8B:
         raise ValueError("gzip: bad magic")
-    if buf[2] != 8:
+    if buf[base + 2] != 8:
         raise ValueError("gzip: CM is not deflate")
-    flg = buf[3]
+    flg = buf[base + 3]
     if flg & 0xE0:
         raise ValueError("gzip: reserved FLG bits set")
-    mtime = int.from_bytes(buf[4:8], "little")
-    pos = 10
+    mtime = int.from_bytes(buf[base + 4:base + 8], "little")
+    pos = base + 10
     if flg & 4:  # FEXTRA
         xlen = int.from_bytes(buf[pos:pos + 2], "little")
         pos += 2 + xlen
@@ -4529,17 +4540,45 @@ def gzip_decompress_manual(buf: bytes):
         pos = buf.index(0, pos) + 1
     if flg & 2:  # FHCRC
         want = int.from_bytes(buf[pos:pos + 2], "little")
-        if crc32_manual(buf[:pos]) & 0xFFFF != want:
+        if crc32_manual(buf[base:pos]) & 0xFFFF != want:
             raise ValueError("gzip: header CRC mismatch")
         pos += 2
     if pos + 8 > len(buf):
         raise ValueError("gzip: truncated member")
-    out = inflate(buf[pos:-8])
-    if crc32_manual(out) != int.from_bytes(buf[-8:-4], "little"):
+    out, used = inflate_consumed(buf[pos:])
+    tr = pos + used
+    if tr + 8 > len(buf):
+        raise ValueError("gzip: truncated member")
+    if crc32_manual(out) != int.from_bytes(buf[tr:tr + 4], "little"):
         raise ValueError("gzip: CRC-32 mismatch")
-    if len(out) % (1 << 32) != int.from_bytes(buf[-4:], "little"):
+    if len(out) % (1 << 32) != int.from_bytes(buf[tr + 4:tr + 8],
+                                              "little"):
         raise ValueError("gzip: ISIZE mismatch")
+    return out, mtime, fname, tr + 8
+
+
+def gzip_decompress_manual(buf: bytes):
+    """Parse one single-member gzip file: returns (decoded_bytes,
+    mtime, fname); trailing bytes after the member are an error."""
+    out, mtime, fname, end = _gzip_member_at(buf, 0)
+    if end != len(buf):
+        raise ValueError("gzip: trailing bytes after member")
     return out, mtime, fname
+
+
+def decode_gzip_members(buf: bytes) -> list[tuple[bytes, int]]:
+    """Walk a CONCATENATED-member gzip file (RFC 1952 §2.2 multiple
+    members back-to-back — the .warc.gz convention: Common Crawl
+    stores one member per WARC record so readers can split archives
+    on member boundaries without inflating the whole file). Returns
+    [(decoded_bytes, member_byte_length), ...]; every member's CRC
+    and ISIZE are validated."""
+    out, i = [], 0
+    while i < len(buf):
+        dec, _, _, end = _gzip_member_at(buf, i)
+        out.append((dec, end - i))
+        i = end
+    return out
 
 
 _GZIP_STATS = T.StructType([
@@ -5216,3 +5255,57 @@ def warc_record_stats(payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["n_records", "n_responses",
                                        "total_content", "payload_sum",
                                        "first_host"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_warc_gz_payload(doc_id: pd.Series) -> pd.Series:
+    """Concatenated-member .warc.gz per doc (the Common Crawl layout:
+    one gzip member per WARC record): the K = id%3+1 records of
+    synth_warc_payload, each compressed as its OWN stdlib-gzip member
+    and concatenated."""
+    import gzip
+
+    def gen(i: int) -> bytes:
+        k = i % 3 + 1
+        return b"".join(
+            gzip.compress(
+                warc_bytes([("response" if j % 2 == 0 else "request",
+                             f"http://host{(i // 7) % 5}.example/p{j}",
+                             bytes([97 + (i + j) % 26])
+                             * ((i % 17) + 3 * j + 5))]),
+                6, mtime=0)
+            for j in range(k))
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_WARC_GZ_STATS = T.StructType([
+    T.StructField("n_members", T.LongType()),
+    T.StructField("total_raw", T.LongType()),
+    T.StructField("n_records", T.LongType()),
+    T.StructField("payload_sum", T.LongType()),
+])
+
+
+@F.pandas_udf(_WARC_GZ_STATS)
+def warc_gz_member_stats(payload: pd.Series) -> pd.DataFrame:
+    """The full production-read chain: walk concatenated gzip members
+    (hand-rolled RFC 1952 + RFC 1951 decode, CRC/ISIZE validated per
+    member), then parse each member's bytes as WARC records. Emits
+    member count, summed decompressed bytes (the closed-form record
+    lengths), record count across members, and the summed payload
+    bytes (proves gzip -> WARC -> payload slicing end to end)."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        members = decode_gzip_members(bytes(buf))
+        nrec, psum = 0, 0
+        for dec, _ in members:
+            for r in decode_warc_records(dec):
+                nrec += 1
+                psum += sum(r["payload"])
+        rows.append((len(members), sum(len(d) for d, _ in members),
+                     nrec, psum))
+    return pd.DataFrame(rows, columns=["n_members", "total_raw",
+                                       "n_records", "payload_sum"])

@@ -2351,3 +2351,57 @@ def test_dup_span_stats_hand_case(spark):
     for d in (0, 1):
         assert out[d]["n_dup_positions"] == 5
         assert out[d]["max_run"] == 5
+
+
+def test_gzip_concatenated_members():
+    """RFC 1952 §2.2 member concatenation (the .warc.gz layout):
+    decode_gzip_members splits on REAL member boundaries located via
+    inflate's consumed byte length — never by scanning for magic
+    bytes (members may embed 1f 8b in their deflate stream)."""
+    import gzip
+
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_gzip_members, gzip_decompress_manual, inflate,
+        inflate_consumed)
+
+    parts = [b"\x1f\x8b fake magic inside " * 9, b"", b"tail"]
+    buf = b"".join(gzip.compress(p, 6, mtime=i)
+                   for i, p in enumerate(parts))
+    ms = decode_gzip_members(buf)
+    assert [d for d, _ in ms] == parts
+    assert sum(ln for _, ln in ms) == len(buf)
+    # inflate_consumed reports the exact deflate end offset
+    import zlib
+    raw = zlib.compress(parts[0], 6)[2:-4]
+    out, used = inflate_consumed(raw + b"JUNK")
+    assert out == parts[0] and used == len(raw)
+    assert inflate(raw) == parts[0]
+    # the single-member API now rejects trailing bytes
+    with pytest.raises(ValueError, match="trailing"):
+        gzip_decompress_manual(buf)
+    # a truncated second member fails loudly mid-walk
+    with pytest.raises(ValueError):
+        decode_gzip_members(buf[:-5])
+
+
+def test_warc_gz_stats_udf_closed_forms(spark):
+    """synth_warc_gz_payload -> warc_gz_member_stats: one gzip member
+    per WARC record, decompressed bytes match the verified 154-based
+    record-length closed form."""
+    from ecmm428_pycart_spark.datapipe import multimodal as mm
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 7, 38)])
+    out = {r["doc_id"]: r["s"] for r in df.withColumn(
+        "s", mm.warc_gz_member_stats(
+            mm.synth_warc_gz_payload(F.col("doc_id")))).collect()}
+    for i in (0, 7, 38):
+        k = i % 3 + 1
+        lens = [(i % 17) + 3 * j + 5 for j in range(k)]
+        s = out[i]
+        assert s["n_members"] == k and s["n_records"] == k
+        assert s["total_raw"] == sum(
+            154 + (8 if j % 2 == 0 else 7)
+            + (2 if lens[j] >= 10 else 1) + lens[j]
+            for j in range(k))
+        assert s["payload_sum"] == sum(
+            (97 + (i + j) % 26) * lens[j] for j in range(k))
