@@ -2294,3 +2294,53 @@ def m51_warc_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_records"),
                  F.sum("s.payload_sum").cast("long")
                  .alias("payload_sum")))
+
+
+# ---------------------------------------------------------------------------
+# REAL HTML visible-text extraction (text.html_to_text — stdlib
+# html.parser walk, never regex): the boilerplate strip between the
+# WARC walk (m50/m51) and text filtering, with link density —
+# boilerplate scoring's strongest single feature (Kohlschutter et
+# al. 2010, WSDM). The synthetic page construction (text.synth_html)
+# guarantees closed forms: 10-token <p> paragraphs, <title>/<script>
+# /<style> blocks invisible to extraction, every pid % 4 == 1
+# paragraph except the last wrapping its first two tokens in <a> —
+# so extracted tokens == the original token count and the oracle
+# replays paragraph arithmetic via unnest(range(np)).
+# ---------------------------------------------------------------------------
+@q("d92_html_extract", """
+WITH d AS (SELECT doc_id, source,
+                  len(string_split(text, ' ')) AS nt FROM documents),
+p AS (SELECT doc_id, source, nt, (nt + 9) // 10 AS np FROM d),
+lk AS (
+  SELECT p.doc_id, p.source, p.nt,
+         sum(CASE WHEN i.i % 4 = 1 AND i.i < p.np - 1
+                  THEN 1 ELSE 0 END) AS n_links
+  FROM p, unnest(range(0, p.np)) i(i)
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS ext_tokens,
+       CAST(sum(n_links) AS BIGINT) AS n_links,
+       CAST(sum(n_links) * 2 AS BIGINT) AS link_tokens,
+       CAST(sum(n_links) * 2 * 1000000 // sum(nt) AS BIGINT)
+         AS link_density_ppm
+FROM lk GROUP BY source
+""")
+def d92_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import html_extract_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    st = html_extract_stats(docs)
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_ext_tokens").cast("long")
+                 .alias("ext_tokens"),
+                 F.sum("s.n_links").cast("long").alias("n_links"),
+                 F.sum("s.link_tokens").cast("long")
+                 .alias("link_tokens"),
+                 F.expr("sum(s.link_tokens) * 1000000 "
+                        "div sum(s.n_ext_tokens)")
+                 .alias("link_density_ppm")))

@@ -1584,3 +1584,104 @@ def mixing_weights(df: DataFrame, group_col: str = "source",
                     F.expr("n_tokens * 1000000 div n_tot")
                     .alias("p_ppm"),
                     F.expr("sq * 1000000 div s_tot").alias("w_ppm")))
+
+
+def html_to_text(html: str) -> tuple[str, int, int]:
+    """REAL HTML visible-text extraction (stdlib html.parser — the
+    boilerplate-strip every web-corpus pipeline runs between the WARC
+    walk and text filtering; the signal set of Kohlschutter et al.
+    2010 boilerplate detection): returns (extracted_text, n_links,
+    link_tokens) where extracted_text is the whitespace-normalized
+    character data OUTSIDE <script>/<style>/<title> elements, n_links
+    counts <a> opens, and link_tokens counts whitespace tokens inside
+    <a> — the numerator of link density, boilerplate scoring's
+    strongest single feature. Entities/charrefs fold into data via
+    the parser's convert_charrefs; attributes, comments, doctypes and
+    self-closing tags are walked, not regexed."""
+    from html.parser import HTMLParser
+
+    class _X(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.chunks: list[str] = []
+            self.skip = 0
+            self.in_a = 0
+            self.n_links = 0
+            self.link_tokens = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style", "title"):
+                self.skip += 1
+            elif tag == "a":
+                self.n_links += 1
+                self.in_a += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style", "title"):
+                self.skip = max(0, self.skip - 1)
+            elif tag == "a":
+                self.in_a = max(0, self.in_a - 1)
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            toks = data.split()
+            if self.in_a:
+                self.link_tokens += len(toks)
+            self.chunks.extend(toks)
+
+    p = _X()
+    p.feed(html)
+    p.close()
+    return " ".join(p.chunks), p.n_links, p.link_tokens
+
+
+def synth_html(doc_id: int, text: str) -> str:
+    """Deterministic HTML page around a document's text: 10-token
+    <p> paragraphs; a <title> and, after every 3rd paragraph, a
+    <script> and <style> block (all three INVISIBLE to extraction);
+    every paragraph with index % 4 == 1 except the last wraps its
+    first two tokens in an <a> — so extracted tokens == the original
+    token count and link counts have closed forms."""
+    toks = text.split(" ")
+    paras = [toks[i:i + 10] for i in range(0, len(toks), 10)]
+    np_ = len(paras)
+    out = [f"<html><head><title>doc {doc_id}</title>"
+           f"<style>.c{doc_id} {{color: red}}</style></head><body>"]
+    for pid, p in enumerate(paras):
+        if pid % 4 == 1 and pid < np_ - 1:
+            body = (f'<a href="/l{pid}">{p[0]} {p[1]}</a> '
+                    + " ".join(p[2:]))
+        else:
+            body = " ".join(p)
+        out.append(f"<p>{body}</p>")
+        if pid % 3 == 2:
+            out.append(f"<script>var x{pid} = {doc_id};</script>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
+def html_extract_stats(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Build the synthetic page per document and run the REAL
+    extractor over it: per doc — extracted token count, link count,
+    link tokens. Zero-shuffle Arrow-batched pandas UDF (the
+    multimodal codec shape: CPU-linear in page bytes,
+    embarrassingly parallel)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("n_ext_tokens", T.LongType()),
+        T.StructField("n_links", T.LongType()),
+        T.StructField("link_tokens", T.LongType()),
+    ]))
+    def _stats(ids, texts):  # 2-arg struct UDF: hints unsupported
+        rows = []
+        for i, t in zip(ids, texts):
+            ext, nl, lt = html_to_text(synth_html(int(i), t))
+            rows.append((len(ext.split()) if ext else 0, nl, lt))
+        return pd.DataFrame(rows, columns=["n_ext_tokens", "n_links",
+                                           "link_tokens"])
+
+    return df.withColumn("s", _stats(F.col(id_col), F.col(text_col)))

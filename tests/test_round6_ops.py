@@ -2405,3 +2405,30 @@ def test_warc_gz_stats_udf_closed_forms(spark):
             for j in range(k))
         assert s["payload_sum"] == sum(
             (97 + (i + j) % 26) * lens[j] for j in range(k))
+
+
+def test_html_extract_hand_cases(spark):
+    """REAL html.parser extraction: tricky markup (entities, comments,
+    script with '<', attribute values containing '>') plus the
+    synth_html closed forms on a constructed doc."""
+    from ecmm428_pycart_spark.datapipe.text import (
+        html_extract_stats, html_to_text, synth_html)
+
+    tricky = ('<p>a &amp; b</p><!-- <p>no</p> -->'
+              '<script>if (x<2) {}</script>'
+              '<a href="/x?q=1&gt;2" title="a>b">c d</a><br/><p>e</p>'
+              '<style>p>span {}</style><title>skip me</title>')
+    ext, nl, lt = html_to_text(tricky)
+    assert ext == "a & b c d e"
+    assert (nl, lt) == (1, 2)
+
+    # 37 tokens -> 4 paragraphs; only pid 1 is linked (pid 3 is last-
+    # adjacent exclusion doesn't apply, but 3 % 4 != 1)
+    text = " ".join(f"t{i}" for i in range(37))
+    ext2, nl2, lt2 = html_to_text(synth_html(5, text))
+    assert ext2 == text and (nl2, lt2) == (1, 2)
+
+    df = spark.createDataFrame([Row(doc_id=5, source="a", text=text)])
+    s = html_extract_stats(df).select("s.*").head()
+    assert (s["n_ext_tokens"], s["n_links"], s["link_tokens"]) \
+        == (37, 1, 2)
