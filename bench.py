@@ -42,7 +42,6 @@ HEADLINE = [
     "q42_salted_agg",
     "q48_replicated_skew_join",
     "q52_shipping_priority",
-    "q57_order_count_distribution",
     "q60_bucketed_colocated_join",
     "q63_bilateral_shipping",
     "q66_cohort_retention",
@@ -51,7 +50,6 @@ HEADLINE = [
     "q71_lone_late_supplier",
     "q72_scd2_history",
     "q78_range_frame_window",
-    "q80_small_qty_revenue",
     "q81_market_share",
     "q82_disjunctive_revenue",
     "q83_exists_priority",
@@ -64,7 +62,6 @@ HEADLINE = [
     "d19_corpus_clean",
     "d25_decontamination",
     "d28_ngram_jaccard",
-    "d31_unigram_lm_score",
     "d35_bloom_decontaminate",
     "d36_window_dedup_removal",
     # similarity
@@ -74,7 +71,6 @@ HEADLINE = [
     "s09_knn_join",
     "s11_pq_codes",
     # multimodal
-    "m03_image_meta",
     "m06_png_pixels",
     "m09_jpeg_pixels",
     "m12_resize_pixels",
@@ -110,19 +106,21 @@ HEADLINE = [
     "m20_audio_spectrum",
     "m21_mel_energies",
     "q85_product_profit",
-    # round-6 families (queued6 registered this round): robust dedup,
-    # sketches, graph propagation, codec stats, ANN eval, stream top-k
+    # round-6 families (queued6 registered this round): one rep per
+    # family — robust dedup x2, graph propagation x2, perceptual
+    # hash, profiling, ANN eval, stream top-k. The full 81-query list
+    # printed 1985 bytes at INTEGER coarsening (driver tail captures
+    # exactly 2000), so the sub-second duplicates (d58, d62, m31,
+    # q102, s23 + four legacy: m03, q57, q80, d31) were cut to keep
+    # the printed line at 1-DECIMAL precision (72 queries, ~1890 B) —
+    # per-query cross-round ratios need the decimal; every cut query
+    # still has full 3-decimal detail in BENCH_LOCAL.json runs.
     "d53_edit_neardup",
-    "d58_countmin_sketch",
     "d60_winnow_dup",
-    "d62_cdc_chunks",
     "g19_label_propagation",
     "g22_personalized_pagerank",
     "m25_image_phash",
-    "m31_qoi_pixel_stats",
-    "q102_hll_merge_rollup",
     "q105_column_profile",
-    "s23_binary_hamming_topk",
     "s24_ann_recall_eval",
     "st17_stream_window_topk",
 ]
@@ -180,7 +178,10 @@ def main():
         spark.catalog.clearCache()        # no cross-query cache carryover
 
     result = {
-        "metric": "headline_query_wall_seconds",
+        # short name: the driver tail-captures exactly 2000 bytes and
+        # the 81-query integer-coarsened line ran 1985 with the old
+        # 27-char name — every byte here buys per-query precision
+        "metric": "headline_secs",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
