@@ -1685,3 +1685,94 @@ def html_extract_stats(df: DataFrame, id_col: str = "doc_id",
                                            "link_tokens"])
 
     return df.withColumn("s", _stats(F.col(id_col), F.col(text_col)))
+
+
+def synth_html_outlinks(doc_id: int, text: str) -> str:
+    """Deterministic HTML page with ABSOLUTE outlinks: same paragraph
+    layout as ``synth_html`` (10-token <p> blocks, link at every
+    pid % 4 == 1 except the last paragraph) but each anchor's href is
+    the absolute URL ``https://h{(doc_id*7+pid) % 13}.example/p{pid}``
+    — so the outlink target host has the closed form
+    ``h((doc_id*7 + pid) % 13)`` an oracle can replay, while the
+    extraction itself still has to walk real attribute syntax
+    (quoting alternates between double and single quotes by paragraph
+    parity, and every third link carries a decoy ``data-href``
+    attribute the parser must NOT pick up)."""
+    toks = text.split(" ")
+    paras = [toks[i:i + 10] for i in range(0, len(toks), 10)]
+    np_ = len(paras)
+    out = [f"<html><head><title>doc {doc_id}</title></head><body>"]
+    for pid, p in enumerate(paras):
+        if pid % 4 == 1 and pid < np_ - 1:
+            url = f"https://h{(doc_id * 7 + pid) % 13}.example/p{pid}"
+            quote = '"' if pid % 2 == 0 else "'"
+            decoy = (f" data-href={quote}https://decoy.example/x{quote}"
+                     if pid % 3 == 1 else "")
+            body = (f"<a{decoy} href={quote}{url}{quote}>"
+                    f"{p[0]} {p[1]}</a> " + " ".join(p[2:]))
+        else:
+            body = " ".join(p)
+        out.append(f"<p>{body}</p>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
+def extract_outlink_hosts(html: str) -> list[str]:
+    """REAL outlink-host extraction (stdlib html.parser +
+    urllib.parse.urlsplit — the crawl-graph construction pass between
+    HTML fetch and host-level dedup/mixing decisions): walks <a> start
+    tags, reads the ``href`` attribute (attribute parsing, not
+    regexing — single/double quoting and unrelated attributes must
+    not confuse it), keeps http(s) absolute URLs only, and returns
+    the netloc's first dotted label per link (the host key a web
+    graph aggregates on). Relative hrefs and non-http schemes are
+    dropped — the caller only sees resolvable cross-host edges."""
+    from html.parser import HTMLParser
+    from urllib.parse import urlsplit
+
+    hosts: list[str] = []
+
+    class _X(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "a":
+                return
+            href = dict(attrs).get("href")
+            if not href:
+                return
+            parts = urlsplit(href)
+            if parts.scheme in ("http", "https") and parts.netloc:
+                hosts.append(parts.netloc.split(".")[0])
+
+    p = _X()
+    p.feed(html)
+    p.close()
+    return hosts
+
+
+def outlink_host_edges(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Build the synthetic outlink page per document and run the REAL
+    href extractor over it: returns the input plus ``src_host`` (the
+    page's own host, ``h{doc_id % 13}``) and an exploded ``dst_host``
+    row per extracted outlink — the edge-list feed of a host-level
+    web graph. The extraction is a zero-shuffle Arrow-batched pandas
+    UDF; the only shuffle in a typical caller is the final
+    (src_host, dst_host) aggregation, exactly the shape a 100 TB
+    crawl-graph build wants (CPU-linear parse, one edge-keyed
+    groupBy)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _hosts(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            extract_outlink_hosts(synth_html_outlinks(int(i), t))
+            for i, t in zip(ids, texts)])
+
+    return (df.withColumn("src_host",
+                          F.concat(F.lit("h"),
+                                   (F.col(id_col) % 13)
+                                   .cast("string")))
+            .withColumn("dst_host",
+                        F.explode(_hosts(F.col(id_col),
+                                         F.col(text_col)))))
