@@ -28,82 +28,11 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-6 ROTATION: the round-5 deferred backlog + two
-    # sentinels (q01 relational core, g04 dorling parity)
+    # ROUND-7 ROTATION: the queued6 batch (registered round 6,
+    # deferred to this window) + two sentinels (q01 relational
+    # core, g04 dorling parity)
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d42_bpe_encode",
-    "d43_perplexity_buckets",
-    "d44_zipf_fit",
-    "d45_temperature_mix",
-    "d46_leakage_safe_split",
-    "d47_source_contamination",
-    "d48_lm_reference_scoring",
-    "g18_clustering_coeff",
-    "m23_tar_shard_roundtrip",
-    "m24_wav_resample",
-    "q84_min_cost_supplier",
-    "q85_product_profit",
-    "q86_important_stock",
-    "q87_promo_revenue",
-    "q88_supplier_relationship",
-    "q89_part_promotion",
-    "q90_funnel_steps",
-    "q91_rfm_segments",
-    "q92_xml_roundtrip",
-    "q93_rolling_actives",
-    "q94_funnel_latency",
-    "q95_curation_pipeline",
-    "q96_unpivot_measures",
-    "q97_runtime_bloom_join",
-    "q98_event_transitions",
-    "q99_snapshot_diff",
-    "s18_pca_project",
-    "s19_mmr_topk",
-    "s20_hard_negatives",
-    "s21_ann_knn_join",
-    "st15_stream_funnel",
-    "s14_semdedup",
-    "s15_truncated_rerank",
-    "s16_rrf_hybrid",
-    "d37_bigram_lm",
-    "d38_bm25",
-    "d39_heavy_hitters",
-    "d40_bpe_merges",
-    "d41_hashing_tf",
-    "m20_audio_spectrum",
-    "m21_mel_energies",
-    "m22_augmentations",
-    "g17_k_core",
-    "m05_frame_sample",
-    "q100_sessionization",
-    "s22_embedding_normalize",
-    "d49_incremental_dedup",
-    "s17_index_persistence",
-]
-
-# Queries registered this round that did NOT fit the round-5 window;
-# they MUST form (with the q01/g04 sentinels) round 6's window —
-# exactly 48 + 2 = 50.
-#
-# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
-# round 5 on the live tree: rotation + sentinel swap + gate tests
-# green, then reverted). It sets
-#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
-#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
-# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
-# round-6 gate queries then register directly and append here while
-# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
-# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
-# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
-# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
-# fails if any registered query is neither historically checked, in
-# the current window, nor in this list.
-DEFERRED_TO_NEXT_ROUND = [
-    # round-6 queue (benchmarks/queued6.py), registered via
-    # tools/register_queued6.py — every entry oracle-green at
-    # sf0.001/0.01/0.1 under the gate canonicalization +
-    # plan/scalar guards before registration; gated round 7
     "d50_normalized_dedup",
     "d51_dp_release",
     "d52_classifier_filter",
@@ -154,6 +83,78 @@ DEFERRED_TO_NEXT_ROUND = [
     "st20_stream_approx_median",
 ]
 
+# Queries registered this round that did NOT fit the round-5 window;
+# they MUST form (with the q01/g04 sentinels) round 6's window —
+# exactly 48 + 2 = 50.
+#
+# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
+# round 5 on the live tree: rotation + sentinel swap + gate tests
+# green, then reverted). It sets
+#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
+#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
+# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
+# round-6 gate queries then register directly and append here while
+# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
+# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
+# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
+# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
+# fails if any registered query is neither historically checked, in
+# the current window, nor in this list.
+DEFERRED_TO_NEXT_ROUND = [
+    # round-7 queue (benchmarks/queued7.py), registered via
+    # tools/register_queued7.py — every entry oracle-green at
+    # sf0.001/0.01/0.1 under the gate canonicalization +
+    # plan/scalar guards before registration; gated round 8
+    "d68_snapshot_diff",
+    "d69_canonical_url",
+    "d70_retention_policy",
+    "d72_pseudonymize",
+    "d73_prefix_filter_join",
+    "d74_sample_allocation",
+    "d75_winsorized_stats",
+    "d76_novelty_curve",
+    "d77_label_agreement",
+    "d78_postings_varint",
+    "d79_good_turing",
+    "d90_dup_spans",
+    "d91_mixing_weights",
+    "g26_weighted_paths",
+    "g27_k_truss",
+    "g28_hash_walks",
+    "g29_hits_scores",
+    "g31_lpa_modularity",
+    "g32_partition_quality",
+    "g33_cc_two_phase",
+    "g34_degree_assortativity",
+    "m36_safetensors_stats",
+    "m37_patch_means",
+    "m38_tga_pixel_stats",
+    "m39_protobuf_wire_stats",
+    "m40_lz4_roundtrip",
+    "m41_rle_bp_stats",
+    "m42_inflate_roundtrip",
+    "m43_gzip_roundtrip",
+    "m44_adaptive_png_roundtrip",
+    "m50_warc_record_stats",
+    "q106_cohort_retention",
+    "q107_touch_attribution",
+    "q108_key_skew_report",
+    "q109_rolling_anomalies",
+    "q110_cube_revenue",
+    "q111_seasonal_profile",
+    "q112_session_concurrency",
+    "q113_clamped_balance",
+    "q114_value_drift",
+    "q115_interval_islands",
+    "q116_benford_digits",
+    "q117_association_rules",
+    "q118_roaring_containers",
+    "s29_embedding_drift",
+    "s30_similarity_histogram",
+    "st21_stream_rolling_anomaly",
+    "st22_stream_value_drift",
+]
+
 
 def _collect():
     queries = {}
@@ -168,8 +169,8 @@ def _modules():
     # hard imports: a failure here must propagate — silently dropping a
     # module would remove entire query families from the correctness gate
     from ecmm428_pycart_spark.benchmarks import (datapipe_queries, geo_queries,
-                                                 queued, queued6)
-    return [relational, datapipe_queries, geo_queries, queued, queued6]
+                                                 queued, queued6, queued7)
+    return [relational, datapipe_queries, geo_queries, queued, queued6, queued7]
 
 
 def _window_first(d: dict) -> dict:

@@ -156,6 +156,16 @@ _BNLJ_OK = {
     "d65_lsh_tuning_sweep",  # see tests/test_queued6_queries (1-row broadcasts)
     "q104_fk_integrity",  # see tests/test_queued6_queries (1-row broadcasts)
     "s28_faceted_topk",  # see tests/test_queued6_queries (1-row broadcasts)
+    "g27_k_truss",  # see tests/test_queued7_queries (1-row broadcasts)
+    "d72_pseudonymize",  # see tests/test_queued7_queries (1-row broadcasts)
+    "g31_lpa_modularity",  # see tests/test_queued7_queries (1-row broadcasts)
+    "q112_session_concurrency",  # see tests/test_queued7_queries (1-row broadcasts)
+    "g32_partition_quality",  # see tests/test_queued7_queries (1-row broadcasts)
+    "g34_degree_assortativity",  # see tests/test_queued7_queries (1-row broadcasts)
+    "d77_label_agreement",  # see tests/test_queued7_queries (1-row broadcasts)
+    "q117_association_rules",  # see tests/test_queued7_queries (1-row broadcasts)
+    "s30_similarity_histogram",  # see tests/test_queued7_queries (1-row broadcasts)
+    "d91_mixing_weights",  # see tests/test_queued7_queries (1-row broadcasts)
 }
 
 

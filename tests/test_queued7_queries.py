@@ -49,15 +49,16 @@ def test_queued7_matches_oracle(spark, duck, name):
     assert sp == du, (name, sp[:3], du[:3])
 
 
-def test_queued7_is_not_registered_yet():
-    """queued7 is the OVERFLOW queue: it registers in round 7 (after
-    round 6 registers queued6 and the rotation re-empties the
-    deferred budget); registering earlier would blow the
-    deferred + sentinels <= 50 budget in test_gate_coverage."""
+def test_queued7_is_fully_registered():
+    """Since round 7 the queue IS registered (it forms the round-8
+    deferred backlog): every queued7.py entry must appear in the
+    registry, or it would silently fall outside the 2-round gate
+    rotation. (Round 6 asserted the inverse — the queue stayed OUT
+    until apply_round7 freed the budget.)"""
     from ecmm428_pycart_spark.benchmarks import queued7
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
-    overlap = set(queued7.QUERIES) & set(get_queries())
-    assert not overlap, f"queued7 queries already registered: {overlap}"
+    missing = set(queued7.QUERIES) - set(get_queries())
+    assert not missing, f"queued7 queries not registered: {missing}"
 
 
 def test_queued6_respects_deferred_budget():
