@@ -127,21 +127,58 @@ HEADLINE = [
 
 
 def _cpu_calibration() -> float:
-    """Single-thread CPU fingerprint: seconds for a fixed numpy kernel.
+    """Single-thread CPU fingerprint: MEDIAN-of-5 seconds for a fixed
+    numpy kernel.
 
     Round 3's driver bench recorded a UNIFORM ~2.7x slowdown across
     frozen-code queries (diagnosed as sandbox contention/host class in
     docs/BENCH_R3_REGRESSION.md), and round 4 observed the same
     machine running ~2x slower after a reboot. Embedding this constant
     lets any reader separate "the code got slower" from "the host got
-    slower": compare calib across BENCH records before comparing
-    query times."""
+    slower": compare calib across BENCH records before comparing query
+    times. VERDICT r6 found a single run swings 2.1x between
+    invocations (docs/AB_SIMILARITY_r6.md), so since round 7 this is
+    the median of 5 runs — see docs/CALIB_r7.md for the measured
+    run-to-run spread of the median."""
+    import statistics
+
     import numpy as np
     a = np.arange(2_000_000, dtype=np.float64)
-    t0 = time.time()
-    for _ in range(20):
-        (np.sqrt(a) * a).sum()
-    return round(time.time() - t0, 3)
+    runs = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(20):
+            (np.sqrt(a) * a).sum()
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def _spark_calibration(spark) -> float:
+    """FROZEN Spark fingerprint: median-of-3 seconds for a fixed tiny
+    aggregation over sf0.001 lineitem (same data every round regardless
+    of the bench SF). Complements the numpy calib with a number that
+    includes JVM/shuffle overhead, so cross-round BENCH comparisons are
+    self-certifying instead of needing a forensic frozen-code A/B
+    (VERDICT r6 what's-wrong #1). DO NOT EDIT this query — its value is
+    only comparable across rounds if the code never changes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.session import load_table
+
+    def run():
+        t0 = time.time()
+        load_table(spark, "/root/testdata/sf0.001", "lineitem") \
+            .groupBy("l_returnflag", "l_linestatus") \
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                 F.count("*")) \
+            .count()
+        spark.catalog.clearCache()
+        return time.time() - t0
+
+    run()  # untimed warmup: first run pays file listing / codegen
+    return round(statistics.median([run() for _ in range(3)]), 3)
 
 
 def main():
@@ -187,6 +224,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "calib": _cpu_calibration(),
+        "calib_spark": _spark_calibration(spark),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
