@@ -1695,9 +1695,11 @@ def synth_html_outlinks(doc_id: int, text: str) -> str:
     — so the outlink target host has the closed form
     ``h((doc_id*7 + pid) % 13)`` an oracle can replay, while the
     extraction itself still has to walk real attribute syntax
-    (quoting alternates between double and single quotes by paragraph
-    parity, and every third link carries a decoy ``data-href``
-    attribute the parser must NOT pick up)."""
+    (quoting alternates between double and single quotes by LINK
+    index parity — (pid // 4) % 2, since link pids are always odd a
+    paragraph-parity key would never flip — and every third link
+    carries a decoy ``data-href`` attribute the parser must NOT pick
+    up)."""
     toks = text.split(" ")
     paras = [toks[i:i + 10] for i in range(0, len(toks), 10)]
     np_ = len(paras)
@@ -1705,7 +1707,7 @@ def synth_html_outlinks(doc_id: int, text: str) -> str:
     for pid, p in enumerate(paras):
         if pid % 4 == 1 and pid < np_ - 1:
             url = f"https://h{(doc_id * 7 + pid) % 13}.example/p{pid}"
-            quote = '"' if pid % 2 == 0 else "'"
+            quote = '"' if (pid // 4) % 2 == 0 else "'"
             decoy = (f" data-href={quote}https://decoy.example/x{quote}"
                      if pid % 3 == 1 else "")
             body = (f"<a{decoy} href={quote}{url}{quote}>"
@@ -1724,9 +1726,14 @@ def extract_outlink_hosts(html: str) -> list[str]:
     tags, reads the ``href`` attribute (attribute parsing, not
     regexing — single/double quoting and unrelated attributes must
     not confuse it), keeps http(s) absolute URLs only, and returns
-    the netloc's first dotted label per link (the host key a web
+    the hostname's first dotted label per link (the host key a web
     graph aggregates on). Relative hrefs and non-http schemes are
-    dropped — the caller only sees resolvable cross-host edges."""
+    dropped — the caller only sees resolvable cross-host edges.
+    Real-crawl hardening (ADVICE r6): the FIRST ``href`` wins on
+    duplicate attributes (HTML spec; ``dict(attrs)`` would keep the
+    last), and ``parts.hostname`` — not ``netloc`` — strips
+    userinfo/port and lowercases, so ``user@H.example:8080`` keys as
+    ``h``, never ``user@H``."""
     from html.parser import HTMLParser
     from urllib.parse import urlsplit
 
@@ -1736,12 +1743,12 @@ def extract_outlink_hosts(html: str) -> list[str]:
         def handle_starttag(self, tag, attrs):
             if tag != "a":
                 return
-            href = dict(attrs).get("href")
+            href = next((v for k, v in attrs if k == "href"), None)
             if not href:
                 return
             parts = urlsplit(href)
-            if parts.scheme in ("http", "https") and parts.netloc:
-                hosts.append(parts.netloc.split(".")[0])
+            if parts.scheme in ("http", "https") and parts.hostname:
+                hosts.append(parts.hostname.split(".")[0])
 
     p = _X()
     p.feed(html)
@@ -1753,7 +1760,7 @@ def outlink_host_edges(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Build the synthetic outlink page per document and run the REAL
     href extractor over it: returns the input plus ``src_host`` (the
-    page's own host, ``h{doc_id % 13}``) and an exploded ``dst_host``
+    page's own host, ``h{pmod(doc_id, 13)}``) and an exploded ``dst_host``
     row per extracted outlink — the edge-list feed of a host-level
     web graph. The extraction is a zero-shuffle Arrow-batched pandas
     UDF; the only shuffle in a typical caller is the final
@@ -1764,14 +1771,18 @@ def outlink_host_edges(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _hosts(ids: pd.Series, texts: pd.Series) -> pd.Series:
+    def _hosts(ids, texts):  # no hints: stringified by the module's
+        # `from __future__ import annotations` -> UNSUPPORTED_SIGNATURE
         return pd.Series([
             extract_outlink_hosts(synth_html_outlinks(int(i), t))
             for i, t in zip(ids, texts)])
 
+    # pmod, not %: Spark's % follows the dividend's sign, so a negative
+    # doc_id would emit src keys like "h-3" that no dst_host (Python
+    # non-negative %) could ever match (ADVICE r6)
     return (df.withColumn("src_host",
                           F.concat(F.lit("h"),
-                                   (F.col(id_col) % 13)
+                                   F.pmod(F.col(id_col), F.lit(13))
                                    .cast("string")))
             .withColumn("dst_host",
                         F.explode(_hosts(F.col(id_col),

@@ -2432,3 +2432,48 @@ def test_html_extract_hand_cases(spark):
     s = html_extract_stats(df).select("s.*").head()
     assert (s["n_ext_tokens"], s["n_links"], s["link_tokens"]) \
         == (37, 1, 2)
+
+
+def test_outlink_extraction_closed_form_and_hardening(spark):
+    """ADVICE r6: oracle the outlink chain. Hosts extracted from the
+    synthetic page must equal the closed form
+    [f'h{(doc_id*7+pid) % 13}' for eligible pids], BOTH quoting styles
+    must actually occur across link indices ((pid//4) % 2 keys the
+    quote — the old pid % 2 key never flipped because link pids are
+    always odd), decoys must be skipped, and the real-crawl hardening
+    must hold: first duplicate href wins, userinfo/port/case stripped."""
+    from ecmm428_pycart_spark.datapipe.text import (
+        extract_outlink_hosts, outlink_host_edges, synth_html_outlinks)
+
+    doc_id = 5
+    text = " ".join(f"t{i}" for i in range(130))  # 13 paragraphs
+    html = synth_html_outlinks(doc_id, text)
+    eligible = [pid for pid in range(13) if pid % 4 == 1 and pid < 12]
+    assert eligible == [1, 5, 9]
+    assert extract_outlink_hosts(html) == \
+        [f"h{(doc_id * 7 + pid) % 13}" for pid in eligible]
+    # both quoting styles appear (link 0 -> double, link 1 -> single)
+    assert 'href="' in html and "href='" in html
+    # decoy data-href targets never leak into the host list
+    assert "decoy" not in " ".join(extract_outlink_hosts(html))
+
+    # real-crawl hardening hand cases
+    assert extract_outlink_hosts(
+        '<a href="https://first.example/a" href="https://second.example/b">'
+        "x</a>") == ["first"]
+    assert extract_outlink_hosts(
+        '<a href="https://user@H.Example:8080/p">x</a>') == ["h"]
+    assert extract_outlink_hosts(
+        '<a href="/relative">x</a><a href="ftp://f.example/x">y</a>') == []
+
+    # Spark round-trip: edge list matches a Python replay, and pmod
+    # keeps src_host non-negative even for a negative doc_id
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text=text), Row(doc_id=-3, text=text)])
+    got = sorted(
+        (r.doc_id, r.src_host, r.dst_host)
+        for r in outlink_host_edges(df).collect())
+    want = sorted(
+        (d, f"h{d % 13}", f"h{(d * 7 + pid) % 13}")
+        for d in (5, -3) for pid in eligible)
+    assert got == want
