@@ -2344,3 +2344,185 @@ def d92_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(s.link_tokens) * 1000000 "
                         "div sum(s.n_ext_tokens)")
                  .alias("link_density_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END Common Crawl macro (the LLM-pipeline flagship next to
+# q95's text-curation chain): per document a REAL 2-record WARC
+# archive is built (request decoy + response whose payload is the
+# synthetic HTML page), then the production read path runs — ISO
+# 28500 WARC walk (multimodal.decode_warc_records, m50) -> response
+# records only -> stdlib-html.parser visible-text extraction
+# (text.html_to_text, d92) -> stopword lang-id keep 'en' (d03) ->
+# quality floor (the EXACT-INTEGER form of d09's
+# quality >= 0.2: u >= 20 when nt <= 100 else 5u >= nt — no float
+# crosses the filter) -> minhash-LSH near-dup candidates + exact
+# Jaccard >= 0.5 verify + connected-components canonical keep
+# (d06/d15) -> temperature-mixed source weights (d91). ONE DuckDB
+# oracle replays the whole chain: because html_to_text(synth_html(i,
+# t)) == t is a proven identity, the post-extraction corpus has the
+# closed form "the documents table", and the audit columns (WARC
+# record count, link count via d92's paragraph arithmetic) pin that
+# the decode genuinely ran — a framing or extraction bug changes
+# every downstream hash.
+#
+# Scale shape (100 TB crawl): the encode/decode/extract chain is one
+# zero-shuffle Arrow pandas-UDF pass; the corpus is localCheckpoint'd
+# once and feeds the audit + filter branches without re-decoding;
+# lang-id shuffles once on doc_id after a broadcast stopword join;
+# LSH pair volume is bounded by banding + MAX_BUCKET_SIZE=64, never
+# all-pairs; components is O(log n) rounds of node-keyed shuffles;
+# mixing is one groupBy(source) + a 1-row broadcast total.
+# ---------------------------------------------------------------------------
+def _q133_sql() -> str:
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _BANDS_SQL, _MINHASH_SQL, _SW_VALUES)
+    from ecmm428_pycart_spark.datapipe import dedup
+
+    mh = _MINHASH_SQL.replace("FROM documents", "FROM kept")
+    return f"""
+WITH corpus AS (SELECT doc_id, source, text FROM documents),
+aud0 AS (
+  SELECT c.doc_id, c.source,
+         (len(string_split(c.text, ' ')) + 9) // 10 AS np
+  FROM corpus c
+),
+aud AS (
+  SELECT a.source,
+         count(DISTINCT a.doc_id) AS n_fetched,
+         2 * count(DISTINCT a.doc_id) AS warc_records,
+         sum(CASE WHEN i.i % 4 = 1 AND i.i < a.np - 1
+                  THEN 1 ELSE 0 END) AS n_links
+  FROM aud0 a, unnest(range(0, a.np)) i(i)
+  GROUP BY a.source
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM corpus),
+sw(cand_lang, tok) AS (VALUES {_SW_VALUES}),
+hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+         FROM tok JOIN sw USING (tok) GROUP BY 1, 2),
+best AS (SELECT doc_id, cand_lang FROM hits
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_hits DESC, cand_lang ASC) = 1),
+st AS (SELECT c.*, len(string_split(text, ' ')) AS nt,
+              len(list_distinct(string_split(text, ' '))) AS u
+       FROM corpus c),
+kept AS (
+  SELECT st.doc_id, st.source, st.text FROM st
+  JOIN best b USING (doc_id)
+  WHERE b.cand_lang = 'en'
+    AND ((nt <= 100 AND u >= 20) OR (nt > 100 AND 5 * u >= nt))
+),
+sig AS ({mh}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+         FROM kept),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))),
+                 4) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+),
+comp AS (SELECT a AS doc_id, min(b) AS component
+         FROM reach GROUP BY a),
+canon AS (
+  SELECT k.doc_id, k.source, len(string_split(k.text, ' ')) AS ntok
+  FROM kept k LEFT JOIN comp USING (doc_id)
+  WHERE comp.component IS NULL OR comp.component = k.doc_id
+),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM canon GROUP BY source),
+s AS (SELECT source, n_kept, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sq FROM c),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tot,
+             CAST(sum(sq) AS BIGINT) AS s_tot FROM s)
+SELECT aud.source,
+       CAST(aud.n_fetched AS BIGINT) AS n_fetched,
+       CAST(aud.warc_records AS BIGINT) AS warc_records,
+       CAST(aud.n_links AS BIGINT) AS n_links,
+       s.n_kept, s.n_tokens,
+       CAST(s.n_tokens * 1000000 // t.n_tot AS BIGINT) AS p_ppm,
+       CAST(s.sq * 1000000 // t.s_tot AS BIGINT) AS w_ppm
+FROM aud LEFT JOIN s USING (source) CROSS JOIN t
+"""
+
+
+@q("q133_crawl_pipeline", _q133_sql())
+def q133_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup, multimodal
+    from ecmm428_pycart_spark.datapipe.components import (
+        connected_components)
+    from ecmm428_pycart_spark.datapipe.text import (lang_id,
+                                                    mixing_weights,
+                                                    with_text_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    # fetch + capture + production read path, one Arrow pass; the
+    # extracted corpus feeds two branches (audit, filter chain) — pin
+    # it so the WARC/HTML work runs once
+    corpus = (docs
+              .withColumn("payload", multimodal.synth_warc_html_payload(
+                  F.col("doc_id"), F.col("text")))
+              .withColumn("x", multimodal.warc_html_extract("payload"))
+              .select("doc_id", "source",
+                      F.col("x.ext_text").alias("text"),
+                      "x.n_links", "x.n_records")
+              .localCheckpoint(eager=True))
+    audit = (corpus.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_fetched"),
+                  F.sum("n_records").cast("long").alias("warc_records"),
+                  F.sum("n_links").cast("long").alias("n_links")))
+    en = lang_id(corpus).filter(F.col("pred_lang") == "en")
+    st = with_text_stats(en)
+    kept = (st.filter(
+        ((F.col("n_tokens") <= 100) & (F.col("n_unique_tokens") >= 20))
+        | ((F.col("n_tokens") > 100)
+           & (F.col("n_unique_tokens") * 5 >= F.col("n_tokens"))))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True))   # feeds pairs + verify + keep
+    pairs = dedup.lsh_candidate_pairs(kept)
+    edges = dedup.jaccard_pairs(kept, pairs, threshold=0.5)
+    cc = connected_components(edges)
+    canon = (kept.join(cc, kept.doc_id == cc.node, "left")
+             .filter(F.col("component").isNull()
+                     | (F.col("component") == F.col("doc_id")))
+             .select("doc_id", "source", "text"))
+    stats = (canon.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_kept")))
+    mix = mixing_weights(canon)
+    return (audit
+            .join(stats, "source", "left")
+            .join(mix.select("source", "n_tokens", "p_ppm", "w_ppm"),
+                  "source", "left")
+            .select("source", "n_fetched", "warc_records", "n_links",
+                    "n_kept", "n_tokens", "p_ppm", "w_ppm"))

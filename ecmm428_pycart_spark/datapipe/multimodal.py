@@ -5309,3 +5309,74 @@ def warc_gz_member_stats(payload: pd.Series) -> pd.DataFrame:
                      nrec, psum))
     return pd.DataFrame(rows, columns=["n_members", "total_raw",
                                        "n_records", "payload_sum"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_warc_html_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+    """Deterministic crawl capture per doc: a 2-record WARC archive —
+    one request record (decoy payload ``GET /p{id}``; a correct reader
+    must skip it) and one response record whose payload is the
+    document's synthetic HTML page (``text.synth_html``), both for
+    ``http://h{id % 13}.example/p{id}``. Feeds the end-to-end crawl
+    macro (q133): because ``html_to_text(synth_html(id, t)) == t`` is
+    a proven identity (tests/test_round6_ops.py), the downstream
+    corpus has the closed form "the original documents table", which
+    is what lets one DuckDB oracle replay the entire
+    WARC -> HTML -> filter -> dedup -> mix chain.
+
+    Simplification vs production captures (documented, deliberate):
+    the response payload is raw HTML, not an HTTP/1.1 message — header
+    stripping is a text concern the synthetic corpus has no bytes for;
+    the WARC framing, which is what this exercises, is real
+    (ISO 28500 via warc_bytes/decode_warc_records)."""
+    from ecmm428_pycart_spark.datapipe.text import synth_html
+
+    def gen(i: int, t: str) -> bytes:
+        uri = f"http://h{i % 13}.example/p{i}"
+        return warc_bytes([
+            ("request", uri, f"GET /p{i}".encode()),
+            ("response", uri, synth_html(i, t).encode()),
+        ])
+    return pd.Series([gen(int(i), t) for i, t in zip(doc_id, text)])
+
+
+_WARC_HTML = T.StructType([
+    T.StructField("ext_text", T.StringType()),
+    T.StructField("n_links", T.LongType()),
+    T.StructField("link_tokens", T.LongType()),
+    T.StructField("n_records", T.LongType()),
+    T.StructField("n_responses", T.LongType()),
+])
+
+
+@F.pandas_udf(_WARC_HTML)
+def warc_html_extract(payload: pd.Series) -> pd.DataFrame:
+    """The crawl ingestion read path in one zero-shuffle Arrow batch:
+    walk the WARC archive (real ISO 28500 framing), take RESPONSE
+    records only (request decoys must not leak), decode their payloads
+    as UTF-8 HTML and run the REAL visible-text extractor
+    (``text.html_to_text`` — stdlib html.parser, boilerplate-blind).
+    Multiple responses per archive concatenate with a single space.
+    CPU-linear per byte; the only shuffles in a caller are whatever it
+    aggregates afterwards."""
+    from ecmm428_pycart_spark.datapipe.text import html_to_text
+
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None))
+            continue
+        recs = decode_warc_records(bytes(buf))
+        texts, nl, lt, nresp = [], 0, 0, 0
+        for r in recs:
+            if r["warc_type"] != "response":
+                continue
+            nresp += 1
+            ext, links, ltok = html_to_text(r["payload"].decode("utf-8"))
+            texts.append(ext)
+            nl += links
+            lt += ltok
+        rows.append((" ".join(texts), nl, lt, len(recs), nresp))
+    return pd.DataFrame(rows, columns=["ext_text", "n_links",
+                                       "link_tokens", "n_records",
+                                       "n_responses"])

@@ -114,6 +114,8 @@ def test_queued8_plan_guards(spark):
         "s31_lsh_tables_recall",
         # 1-row max-event-day broadcast anchoring the decay ages
         "q132_decayed_engagement",
+        # 1-row corpus-total broadcast in the mixing-weight stage
+        "q133_crawl_pipeline",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
