@@ -2526,3 +2526,47 @@ def q133_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "source", "left")
             .select("source", "n_fetched", "warc_records", "n_links",
                     "n_kept", "n_tokens", "p_ppm", "w_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Host-level web-graph construction from REAL href extraction
+# (text.outlink_host_edges — html.parser attribute walk + urlsplit
+# hostname, never regex): the crawl-graph pass between HTML fetch
+# and host-level ranking/mixing decisions. Each doc's synthetic page
+# carries absolute outlinks with the closed form
+# dst = h{(doc_id*7 + pid) % 13} at link pids (pid % 4 == 1, not
+# last), src = h{doc_id % 13}, so the oracle replays pure paragraph
+# arithmetic while the engine genuinely parses quoted/decoy'd
+# attribute syntax (both quote styles occur; data-href decoys must
+# not leak — tests/test_round6_ops.py pins the hand cases).
+# Scale shape: extraction is one zero-shuffle Arrow pass + explode;
+# the only shuffle is the (src_host, dst_host)-keyed aggregation —
+# exactly the 100 TB crawl-graph build (CPU-linear parse, one
+# edge-keyed groupBy, 13x13-bounded output).
+# ---------------------------------------------------------------------------
+@q("d93_outlink_graph", """
+WITH d AS (SELECT doc_id,
+                  (len(string_split(text, ' ')) + 9) // 10 AS np
+           FROM documents),
+l AS (
+  SELECT d.doc_id,
+         'h' || CAST(d.doc_id % 13 AS VARCHAR) AS src_host,
+         'h' || CAST((d.doc_id * 7 + i.i) % 13 AS VARCHAR) AS dst_host
+  FROM d, unnest(range(0, d.np)) i(i)
+  WHERE i.i % 4 = 1 AND i.i < d.np - 1
+)
+SELECT src_host,
+       CAST(count(DISTINCT dst_host) AS BIGINT) AS out_hosts,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM l GROUP BY src_host
+""")
+def d93_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import outlink_host_edges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = outlink_host_edges(docs)
+    return (edges.groupBy("src_host")
+            .agg(F.countDistinct("dst_host").alias("out_hosts"),
+                 F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs")))
