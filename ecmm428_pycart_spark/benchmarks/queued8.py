@@ -2570,3 +2570,103 @@ def d93_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("dst_host").alias("out_hosts"),
                  F.count(F.lit(1)).alias("n_links"),
                  F.countDistinct("doc_id").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated-curation macro (the q95/q133 sibling for EVAL-SET
+# HYGIENE — the pass every benchmark-respecting training pipeline
+# runs, Brown et al. 2020 appx C / Dodge et al. 2021): hold out the
+# d35-convention eval split (doc_id % 40 == 0), exact-dedup the
+# train side (md5 canonical keep), drop every train doc sharing
+# >= 8 distinct word-4-grams with ANY eval doc (Bloom-prefiltered
+# map-side membership + exact confirm join — false positives removed
+# by the confirm, false negatives impossible, so the result equals
+# the pure-SQL form the oracle states), then temperature-mix what
+# survives. Per-source accounting of every stage. Scale shape: the
+# Bloom bitmap is ONE aggregate broadcast long after the raw eval
+# shingle set is not broadcastable; the train side never shuffles
+# for the membership test; dedup is one md5 groupBy; mixing is one
+# groupBy(source) + a 1-row broadcast total.
+# ---------------------------------------------------------------------------
+@q("q134_decontaminated_curation", """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 40 <> 0),
+canon AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+corpus AS (SELECT t.* FROM train t JOIN canon USING (doc_id)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i.i:i.i+3], ' ') AS g
+       FROM toks, unnest(range(1, len(t) - 2)) AS i(i)),
+eval_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 40 = 0),
+tr_sh AS (SELECT DISTINCT s.doc_id, s.g FROM sh s
+          JOIN corpus c USING (doc_id)),
+shared AS (SELECT doc_id, count(*) AS n_shared
+           FROM tr_sh JOIN eval_g USING (g) GROUP BY doc_id),
+contam AS (SELECT doc_id FROM shared WHERE n_shared >= 8),
+kept AS (SELECT c.doc_id, c.source,
+                len(string_split(c.text, ' ')) AS ntok
+         FROM corpus c LEFT JOIN contam USING (doc_id)
+         WHERE contam.doc_id IS NULL),
+a AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_dedup
+      FROM train GROUP BY source),
+cc AS (SELECT c.source, CAST(count(*) AS BIGINT) AS n_contaminated
+       FROM corpus c JOIN contam USING (doc_id) GROUP BY c.source),
+k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source),
+s AS (SELECT source, n_kept, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sq FROM k),
+t2 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tot,
+              CAST(sum(sq) AS BIGINT) AS s_tot FROM s)
+SELECT a.source, a.n_train, a.n_dedup,
+       CAST(coalesce(cc.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       s.n_kept, s.n_tokens,
+       CAST(s.sq * 1000000 // t2.s_tot AS BIGINT) AS w_ppm
+FROM a LEFT JOIN cc USING (source) LEFT JOIN s USING (source)
+CROSS JOIN t2
+""")
+def q134_decontaminated_curation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup
+    from ecmm428_pycart_spark.datapipe.dedup import exact_dup_groups
+    from ecmm428_pycart_spark.datapipe.text import mixing_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    train = docs.filter(F.col("doc_id") % 40 != 0)
+    canon = (exact_dup_groups(train)
+             .select(F.col("canonical_id").alias("doc_id")))
+    # deduped corpus feeds the shingle pass, the contamination join,
+    # and the keep chain — materialize once
+    corpus = (train.join(canon, "doc_id", "left_semi")
+              .localCheckpoint(eager=True))
+    eval_g = (docs.filter(F.col("doc_id") % 40 == 0)
+              .select(F.explode(dedup.shingle_set(F.col("text"), 4))
+                      .alias("g")).distinct())
+    tr_sh = (corpus.select(
+        "doc_id", F.explode(dedup.shingle_set(F.col("text"), 4))
+        .alias("g")).distinct())
+    bloom = dedup.bloom_build(eval_g, "g")
+    cand = dedup.bloom_prefilter(tr_sh, "g", bloom)
+    contam = (cand.join(F.broadcast(eval_g), "g")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= 8)
+              .select("doc_id"))
+    kept = corpus.join(contam, "doc_id", "left_anti")
+    a = (train.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_train"),
+              F.countDistinct(F.md5("text")).alias("n_dedup")))
+    cc_ = (corpus.join(contam, "doc_id", "left_semi")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    mix = mixing_weights(kept)
+    return (a.join(cc_, "source", "left")
+            .join(k, "source", "left")
+            .join(mix.select("source", "n_tokens", "w_ppm"),
+                  "source", "left")
+            .select("source", "n_train", "n_dedup",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"),
+                    "n_kept", "n_tokens", "w_ppm"))

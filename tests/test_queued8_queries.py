@@ -116,6 +116,7 @@ def test_queued8_plan_guards(spark):
         "q132_decayed_engagement",
         # 1-row corpus-total broadcast in the mixing-weight stage
         "q133_crawl_pipeline",
+        "q134_decontaminated_curation",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
