@@ -2670,3 +2670,127 @@ def q134_decontaminated_curation(spark: SparkSession,
                     F.coalesce("n_contaminated", F.lit(0)).cast("long")
                     .alias("n_contaminated"),
                     "n_kept", "n_tokens", "w_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Re-crawl delta ingestion (the CONTINUOUS-crawl macro next to q133's
+# one-shot pipeline): build the d68-convention v2 snapshot (removed
+# % 31, changed % 13 with a ' [rev2]' suffix, added % 41 as verbatim
+# copies under new ids), run the REAL snapshot_diff operator to
+# classify rows, then ingest ONLY the delta (added + changed) with
+# two dedup gates every incremental pipeline needs: drop delta docs
+# whose md5 already exists in the retained corpus (the 'added' copies
+# are verbatim, so this gate genuinely fires), then canonical-keep
+# within the delta itself (each % 41 page is fetched TWICE under two
+# new ids — the same content behind two URLs, the classic re-crawl
+# shape — so surviving pairs genuinely collapse here). Per-source
+# accounting of every gate. One pure-SQL oracle replays the
+# conventions and both md5 gates.
+# Scale shape: diff is one full-outer join on the snapshot key; the
+# existing-content gate is one md5 semi-join against the retained
+# side (hash-keyed, broadcastable while the retained md5 set is
+# small, shuffled-hash beyond); within-delta keep is one md5 groupBy.
+# ---------------------------------------------------------------------------
+@q("q135_recrawl_delta", """
+WITH v1 AS (SELECT doc_id, source, text FROM documents),
+surv AS (SELECT doc_id, source,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                     ELSE text END AS text
+         FROM v1 WHERE doc_id % 31 <> 0),
+newd AS (SELECT doc_id + 1000000 AS doc_id, source, text
+         FROM v1 WHERE doc_id % 41 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, source, text
+         FROM v1 WHERE doc_id % 41 = 0),
+chg AS (SELECT doc_id, source, text FROM surv WHERE doc_id % 13 = 0),
+delta AS (SELECT doc_id, source, text, 'changed' AS st FROM chg
+          UNION ALL
+          SELECT doc_id, source, text, 'added' AS st FROM newd),
+retained AS (SELECT * FROM surv WHERE doc_id % 13 <> 0),
+rh AS (SELECT DISTINCT md5(text) AS h FROM retained),
+dh AS (SELECT doc_id, source, text, st, md5(text) AS h FROM delta),
+fresh AS (SELECT dh.* FROM dh LEFT JOIN rh USING (h)
+          WHERE rh.h IS NULL),
+keep AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h),
+ing AS (SELECT f.* FROM fresh f JOIN keep USING (h, doc_id)),
+src AS (SELECT DISTINCT source FROM v1),
+d_ AS (SELECT source,
+              CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_added,
+              CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_changed
+       FROM delta GROUP BY source),
+f_ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fresh
+       FROM fresh GROUP BY source),
+i_ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ingested,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS tokens_ingested
+       FROM ing GROUP BY source)
+SELECT src.source,
+       CAST(coalesce(d_.n_added, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(d_.n_changed, 0) AS BIGINT) AS n_changed,
+       CAST(coalesce(d_.n_added, 0) + coalesce(d_.n_changed, 0)
+            - coalesce(f_.n_fresh, 0) AS BIGINT) AS n_dropped_existing,
+       CAST(coalesce(f_.n_fresh, 0) - coalesce(i_.n_ingested, 0)
+            AS BIGINT) AS n_dropped_within,
+       CAST(coalesce(i_.n_ingested, 0) AS BIGINT) AS n_ingested,
+       CAST(coalesce(i_.tokens_ingested, 0) AS BIGINT)
+         AS tokens_ingested
+FROM src LEFT JOIN d_ USING (source) LEFT JOIN f_ USING (source)
+LEFT JOIN i_ USING (source)
+""")
+def q135_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.operators.relational import snapshot_diff
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                               "text")
+    surv = (v1.filter(F.col("doc_id") % 31 != 0)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 13 == 0,
+                               F.concat(F.col("text"),
+                                        F.lit(" [rev2]")))
+                        .otherwise(F.col("text"))))
+    adds = v1.filter(F.col("doc_id") % 41 == 0)
+    newd = (adds.withColumn("doc_id", F.col("doc_id") + 1000000)
+            .unionByName(adds.withColumn("doc_id",
+                                         F.col("doc_id") + 2000000)))
+    v2 = surv.unionByName(newd).localCheckpoint(eager=True)
+
+    # REAL diff classification (the d68 operator), not the closed form
+    d = snapshot_diff(v1, v2, "doc_id", ["text"])
+    delta = (v2.join(d.filter(F.col("status").isin("added", "changed"))
+                     .select("doc_id", "status"), "doc_id"))
+    retained = v2.join(d.filter(F.col("status") == "unchanged")
+                       .select("doc_id"), "doc_id", "left_semi")
+
+    rh = retained.select(F.md5("text").alias("h")).distinct()
+    dh = delta.withColumn("h", F.md5("text"))
+    fresh = dh.join(rh, "h", "left_anti").localCheckpoint(eager=True)
+    keep = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    ing = fresh.join(keep, ["h", "doc_id"], "left_semi")
+
+    src = v1.select("source").distinct()
+    d_ = (delta.groupBy("source")
+          .agg(F.sum((F.col("status") == "added").cast("long"))
+               .alias("n_added"),
+               F.sum((F.col("status") == "changed").cast("long"))
+               .alias("n_changed")))
+    f_ = fresh.groupBy("source").agg(F.count(F.lit(1)).alias("n_fresh"))
+    i_ = (ing.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_ingested"),
+               F.sum(F.size(F.split("text", " "))).cast("long")
+               .alias("tokens_ingested")))
+    z = F.lit(0).cast("long")
+    return (src.join(d_, "source", "left").join(f_, "source", "left")
+            .join(i_, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_added", z).alias("n_added"),
+                F.coalesce("n_changed", z).alias("n_changed"),
+                (F.coalesce("n_added", z) + F.coalesce("n_changed", z)
+                 - F.coalesce("n_fresh", z)).alias("n_dropped_existing"),
+                (F.coalesce("n_fresh", z) - F.coalesce("n_ingested", z))
+                .alias("n_dropped_within"),
+                F.coalesce("n_ingested", z).alias("n_ingested"),
+                F.coalesce("tokens_ingested", z)
+                .alias("tokens_ingested")))
