@@ -2794,3 +2794,180 @@ def q135_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_ingested", z).alias("n_ingested"),
                 F.coalesce("tokens_ingested", z)
                 .alias("tokens_ingested")))
+
+
+# ---------------------------------------------------------------------------
+# Quality-cascade attrition funnel (the FineWeb/DataComp reporting
+# shape: a curation pipeline is judged by its per-stage retention
+# curve, not just its final corpus): five CUMULATIVE stages over
+# documents — all -> stopword lang-id 'en' (d03) -> exact-integer
+# quality floor (q133's form) -> minhash-LSH near-dup canonical keep
+# (d06/d15; exact dedup is vacuous on this corpus — the exact-dup
+# groups all live below the quality floor — so the funnel uses the
+# stage that genuinely fires: 376->177 / 367->155 / 3695->3190 across
+# the three scales) -> hashing-TF linear classifier keep (d52's
+# exact-integer logit, no float boundary; keeps 3/5/124) — each
+# reported as (stage, n_docs, n_tokens, retained_ppm vs stage 0).
+# Per-doc flags (lang hits, token stats, classifier logit) are
+# computed in ONE pass each over the corpus; the near-dup stage adds
+# the banded-LSH + verify + components chain over stage-2 survivors
+# only. The oracle chains the d03/d52 SQL fragments, the integer
+# quality form, and the d15 recursive-CTE components — a drift in
+# ANY stage moves every later row's counts.
+# ---------------------------------------------------------------------------
+def _q136_sql() -> str:
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _BANDS_SQL, _MINHASH_SQL, _SW_VALUES)
+    from ecmm428_pycart_spark.datapipe import dedup
+
+    mh = _MINHASH_SQL.replace("FROM documents", "FROM kept")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+sw(cand_lang, tok) AS (VALUES {_SW_VALUES}),
+hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+         FROM tok JOIN sw USING (tok) GROUP BY 1, 2),
+best AS (SELECT doc_id, cand_lang FROM hits
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_hits DESC, cand_lang ASC) = 1),
+fl AS (
+  SELECT d.doc_id, d.text,
+         len(string_split(d.text, ' ')) AS nt,
+         len(list_distinct(string_split(d.text, ' '))) AS u,
+         coalesce(b.cand_lang = 'en', FALSE) AS f_lang
+  FROM documents d LEFT JOIN best b USING (doc_id)
+),
+f2 AS (SELECT *, f_lang AND ((nt <= 100 AND u >= 20)
+                             OR (nt > 100 AND 5 * u >= nt)) AS f_q
+       FROM fl),
+kept AS (SELECT doc_id, text, nt FROM f2 WHERE f_q),
+sig AS ({mh}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+         FROM kept),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))),
+                 4) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+  ) WHERE jaccard >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+),
+comp AS (SELECT a AS doc_id, min(b) AS component
+         FROM reach GROUP BY a),
+canon AS (SELECT k.doc_id, k.nt FROM kept k LEFT JOIN comp USING (doc_id)
+          WHERE comp.component IS NULL OR comp.component = k.doc_id),
+cells AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64
+           AS b,
+         CAST(count(*) AS BIGINT) AS v
+  FROM tok WHERE tok <> '' GROUP BY 1, 2
+),
+wt AS (
+  SELECT i AS b,
+         CAST(floor(((CAST(concat('0x', substr(md5('clfw:' || i), 1, 8))
+                           AS UBIGINT) + 0.5) / 4294967296.0) * 20000)
+              AS BIGINT) - 10000 AS wi
+  FROM range(64) t(i)
+),
+clf AS (SELECT doc_id, sum(v * wi) AS raw, sum(v) AS tot
+        FROM cells JOIN wt USING (b) GROUP BY 1),
+stages AS (
+  SELECT '0_all' AS stage, count(*) AS n_docs, sum(nt) AS n_tokens
+  FROM f2
+  UNION ALL
+  SELECT '1_lang', count(*), sum(nt) FROM f2 WHERE f_lang
+  UNION ALL
+  SELECT '2_quality', count(*), sum(nt) FROM f2 WHERE f_q
+  UNION ALL
+  SELECT '3_neardup', count(*), sum(nt) FROM canon
+  UNION ALL
+  SELECT '4_classifier', count(*), sum(nt)
+  FROM canon JOIN clf USING (doc_id) WHERE tot > 0 AND raw >= 0
+),
+t AS (SELECT count(*) AS n0 FROM f2)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs * 1000000 // t.n0 AS BIGINT) AS retained_ppm
+FROM stages, t
+"""
+
+
+@q("q136_quality_cascade", _q136_sql())
+def q136_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup
+    from ecmm428_pycart_spark.datapipe.components import (
+        connected_components)
+    from ecmm428_pycart_spark.datapipe.text import (classifier_scores,
+                                                    lang_id,
+                                                    with_text_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    st = with_text_stats(lang_id(docs))
+    f_q = (((F.col("n_tokens") <= 100)
+            & (F.col("n_unique_tokens") >= 20))
+           | ((F.col("n_tokens") > 100)
+              & (F.col("n_unique_tokens") * 5 >= F.col("n_tokens"))))
+    fl = (st.select("doc_id", "text",
+                    F.col("n_tokens").alias("nt"),
+                    (F.col("pred_lang") == "en").alias("f_lang"),
+                    ((F.col("pred_lang") == "en") & f_q).alias("f_q"))
+          .localCheckpoint(eager=True))  # five stage rollups, one pass
+    kept = (fl.filter("f_q").select("doc_id", "text", "nt")
+            .localCheckpoint(eager=True))  # feeds pairs/verify/keep
+    pairs = dedup.lsh_candidate_pairs(kept)
+    edges = dedup.jaccard_pairs(kept, pairs, threshold=0.5)
+    cc = connected_components(edges)
+    canon = (kept.join(cc, kept.doc_id == cc.node, "left")
+             .filter(F.col("component").isNull()
+                     | (F.col("component") == F.col("doc_id")))
+             .select("doc_id", "nt"))
+    clf = classifier_scores(docs).select("doc_id",
+                                         F.col("keep").alias("f_clf"))
+    final = (canon.join(clf, "doc_id")
+             .filter("f_clf").select("doc_id", "nt"))
+
+    def stage(name, d):
+        return (d.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("nt").cast("long").alias("n_tokens"))
+                .select(F.lit(name).alias("stage"), "n_docs",
+                        "n_tokens"))
+
+    out = (stage("0_all", fl)
+           .unionByName(stage("1_lang", fl.filter("f_lang")))
+           .unionByName(stage("2_quality", fl.filter("f_q")))
+           .unionByName(stage("3_neardup", canon))
+           .unionByName(stage("4_classifier", final)))
+    total = fl.agg(F.count(F.lit(1)).alias("n0"))
+    return (out.crossJoin(F.broadcast(total))
+            .select("stage", "n_docs", "n_tokens",
+                    F.expr("n_docs * 1000000 div n0")
+                    .alias("retained_ppm")))

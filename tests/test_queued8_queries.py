@@ -117,6 +117,8 @@ def test_queued8_plan_guards(spark):
         # 1-row corpus-total broadcast in the mixing-weight stage
         "q133_crawl_pipeline",
         "q134_decontaminated_curation",
+        # 1-row stage-0 total broadcast onto the 5 funnel rows
+        "q136_quality_cascade",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
