@@ -184,3 +184,52 @@ def test_normalize_embeddings_properties(spark, vecs):
         else:
             # mean of z is bounded by the 6-rounding of m/s, not exact 0
             assert abs(z[:, d].mean()) < 1e-3, (vecs, d)
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                      # key
+              st.integers(0, 40),                     # start
+              st.integers(0, 13)),                    # length
+    min_size=0, max_size=30)
+
+
+@given(ivs=intervals_strategy,
+       parts=st.sampled_from([2, 7, 32]))
+@settings(max_examples=8, deadline=None)
+def test_interval_islands_matches_bruteforce(spark, ivs, parts):
+    """For ANY interval multiset (duplicates, ties, containment,
+    zero-length) and ANY shuffle-partition count, interval_islands
+    equals a brute-force sweep — the determinism + correctness
+    property behind q115 (added after a one-off sweep mismatch under
+    host contention proved worth pinning forever)."""
+    from ecmm428_pycart_spark.datapipe.funnel import interval_islands
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    expected = {}
+    bykey = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, items in bykey.items():
+        items.sort()
+        islands = []
+        for s, e in items:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expected[k] = (len(items), len(islands),
+                       sum(e - s + 1 for s, e in islands),
+                       max(e - s + 1 for s, e in islands))
+
+    if not rows:
+        return
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        df = spark.createDataFrame(rows, "k long, s long, e long")
+        got = {r["k"]: (r["n_intervals"], r["n_islands"],
+                        r["covered_units"], r["max_island_units"])
+               for r in interval_islands(df, "k", "s", "e").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert got == expected, (rows, got, expected)
