@@ -2971,3 +2971,103 @@ def q136_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("stage", "n_docs", "n_tokens",
                     F.expr("n_docs * 1000000 div n0")
                     .alias("retained_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier politeness macro (the stage between d93's outlink
+# extraction and the next fetch round — every crawler's dedup +
+# robots gate): REAL href extraction (text.outlink_host_edges,
+# html.parser) produces the candidate edges; each link materializes
+# a target page path from the (dst-host k, src-doc % 10) closed form
+# (the d83 path classes, so the REP rules genuinely split the
+# frontier); the frontier is the DISTINCT (dst_host, path) set
+# (multi-source links to one page collapse — the dedup every
+# frontier queue needs); then RFC 9309 longest-match robots
+# filtering (text.robots_filter, the d83 operator + ruleset) gates
+# each page. Per-dst-host rollup: raw link count, deduped page
+# count, allowed/blocked split. Scale shape: extraction is one
+# Arrow pass + explode; frontier dedup is one (host, path)-keyed
+# distinct; the robots match is a broadcast prefix join against a
+# constant 6-row ruleset (dimension data — the corpus never
+# shuffles for it).
+# ---------------------------------------------------------------------------
+_D94_PATH = """CASE k % 6
+  WHEN 0 THEN '/private/doc' || (doc_id % 10)
+  WHEN 1 THEN '/private/pub/doc' || (doc_id % 10)
+  WHEN 2 THEN '/tmp/cache' || (doc_id % 10)
+  WHEN 3 THEN '/tmpxtra/doc' || (doc_id % 10)
+  WHEN 4 THEN '/dup/page' || (doc_id % 10)
+  ELSE '/public/p' || (doc_id % 5) END"""
+
+
+@q("d94_crawl_frontier", f"""
+WITH d AS (SELECT doc_id,
+                  (len(string_split(text, ' ')) + 9) // 10 AS np
+           FROM documents),
+l AS (
+  SELECT d.doc_id, (d.doc_id * 7 + i.i) % 13 AS k
+  FROM d, unnest(range(0, d.np)) i(i)
+  WHERE i.i % 4 = 1 AND i.i < d.np - 1
+),
+cand AS (SELECT doc_id, k, 'h' || CAST(k AS VARCHAR) AS dst_host,
+                {_D94_PATH} AS path
+         FROM l),
+frontier AS (SELECT DISTINCT dst_host, path FROM cand),
+r(rule_id, rtype, prefix) AS (VALUES {_D83_RULES}),
+j AS (
+  SELECT f.dst_host, f.path, r.rtype, len(r.prefix) AS plen,
+         r.rule_id
+  FROM frontier f LEFT JOIN r ON starts_with(f.path, r.prefix)
+),
+w AS (
+  SELECT dst_host, path, rtype,
+         row_number() OVER (PARTITION BY dst_host, path
+                            ORDER BY plen DESC NULLS LAST,
+                            (rtype = 'allow') DESC NULLS LAST,
+                            rule_id ASC NULLS LAST) AS rn
+  FROM j
+),
+gated AS (SELECT dst_host, path,
+                 coalesce(rtype = 'allow', TRUE) AS allowed
+          FROM w WHERE rn = 1),
+lc AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links
+       FROM cand GROUP BY dst_host)
+SELECT lc.dst_host, lc.n_links,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked
+FROM gated JOIN lc USING (dst_host)
+GROUP BY lc.dst_host, lc.n_links
+""")
+def d94_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from ecmm428_pycart_spark.datapipe.text import (outlink_host_edges,
+                                                    robots_filter)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = outlink_host_edges(docs)  # real html.parser extraction
+    cand = (edges
+            .withColumn("k", F.substring("dst_host", 2, 10).cast("int"))
+            .withColumn("path", F.expr(_D94_PATH))
+            .select("doc_id", "dst_host", "path"))
+    frontier = cand.select("dst_host", "path").distinct()
+    rules = spark.createDataFrame(
+        [Row(rule_id=1, rtype="disallow", prefix="/private"),
+         Row(rule_id=2, rtype="allow", prefix="/private/pub"),
+         Row(rule_id=3, rtype="disallow", prefix="/tmp"),
+         Row(rule_id=4, rtype="allow", prefix="/tmpx"),
+         Row(rule_id=5, rtype="disallow", prefix="/dup"),
+         Row(rule_id=6, rtype="allow", prefix="/dup")])
+    gated = robots_filter(frontier, rules)
+    lc = cand.groupBy("dst_host").agg(F.count(F.lit(1)).alias("n_links"))
+    return (gated.groupBy("dst_host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                 F.sum((~F.col("allowed")).cast("long"))
+                 .alias("n_blocked"))
+            .join(lc, "dst_host")
+            .select("dst_host", "n_links", "n_pages", "n_allowed",
+                    "n_blocked"))

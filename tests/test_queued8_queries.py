@@ -103,6 +103,7 @@ def test_queued8_plan_guards(spark):
         # constant 6-row robots ruleset broadcast for the prefix
         # match (REP rules are dimension data)
         "d83_robots_filter",
+        "d94_crawl_frontier",
         # 1-row grand-total broadcast onto the contribution rows
         "q122_percent_of_parent",
         # constant 7-row public-suffix list broadcast for the
