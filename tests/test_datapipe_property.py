@@ -233,3 +233,66 @@ def test_interval_islands_matches_bruteforce(spark, ivs, parts):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert got == expected, (rows, got, expected)
+
+
+robots_paths = st.lists(
+    st.text(alphabet="/abx", min_size=1, max_size=8)
+    .map(lambda p: "/" + p.lstrip("/")),
+    min_size=1, max_size=12)
+robots_rules = st.lists(
+    st.tuples(st.sampled_from(["allow", "disallow"]),
+              st.text(alphabet="/abx", min_size=1, max_size=6)
+              .map(lambda p: "/" + p.lstrip("/"))),
+    min_size=0, max_size=6)
+
+
+@given(paths=robots_paths, rules=robots_rules)
+@settings(max_examples=8, deadline=None)
+def test_robots_filter_matches_rep_bruteforce(spark, paths, rules):
+    """For ANY path set and ANY ruleset, robots_filter equals the
+    RFC 9309 longest-match reference: longest matching prefix wins,
+    exact-length ties go to allow, no match means allowed."""
+    from pyspark.sql import Row
+
+    from ecmm428_pycart_spark.datapipe.text import robots_filter
+
+    def ref(path):
+        best = None  # (plen, is_allow, rule_id)
+        for rid, (rtype, prefix) in enumerate(rules, start=1):
+            if path.startswith(prefix):
+                key = (len(prefix), rtype == "allow", -rid)
+                if best is None or key > best[0]:
+                    best = (key, rtype == "allow")
+        return True if best is None else best[1]
+
+    rdf = spark.createDataFrame(
+        [Row(rule_id=i, rtype=t, prefix=p)
+         for i, (t, p) in enumerate(rules, start=1)],
+        "rule_id long, rtype string, prefix string") if rules else \
+        spark.createDataFrame([], "rule_id long, rtype string, prefix string")
+    df = spark.createDataFrame([Row(pid=i, path=p)
+                                for i, p in enumerate(paths)])
+    got = {r["pid"]: r["allowed"]
+           for r in robots_filter(df, rdf).collect()}
+    want = {i: ref(p) for i, p in enumerate(paths)}
+    assert got == want, (paths, rules, got, want)
+
+
+@given(doc_id=st.integers(0, 10**6),
+       n_tokens=st.integers(1, 140))
+@settings(max_examples=8, deadline=None)
+def test_outlink_extraction_closed_form_property(doc_id, n_tokens):
+    """For ANY doc id and token count, the REAL href extractor over
+    the synthetic outlink page returns exactly the closed-form host
+    list (the d93/d94 oracle contract) — both quote styles, decoys
+    and paragraph-boundary edge cases included. Pure Python: no Spark
+    job per example."""
+    from ecmm428_pycart_spark.datapipe.text import (
+        extract_outlink_hosts, synth_html_outlinks)
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    np_ = (n_tokens + 9) // 10
+    want = [f"h{(doc_id * 7 + pid) % 13}"
+            for pid in range(np_) if pid % 4 == 1 and pid < np_ - 1]
+    got = extract_outlink_hosts(synth_html_outlinks(doc_id, text))
+    assert got == want, (doc_id, n_tokens, got, want)
