@@ -13,8 +13,12 @@ register_queued{6,7}.py recipe):
 4. tests/test_queued8_queries.py: flip the not-registered-yet guard
    to the fully-registered form.
 
-Written in round 7 so round 8's first move is mechanical. Idempotent:
-running twice is a no-op. Verify with
+Written in round 7 so round 8's first move is mechanical. After
+registration, add `q133_crawl_pipeline` to bench.py HEADLINE (the
+crawl-macro family's representative — it cannot join earlier because
+bench resolves names through the registry); the 1950-byte line budget
+has ~35 bytes of headroom for exactly one more entry at 1-decimal
+precision. Idempotent: running twice is a no-op. Verify with
   python -m pytest tests/test_gate_coverage.py tests/test_plan_shapes.py \
       tests/test_queued8_queries.py -q
 then `python tools/verify_oracle.py` (full sweep).
