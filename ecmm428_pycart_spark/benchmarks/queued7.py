@@ -2580,7 +2580,15 @@ def g34_degree_assortativity(spark: SparkSession,
 # the engines). N_{r+1} arrives by a key-equi self-join of the
 # frequency table on r+1 (frequency-of-frequency tables are
 # dimension-sized: O(distinct counts), never O(vocab)); the page is
-# the r <= 20 head where smoothing actually applies.
+# the 20 SMALLEST OBSERVED r values — the head where smoothing
+# actually applies. Deriving the cap from the observed spectrum
+# (orderBy+limit on the dimension-sized ff, then a broadcast
+# equi-join back) instead of a fixed `r <= 20` keeps the page
+# non-empty at every corpus scale: on a corpus where every token
+# occurs > 20 times a fixed cap returns 0 rows and the
+# join/coalesce logic is never exercised (VERDICT r7 finding #1).
+# r values are distinct by construction (ff groups by r), so the
+# ordered limit is deterministic.
 # ---------------------------------------------------------------------------
 @q("d79_good_turing", """
 WITH tc AS (
@@ -2589,13 +2597,13 @@ WITH tc AS (
         FROM documents)
   GROUP BY tok
 ),
-ff AS (SELECT r, count(*) AS n_r FROM tc GROUP BY r)
+ff AS (SELECT r, count(*) AS n_r FROM tc GROUP BY r),
+keep AS (SELECT r FROM ff ORDER BY r LIMIT 20)
 SELECT CAST(f.r AS BIGINT) AS r,
        CAST(f.n_r AS BIGINT) AS n_tokens,
        CAST(f.r * f.n_r AS BIGINT) AS mass,
        CAST(coalesce((f.r + 1) * g.n_r, 0) AS BIGINT) AS gt_num
-FROM ff f LEFT JOIN ff g ON g.r = f.r + 1
-WHERE f.r <= 20
+FROM ff f JOIN keep USING (r) LEFT JOIN ff g ON g.r = f.r + 1
 ORDER BY r
 """)
 def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2605,10 +2613,13 @@ def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.explode(tokens(F.col("text"))).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("r")))
     ff = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    # 20 smallest observed r: TakeOrderedAndProject on the
+    # dimension-sized ff, broadcast back as an equi-join key set
+    keep = ff.select("r").orderBy("r").limit(20)
     nxt = ff.select((F.col("r") - 1).alias("r"),
                     F.col("n_r").alias("n_next"))
-    return (ff.join(nxt, "r", "left")
-            .filter(F.col("r") <= 20)
+    return (ff.join(F.broadcast(keep), "r")
+            .join(nxt, "r", "left")
             .select(F.col("r").cast("long").alias("r"),
                     F.col("n_r").cast("long").alias("n_tokens"),
                     (F.col("r") * F.col("n_r")).cast("long")
