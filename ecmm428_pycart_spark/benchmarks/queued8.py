@@ -3071,3 +3071,396 @@ def d94_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(lc, "dst_host")
             .select("dst_host", "n_links", "n_pages", "n_allowed",
                     "n_blocked"))
+
+
+# ---------------------------------------------------------------------------
+# Host-level PageRank over the REAL href-extracted web graph (the
+# crawl -> graph join-up: d93's outlink_host_edges feeding g10's
+# iterative rank loop) — the page-importance prior every crawl
+# scheduler and quality-weighted mixer consumes (Page et al. 1998;
+# Common Crawl publishes exactly this host-level ranking). Edges are
+# WEIGHTED by link count and every rank quantity is EXACT INTEGER
+# (rank in 1e-12 units, per-edge floor division, mixing_weights'
+# convention) so no float ever crosses the engine boundary — unlike
+# g10's float ppm, three chained iterations stay hash-exact by
+# construction. The oracle replays d93's paragraph-arithmetic closed
+# form for the edges and unrolls the same three iterations as CTEs.
+# Scale shape (100 TB crawl): the ONLY corpus-sized work is the
+# zero-shuffle Arrow extraction + one (src,dst)-keyed groupBy; the
+# iteration runs on the host-level graph (dimension-sized after
+# aggregation — 13 hosts here, ~100M hosts in a real crawl, still
+# node-keyed shuffles with bounded fan-in), localCheckpoint pinning
+# plan depth per round exactly like g10/datapipe.graph.
+# ---------------------------------------------------------------------------
+def _g41_sql() -> str:
+    edges = """
+d AS (SELECT doc_id,
+             (len(string_split(text, ' ')) + 9) // 10 AS np
+      FROM documents),
+l AS (
+  SELECT d.doc_id,
+         'h' || CAST(d.doc_id % 13 AS VARCHAR) AS s,
+         'h' || CAST((d.doc_id * 7 + i.i) % 13 AS VARCHAR) AS t
+  FROM d, unnest(range(0, d.np)) i(i)
+  WHERE i.i % 4 = 1 AND i.i < d.np - 1
+),
+e AS (SELECT s, t, count(*) AS w FROM l GROUP BY 1, 2),
+ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT h FROM
+          (SELECT s AS h FROM e UNION ALL SELECT t FROM e)),
+n AS (SELECT count(*) AS cnt FROM nodes),
+r0 AS (SELECT h, 1000000000000 // cnt AS r FROM nodes, n)"""
+    iters = ""
+    prev = "r0"
+    for k in (1, 2, 3):
+        iters += f""",
+c{k} AS (SELECT e.t AS h, sum(({prev}.r * e.w) // ow.ow) AS c
+       FROM e JOIN {prev} ON e.s = {prev}.h
+       JOIN ow ON e.s = ow.s GROUP BY 1),
+r{k} AS (SELECT nodes.h,
+              (15 * 1000000000000) // (100 * n.cnt)
+              + (85 * coalesce(c{k}.c, 0)) // 100 AS r
+       FROM nodes CROSS JOIN n LEFT JOIN c{k} ON nodes.h = c{k}.h)"""
+        prev = f"r{k}"
+    return f"""
+WITH {edges}{iters},
+inw AS (SELECT t AS h, sum(w) AS in_links FROM e GROUP BY 1)
+SELECT r3.h AS host,
+       CAST(r3.r AS BIGINT) AS rank_e12,
+       CAST(coalesce(inw.in_links, 0) AS BIGINT) AS in_links,
+       CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_links
+FROM r3 LEFT JOIN inw ON r3.h = inw.h LEFT JOIN ow ON r3.h = ow.s
+"""
+
+
+@q("g41_host_pagerank", _g41_sql())
+def g41_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import outlink_host_edges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the one corpus-sized pass: Arrow href extraction + edge groupBy;
+    # checkpoint so the 3-round loop never re-parses the HTML
+    e = (outlink_host_edges(docs)
+         .groupBy(F.col("src_host").alias("s"),
+                  F.col("dst_host").alias("t"))
+         .agg(F.count(F.lit(1)).alias("w"))
+         .localCheckpoint(eager=True))
+    ow = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    nodes = (e.select(F.col("s").alias("h"))
+             .union(e.select("t")).distinct())
+    n_df = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+             .select("h", F.expr("1000000000000 div cnt").alias("r"))
+             .localCheckpoint(eager=True))
+    ed = e.join(ow, "s")
+    for _ in range(3):
+        contrib = (ed.join(ranks, ed["s"] == ranks["h"])
+                   .select(F.col("t").alias("h"),
+                           F.expr("(r * w) div ow").alias("ct"))
+                   .groupBy("h").agg(F.sum("ct").alias("c")))
+        ranks = (nodes.crossJoin(F.broadcast(n_df))
+                 .join(contrib, "h", "left")
+                 .select("h",
+                         (F.expr("15 * 1000000000000 div (100 * cnt)")
+                          + F.expr("85 * coalesce(c, 0L) div 100"))
+                         .alias("r"))
+                 .localCheckpoint(eager=True))
+    inw = (e.groupBy(F.col("t").alias("h"))
+           .agg(F.sum("w").alias("in_links")))
+    return (ranks
+            .join(inw, "h", "left")
+            .join(ow.select(F.col("s").alias("h"),
+                            F.col("ow").alias("out_links")), "h", "left")
+            .select(F.col("h").alias("host"),
+                    F.col("r").cast("long").alias("rank_e12"),
+                    F.coalesce("in_links", F.lit(0)).cast("long")
+                    .alias("in_links"),
+                    F.coalesce("out_links", F.lit(0)).cast("long")
+                    .alias("out_links")))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage near-dup: lexical MinHash-LSH candidates CONFIRMED
+# SEMANTICALLY via the doc's embedding (documents ⋈ embeddings on
+# the shared id space) — the FineWeb/SemDeDup-era composition the
+# dedup family still lacked: fuzzy-lexical dedup (d06) and
+# embedding near-dup (s05) each alone miss what the other catches,
+# so production pipelines score LSH candidates on BOTH axes and
+# route by kind (pure-lexical = template spam, pure-semantic =
+# paraphrase, both = true dup). Emits every candidate pair that
+# fires either test, labeled 'lexical' / 'semantic' / 'both';
+# rounding-before-threshold on both scores keeps the boundary
+# engine-exact (jaccard@4, cosine@6 — d06/s05 conventions).
+# Scale shape (100 TB): pair volume is the LSH-banded candidate set
+# (MAX_BUCKET_SIZE-capped, never all-pairs); the embedding joins
+# are doc-id-keyed hash joins reading only candidate ids; cosine is
+# a native zip_with/aggregate fold (JVM, no UDF).
+# ---------------------------------------------------------------------------
+def _d95_sql() -> str:
+    from ecmm428_pycart_spark.benchmarks.datapipe_queries import (
+        _BANDS_SQL, _MINHASH_SQL)
+    from ecmm428_pycart_spark.datapipe import dedup
+
+    return f"""
+WITH sig AS ({_MINHASH_SQL}),
+bands0 AS (
+{_BANDS_SQL}
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup.MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+         FROM documents),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+               / (len(sa.s) + len(sb.s)
+                  - len(list_filter(sa.s, x -> list_contains(sb.s, x)))),
+               4) AS jaccard
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b
+),
+cosd AS (
+  SELECT doc_a, doc_b,
+         round(sum(av * bv)
+               / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))), 6) AS cos
+  FROM (SELECT p.doc_a, p.doc_b,
+               unnest(ea.embedding)::DOUBLE AS av,
+               unnest(eb.embedding)::DOUBLE AS bv
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.doc_a
+        JOIN embeddings eb ON eb.vec_id = p.doc_b)
+  GROUP BY 1, 2
+)
+SELECT j.doc_a, j.doc_b, j.jaccard, c.cos,
+       CASE WHEN j.jaccard >= 0.5 AND c.cos >= 0.30 THEN 'both'
+            WHEN j.jaccard >= 0.5 THEN 'lexical'
+            ELSE 'semantic' END AS dup_kind
+FROM jac j JOIN cosd c USING (doc_a, doc_b)
+WHERE j.jaccard >= 0.5 OR c.cos >= 0.30
+"""
+
+
+@q("d95_twostage_neardup", _d95_sql())
+def d95_twostage_neardup(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import dedup, similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    jac = dedup.jaccard_pairs(docs, pairs, threshold=0.0)
+    ea = emb.select(F.col("vec_id").alias("doc_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"),
+                    F.col("embedding").alias("eb"))
+    scored = (jac.join(ea, "doc_a").join(eb, "doc_b")
+              .withColumn("cos", F.round(
+                  similarity.cosine(F.col("ea"), F.col("eb")), 6)))
+    lex = F.col("jaccard") >= 0.5
+    sem = F.col("cos") >= 0.30
+    return (scored.filter(lex | sem)
+            .select("doc_a", "doc_b", "jaccard", "cos",
+                    F.when(lex & sem, "both")
+                    .when(lex, "lexical")
+                    .otherwise("semantic").alias("dup_kind")))
+
+
+# ---------------------------------------------------------------------------
+# Search over what you crawled: the WARC -> HTML -> quality-floor
+# corpus (q133's ingestion prefix) SERVED by BM25 sparse retrieval
+# (d38's inverted-index join) — the crawl-to-query-time composition
+# that closes the loop between ingestion and retrieval (every
+# web-search and RAG-over-crawl stack is exactly this chain). The
+# production read path genuinely runs: ISO 28500 WARC walk, request
+# decoys skipped, stdlib html.parser visible-text extraction, the
+# exact-integer d09 quality floor — because html_to_text(synth_html)
+# == text is a proven identity, the oracle states the same BM25 over
+# the quality-kept documents table directly; an extraction or
+# framing bug changes tf/df/avgdl and every downstream hash.
+# Scale shape (100 TB): ingestion is one zero-shuffle Arrow pass;
+# BM25 reads ONLY the query terms' posting lists (broadcast term
+# probe into the postings groupBy), doc stats ride a 1-row
+# broadcast, top-k is a TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@q("q137_crawl_search", """
+WITH st AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS u
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM st
+  WHERE (nt <= 100 AND u >= 20) OR (nt > 100 AND 5 * u >= nt)
+),
+terms AS (SELECT unnest(['join', 'scan', 'table']) AS w),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM kept),
+postings AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY 1),
+matched AS (
+  SELECT p.doc_id, p.tf, d.df, l.dl, s.n_docs, s.avgdl
+  FROM postings p
+  JOIN terms t USING (w)
+  JOIN dfreq d USING (w)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS bm25
+FROM matched
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""")
+def q137_crawl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+    from ecmm428_pycart_spark.datapipe.text import (bm25_topk,
+                                                    with_text_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (docs
+              .withColumn("payload", multimodal.synth_warc_html_payload(
+                  F.col("doc_id"), F.col("text")))
+              .withColumn("x", multimodal.warc_html_extract("payload"))
+              .select("doc_id", F.col("x.ext_text").alias("text")))
+    st = with_text_stats(corpus)
+    kept = (st.filter(
+        ((F.col("n_tokens") <= 100) & (F.col("n_unique_tokens") >= 20))
+        | ((F.col("n_tokens") > 100)
+           & (F.col("n_unique_tokens") * 5 >= F.col("n_tokens"))))
+        .select("doc_id", "text"))
+    return bm25_topk(kept, "table scan join", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-content WARC ingestion (the BINARY branch q133's HTML-only
+# walk leaves open — real crawls carry images and audio next to
+# pages): per doc a 2-record WARC capture whose response payload is
+# the m34 mixed-media bytes (QOI/BMP/WAV/TIFF by doc_id % 4), then
+# the production read path — ISO 28500 walk, request decoys
+# skipped, magic-byte sniff, dispatch to the right REAL decoder —
+# rolled up per (source, media_type) with the WARC framing audited
+# (2 records, 1 response per doc). The oracle IS m34's generative
+# algebra plus the framing arithmetic: mis-framed payloads sniff as
+# 'unknown' and no cell survives. Scale shape: one zero-shuffle
+# Arrow pass (encode -> walk -> sniff -> decode), CPU-linear per
+# byte, one (source, media_type)-keyed groupBy.
+# ---------------------------------------------------------------------------
+def _m52_sql() -> str:
+    from ecmm428_pycart_spark.benchmarks.queued6 import ORACLES as _Q6
+    return f"""
+WITH m34 AS ({_Q6["m34_mixed_media_dispatch"]})
+SELECT source, media_type, n_docs, n_units, sum_val,
+       CAST(2 * n_docs AS BIGINT) AS warc_records,
+       CAST(n_docs AS BIGINT) AS n_responses
+FROM m34
+"""
+
+
+@q("m52_warc_media_dispatch", _m52_sql())
+def m52_warc_media_dispatch(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (docs.withColumn(
+              "payload",
+              multimodal.synth_warc_media_payload(F.col("doc_id")))
+          .withColumn("s", multimodal.warc_media_extract("payload")))
+    return (st.groupBy("source", F.col("s.media_type")
+                       .alias("media_type"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("s.n_units").cast("long").alias("n_units"),
+                 F.sum("s.sum_val").cast("long").alias("sum_val"),
+                 F.sum("s.n_records").cast("long")
+                 .alias("warc_records"),
+                 F.sum("s.n_responses").cast("long")
+                 .alias("n_responses"))
+            .orderBy("source", "media_type"))
+
+
+# ---------------------------------------------------------------------------
+# Train-ready shard manifest (the step AFTER curation the pipeline
+# still lacked: what comes out of the quality gate must land in
+# fixed-token-budget packed shards before a trainer touches it —
+# d21's greedy packing COMPOSED onto the exact-integer d09 quality
+# floor, reporting per-shard doc/pack/token totals and the
+# exact-integer pack-fill ratio in ppm). Fill close to 1e6 means the
+# greedy binning wastes little budget; a skewed shard would surface
+# here first. Scale shape (100 TB): the quality filter is native
+# row-local exprs; packing shards by a real md5 hash byte so every
+# running-sum window is partition-local (no global window); the
+# manifest is one groupBy(shard) over the packed assignments — the
+# whole plan is one shuffle on shard plus the window sort.
+# ---------------------------------------------------------------------------
+@q("q138_curated_packing", """
+WITH st AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS u
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM st
+  WHERE (nt <= 100 AND u >= 20) OR (nt > 100 AND 5 * u >= nt)
+),
+base AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+         len(string_split(text, ' ')) AS n,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 16
+           AS shard
+  FROM kept
+),
+r AS (
+  SELECT doc_id, shard, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS running
+  FROM base
+),
+p AS (SELECT shard, n,
+             CAST(floor((running - n) / 2048) AS BIGINT) AS pack_id
+      FROM r)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(n) * 1000000 // (count(DISTINCT pack_id) * 2048)
+            AS BIGINT) AS fill_ppm
+FROM p GROUP BY shard
+""")
+def q138_curated_packing(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe.text import (pack_sequences,
+                                                    with_text_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = with_text_stats(docs)
+    kept = (st.filter(
+        ((F.col("n_tokens") <= 100) & (F.col("n_unique_tokens") >= 20))
+        | ((F.col("n_tokens") > 100)
+           & (F.col("n_unique_tokens") * 5 >= F.col("n_tokens"))))
+        .select("doc_id", "text"))
+    packed = pack_sequences(kept, budget=2048, shards=16)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("pack_id").alias("n_packs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.expr("sum(n_tokens) * 1000000 "
+                        "div (count(DISTINCT pack_id) * 2048)")
+                 .alias("fill_ppm")))

@@ -3386,66 +3386,74 @@ _MIXED_STATS = T.StructType([
 ])
 
 
+def _mixed_media_bytes(i: int) -> bytes:
+    """doc_id % 4 routes to QOI (m31's pixel algebra), BMP (m28's),
+    16-bit PCM WAV (m33's ramp) or TIFF (m32's, II/MM by parity of
+    doc_id div 4) — shared by the bare mixed-media column
+    (synth_mixed_payload, m34) and the WARC media capture
+    (synth_warc_media_payload, m52) so both corpora carry the same
+    generative algebra."""
+    a, b = i % 7 + 1, i % 5 + 1
+    kind = i % 4
+    if kind == 0:
+        y, x, c = np.ogrid[:QOI_H, :QOI_W, :3]
+        return qoi_bytes_rgb(
+            ((a * (x // 3) + b * y + 37 * c) % 256).astype(np.uint8))
+    if kind == 1:
+        y, x, c = np.ogrid[:BMP_H, :BMP_W, :3]
+        return bmp_bytes_rgb(
+            ((a * x + b * y + 37 * c) % 256).astype(np.uint8),
+            top_down=bool(i % 2))
+    if kind == 2:
+        n = 2 * (i % 100 + 20)
+        return wav_bytes_pcm(1, 8000,
+                             [(11 * j + 5 * i) % 2001 - 1000
+                              for j in range(n)], 16)
+    y, x = np.ogrid[:TIFF_H, :TIFF_W]
+    return tiff_bytes_gray(((a * x + b * y) % 251).astype(np.uint8),
+                           big_endian=bool((i // 4) % 2))
+
+
 @F.pandas_udf(T.BinaryType())
 def synth_mixed_payload(doc_id: pd.Series) -> pd.Series:
-    """Mixed-format corpus: doc_id % 4 routes to QOI (m31's pixel
-    algebra), BMP (m28's), 16-bit PCM WAV (m33's ramp) or TIFF
-    (m32's, II/MM by parity of doc_id div 4) — one column, four real
-    encoders, so the sniff-and-dispatch path is the only way to
-    decode it."""
-    def gen(i: int) -> bytes:
-        a, b = i % 7 + 1, i % 5 + 1
-        kind = i % 4
-        if kind == 0:
-            y, x, c = np.ogrid[:QOI_H, :QOI_W, :3]
-            return qoi_bytes_rgb(
-                ((a * (x // 3) + b * y + 37 * c) % 256).astype(np.uint8))
-        if kind == 1:
-            y, x, c = np.ogrid[:BMP_H, :BMP_W, :3]
-            return bmp_bytes_rgb(
-                ((a * x + b * y + 37 * c) % 256).astype(np.uint8),
-                top_down=bool(i % 2))
-        if kind == 2:
-            n = 2 * (i % 100 + 20)
-            return wav_bytes_pcm(1, 8000,
-                                 [(11 * j + 5 * i) % 2001 - 1000
-                                  for j in range(n)], 16)
-        y, x = np.ogrid[:TIFF_H, :TIFF_W]
-        return tiff_bytes_gray(((a * x + b * y) % 251).astype(np.uint8),
-                               big_endian=bool((i // 4) % 2))
-    return doc_id.map(lambda i: gen(int(i)))
+    """Mixed-format corpus: one column, four real encoders
+    (_mixed_media_bytes), so the sniff-and-dispatch path is the only
+    way to decode it."""
+    return doc_id.map(lambda i: _mixed_media_bytes(int(i)))
+
+
+def _media_stats_row(b: bytes) -> tuple:
+    """Sniff + dispatch decode of ONE payload: detect the container
+    from magic bytes and route to the right REAL decoder; n_units =
+    pixels or samples, sum_val = total of all channel/sample values —
+    per-format algebra an oracle can recompute from the generative
+    formulas. Shared by the bare dispatch (m34) and the WARC-wrapped
+    one (m52)."""
+    t = detect_media_type(b)
+    if t == "qoi":
+        px = decode_qoi_pixels(b)
+        return (t, int(px.shape[0] * px.shape[1]),
+                int(px.astype(np.int64).sum()))
+    if t == "bmp":
+        px = decode_bmp_pixels(b)
+        return (t, int(px.shape[0] * px.shape[1]),
+                int(px.astype(np.int64).sum()))
+    if t == "wav":
+        s = decode_wav_samples(b)[:, 0].astype(np.int64)
+        return (t, int(s.shape[0]), int(s.sum()))
+    if t == "tiff":
+        px, _ns = decode_tiff_gray(b)
+        return (t, int(px.shape[0] * px.shape[1]),
+                int(px.astype(np.int64).sum()))
+    return (t, 0, 0)
 
 
 @F.pandas_udf(_MIXED_STATS)
 def mixed_media_stats(payload: pd.Series) -> pd.DataFrame:
-    """Sniff + dispatch decode: detect the container from magic bytes
-    and route to the right REAL decoder; n_units = pixels or samples,
-    sum_val = total of all channel/sample values — per-format algebra
-    an oracle can recompute from the generative formulas."""
-    rows = []
-    for buf in payload:
-        if buf is None:
-            rows.append((None, None, None))
-            continue
-        b = bytes(buf)
-        t = detect_media_type(b)
-        if t == "qoi":
-            px = decode_qoi_pixels(b)
-            rows.append((t, int(px.shape[0] * px.shape[1]),
-                         int(px.astype(np.int64).sum())))
-        elif t == "bmp":
-            px = decode_bmp_pixels(b)
-            rows.append((t, int(px.shape[0] * px.shape[1]),
-                         int(px.astype(np.int64).sum())))
-        elif t == "wav":
-            s = decode_wav_samples(b)[:, 0].astype(np.int64)
-            rows.append((t, int(s.shape[0]), int(s.sum())))
-        elif t == "tiff":
-            px, _ns = decode_tiff_gray(b)
-            rows.append((t, int(px.shape[0] * px.shape[1]),
-                         int(px.astype(np.int64).sum())))
-        else:
-            rows.append((t, 0, 0))
+    """Sniff + dispatch decode over a payload column
+    (_media_stats_row per row)."""
+    rows = [(None, None, None) if buf is None
+            else _media_stats_row(bytes(buf)) for buf in payload]
     return pd.DataFrame(rows, columns=["media_type", "n_units",
                                        "sum_val"])
 
@@ -5379,4 +5387,66 @@ def warc_html_extract(payload: pd.Series) -> pd.DataFrame:
         rows.append((" ".join(texts), nl, lt, len(recs), nresp))
     return pd.DataFrame(rows, columns=["ext_text", "n_links",
                                        "link_tokens", "n_records",
+                                       "n_responses"])
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_warc_media_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic MIXED-CONTENT crawl capture per doc: a 2-record
+    WARC archive — one request record (decoy payload ``GET /m{id}``;
+    a correct reader must skip it) and one response record whose
+    payload is the doc's mixed-media bytes (_mixed_media_bytes — the
+    m34 QOI/BMP/WAV/TIFF algebra), both for
+    ``http://h{id % 13}.example/m{id}``. The binary twin of
+    synth_warc_html_payload: real crawls carry images and audio next
+    to HTML, and the response payload here is raw bytes that any
+    text-assuming reader would corrupt."""
+    def gen(i: int) -> bytes:
+        uri = f"http://h{i % 13}.example/m{i}"
+        return warc_bytes([
+            ("request", uri, f"GET /m{i}".encode()),
+            ("response", uri, _mixed_media_bytes(i)),
+        ])
+    return doc_id.map(lambda i: gen(int(i)))
+
+
+_WARC_MEDIA = T.StructType([
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_units", T.LongType()),
+    T.StructField("sum_val", T.LongType()),
+    T.StructField("n_records", T.LongType()),
+    T.StructField("n_responses", T.LongType()),
+])
+
+
+@F.pandas_udf(_WARC_MEDIA)
+def warc_media_extract(payload: pd.Series) -> pd.DataFrame:
+    """The binary branch of the crawl ingestion read path in one
+    zero-shuffle Arrow batch: walk the WARC archive (real ISO 28500
+    framing via decode_warc_records), take RESPONSE records only
+    (request decoys must not leak into media stats), magic-byte sniff
+    each response payload and route it to the right REAL decoder
+    (_media_stats_row — the m34 dispatch). Multiple responses sum
+    their unit/value totals; media_type is the first response's.
+    CPU-linear per byte; callers only shuffle whatever they aggregate
+    afterwards."""
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append((None, None, None, None, None))
+            continue
+        recs = decode_warc_records(bytes(buf))
+        mt, nu, sv, nresp = None, 0, 0, 0
+        for r in recs:
+            if r["warc_type"] != "response":
+                continue
+            t, u, s = _media_stats_row(r["payload"])
+            if mt is None:
+                mt = t
+            nresp += 1
+            nu += u
+            sv += s
+        rows.append((mt, nu, sv, len(recs), nresp))
+    return pd.DataFrame(rows, columns=["media_type", "n_units",
+                                       "sum_val", "n_records",
                                        "n_responses"])

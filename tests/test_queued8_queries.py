@@ -120,6 +120,10 @@ def test_queued8_plan_guards(spark):
         "q134_decontaminated_curation",
         # 1-row stage-0 total broadcast onto the 5 funnel rows
         "q136_quality_cascade",
+        # 1-row host-count broadcast seeding/re-basing each rank round
+        "g41_host_pagerank",
+        # 1-row (n_docs, avgdl) doc-stats broadcast (d38's shape)
+        "q137_crawl_search",
     }
     offenders = {}
     for name, fn in sorted(queued8.QUERIES.items()):
