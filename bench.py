@@ -123,6 +123,12 @@ HEADLINE = [
     "q105_column_profile",
     "s24_ann_recall_eval",
     "st17_stream_window_topk",
+    # round-8: the crawl-macro family representative (registered this
+    # round): end-to-end WARC -> HTML -> lang-id -> quality -> LSH
+    # dedup -> CC -> mixing — the heaviest single composition in the
+    # registry and the headline 100 TB story (~35 B fits the 1950 B
+    # printed-line budget at 1-decimal precision)
+    "q133_crawl_pipeline",
 ]
 
 
@@ -200,19 +206,42 @@ def main():
     # warm the JVM/session so per-query numbers measure the queries
     qs["q01_pricing_summary"](spark, sf_dir).count()
 
+    # The iterative checkpointed graph queries swing 2-3x within a host
+    # while calib_spark stays flat (CALIB_r7 field data; VERDICT r7
+    # next-7): their localCheckpoint rounds are driver-loop latency
+    # bound, the noisiest path under sandbox contention. Median-of-3
+    # for exactly these so cross-round g-family ratios mean something;
+    # single-sample for everything else keeps total bench wall time
+    # bounded (the set is ~8 queries).
+    median3 = {
+        "g04_dorling_positions", "g08_dorling_scalable_large",
+        "g14_dorling_grid2500", "g10_pagerank_borders",
+        "g17_k_core", "g19_label_propagation",
+        "g22_personalized_pagerank", "q41_e3_pipeline",
+    }
+    import statistics
+
     timings = {}
     detail = {}
     total = 0.0
     for name in names:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()     # full execution, no driver collect
-        dt = round(time.time() - t0, 3)
+        reps = 3 if name in median3 else 1
+        runs, n = [], 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()  # full execution, no collect
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()    # no cross-query cache carryover
+        dt = round(statistics.median(runs), 3)
         timings[name] = round(dt, 2)
         detail[name] = {"sec": dt, "rows": n}
+        if reps > 1:
+            detail[name]["runs"] = [round(r, 3) for r in runs]
         total += dt
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
-        spark.catalog.clearCache()        # no cross-query cache carryover
+        print(f"# {name}: {n} rows in {dt}s"
+              + (f" (median of {[round(r, 2) for r in runs]})"
+                 if reps > 1 else ""), file=sys.stderr)
 
     result = {
         # short name: the driver tail-captures exactly 2000 bytes and

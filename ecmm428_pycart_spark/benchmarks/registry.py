@@ -28,83 +28,11 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-7 ROTATION: the queued6 batch (registered round 6,
+    # ROUND-8 ROTATION: the queued7 batch (registered round 7,
     # deferred to this window) + two sentinels (q01 relational
     # core, g04 dorling parity)
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d50_normalized_dedup",
-    "d51_dp_release",
-    "d52_classifier_filter",
-    "d53_edit_neardup",
-    "d54_sentence_dedup",
-    "d55_code_filter",
-    "d56_url_host_filter",
-    "d57_script_mix",
-    "d58_countmin_sketch",
-    "d59_containment_dup",
-    "d60_winnow_dup",
-    "d61_kmv_distinct",
-    "d62_cdc_chunks",
-    "d64_pii_scrub",
-    "d65_lsh_tuning_sweep",
-    "d66_homoglyph_dedup",
-    "g19_label_propagation",
-    "g20_bfs_layers",
-    "g21_link_prediction",
-    "g22_personalized_pagerank",
-    "g25_copurchase_graph",
-    "m25_image_phash",
-    "m26_channel_norm_stats",
-    "m27_wav_silence_trim",
-    "m28_bmp_pixel_stats",
-    "m29_ulaw_wav_stats",
-    "m30_zip_manifest",
-    "m31_qoi_pixel_stats",
-    "m32_tiff_strip_stats",
-    "m33_wav_decimate",
-    "m34_mixed_media_dispatch",
-    "m35_srt_parse",
-    "q101_approx_quantile_bounds",
-    "q102_hll_merge_rollup",
-    "q103_incremental_rollup",
-    "q104_fk_integrity",
-    "q105_column_profile",
-    "s23_binary_hamming_topk",
-    "s24_ann_recall_eval",
-    "s25_matryoshka_recall",
-    "s26_ivf_nprobe_recall",
-    "s27_embedding_diagnostics",
-    "s28_faceted_topk",
-    "st16_stream_approx_distinct",
-    "st17_stream_window_topk",
-    "st18_stream_kmv_distinct",
-    "st19_stream_bloom_filter",
-    "st20_stream_approx_median",
-]
-
-# Queries registered this round that did NOT fit the round-5 window;
-# they MUST form (with the q01/g04 sentinels) round 6's window —
-# exactly 48 + 2 = 50.
-#
-# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
-# round 5 on the live tree: rotation + sentinel swap + gate tests
-# green, then reverted). It sets
-#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
-#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
-# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
-# round-6 gate queries then register directly and append here while
-# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
-# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
-# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
-# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
-# fails if any registered query is neither historically checked, in
-# the current window, nor in this list.
-DEFERRED_TO_NEXT_ROUND = [
-    # round-7 queue (benchmarks/queued7.py), registered via
-    # tools/register_queued7.py — every entry oracle-green at
-    # sf0.001/0.01/0.1 under the gate canonicalization +
-    # plan/scalar guards before registration; gated round 8
     "d68_snapshot_diff",
     "d69_canonical_url",
     "d70_retention_policy",
@@ -155,6 +83,78 @@ DEFERRED_TO_NEXT_ROUND = [
     "st22_stream_value_drift",
 ]
 
+# Queries registered this round that did NOT fit the round-5 window;
+# they MUST form (with the q01/g04 sentinels) round 6's window —
+# exactly 48 + 2 = 50.
+#
+# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
+# round 5 on the live tree: rotation + sentinel swap + gate tests
+# green, then reverted). It sets
+#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
+#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
+# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
+# round-6 gate queries then register directly and append here while
+# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
+# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
+# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
+# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
+# fails if any registered query is neither historically checked, in
+# the current window, nor in this list.
+DEFERRED_TO_NEXT_ROUND = [
+    # round-8 queue (benchmarks/queued8.py), registered via
+    # tools/register_queued8.py — every entry oracle-green at
+    # sf0.001/0.01/0.1 under the gate canonicalization +
+    # plan/scalar guards before registration; gated round 9
+    "d80_sorted_neighborhood",
+    "d81_lang_confusion",
+    "d82_chunk_reassembly",
+    "d83_robots_filter",
+    "d84_registrable_domain",
+    "d85_heaps_curve",
+    "d86_utf8_audit",
+    "d87_spearman_metrics",
+    "d88_hrw_rebalance",
+    "d92_html_extract",
+    "d93_outlink_graph",
+    "d94_crawl_frontier",
+    "d95_twostage_neardup",
+    "g35_morans_i",
+    "g36_euler_audit",
+    "g38_lisa_quadrants",
+    "g40_placement_compare",
+    "g41_host_pagerank",
+    "m45_ulaw_roundtrip",
+    "m46_zip_deflate_roundtrip",
+    "m47_pnm_roundtrip",
+    "m48_mp3_stream_stats",
+    "m49_tga_png_transcode",
+    "m51_warc_gz_members",
+    "m52_warc_media_dispatch",
+    "q119_date_dimension",
+    "q120_native_session_window",
+    "q121_moment_profile",
+    "q122_percent_of_parent",
+    "q123_inferred_members",
+    "q124_lateral_topk",
+    "q125_not_in_null_trap",
+    "q126_fk_discovery",
+    "q127_fanout_inflation",
+    "q128_pivot_roundtrip",
+    "q129_hopping_windows",
+    "q130_union_by_name",
+    "q131_try_cast_ingest",
+    "q132_decayed_engagement",
+    "q133_crawl_pipeline",
+    "q134_decontaminated_curation",
+    "q135_recrawl_delta",
+    "q136_quality_cascade",
+    "q137_crawl_search",
+    "q138_curated_packing",
+    "s31_lsh_tables_recall",
+    "st23_stream_cdc_tombstones",
+    "st24_stream_hopping",
+]
+
 
 def _collect():
     queries = {}
@@ -169,8 +169,10 @@ def _modules():
     # hard imports: a failure here must propagate — silently dropping a
     # module would remove entire query families from the correctness gate
     from ecmm428_pycart_spark.benchmarks import (datapipe_queries, geo_queries,
-                                                 queued, queued6, queued7)
-    return [relational, datapipe_queries, geo_queries, queued, queued6, queued7]
+                                                 queued, queued6, queued7,
+                                                 queued8)
+    return [relational, datapipe_queries, geo_queries, queued, queued6, queued7,
+            queued8]
 
 
 def _window_first(d: dict) -> dict:

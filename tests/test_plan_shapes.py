@@ -166,6 +166,22 @@ _BNLJ_OK = {
     "q117_association_rules",  # see tests/test_queued7_queries (1-row broadcasts)
     "s30_similarity_histogram",  # see tests/test_queued7_queries (1-row broadcasts)
     "d91_mixing_weights",  # see tests/test_queued7_queries (1-row broadcasts)
+    "g35_morans_i",  # see tests/test_queued8_queries (1-row broadcasts)
+    "g38_lisa_quadrants",  # see tests/test_queued8_queries (1-row broadcasts)
+    "g40_placement_compare",  # see tests/test_queued8_queries (1-row broadcasts)
+    "g36_euler_audit",  # see tests/test_queued8_queries (1-row broadcasts)
+    "st23_stream_cdc_tombstones",  # see tests/test_queued8_queries (1-row broadcasts)
+    "d83_robots_filter",  # see tests/test_queued8_queries (1-row broadcasts)
+    "d94_crawl_frontier",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q122_percent_of_parent",  # see tests/test_queued8_queries (1-row broadcasts)
+    "d84_registrable_domain",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q126_fk_discovery",  # see tests/test_queued8_queries (1-row broadcasts)
+    "s31_lsh_tables_recall",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q132_decayed_engagement",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q133_crawl_pipeline",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q134_decontaminated_curation",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q136_quality_cascade",  # see tests/test_queued8_queries (1-row broadcasts)
+    "q137_crawl_search",  # see tests/test_queued8_queries (1-row broadcasts)
 }
 
 

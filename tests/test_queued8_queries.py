@@ -49,15 +49,16 @@ def test_queued8_matches_oracle(spark, duck, name):
     assert sp == du, (name, sp[:3], du[:3])
 
 
-def test_queued8_is_not_registered_yet():
-    """queued8 is the OVERFLOW queue: it registers in round 8 (after
-    round 7 registers queued7 and the rotation re-empties the
-    deferred budget); registering earlier would blow the
-    deferred + sentinels <= 50 budget in test_gate_coverage."""
+def test_queued8_is_fully_registered():
+    """Since round 8 the queue IS registered (it forms the round-9
+    deferred backlog): every queued8.py entry must appear in the
+    registry, or it would silently fall outside the 2-round gate
+    rotation. (Round 7 asserted the inverse — the queue stayed OUT
+    until apply_round8 freed the budget.)"""
     from ecmm428_pycart_spark.benchmarks import queued8
     from ecmm428_pycart_spark.benchmarks.registry import get_queries
-    overlap = set(queued8.QUERIES) & set(get_queries())
-    assert not overlap, f"queued8 queries already registered: {overlap}"
+    missing = set(queued8.QUERIES) - set(get_queries())
+    assert not missing, f"queued8 queries not registered: {missing}"
 
 
 def test_queued7_respects_deferred_budget_here_too():
@@ -120,8 +121,6 @@ def test_queued8_plan_guards(spark):
         "q134_decontaminated_curation",
         # 1-row stage-0 total broadcast onto the 5 funnel rows
         "q136_quality_cascade",
-        # 1-row host-count broadcast seeding/re-basing each rank round
-        "g41_host_pagerank",
         # 1-row (n_docs, avgdl) doc-stats broadcast (d38's shape)
         "q137_crawl_search",
     }
