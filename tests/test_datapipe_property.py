@@ -296,3 +296,72 @@ def test_outlink_extraction_closed_form_property(doc_id, n_tokens):
             for pid in range(np_) if pid % 4 == 1 and pid < np_ - 1]
     got = extract_outlink_hosts(synth_html_outlinks(doc_id, text))
     assert got == want, (doc_id, n_tokens, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 properties: WARC framing and sequence packing
+# ---------------------------------------------------------------------------
+
+_payload_bytes = st.binary(min_size=0, max_size=120)
+
+
+@given(recs=st.lists(
+    st.tuples(st.sampled_from(["request", "response", "metadata"]),
+              st.integers(0, 99), _payload_bytes),
+    min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_warc_framing_roundtrips_arbitrary_payloads(recs):
+    """ISO 28500 framing is Content-Length driven, so ANY payload bytes
+    must round-trip exactly — including payloads that CONTAIN the
+    record separator (\\r\\n\\r\\n), a fake 'WARC/1.1' version line, or
+    fake headers. A reader that scans payload bytes for markers
+    instead of honoring Content-Length fails exactly these."""
+    from ecmm428_pycart_spark.datapipe.multimodal import (
+        decode_warc_records, warc_bytes)
+
+    triples = [(t, f"http://h{u % 13}.example/p{u}",
+                b"\r\n\r\nWARC/1.1\r\nContent-Length: 0\r\n" + p
+                if u % 2 else p)
+               for t, u, p in recs]
+    out = decode_warc_records(warc_bytes(triples))
+    assert [(r["warc_type"], r["target_uri"], r["payload"])
+            for r in out] == triples
+
+
+@given(docs=st.lists(st.integers(0, 60), min_size=1, max_size=24),
+       budget=st.sampled_from([8, 64, 2048]),
+       shards=st.sampled_from([1, 4, 16]))
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_invariants(spark, docs, budget, shards):
+    """For ANY corpus and any (budget, shards): every doc appears
+    exactly once; within a shard, ordering by (md5(id), id) makes
+    pack_offset the exact running sum of preceding token counts and
+    pack_id == floor(offset / budget) — the greedy-binning contract
+    d21's oracle states, replayed here in pure Python."""
+    import hashlib
+
+    from ecmm428_pycart_spark.datapipe.text import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(nt)))
+            for i, nt in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=budget, shards=shards).collect()}
+    assert set(got) == {i for i, _ in rows}
+    # python replay of the shard/order/offset algebra; token count from
+    # the text itself — "" splits to [""], so an empty doc counts 1
+    # token in BOTH engines (the string_split convention)
+    meta = []
+    for i, (_, text) in enumerate(rows):
+        nt = len(text.split(" "))
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        meta.append((int(h[:2], 16) % shards, h, i, nt))
+    for shard in {m[0] for m in meta}:
+        run = 0
+        for _, h, i, nt in sorted(m for m in meta if m[0] == shard):
+            r = got[i]
+            assert r["shard"] == shard
+            assert r["n_tokens"] == nt, (i, nt, r)
+            assert r["pack_offset"] == run
+            assert r["pack_id"] == run // budget
+            run += nt
