@@ -774,6 +774,14 @@ def decode_wav_samples(b: bytes) -> np.ndarray:
             fmt_code, channels = struct.unpack("<HH", b[i + 8:i + 12])
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
         elif tag == b"data":
+            # the chunk header DECLARES its size; a buffer shorter than
+            # that is a truncated capture and must raise, not silently
+            # decode the partial tail (fault-injection discipline:
+            # decoders raise or flag, never drop)
+            if i + 8 + size > len(b):
+                raise ValueError(
+                    f"truncated WAV: data chunk declares {size} bytes, "
+                    f"only {len(b) - i - 8} present")
             data = b[i + 8:i + 8 + size]
         i += 8 + size + (size & 1)
     if data is None or channels is None:

@@ -1,0 +1,93 @@
+"""Fault-injection tests for the hand-rolled media/archive decoders
+(ROUND9_PLAN item 3, started round 8): corrupt or truncated inputs
+must RAISE with a diagnostic, or FLAG the damage in their output —
+never silently decode a partial/garbage payload. A 100 TB crawl
+contains every one of these shapes; silent partial decodes poison
+downstream stats invisibly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ecmm428_pycart_spark.datapipe import multimodal as M
+
+
+def test_warc_truncated_payload_raises():
+    w = M.warc_bytes([("response", "http://h0.example/a",
+                       b"hello world")])
+    with pytest.raises(ValueError, match="truncated WARC"):
+        M.decode_warc_records(w[:-8])
+
+
+def test_warc_garbage_and_missing_length_raise():
+    with pytest.raises(ValueError, match="WARC version"):
+        M.decode_warc_records(b"not a warc at all")
+    w = M.warc_bytes([("response", "http://h0.example/x", b"payload")])
+    with pytest.raises(ValueError, match="Content-Length"):
+        M.decode_warc_records(
+            w.replace(b"Content-Length", b"Content-Lengthx", 1))
+
+
+def test_zip_corrupt_payload_is_flagged_not_silent():
+    """The ZIP walk is manifest-first: a flipped payload byte must
+    surface as crc_ok=False (quarantine), and the payload sizes stay
+    the declared ones — damage is visible, not dropped."""
+    z = M.zip_bytes_store([("a.txt", b"hello"), ("b.txt", b"world")])
+    good = M.decode_zip_manifest(z)
+    assert all(m["crc_ok"] for m in good)
+    corrupt = bytearray(z)
+    corrupt[35] ^= 0xFF             # inside a stored payload
+    flagged = M.decode_zip_manifest(bytes(corrupt))
+    assert any(not m["crc_ok"] for m in flagged)
+    assert [m["name"] for m in flagged] == [m["name"] for m in good]
+
+
+def test_zip_truncated_raises():
+    z = M.zip_bytes_store([("a.txt", b"hello")])
+    with pytest.raises(Exception):
+        M.decode_zip_manifest(z[:-4])
+
+
+def test_wav_truncated_data_chunk_raises():
+    """The data chunk declares its byte size; a shorter buffer is a
+    truncated capture. Before round 8 this silently decoded the
+    partial tail (14 of 50 samples) — the one silent-loss case the
+    fault sweep found."""
+    w = M.wav_bytes_pcm(1, 8000, [0] * 50, 16)
+    with pytest.raises(ValueError, match="truncated WAV: data chunk"):
+        M.decode_wav_samples(w[:len(w) // 2])
+    # well-formed decode still exact
+    assert M.decode_wav_samples(w).shape == (50, 1)
+
+
+def test_image_codecs_raise_on_truncation():
+    q = M.qoi_bytes_rgb(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="QOI"):
+        M.decode_qoi_pixels(q[:-6])
+    p = M.png_bytes_rgb(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="PNG"):
+        M.decode_png_pixels(p[:len(p) // 2])
+    t = M.tiff_bytes_gray(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(Exception):
+        M.decode_tiff_gray(t[:len(t) // 2])
+    b = M.bmp_bytes_rgb(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(Exception):
+        M.decode_bmp_pixels(b[:len(b) // 2])
+
+
+def test_compression_codecs_raise_on_truncation():
+    comp = M.lz4_compress_block(b"abcabcabcabc1234")
+    with pytest.raises(ValueError, match="lz4"):
+        M.lz4_decompress_block(comp[:-2])
+    import zlib
+    raw = zlib.compress(b"x" * 100)[2:-4]   # raw DEFLATE stream
+    with pytest.raises(ValueError, match="deflate"):
+        M.inflate(raw[:-3])
+
+
+def test_media_dispatch_quarantines_unknown_bytes():
+    """The sniff-and-dispatch path routes unrecognizable payloads to
+    the 'unknown' bucket with zeroed stats — flagged, not decoded."""
+    t, u, s = M._media_stats_row(b"\x00\x01\x02garbage payload")
+    assert t == "unknown" and (u, s) == (0, 0)
