@@ -391,3 +391,65 @@ def test_tws_running_stats_parity_or_gated(spark, events_dir):
                  F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
                  .alias("s")).collect()}
     assert got == want
+
+
+def test_stateful_drift_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState state must RESUME from the checkpoint
+    across a full query stop/restart (ROUND9_PLAN item 3, started
+    round 8): run the value-drift monitor over two slices, stop, add
+    a third slice, restart with the SAME checkpoint, and require the
+    final per-key emission to equal a fresh single-run over all three
+    slices. If the state store were lost on restart, the second run's
+    counts would cover only slice 3 and every drift number would
+    shrink — the comparison is sharp."""
+    import pandas as pd
+
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, stream_value_drift,
+        write_time_ordered_stream_dir)
+
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+
+    def run(src, ckpt, sink):
+        def emit(df, bid):
+            (df.withColumn("_batch", F.lit(bid))
+             .write.mode("append").parquet(sink))
+        w = (stream_value_drift(
+                read_events_stream(spark, src, max_files_per_trigger=1))
+             .writeStream.foreachBatch(emit)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True))
+        _await_stream(spark, w)
+
+    def final_emissions(sink):
+        pdf = spark.read.parquet(sink).toPandas()
+        # last emission per key = argmax of the strictly-increasing
+        # n_events (the st21/st22 convention)
+        idx = pdf.groupby("event_type")["n_events"].idxmax()
+        cols = [c for c in pdf.columns if c != "_batch"]
+        return {t.event_type: tuple(t[1:]) for t in
+                pdf.loc[idx, cols].itertuples(index=False)}
+
+    # interrupted run: two slices, stop, third arrives, restart
+    src_a = str(tmp_path / "src_a")
+    os.makedirs(src_a)
+    write_time_ordered_stream_dir(slices[:2], src_a, start_seq=0)
+    ckpt_a, sink_a = str(tmp_path / "ck_a"), str(tmp_path / "out_a")
+    run(src_a, ckpt_a, sink_a)
+    write_time_ordered_stream_dir(slices[2:], src_a, start_seq=2)
+    run(src_a, ckpt_a, sink_a)      # SAME checkpoint: must resume
+
+    # reference: uninterrupted single run over all three slices
+    src_b = str(tmp_path / "src_b")
+    os.makedirs(src_b)
+    write_time_ordered_stream_dir(slices, src_b, start_seq=0)
+    ckpt_b, sink_b = str(tmp_path / "ck_b"), str(tmp_path / "out_b")
+    run(src_b, ckpt_b, sink_b)
+
+    got, want = final_emissions(sink_a), final_emissions(sink_b)
+    assert got == want and len(got) > 0
