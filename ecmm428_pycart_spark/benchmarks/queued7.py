@@ -1810,28 +1810,17 @@ def q112_session_concurrency(spark: SparkSession,
               .unionByName(sb.select((F.col("e") + 1).alias("t"),
                                      F.lit(-1).alias("d"))))
     # two-phase distributed prefix sum (the documented 100 TB form,
-    # implemented round 8; SCALING.md's "partition the sweep by day
-    # and carry per-day opening balances"): within-day running sums
-    # over day-partitioned windows, plus per-day opening balances
-    # from a DIMENSION-sized (|days| rows) ordered window — no
-    # single reducer ever sees the full endpoint stream. Exact
-    # integer sums, so the result is identical to the global window
-    # the DuckDB oracle states.
-    prof = (deltas.groupBy("t").agg(F.sum("d").alias("nd"))
-            .withColumn("day", F.floor(F.col("t") / 86400)))
-    within = prof.withColumn(
-        "c_in", F.sum("nd").over(W.partitionBy("day").orderBy("t")))
-    opening = (prof.groupBy("day").agg(F.sum("nd").alias("dt"))
-               .withColumn(
-                   "open",
-                   F.coalesce(
-                       F.sum("dt").over(
-                           W.orderBy("day")
-                           .rowsBetween(W.unboundedPreceding, -1)),
-                       F.lit(0))))
-    run = (within.join(F.broadcast(opening.select("day", "open")),
-                       "day")
-           .withColumn("conc", F.col("c_in") + F.col("open")))
+    # implemented round 8 and extracted to
+    # funnel.distributed_prefix_sum; SCALING.md's "partition the
+    # sweep by day and carry per-day opening balances"): no single
+    # reducer ever sees the full endpoint stream, and exact integer
+    # sums keep the result identical to the global window the DuckDB
+    # oracle states (property-pinned on arbitrary inputs).
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        distributed_prefix_sum)
+    prof = deltas.groupBy("t").agg(F.sum("d").alias("nd"))
+    run = distributed_prefix_sum(prof, "t", "nd", out_col="conc",
+                                 bucket=86400)
     a1 = sb.agg(F.count(F.lit(1)).alias("n_sessions"),
                 F.sum(F.col("e") - F.col("s") + 1)
                 .alias("total_active_secs"))

@@ -426,3 +426,49 @@ def interval_islands(df: DataFrame, key_col: str, start_col: str,
                  F.count(F.lit(1)).alias("n_islands"),
                  F.sum(span).alias("covered_units"),
                  F.max(span).alias("max_island_units")))
+
+
+def distributed_prefix_sum(df: DataFrame, order_col: str,
+                           value_col: str, out_col: str = "running",
+                           bucket: int = 86400) -> DataFrame:
+    """Global running sum over ``order_col`` WITHOUT a single-reducer
+    window — the two-phase distributed prefix sum (round 8, extracted
+    from the q112 concurrency sweep so every sweep-line consumer
+    shares one pinned implementation):
+
+    1. bucket rows by ``floor(order_col / bucket)`` and take the
+       within-bucket running sum over a bucket-PARTITIONED ordered
+       window (parallel across buckets);
+    2. add each bucket's opening balance — the prefix sum of per-bucket
+       totals, computed on the BUCKETS-sized frame (one row per bucket;
+       the only unpartitioned window, over dimension-sized data) and
+       broadcast back.
+
+    Integer/decimal sums are exact, so the result is bit-identical to
+    ``sum(value) OVER (ORDER BY order_col)`` — the property test pins
+    this against the single-window form on arbitrary inputs. Rows with
+    equal ``order_col`` land in the same bucket, so any within-ties
+    ordering nondeterminism matches the global window's (sum over a
+    tie group is order-free).
+
+    At 100 TB: shuffle on the bucket key, |buckets| rows through the
+    driver-adjacent second phase — pick ``bucket`` so that holds
+    (seconds-per-day for event sweeps, id ranges for key ranks)."""
+    from pyspark.sql import Window as W
+
+    b = df.withColumn("_pb", F.floor(F.col(order_col) / bucket))
+    within = b.withColumn(
+        "_in", F.sum(value_col).over(
+            W.partitionBy("_pb").orderBy(order_col)))
+    opening = (b.groupBy("_pb").agg(F.sum(value_col).alias("_bt"))
+               .withColumn(
+                   "_open",
+                   F.coalesce(
+                       F.sum("_bt").over(
+                           W.orderBy("_pb")
+                           .rowsBetween(W.unboundedPreceding, -1)),
+                       F.lit(0))))
+    return (within.join(F.broadcast(opening.select("_pb", "_open")),
+                        "_pb")
+            .withColumn(out_col, F.col("_in") + F.col("_open"))
+            .drop("_pb", "_in", "_open"))

@@ -365,3 +365,36 @@ def test_pack_sequences_invariants(spark, docs, budget, shards):
             assert r["pack_offset"] == run
             assert r["pack_id"] == run // budget
             run += nt
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(-200000, 200000),      # order key (any sign,
+                                                 # spans bucket edges)
+              st.integers(-5, 5)),               # delta
+    min_size=1, max_size=40),
+    bucket=st.sampled_from([1, 7, 86400]))
+@settings(max_examples=12, deadline=None)
+def test_distributed_prefix_sum_matches_global_window(spark, rows,
+                                                      bucket):
+    """funnel.distributed_prefix_sum must equal
+    sum(value) OVER (ORDER BY key) for ANY inputs — negative keys and
+    values, duplicate keys, bucket-boundary keys, bucket sizes from
+    degenerate (1) to the q112 day — replayed in pure Python."""
+    from collections import defaultdict
+
+    from ecmm428_pycart_spark.datapipe.funnel import (
+        distributed_prefix_sum)
+
+    # collapse duplicate keys first (the q112 shape: one row per t);
+    # within-key ordering of a running sum is undefined otherwise
+    agg = defaultdict(int)
+    for t, d in rows:
+        agg[t] += d
+    df = spark.createDataFrame(sorted(agg.items()), "t long, nd long")
+    got = {r["t"]: r["running"] for r in
+           distributed_prefix_sum(df, "t", "nd",
+                                  bucket=bucket).collect()}
+    run = 0
+    for t in sorted(agg):
+        run += agg[t]
+        assert got[t] == run, (t, got[t], run, bucket)
