@@ -3154,9 +3154,18 @@ def g41_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     ed = e.join(ow, "s")
     for _ in range(3):
+        # exact floor(r*w/ow) with BOUNDED int64 intermediates: with
+        # r = q*ow + m, r*w/ow = q*w + m*w/ow exactly, and w <= ow
+        # bounds q*w <= r (~1e12) while m*w < ow^2 — safe for hosts
+        # up to ~3e9 outlinks (vs the naive r*w form, which wrapped
+        # silently in non-ANSI Spark past w ~ 9.2e6 while DuckDB's
+        # HUGEINT kept going). Values identical to the oracle's
+        # (r * w) // ow at every scale.
         contrib = (ed.join(ranks, ed["s"] == ranks["h"])
                    .select(F.col("t").alias("h"),
-                           F.expr("(r * w) div ow").alias("ct"))
+                           F.expr("(r div ow) * w"
+                                  " + ((r % ow) * w) div ow")
+                           .alias("ct"))
                    .groupBy("h").agg(F.sum("ct").alias("c")))
         ranks = (nodes.crossJoin(F.broadcast(n_df))
                  .join(contrib, "h", "left")

@@ -28,83 +28,11 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-8 ROTATION: the queued7 batch (registered round 7,
+    # ROUND-9 ROTATION: the queued8 batch (registered round 8,
     # deferred to this window) + two sentinels (q01 relational
     # core, g04 dorling parity)
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d68_snapshot_diff",
-    "d69_canonical_url",
-    "d70_retention_policy",
-    "d72_pseudonymize",
-    "d73_prefix_filter_join",
-    "d74_sample_allocation",
-    "d75_winsorized_stats",
-    "d76_novelty_curve",
-    "d77_label_agreement",
-    "d78_postings_varint",
-    "d79_good_turing",
-    "d90_dup_spans",
-    "d91_mixing_weights",
-    "g26_weighted_paths",
-    "g27_k_truss",
-    "g28_hash_walks",
-    "g29_hits_scores",
-    "g31_lpa_modularity",
-    "g32_partition_quality",
-    "g33_cc_two_phase",
-    "g34_degree_assortativity",
-    "m36_safetensors_stats",
-    "m37_patch_means",
-    "m38_tga_pixel_stats",
-    "m39_protobuf_wire_stats",
-    "m40_lz4_roundtrip",
-    "m41_rle_bp_stats",
-    "m42_inflate_roundtrip",
-    "m43_gzip_roundtrip",
-    "m44_adaptive_png_roundtrip",
-    "m50_warc_record_stats",
-    "q106_cohort_retention",
-    "q107_touch_attribution",
-    "q108_key_skew_report",
-    "q109_rolling_anomalies",
-    "q110_cube_revenue",
-    "q111_seasonal_profile",
-    "q112_session_concurrency",
-    "q113_clamped_balance",
-    "q114_value_drift",
-    "q115_interval_islands",
-    "q116_benford_digits",
-    "q117_association_rules",
-    "q118_roaring_containers",
-    "s29_embedding_drift",
-    "s30_similarity_histogram",
-    "st21_stream_rolling_anomaly",
-    "st22_stream_value_drift",
-]
-
-# Queries registered this round that did NOT fit the round-5 window;
-# they MUST form (with the q01/g04 sentinels) round 6's window —
-# exactly 48 + 2 = 50.
-#
-# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
-# round 5 on the live tree: rotation + sentinel swap + gate tests
-# green, then reverted). It sets
-#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
-#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
-# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
-# round-6 gate queries then register directly and append here while
-# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
-# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
-# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
-# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
-# fails if any registered query is neither historically checked, in
-# the current window, nor in this list.
-DEFERRED_TO_NEXT_ROUND = [
-    # round-8 queue (benchmarks/queued8.py), registered via
-    # tools/register_queued8.py — every entry oracle-green at
-    # sf0.001/0.01/0.1 under the gate canonicalization +
-    # plan/scalar guards before registration; gated round 9
     "d80_sorted_neighborhood",
     "d81_lang_confusion",
     "d82_chunk_reassembly",
@@ -153,6 +81,30 @@ DEFERRED_TO_NEXT_ROUND = [
     "s31_lsh_tables_recall",
     "st23_stream_cdc_tombstones",
     "st24_stream_hopping",
+]
+
+# Queries registered this round that did NOT fit the round-5 window;
+# they MUST form (with the q01/g04 sentinels) round 6's window —
+# exactly 48 + 2 = 50.
+#
+# ROUND-6 RECIPE: run `python tools/apply_round6.py` (validated in
+# round 5 on the live tree: rotation + sentinel swap + gate tests
+# green, then reverted). It sets
+#   DRIVER_WINDOW = [q01, g04, *DEFERRED_TO_NEXT_ROUND]  # exactly 50
+#   DEFERRED_TO_NEXT_ROUND = []                          # fresh list
+# and SENTINELS <- {q01, g04} in tests/test_gate_coverage.py. New
+# round-6 gate queries then register directly and append here while
+# the 50 - |sentinels| budget lasts. GATE OUTPUTS MUST BE SCALAR —
+# test_window_outputs_are_scalar_typed DESCRIBEs window + deferred.
+# All entries below are verify_oracle-green at sf0.001/0.01/0.1 and
+# local[7] (docs/ORACLE_FULL_r5.md); tests/test_gate_coverage.py
+# fails if any registered query is neither historically checked, in
+# the current window, nor in this list.
+DEFERRED_TO_NEXT_ROUND = [
+    # round-9 additions go here (gated round 10); budget =
+    # 50 - len(NEXT_ROUND_SENTINELS) — see test_gate_coverage.
+    # The queued8 drain is COMPLETE: new queries need a fresh
+    # queued9 module following the queued6/7/8 contract.
 ]
 
 

@@ -368,6 +368,10 @@ def _wav_meta_one(b: bytes):
         tag = b[i:i + 4]
         (size,) = struct.unpack("<I", b[i + 4:i + 8])
         if tag == b"fmt ":
+            # buffer cut mid-fmt: flag with the null row (this path's
+            # malformed-input contract), never a raw struct.error
+            if i + 24 > len(b):
+                return (None, None, None, None)
             _, channels, rate = struct.unpack("<HHI", b[i + 8:i + 16])
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
         elif tag == b"data":
@@ -771,6 +775,13 @@ def decode_wav_samples(b: bytes) -> np.ndarray:
         tag = b[i:i + 4]
         (size,) = struct.unpack("<I", b[i + 4:i + 8])
         if tag == b"fmt ":
+            # same truncation discipline as the data chunk: a buffer
+            # cut mid-fmt must raise the diagnostic ValueError, not a
+            # bare struct.error from a short unpack slice
+            if i + 24 > len(b) or i + 8 + size > len(b):
+                raise ValueError(
+                    f"truncated WAV: fmt chunk declares {size} bytes, "
+                    f"only {max(0, len(b) - i - 8)} present")
             fmt_code, channels = struct.unpack("<HH", b[i + 8:i + 12])
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
         elif tag == b"data":

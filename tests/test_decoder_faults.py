@@ -61,6 +61,18 @@ def test_wav_truncated_data_chunk_raises():
     assert M.decode_wav_samples(w).shape == (50, 1)
 
 
+def test_wav_truncated_fmt_chunk_raises():
+    """A buffer cut mid-'fmt ' chunk (RIFF header present, fmt body
+    missing) must raise the same diagnostic ValueError as a cut data
+    chunk — not a bare struct.error from a short unpack slice (the
+    round-9 ADVICE finding: the round-8 guard covered only data)."""
+    w = M.wav_bytes_pcm(1, 8000, [0] * 50, 16)
+    # RIFF(12) + fmt header(8) lands at byte 20; cut inside fmt body
+    for cut in (21, 25, 30):
+        with pytest.raises(ValueError, match="truncated WAV"):
+            M.decode_wav_samples(w[:cut])
+
+
 def test_image_codecs_raise_on_truncation():
     q = M.qoi_bytes_rgb(np.zeros((4, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="QOI"):

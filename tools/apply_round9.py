@@ -28,18 +28,20 @@ def main():
     from ecmm428_pycart_spark.benchmarks.registry import (
         DEFERRED_TO_NEXT_ROUND)
 
-    new_window = ["q01_pricing_summary", "g04_dorling_positions",
-                  *DEFERRED_TO_NEXT_ROUND]
-    assert len(new_window) == 50, len(new_window)
-
     reg_path = "ecmm428_pycart_spark/benchmarks/registry.py"
     reg = open(os.path.join(REPO, reg_path)).read()
     # d80 is a queued8-only name: its presence in the window means the
-    # round-9 rotation already ran
+    # round-9 rotation already ran. This check MUST precede the length
+    # assert: after rotation DEFERRED_TO_NEXT_ROUND is empty, so the
+    # assert would fire on a second run instead of the no-op message.
     if "d80_sorted_neighborhood" in re.search(
             r"^DRIVER_WINDOW = \[.*?\n\]\n", reg, re.S | re.M).group(0):
         print("registry already rotated to round 9; nothing to do")
         return
+
+    new_window = ["q01_pricing_summary", "g04_dorling_positions",
+                  *DEFERRED_TO_NEXT_ROUND]
+    assert len(new_window) == 50, len(new_window)
 
     def fmt(names):
         return "".join(f'    "{n}",\n' for n in names)
