@@ -453,3 +453,87 @@ def test_stateful_drift_state_survives_checkpoint_restart(spark, tmp_path):
 
     got, want = final_emissions(sink_a), final_emissions(sink_b)
     assert got == want and len(got) > 0
+
+
+def _kill_resume_harness(spark, tmp_path, op, final_emissions):
+    """Shared kill-and-resume rig (VERDICT r8 next-6): run `op` over two
+    event slices, stop, land a third slice, restart on the SAME
+    checkpoint, and compare the final per-key emissions against an
+    uninterrupted single run over all three slices. Returns
+    (resumed, uninterrupted) final-emission dicts."""
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.session import load_table
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, write_time_ordered_stream_dir)
+
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    slices = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+              for i in range(3)]
+
+    def run(src, ckpt, sink):
+        def emit(df, bid):
+            (df.withColumn("_batch", F.lit(bid))
+             .write.mode("append").parquet(sink))
+        w = (op(read_events_stream(spark, src, max_files_per_trigger=1))
+             .writeStream.foreachBatch(emit)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True))
+        _await_stream(spark, w)
+
+    src_a = str(tmp_path / "src_a")
+    os.makedirs(src_a)
+    write_time_ordered_stream_dir(slices[:2], src_a, start_seq=0)
+    ckpt_a, sink_a = str(tmp_path / "ck_a"), str(tmp_path / "out_a")
+    run(src_a, ckpt_a, sink_a)
+    write_time_ordered_stream_dir(slices[2:], src_a, start_seq=2)
+    run(src_a, ckpt_a, sink_a)      # SAME checkpoint: must resume
+
+    src_b = str(tmp_path / "src_b")
+    os.makedirs(src_b)
+    write_time_ordered_stream_dir(slices, src_b, start_seq=0)
+    ckpt_b, sink_b = str(tmp_path / "ck_b"), str(tmp_path / "out_b")
+    run(src_b, ckpt_b, sink_b)
+
+    return final_emissions(spark, sink_a), final_emissions(spark, sink_b)
+
+
+def _last_emission_by_batch(spark, sink):
+    """Final per-key emission = the row from the key's LAST batch.
+    foreachBatch epoch ids resume from the checkpoint on restart, so
+    `_batch` is strictly increasing across the stop/restart boundary
+    and the per-key argmax is well-defined (one emission per key per
+    batch under update mode)."""
+    pdf = spark.read.parquet(sink).toPandas()
+    idx = pdf.groupby("event_type")["_batch"].idxmax()
+    cols = [c for c in pdf.columns if c != "_batch"]
+    return {t.event_type: tuple(t[1:]) for t in
+            pdf.loc[idx, cols].itertuples(index=False)}
+
+
+def test_stream_kmv_state_survives_checkpoint_restart(spark, tmp_path):
+    """st18's bottom-k sketch must RESUME across a stop/restart: the
+    resumed final sketch stats (n_in_sketch, kth, est) must equal an
+    uninterrupted run's. Bottom-k union is idempotent/commutative, so
+    any divergence here is a state-store loss, not slicing noise — a
+    lost state would restart the sketch at slice 3 and shrink
+    n_in_sketch/est sharply."""
+    from ecmm428_pycart_spark.streaming.events import stream_kmv_distinct
+
+    got, want = _kill_resume_harness(
+        spark, tmp_path, lambda s: stream_kmv_distinct(s, k=32),
+        _last_emission_by_batch)
+    assert got == want and len(got) > 0
+
+
+def test_stream_rolling_anomaly_survives_checkpoint_restart(spark, tmp_path):
+    """st21's hour->count map must RESUME across a stop/restart: final
+    per-key emission (n_events argmax, the module convention) must
+    equal the uninterrupted run's full rescoring. A lost map would
+    drop two slices' counts from every window and flip outlier
+    verdicts at the 3-sigma boundary."""
+    from ecmm428_pycart_spark.streaming.events import stream_rolling_anomaly
+
+    got, want = _kill_resume_harness(
+        spark, tmp_path, stream_rolling_anomaly, _last_emission_by_batch)
+    assert got == want and len(got) > 0
