@@ -617,17 +617,19 @@ SELECT CAST(lab AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_nodes
 FROM l3 GROUP BY 1
 """)
 def g19_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.borders_store import (
+        customer_borders, customer_nodes)
     from ecmm428_pycart_spark.datapipe.graph import label_propagation
-    from ecmm428_pycart_spark.operators.borders import get_borders
 
-    grid = _customer_grid(spark, sf_dir).drop("value")
-    borders, _ = get_borders(grid, "region_idx", "geometry",
-                             idx_field="region_idx")
+    # borders from the write-once store (round 9, datapipe/borders_store);
+    # seeds come straight from the customer keys (node set == grid
+    # region_idx, pinned by test_borders_store) — no geometry build here.
+    borders = customer_borders(spark, sf_dir)
     e = borders.select(F.col("focal").alias("src"),
                        F.col("neighbor").alias("dst"))
-    seeds = grid.select(F.col("region_idx").alias("node"),
-                        (F.col("region_idx") % 16).alias("label"))
+    seeds = customer_nodes(spark, sf_dir).select(
+        F.col("region_idx").alias("node"),
+        (F.col("region_idx") % 16).alias("label"))
     out = label_propagation(e, seeds, rounds=3)
     return (out.groupBy(F.col("label").cast("long").alias("label"))
             .agg(F.count(F.lit(1)).alias("n_nodes")))
@@ -1706,16 +1708,17 @@ FROM r3 ORDER BY rank_mass DESC, node ASC LIMIT 20
 """)
 def g22_personalized_pagerank(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.borders_store import (
+        customer_borders, customer_nodes)
     from ecmm428_pycart_spark.datapipe.graph import personalized_pagerank
-    from ecmm428_pycart_spark.operators.borders import get_borders
 
-    grid = _customer_grid(spark, sf_dir).drop("value")
-    borders, _ = get_borders(grid, "region_idx", "geometry",
-                             idx_field="region_idx")
+    # borders from the write-once store (round 9, datapipe/borders_store);
+    # seed nodes straight from the customer keys — no geometry build.
+    borders = customer_borders(spark, sf_dir)
     e = borders.select(F.col("focal").alias("src"),
                        F.col("neighbor").alias("dst"))
-    seeds = (grid.select(F.col("region_idx").alias("node"))
+    seeds = (customer_nodes(spark, sf_dir)
+             .select(F.col("region_idx").alias("node"))
              .filter(F.col("node") % 97 == 0))
     out = personalized_pagerank(e, seeds, rounds=3, alpha_ppm=850000,
                                 seed_mass=1_000_000_000)

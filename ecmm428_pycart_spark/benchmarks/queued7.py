@@ -1102,13 +1102,13 @@ FROM nodes n JOIN an3 a3 ON a3.k = n.k JOIN h3 ON h3.k = n.k
 ORDER BY auth_ppm DESC, node ASC LIMIT 20
 """)
 def g29_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.borders_store import customer_borders
     from ecmm428_pycart_spark.datapipe.graph import hits_scores
-    from ecmm428_pycart_spark.operators.borders import get_borders
 
-    grid = _customer_grid(spark, sf_dir).drop("value")
-    borders, _ = get_borders(grid, "region_idx", "geometry",
-                             idx_field="region_idx")
+    # borders from the write-once store (round 9, datapipe/borders_store)
+    # — the registry's heaviest query starts from a focal-clustered
+    # parquet scan instead of rebuilding the queen-borders geometry.
+    borders = customer_borders(spark, sf_dir)
     e = (borders.select(F.col("focal").alias("src"),
                         F.col("neighbor").alias("dst"))
          .filter((F.col("src") + 2 * F.col("dst")) % 3 != 0))
@@ -1495,18 +1495,19 @@ ORDER BY n_nodes DESC, label ASC LIMIT 20
 
 @q("g31_lpa_modularity", _g31_sql())
 def g31_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.benchmarks.geo_queries import _customer_grid
+    from ecmm428_pycart_spark.datapipe.borders_store import (
+        customer_borders, customer_nodes)
     from ecmm428_pycart_spark.datapipe.graph import (label_propagation,
                                                      modularity_stats)
-    from ecmm428_pycart_spark.operators.borders import get_borders
 
-    grid = _customer_grid(spark, sf_dir).drop("value")
-    borders, _ = get_borders(grid, "region_idx", "geometry",
-                             idx_field="region_idx")
+    # borders from the write-once store (round 9, datapipe/borders_store);
+    # seeds straight from the customer keys — no geometry build here.
+    borders = customer_borders(spark, sf_dir)
     e = borders.select(F.col("focal").alias("src"),
                        F.col("neighbor").alias("dst"))
-    seeds = grid.select(F.col("region_idx").alias("node"),
-                        (F.col("region_idx") % 16).alias("label"))
+    seeds = customer_nodes(spark, sf_dir).select(
+        F.col("region_idx").alias("node"),
+        (F.col("region_idx") % 16).alias("label"))
     labels = label_propagation(e, seeds, rounds=3)
     out = modularity_stats(e, labels)
     return (out.select(F.col("label").cast("long").alias("label"),
