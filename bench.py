@@ -49,7 +49,6 @@ HEADLINE = [
     "q69_dpp_prune",
     "q71_lone_late_supplier",
     "q72_scd2_history",
-    "q78_range_frame_window",
     "q81_market_share",
     "q82_disjunctive_revenue",
     "q83_exists_priority",
@@ -63,19 +62,18 @@ HEADLINE = [
     "d25_decontamination",
     "d28_ngram_jaccard",
     "d35_bloom_decontaminate",
-    "d36_window_dedup_removal",
     # similarity
     "s01_cosine_topk",
     "s05_cosine_neardup",
     "s07_ann_multiprobe",
     "s09_knn_join",
     "s11_pq_codes",
-    # multimodal
-    "m06_png_pixels",
+    # multimodal (m06/m17 png+gif decode cut round 9: m09/m12/m19 keep
+    # jpeg/resize/avi decode covered and m52 sweeps QOI/BMP/WAV/TIFF —
+    # printed-line byte budget went to the round-8 macro compositions)
     "m09_jpeg_pixels",
     "m12_resize_pixels",
     "m15_audio_frames",
-    "m17_gif_pixels",
     "m19_mjpeg_avi_frames",
     # streaming (one micro-batch-replay query per shape; st05/st07 are
     # multi-trigger by design and dominate wall time without adding signal)
@@ -103,7 +101,6 @@ HEADLINE = [
     "q90_funnel_steps",
     "q95_curation_pipeline",
     "g17_k_core",
-    "m20_audio_spectrum",
     "m21_mel_energies",
     "q85_product_profit",
     # round-6 families (queued6 registered this round): one rep per
@@ -119,16 +116,22 @@ HEADLINE = [
     "d60_winnow_dup",
     "g19_label_propagation",
     "g22_personalized_pagerank",
-    "m25_image_phash",
     "q105_column_profile",
     "s24_ann_recall_eval",
     "st17_stream_window_topk",
-    # round-8: the crawl-macro family representative (registered this
-    # round): end-to-end WARC -> HTML -> lang-id -> quality -> LSH
-    # dedup -> CC -> mixing — the heaviest single composition in the
-    # registry and the headline 100 TB story (~35 B fits the 1950 B
-    # printed-line budget at 1-decimal precision)
+    # round-8/9: the full crawl-macro family — end-to-end Common Crawl
+    # pipeline, host PageRank over the real href graph, two-stage
+    # near-dup, BM25 crawl search, mixed-media WARC dispatch, curated
+    # packing. The headline 100 TB story (VERDICT r8 missing-3 asked
+    # for all five compositions, not just q133); byte budget came from
+    # cutting five sub-second decode reps (m06/m17/m20/m25/q78 —
+    # decode stays covered by m09/m12/m19/m21/m52)
     "q133_crawl_pipeline",
+    "g41_host_pagerank",
+    "d95_twostage_neardup",
+    "q137_crawl_search",
+    "m52_warc_media_dispatch",
+    "q138_curated_packing",
 ]
 
 
