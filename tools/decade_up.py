@@ -62,8 +62,8 @@ def build_sim_sf1(spark, base: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t, keys in SCALED.items():
         df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
-        df = df.crossJoin(F.explode(F.sequence(F.lit(0), F.lit(9)))
-                          .alias("_k"))
+        df = df.select("*", F.explode(F.sequence(F.lit(0), F.lit(9)))
+                       .alias("_k"))
         for c in keys:
             df = df.withColumn(c, (F.col(c) * 10 + F.col("_k"))
                                .cast(dict(df.dtypes)[c]))
@@ -89,6 +89,47 @@ def build_sim_sf1(spark, base: str, out: str) -> None:
           f"{li.count()}", file=sys.stderr)
 
 
+def _stats(runs: list[float]) -> dict:
+    return {"min": min(runs), "median": statistics.median(runs),
+            "max": max(runs), "runs": runs}
+
+
+def time_base_vs_scratch(spark, names: list[str], base: str, scratch: str,
+                         samples: int, skip_base: bool = False) -> dict:
+    """Shared decade-up measurement loop (also used by
+    neardup_corpus.py): each query `samples` times at both dirs in one
+    warmed session, cache cleared between runs, min/median/max + the
+    decade slope log10(median ratio) per entry."""
+    from ecmm428_pycart_spark.benchmarks import get_queries
+
+    qs = get_queries()
+    qs["q01_pricing_summary"](spark, base).count()  # warm
+
+    def sample(name: str, sf_dir: str) -> list[float]:
+        runs = []
+        for _ in range(samples):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        return runs
+
+    out = {"base": base, "scratch": scratch, "samples": samples,
+           "queries": {}}
+    for name in names:
+        entry = {}
+        if not skip_base:
+            entry["base"] = _stats(sample(name, base))
+        entry["sim_sf1"] = _stats(sample(name, scratch))
+        if "base" in entry and entry["base"]["median"] > 0:
+            ratio = entry["sim_sf1"]["median"] / entry["base"]["median"]
+            entry["ratio"] = round(ratio, 2)
+            entry["slope"] = round(math.log10(max(ratio, 1e-9)), 2)
+        out["queries"][name] = entry
+        print(f"# {name}: {entry}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
@@ -99,41 +140,13 @@ def main() -> None:
                     help="time only the sim-sf1 side")
     args = ap.parse_args()
 
-    from ecmm428_pycart_spark.benchmarks import get_queries
     from ecmm428_pycart_spark.session import get_spark
 
     spark = get_spark("decade-up")
-    qs = get_queries()
     build_sim_sf1(spark, args.base, args.scratch)
-    qs["q01_pricing_summary"](spark, args.base).count()  # warm
-
-    def sample(name: str, sf_dir: str) -> list[float]:
-        runs = []
-        for _ in range(args.samples):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            runs.append(round(time.time() - t0, 3))
-            spark.catalog.clearCache()
-        return runs
-
-    out = {"base": args.base, "scratch": args.scratch,
-           "samples": args.samples, "queries": {}}
-    for name in args.names:
-        entry = {}
-        if not args.skip_base:
-            b = sample(name, args.base)
-            entry["base"] = {"min": min(b), "median": statistics.median(b),
-                             "max": max(b), "runs": b}
-        s = sample(name, args.scratch)
-        entry["sim_sf1"] = {"min": min(s), "median": statistics.median(s),
-                            "max": max(s), "runs": s}
-        if "base" in entry and entry["base"]["median"] > 0:
-            ratio = entry["sim_sf1"]["median"] / entry["base"]["median"]
-            entry["ratio"] = round(ratio, 2)
-            entry["slope"] = round(math.log10(max(ratio, 1e-9)), 2)
-        out["queries"][name] = entry
-        print(f"# {name}: {entry}", file=sys.stderr)
-    print(json.dumps(out))
+    print(json.dumps(time_base_vs_scratch(
+        spark, args.names, args.base, args.scratch, args.samples,
+        args.skip_base)))
 
 
 if __name__ == "__main__":
