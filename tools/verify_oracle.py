@@ -90,15 +90,27 @@ def canon(rows, cols):
 def main():
     args = sys.argv[1:]
     use_queued = "--queued" in args
-    if use_queued:
-        args = [a for a in args if a != "--queued"]
+    use_plain = "--plain" in args
+    window_only = "--window" in args
+    args = [a for a in args if a not in ("--queued", "--plain", "--window")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     import __spark_entry__ as ent
     from ecmm428_pycart_spark.session import get_spark
 
-    spark = get_spark("verify-oracle")
+    if use_plain:
+        # driver-parity mode: the session the driver actually builds —
+        # NO get_spark configs (no pinned UTC timezone, no AQE/Arrow/
+        # shuffle-partition settings). --plain --window together
+        # simulate the exact correctness gate.
+        from pyspark.sql import SparkSession
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (SparkSession.builder.master(f"local[{cpus}]")
+                 .appName("verify-oracle-plain")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -110,6 +122,8 @@ def main():
     else:
         qs = ent.queries()
         oracles = ent.oracle_sql()
+    if window_only:  # the driver gates exactly the first 50 entries
+        qs = dict(list(qs.items())[:50])
     n_pass = n_fail = n_weak = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
