@@ -941,7 +941,16 @@ _MP4_META = T.StructType([
 
 
 def _mp4_walk(b: bytes, start: int, end: int, out: dict) -> None:
-    """Iterative-recursive ISO-BMFF box walk over b[start:end]."""
+    """Iterative-recursive ISO-BMFF box walk over b[start:end].
+
+    Detectable damage (a box header whose declared size runs past the
+    enclosing span, or a cut mid-largesize) marks ``out['_damaged']``
+    and stops that level; ``_mp4_meta_one`` then nulls the whole row —
+    the metadata-path convention (same as WAV): damaged captures
+    surface as nulls, never as silently-partial track/sample counts.
+    A buffer cut exactly at a top-level box boundary is
+    indistinguishable from a complete file (ISO-BMFF carries no total
+    length) and parses as the prefix it is."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack(">I", b[i:i + 4])
@@ -949,25 +958,39 @@ def _mp4_walk(b: bytes, start: int, end: int, out: dict) -> None:
         body = i + 8
         if size == 1:  # 64-bit largesize
             if i + 16 > end:
-                return  # header truncated mid-largesize: degrade, not raise
+                out["_damaged"] = True  # cut mid-largesize header
+                return
             (size,) = struct.unpack(">Q", b[i + 8:i + 16])
             body = i + 16
         elif size == 0:  # box extends to end of enclosing box
             size = end - i
         if size < 8 or i + size > end:
-            return  # truncated/corrupt box: stop at this level
+            out["_damaged"] = True  # declared size overruns the span
+            return
+        # leaf reads stay INSIDE the declared box: a corrupt undersized
+        # leaf must damage the row, not read the next box's bytes as
+        # field values
         if tag == b"ftyp":
+            if body + 4 > i + size:
+                out["_damaged"] = True
+                return
             out["brand"] = b[body:body + 4].decode("ascii", "replace")
         elif tag == b"mvhd":
-            ver = b[body]
+            ver = b[body] if body < i + size else 255
+            need = 32 if ver == 1 else 20
+            if ver not in (0, 1) or body + need > i + size:
+                out["_damaged"] = True
+                return
             if ver == 1:
                 ts, dur = struct.unpack(">IQ", b[body + 20:body + 32])
             else:
                 ts, dur = struct.unpack(">II", b[body + 12:body + 20])
             out["timescale"], out["duration"] = ts, dur
         elif tag == b"tkhd":
+            if size < 16:  # last-8-bytes read must not overlap the header
+                out["_damaged"] = True
+                return
             out["n_tracks"] = out.get("n_tracks", 0) + 1
-            ver = b[body]
             # width/height are the LAST 8 bytes of the box (16.16 fixed),
             # same offset-from-end for v0 and v1
             w, h = struct.unpack(">II", b[i + size - 8:i + size])
@@ -975,18 +998,28 @@ def _mp4_walk(b: bytes, start: int, end: int, out: dict) -> None:
                 out["width"], out["height"] = w >> 16, h >> 16
         elif tag == b"stsz":
             cnt_off = body + 8
+            if body + 12 > i + size:
+                out["_damaged"] = True
+                return
             sample_size, count = struct.unpack(">II", b[body + 4:body + 12])
-            out["n_samples"] = out.get("n_samples", 0) + count
             if sample_size:
                 total = sample_size * count
             else:
+                if cnt_off + 4 + 4 * count > i + size:
+                    out["_damaged"] = True  # size table overruns the box
+                    return
                 sizes = np.frombuffer(
                     b, dtype=">u4", count=count, offset=cnt_off + 4)
                 total = int(sizes.sum())
+            out["n_samples"] = out.get("n_samples", 0) + count
             out["media_bytes"] = out.get("media_bytes", 0) + total
         elif tag in _MP4_CONTAINERS:
             _mp4_walk(b, body, i + size, out)
         i += size
+    if i != end:
+        # 1-7 stray bytes after the last whole box: a cut mid-header.
+        # Intact ISO-BMFF tiles every span exactly with boxes.
+        out["_damaged"] = True
 
 
 def _mp4_meta_one(b: bytes):
@@ -994,6 +1027,8 @@ def _mp4_meta_one(b: bytes):
         return (None,) * 8
     out: dict = {}
     _mp4_walk(b, 0, len(b), out)
+    if out.get("_damaged"):
+        return (None,) * 8  # flagged, not silently partial
     ts = out.get("timescale")
     dur = out.get("duration")
     return (out.get("brand"), ts,
@@ -3523,7 +3558,11 @@ def decode_safetensors_manifest(b: bytes) -> list[dict]:
     exactly (gaps/overlaps) — layout mistakes surface loudly."""
     import json
 
+    if len(b) < 8:
+        raise ValueError("truncated safetensors: no u64 header length")
     (hlen,) = struct.unpack("<Q", b[:8])
+    if 8 + hlen > len(b):
+        raise ValueError("truncated safetensors: header runs past EOF")
     header = json.loads(b[8:8 + hlen].decode())
     data = b[8 + hlen:]
     spans, out = [], []

@@ -103,3 +103,54 @@ def test_media_dispatch_quarantines_unknown_bytes():
     the 'unknown' bucket with zeroed stats — flagged, not decoded."""
     t, u, s = M._media_stats_row(b"\x00\x01\x02garbage payload")
     assert t == "unknown" and (u, s) == (0, 0)
+
+
+def test_mp4_truncation_nulls_never_partial():
+    """ISO-BMFF metadata walk under EVERY truncation offset: the row is
+    either the full-file parse, the legitimate top-level-boundary
+    prefix (a cut at a box boundary is indistinguishable from a
+    complete shorter file — ISO-BMFF carries no total length), or
+    ALL-None (damage flagged). Never a silently-partial track/sample
+    count — the round-8 WAV lesson applied to the container walk."""
+    import struct
+
+    m = M.mp4_bytes(1000, 5000, 320, 240, [100, 200, 300], False)
+    full = M._mp4_meta_one(m)
+    assert full[0] == "isom" and full[5] == 1 and full[6] == 3
+    (ftyp_len,) = struct.unpack(">I", m[:4])
+    brand_only = M._mp4_meta_one(m[:ftyp_len])
+    assert brand_only[0] == "isom" and brand_only[5] == 0
+    for cut in range(12, len(m)):
+        got = M._mp4_meta_one(m[:cut])
+        if cut == ftyp_len:
+            assert got == brand_only
+        else:
+            assert got == (None,) * 8, f"partial decode at cut={cut}: {got}"
+    assert M._mp4_meta_one(m) == full  # intact decode unchanged
+
+
+def test_mp4_undersized_leaf_boxes_null_the_row():
+    """A corrupt leaf whose declared size is too small for its fields
+    must not read the NEXT box's bytes as field values."""
+    import struct
+
+    m = bytearray(M.mp4_bytes(1000, 5000, 320, 240, [100], False))
+    i = struct.unpack(">I", m[:4])[0]      # start of moov
+    body = i + 8
+    # shrink the first child (mvhd) to an 8-byte empty box; the walk
+    # must flag damage (v0 mvhd needs 20 body bytes), not misparse
+    assert m[body + 4:body + 8] == b"mvhd"
+    m[body:body + 4] = struct.pack(">I", 8)
+    assert M._mp4_meta_one(bytes(m)) == (None,) * 8
+
+
+def test_safetensors_truncation_always_raises():
+    """Every truncation offset must raise a diagnostic (ValueError or
+    its JSONDecodeError subclass) — never struct.error, never a
+    partial manifest."""
+    t = M.safetensors_bytes([("a", np.arange(6, dtype=np.int32)),
+                             ("b", np.ones((2, 2), dtype=np.int64))])
+    assert len(M.decode_safetensors_manifest(t)) == 2
+    for cut in range(0, len(t)):
+        with pytest.raises(ValueError):
+            M.decode_safetensors_manifest(t[:cut])
