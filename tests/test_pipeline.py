@@ -327,9 +327,14 @@ def test_real_mp4_box_walk():
     meta3 = mm._mp4_meta_one(ftyp + moov)
     assert (meta3[1], meta3[2]) == (90000, 3.0)
 
-    # garbage and truncation return nulls / partial without raising
+    # garbage returns nulls without raising; detectable truncation
+    # nulls the WHOLE row since round 9 (flagged, never silently
+    # partial — the exhaustive sweep lives in test_decoder_faults);
+    # a cut at a top-level box boundary parses as the prefix it is
     assert mm._mp4_meta_one(b"\x00" * 4 + b"junk") == (None,) * 8
-    assert mm._mp4_meta_one(b[:40])[0] == "isom"
+    assert mm._mp4_meta_one(b[:40]) == (None,) * 8      # cut mid-moov
+    (ftyp_len,) = _s.unpack(">I", b[:4])
+    assert mm._mp4_meta_one(b[:ftyp_len])[0] == "isom"  # boundary prefix
 
 
 def test_int8_quantization_error_bound(spark):
