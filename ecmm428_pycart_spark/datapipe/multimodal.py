@@ -1933,7 +1933,19 @@ def decode_gif_pixels(b: bytes) -> np.ndarray:
     """Decode the FIRST image of a GIF87a/89a to an (H, W, 3) RGB
     array via the global color table. Extensions are skipped; local
     color tables and interlace raise NotImplementedError (documented
-    edges, same policy as the PNG decoder grew out of)."""
+    edges, same policy as the PNG decoder grew out of).
+
+    Truncation discipline (round 9): the walk must reach the 0x3B
+    trailer — a stream whose image data happens to be complete but
+    whose tail was cut is still a truncated capture and raises; short
+    reads surface as diagnostic ValueError, never bare IndexError."""
+    try:
+        return _gif_first_image(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _gif_first_image(b: bytes) -> np.ndarray:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, packed = struct.unpack("<HHB", b[6:11])
@@ -1943,6 +1955,7 @@ def decode_gif_pixels(b: bytes) -> np.ndarray:
     gct_n = 2 << (packed & 0x07)
     gct = np.frombuffer(b[i:i + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
     i += 3 * gct_n
+    img = None
     while i < len(b):
         tag = b[i]
         if tag == 0x21:                   # extension: skip sub-blocks
@@ -1964,12 +1977,18 @@ def decode_gif_pixels(b: bytes) -> np.ndarray:
                 n = b[i]
                 chunks.append(b[i + 1:i + 1 + n])
                 i += 1 + n
-            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
-            return gct[idx].reshape(ih, iw, 3)
+            i += 1                        # sub-block terminator
+            if img is None:               # first image wins; later
+                idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+                img = gct[idx].reshape(ih, iw, 3)
         elif tag == 0x3B:
+            if img is not None:
+                return img
             break
         else:
             raise ValueError(f"unknown GIF block 0x{tag:02x}")
+    if img is not None:
+        raise ValueError("truncated GIF: missing trailer")
     raise ValueError("GIF without an image block")
 
 
@@ -2076,7 +2095,19 @@ def decode_gif_frames(b: bytes) -> list:
     """Decode EVERY image block of an animated GIF87a/89a into a list
     of (H, W, 3) RGB arrays (full-frame images sharing the global
     color table — the fixture writer's layout; partial-frame placement
-    and local tables raise, same policy as decode_gif_pixels)."""
+    and local tables raise, same policy as decode_gif_pixels).
+
+    Truncation discipline (round 9): a stream cut between frames used
+    to return the frames seen so far as if the animation were complete
+    — the silent-loss class the WAV fix taught. The walk now requires
+    the 0x3B trailer, and short reads raise diagnostic ValueError."""
+    try:
+        return _gif_all_frames(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _gif_all_frames(b: bytes) -> list:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, packed = struct.unpack("<HHB", b[6:11])
@@ -2087,6 +2118,7 @@ def decode_gif_frames(b: bytes) -> list:
     gct = np.frombuffer(b[i:i + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
     i += 3 * gct_n
     frames = []
+    saw_trailer = False
     while i < len(b):
         tag = b[i]
         if tag == 0x21:
@@ -2113,9 +2145,12 @@ def decode_gif_frames(b: bytes) -> list:
             idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
             frames.append(gct[idx].reshape(ih, iw, 3))
         elif tag == 0x3B:
+            saw_trailer = True
             break
         else:
             raise ValueError(f"unknown GIF block 0x{tag:02x}")
+    if not saw_trailer:
+        raise ValueError("truncated GIF: missing trailer")
     if not frames:
         raise ValueError("GIF without an image block")
     return frames
@@ -3264,7 +3299,16 @@ def decode_tiff_gray(b: bytes) -> tuple[np.ndarray, int]:
     (pixels (h, w) uint8, n_strips). Both byte orders; raises on bad
     magic, compression, bit depth, photometric or sample-count
     variants outside the baseline-gray scope, and on strip bytes
-    that don't cover the image."""
+    that don't cover the image. Short reads (a cut mid-IFD or
+    mid-entry) surface as diagnostic ValueError, never bare
+    struct.error (round-9 truncation discipline)."""
+    try:
+        return _decode_tiff_gray_inner(b)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated TIFF: {e}") from e
+
+
+def _decode_tiff_gray_inner(b: bytes) -> tuple[np.ndarray, int]:
     order = b[:2]
     if order == b"II":
         e = "<"

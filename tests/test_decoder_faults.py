@@ -154,3 +154,43 @@ def test_safetensors_truncation_always_raises():
     for cut in range(0, len(t)):
         with pytest.raises(ValueError):
             M.decode_safetensors_manifest(t[:cut])
+
+
+def test_tiff_gif_avi_every_offset_truncation_is_diagnostic():
+    """Exhaustive every-offset truncation over the remaining container
+    walks (both TIFF byte orders, single- and multi-frame GIF, MJPEG
+    AVI): every cut must raise ValueError/NotImplementedError — never
+    bare struct.error/IndexError, never a silent partial result. The
+    multi-frame GIF case found a real silent-loss bug (a stream cut
+    between frames returned the frames seen so far as a complete
+    animation); decode now requires the 0x3B trailer."""
+    arr = ((np.arange(48).reshape(6, 8) * 3) % 251).astype(np.uint8)
+    jf = M.encode_jpeg_gray(
+        ((np.arange(128).reshape(8, 16) * 3) % 251).astype(np.uint8))
+    cases = [
+        (M.tiff_bytes_gray(arr), M.decode_tiff_gray),
+        (M.tiff_bytes_gray(arr, True), M.decode_tiff_gray),
+        (M.gif_bytes_gray([list(r) for r in arr]), M.decode_gif_pixels),
+        (M.gif_bytes_gray_frames([[list(r) for r in arr]] * 3),
+         M.decode_gif_frames),
+        (M.avi_bytes_mjpeg([jf, jf], 16, 8, 10),
+         M.decode_avi_mjpeg_frames),
+    ]
+    for b, dec in cases:
+        dec(b)                                    # intact decodes
+        for cut in range(len(b)):
+            with pytest.raises((ValueError, NotImplementedError)):
+                dec(b[:cut])
+
+
+def test_gif_missing_trailer_raises_even_with_complete_image_data():
+    """The sharpest corner: cut ONLY the trailer byte — all pixel data
+    is present and decodable, but the capture is damaged and must say
+    so."""
+    arr = ((np.arange(48).reshape(6, 8) * 3) % 251).astype(np.uint8)
+    g1 = M.gif_bytes_gray([list(r) for r in arr])
+    with pytest.raises(ValueError, match="missing trailer"):
+        M.decode_gif_pixels(g1[:-1])
+    g3 = M.gif_bytes_gray_frames([[list(r) for r in arr]] * 3)
+    with pytest.raises(ValueError, match="missing trailer"):
+        M.decode_gif_frames(g3[:-1])
