@@ -1891,6 +1891,12 @@ def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> np.ndarray:
     """Decode a GIF LZW code stream (already de-sub-blocked) into
     ``npix`` palette indices. Codes are packed LSB-first; width starts
     at mcs+1 and grows when the table fills (cap 12 bits per spec)."""
+    if not 2 <= mcs <= 11:
+        # spec cap: code width <= 12, so mcs <= 11. A corrupt mcs byte
+        # (e.g. a flipped high bit: 0x08 -> 0x18) would otherwise
+        # allocate a 2^mcs base table — 16M tuples for mcs=24 — before
+        # any code is read: seconds of CPU + RAM per corrupt doc.
+        raise ValueError(f"GIF LZW: invalid min code size {mcs}")
     clear, end = 1 << mcs, (1 << mcs) + 1
     base = [(i,) for i in range(clear)] + [None, None]
     table = list(base)
@@ -3137,7 +3143,16 @@ def decode_qoi_pixels(b: bytes) -> np.ndarray:
     streams decode, their alpha feeds the index hash as the spec
     requires). Raises on bad magic, bad channel count, a run
     overrunning the pixel count, or a missing end marker — container
-    mistakes surface loudly instead of yielding shifted pixels."""
+    mistakes surface loudly instead of yielding shifted pixels. Short
+    reads and corrupt op bytes surface as diagnostic ValueError, never
+    bare IndexError (round-9 corruption discipline)."""
+    try:
+        return _decode_qoi_inner(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt QOI: {e}") from e
+
+
+def _decode_qoi_inner(b: bytes) -> np.ndarray:
     if b[:4] != b"qoif":
         raise ValueError("not a QOI stream")
     w, h, channels, _cs = struct.unpack(">IIBB", b[4:14])
@@ -3306,6 +3321,9 @@ def decode_tiff_gray(b: bytes) -> tuple[np.ndarray, int]:
         return _decode_tiff_gray_inner(b)
     except (struct.error, IndexError) as e:
         raise ValueError(f"truncated TIFF: {e}") from e
+    except KeyError as e:
+        # a corrupt tag id loses a required entry (width/height/strips)
+        raise ValueError(f"corrupt TIFF: missing required tag {e}") from e
 
 
 def _decode_tiff_gray_inner(b: bytes) -> tuple[np.ndarray, int]:

@@ -194,3 +194,84 @@ def test_gif_missing_trailer_raises_even_with_complete_image_data():
     g3 = M.gif_bytes_gray_frames([[list(r) for r in arr]] * 3)
     with pytest.raises(ValueError, match="missing trailer"):
         M.decode_gif_frames(g3[:-1])
+
+
+def test_bit_flip_corruption_is_decoded_or_diagnostic():
+    """Every single-bit flip over TIFF/GIF/QOI/WAV/MP4/protobuf
+    fixtures must either decode (a flipped DATA byte is just different
+    valid data) or raise ValueError/NotImplementedError — never a bare
+    KeyError/IndexError/struct.error, and never seconds of CPU. Found
+    in round 9: a flipped GIF min-code-size byte (0x08→0x18) allocated
+    a 2^24-entry LZW base table (~2s + RAM per corrupt doc — a DoS
+    vector over a crawl corpus), TIFF KeyError'd on corrupt tag ids,
+    QOI IndexError'd on corrupt op bytes."""
+    import time
+
+    arr = ((np.arange(24).reshape(4, 6) * 3) % 251).astype(np.uint8)
+    cases = [
+        (M.tiff_bytes_gray(arr), M.decode_tiff_gray),
+        (M.gif_bytes_gray([list(r) for r in arr]), M.decode_gif_pixels),
+        (M.qoi_bytes_rgb(np.arange(48, dtype=np.uint8).reshape(4, 4, 3)),
+         M.decode_qoi_pixels),
+        (M.wav_bytes_pcm(1, 8000, list(range(30)), 16),
+         M.decode_wav_samples),
+        (M.mp4_bytes(1000, 5000, 320, 240, [100, 200], False),
+         M._mp4_meta_one),
+        (M.pb_message_bytes(12345, "en", "web", 678), M.decode_pb_fields),
+    ]
+    for b, dec in cases:
+        dec(b)                               # intact decodes
+        t0 = time.time()
+        for i in range(len(b)):
+            for bit in range(8):
+                c = bytearray(b)
+                c[i] ^= (1 << bit)
+                try:
+                    dec(bytes(c))
+                except (ValueError, NotImplementedError):
+                    pass                     # diagnostic: fine
+        # whole sweep (len*8 decodes) must stay fast — a single corrupt
+        # doc costing seconds is a crawl-scale DoS
+        assert time.time() - t0 < 30
+
+
+def test_gif_invalid_min_code_size_raises_fast():
+    arr = ((np.arange(24).reshape(4, 6) * 3) % 251).astype(np.uint8)
+    b = bytearray(M.gif_bytes_gray([list(r) for r in arr]))
+    mcs_at = 6 + 7 + 3 * 256 + 10   # header + LSD + GCT + descriptor
+    assert b[mcs_at] == 8
+    b[mcs_at] = 0x18                         # the flip that cost ~2s
+    import time
+    t0 = time.time()
+    with pytest.raises(ValueError, match="min code size"):
+        M.decode_gif_pixels(bytes(b))
+    assert time.time() - t0 < 0.1
+
+
+def test_gzip_and_protobuf_truncation_contracts():
+    """Formats with NO top-level framing: a cut at a member/field
+    boundary is indistinguishable from a complete shorter stream (the
+    MP4 top-level-box rule) and parses as that prefix; every mid-unit
+    cut raises a diagnostic."""
+    import gzip as G
+
+    buf = G.compress(b"hello world " * 10) + G.compress(b"second")
+    full = M.decode_gzip_members(buf)
+    assert len(full) == 2
+    boundary = len(G.compress(b"hello world " * 10))
+    for cut in range(1, len(buf)):
+        if cut == boundary:
+            assert len(M.decode_gzip_members(buf[:cut])) == 1
+        else:
+            with pytest.raises((ValueError, NotImplementedError)):
+                M.decode_gzip_members(buf[:cut])
+
+    pb = M.pb_message_bytes(12345, "en", "web", 678)
+    full_fields = M.decode_pb_fields(pb)
+    for cut in range(len(pb)):
+        try:
+            got = M.decode_pb_fields(pb[:cut])
+        except ValueError:
+            continue                          # mid-field cut: diagnostic
+        # field-boundary prefix: valid protobuf with fewer fields
+        assert got["n_fields"] < full_fields["n_fields"]
