@@ -480,7 +480,19 @@ def decode_png_pixels(b: bytes) -> np.ndarray:
 
     Adam7: each of the 7 passes is an independently filtered sub-image
     (the filter `prior` row resets per pass); decoded pass pixels
-    scatter back to the full grid at (x0 + i*dx, y0 + j*dy)."""
+    scatter back to the full grid at (x0 + i*dx, y0 + j*dy).
+
+    Corruption discipline (round 9): a damaged IDAT stream or chunk
+    layout surfaces as diagnostic ValueError, never bare zlib.error /
+    struct.error / IndexError."""
+    import zlib as _z
+    try:
+        return _decode_png_inner(b)
+    except (_z.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(b: bytes) -> np.ndarray:
     if not b.startswith(b"\x89PNG\r\n\x1a\n"):
         raise ValueError("not a PNG stream")
     i, width, height, idat, plte = 8, None, None, [], None
@@ -1326,7 +1338,18 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Full baseline decode of a grayscale JFIF produced by any
     conformant encoder (single component, no restart markers):
     segment walk -> tables from the file -> entropy decode -> dequant
-    -> IDCT -> uint8 pixels."""
+    -> IDCT -> uint8 pixels. Corrupt streams (flipped table ids,
+    truncated entropy data, out-of-range code lengths) surface as
+    diagnostic ValueError, never bare KeyError/IndexError/
+    OverflowError (round-9 corruption discipline)."""
+    try:
+        return _decode_jpeg_gray_inner(data)
+    except (KeyError, IndexError, OverflowError, struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_gray_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1597,7 +1620,16 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 def decode_jpeg_color(data: bytes):
     """Full baseline 4:2:0 color decode: returns (y, cb, cr) planes
     (chroma at half resolution — callers upsample/convert as needed).
-    Grayscale files decode via decode_jpeg_gray."""
+    Grayscale files decode via decode_jpeg_gray. Corruption surfaces
+    as diagnostic ValueError (same contract as decode_jpeg_gray)."""
+    try:
+        return _decode_jpeg_color_inner(data)
+    except (KeyError, IndexError, OverflowError, struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_color_inner(data: bytes):
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2

@@ -207,7 +207,13 @@ def test_bit_flip_corruption_is_decoded_or_diagnostic():
     QOI IndexError'd on corrupt op bytes."""
     import time
 
+    import zlib
+
     arr = ((np.arange(24).reshape(4, 6) * 3) % 251).astype(np.uint8)
+    jarr = ((np.arange(128).reshape(8, 16) * 3) % 251).astype(np.uint8)
+    y = ((np.arange(256).reshape(16, 16) * 3) % 251).astype(np.uint8)
+    cb = (np.arange(64).reshape(8, 8) % 151).astype(np.uint8) + 100
+    cr = (np.arange(64).reshape(8, 8)[::-1] % 151).astype(np.uint8) + 50
     cases = [
         (M.tiff_bytes_gray(arr), M.decode_tiff_gray),
         (M.gif_bytes_gray([list(r) for r in arr]), M.decode_gif_pixels),
@@ -218,6 +224,18 @@ def test_bit_flip_corruption_is_decoded_or_diagnostic():
         (M.mp4_bytes(1000, 5000, 320, 240, [100, 200], False),
          M._mp4_meta_one),
         (M.pb_message_bytes(12345, "en", "web", 678), M.decode_pb_fields),
+        # round-9 second wave: PNG leaked zlib.error, JPEG leaked
+        # KeyError/IndexError/OverflowError from corrupt tables
+        (M.png_bytes_rgb(np.arange(48, dtype=np.uint8).reshape(4, 4, 3)),
+         M.decode_png_pixels),
+        (M.encode_jpeg_gray(jarr), M.decode_jpeg_gray),
+        (M.encode_jpeg_color(y, cb, cr), M.decode_jpeg_color),
+        (M.lz4_compress_block(b"abcabcabcabc1234" * 8),
+         M.lz4_decompress_block),
+        (zlib.compress(b"the quick brown fox " * 10)[2:-4], M.inflate),
+        (M.warc_bytes([("response", "http://h0.example/a",
+                        b"hello world payload")]),
+         M.decode_warc_records),
     ]
     for b, dec in cases:
         dec(b)                               # intact decodes
