@@ -80,3 +80,36 @@ def test_nodes_match_grid_region_idx(spark):
     b = sorted(r["region_idx"] for r in
                _customer_grid(spark, TESTDATA).select("region_idx").collect())
     assert a == b
+
+
+def test_two_process_build_race(tmp_path):
+    """The claimed atomicity, actually raced: two separate Spark
+    processes build the same store key simultaneously into a fresh
+    root. Exactly one table must exist afterwards, no tmp dirs may
+    linger, and both processes must return the same correct row count."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "race_store")
+    prog = f"""
+import os
+os.environ["SPARK_GRAFT_BORDERS_STORE"] = {root!r}
+os.environ.pop("SPARK_GRAFT_BORDERS_STORE_OFF", None)
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+from ecmm428_pycart_spark.datapipe.borders_store import customer_borders
+print("ROWS", customer_borders(spark, {TESTDATA!r}).count())
+"""
+    procs = [subprocess.Popen([_sys.executable, "-c", prog],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL, text=True)
+             for _ in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    counts = [int(o.split("ROWS")[1].split()[0]) for o in outs]
+    assert counts[0] == counts[1] > 0
+    entries = os.listdir(root)
+    assert len(entries) == 1 and ".tmp." not in entries[0], entries
