@@ -28,59 +28,60 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-9 ROTATION: the queued8 batch (registered round 8,
-    # deferred to this window) + two sentinels (q01 relational
-    # core, g04 dorling parity)
+    # ROUND-10 ROTATION (evidence freshness): the 48 queries
+    # with the OLDEST committed driver-gate rows (rounds 1-3
+    # vintage), re-gated on the current tree + two sentinels.
+    # Computed by tools/apply_round10.py from CORRECTNESS_r*.
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d80_sorted_neighborhood",
-    "d81_lang_confusion",
-    "d82_chunk_reassembly",
-    "d83_robots_filter",
-    "d84_registrable_domain",
-    "d85_heaps_curve",
-    "d86_utf8_audit",
-    "d87_spearman_metrics",
-    "d88_hrw_rebalance",
-    "d92_html_extract",
-    "d93_outlink_graph",
-    "d94_crawl_frontier",
-    "d95_twostage_neardup",
-    "g35_morans_i",
-    "g36_euler_audit",
-    "g38_lisa_quadrants",
-    "g40_placement_compare",
-    "g41_host_pagerank",
-    "m45_ulaw_roundtrip",
-    "m46_zip_deflate_roundtrip",
-    "m47_pnm_roundtrip",
-    "m48_mp3_stream_stats",
-    "m49_tga_png_transcode",
-    "m51_warc_gz_members",
-    "m52_warc_media_dispatch",
-    "q119_date_dimension",
-    "q120_native_session_window",
-    "q121_moment_profile",
-    "q122_percent_of_parent",
-    "q123_inferred_members",
-    "q124_lateral_topk",
-    "q125_not_in_null_trap",
-    "q126_fk_discovery",
-    "q127_fanout_inflation",
-    "q128_pivot_roundtrip",
-    "q129_hopping_windows",
-    "q130_union_by_name",
-    "q131_try_cast_ingest",
-    "q132_decayed_engagement",
-    "q133_crawl_pipeline",
-    "q134_decontaminated_curation",
-    "q135_recrawl_delta",
-    "q136_quality_cascade",
-    "q137_crawl_search",
-    "q138_curated_packing",
-    "s31_lsh_tables_recall",
-    "st23_stream_cdc_tombstones",
-    "st24_stream_hopping",
+    "d03_lang_id",
+    "d04_fingerprint",
+    "d05_minhash_signature",
+    "d07_simhash",
+    "d09_quality_score",
+    "q15_window_running_sum",
+    "q16_topk",
+    "q17_distinct_agg",
+    "q18_rollup",
+    "q19_events_hourly",
+    "q20_sessionize",
+    "q21_json_extract",
+    "q22_revenue_by_nation",
+    "q23_pivot",
+    "q24_cube",
+    "q25_stats",
+    "q26_orders_by_month",
+    "q27_string_ops",
+    "q28_having",
+    "q29_topk_per_group",
+    "q30_lead_lag",
+    "q31_asof_join",
+    "q32_range_bucket_join",
+    "q33_outer_join",
+    "q34_set_ops",
+    "q35_scalar_subquery",
+    "q36_null_ops",
+    "q37_rank_family",
+    "q39_funnel",
+    "q40_iqr_outliers",
+    "q48_replicated_skew_join",
+    "q49_constraint_report",
+    "q51_forecast_revenue",
+    "st02_stream_sessions",
+    "st03_stream_dedup",
+    "st04_stream_user_stats",
+    "d01_dedup_exact",
+    "d02_text_stats",
+    "d06_minhash_lsh_jaccard",
+    "d08_simhash_neardup",
+    "d15_dup_clusters",
+    "d19_corpus_clean",
+    "d22_fuzzy_pairs",
+    "d25_decontamination",
+    "g01_noncontiguous_scale",
+    "g03_dorling_radii",
+    "g05_dorling_scalable",
+    "g06_distance_pairs",
 ]
 
 # Queries registered this round that did NOT fit the round-5 window;

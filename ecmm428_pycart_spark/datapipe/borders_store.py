@@ -32,8 +32,12 @@ scan instead of re-running geometry. This module is that move:
 - Correctness contract: the store holds EXACTLY the fresh build's
   rows (a deterministic edge SET for a given customer table — pinned
   by tests/test_borders_store.py), so every consumer's oracle is
-  unchanged. The fingerprint (count + min/max custkey) keys the store
-  to the data, not the path, so a regenerated sf dir re-materializes.
+  unchanged. The fingerprint (count + min/max + order-insensitive
+  sum/bit_xor digest of custkey) keys the store to the data, not the
+  path, so a regenerated sf dir re-materializes; the key also folds in
+  a hash of the producing code's source (_algo_version), so editing
+  get_borders/_customer_grid/geometry invalidates old store entries
+  instead of silently serving stale edges.
 
 Set ``SPARK_GRAFT_BORDERS_STORE_OFF=1`` to bypass the store (fresh
 per-query build — the A side of docs/AB_BORDERS_r9.md);
@@ -43,6 +47,8 @@ per-query build — the A side of docs/AB_BORDERS_r9.md);
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import os
 import shutil
 import uuid
@@ -53,9 +59,33 @@ from pyspark.sql import functions as F
 from ecmm428_pycart_spark.session import load_table
 
 _LAYOUT_VERSION = "v1"
-# (count, min, max) of c_custkey per sf_dir, memoized per process so
-# repeated calls in one gate/bench session pay the fingerprint agg once
-_FP_MEMO: dict[str, tuple[int, int, int]] = {}
+# fingerprint of c_custkey per sf_dir, memoized per process so repeated
+# calls in one gate/bench session pay the fingerprint agg once
+_FP_MEMO: dict[str, tuple[int, int, int, str]] = {}
+_ALGO_MEMO: list[str] = []
+
+
+def _algo_version() -> str:
+    """Hash of the SOURCE of everything that determines the store's
+    contents (ADVICE r9, medium): _customer_grid, the borders operator
+    module, the geometry modules it calls, and _fresh_borders itself.
+    Any edit to the producing code changes the store key, so a stale
+    table built by older code can never be served silently."""
+    if not _ALGO_MEMO:
+        from ecmm428_pycart_spark.benchmarks import geo_queries
+        from ecmm428_pycart_spark.geometry import core as geo_core
+        from ecmm428_pycart_spark.geometry import udfs as geo_udfs
+        from ecmm428_pycart_spark.operators import borders as borders_op
+
+        src = "\n".join([
+            inspect.getsource(geo_queries._customer_grid),
+            inspect.getsource(borders_op),
+            inspect.getsource(geo_udfs),
+            inspect.getsource(geo_core),
+            inspect.getsource(_fresh_borders),
+        ])
+        _ALGO_MEMO.append(hashlib.sha256(src.encode()).hexdigest()[:12])
+    return _ALGO_MEMO[0]
 
 
 def _store_root() -> str:
@@ -67,14 +97,24 @@ def _store_root() -> str:
     return os.path.join(repo, "out", "borders_store")
 
 
-def _fingerprint(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+def _fingerprint(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, str]:
+    """(count, min, max, key-set digest) of c_custkey. The digest is an
+    order-insensitive sum + bit_xor of the keys (ADVICE r9, low): two
+    customer tables with equal count/min/max but different key SETS
+    (e.g. {1,2,4,5} vs {1,3,4,5}) no longer collide onto one store."""
     key = os.path.abspath(sf_dir)
     if key not in _FP_MEMO:
         row = (load_table(spark, sf_dir, "customer")
+               .select(F.col("c_custkey").cast("long").alias("k"))
                .agg(F.count(F.lit(1)).alias("n"),
-                    F.min("c_custkey").alias("lo"),
-                    F.max("c_custkey").alias("hi")).collect()[0])
-        _FP_MEMO[key] = (int(row["n"]), int(row["lo"]), int(row["hi"]))
+                    F.min("k").alias("lo"),
+                    F.max("k").alias("hi"),
+                    F.sum("k").alias("s"),
+                    F.expr("bit_xor(k)").alias("x")).collect()[0])
+        digest = hashlib.sha256(
+            f"{row['s']}_{row['x']}".encode()).hexdigest()[:10]
+        _FP_MEMO[key] = (int(row["n"]), int(row["lo"]), int(row["hi"]),
+                         digest)
     return _FP_MEMO[key]
 
 
@@ -106,9 +146,10 @@ def customer_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if os.environ.get("SPARK_GRAFT_BORDERS_STORE_OFF") == "1":
         return _fresh_borders(spark, sf_dir)
-    n, lo, hi = _fingerprint(spark, sf_dir)
-    final = os.path.join(_store_root(),
-                         f"{_LAYOUT_VERSION}_c{n}_{lo}_{hi}")
+    n, lo, hi, digest = _fingerprint(spark, sf_dir)
+    final = os.path.join(
+        _store_root(),
+        f"{_LAYOUT_VERSION}_{_algo_version()}_c{n}_{lo}_{hi}_{digest}")
     if not os.path.isdir(final):
         tmp = f"{final}.tmp.{uuid.uuid4().hex[:12]}"
         try:

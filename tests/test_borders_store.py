@@ -53,22 +53,39 @@ def test_store_off_env_bypasses_disk(spark, tmp_path, monkeypatch):
     assert not os.path.exists(root)
 
 
-def test_lost_race_reads_winner(spark, store_root):
+def test_lost_race_reads_winner(spark, store_root, monkeypatch):
     """If the final dir appears between the existence check and the
     rename (a concurrent gate JVM won the build race), the loser must
-    clean its tmp dir and serve the winner's table."""
+    clean its tmp dir and serve the winner's table.
+
+    ADVICE r9 (low): the branch is forced DETERMINISTICALLY — the
+    winner's table exists, but os.path.isdir is patched to report it
+    missing once, so the loser really builds, really collides on
+    os.rename (rename-onto-nonempty-dir raises), and must recover."""
     from ecmm428_pycart_spark.datapipe import borders_store as bs
 
     # winner's table, materialized up front
-    bs.customer_borders(spark, TESTDATA)
+    winner = _rowset(bs.customer_borders(spark, TESTDATA))
     final = [d for d in os.listdir(store_root)][0]
 
-    # simulate the loser: rename onto the existing dir raises OSError,
-    # which the store swallows by reading `final`. Reproduce by calling
-    # again after damaging nothing — then assert tmp dirs never linger.
-    bs.customer_borders(spark, TESTDATA)
+    real_isdir = os.path.isdir
+    lied = []
+
+    def lying_isdir(path):
+        # lie exactly once, for the final store dir's existence check
+        if not lied and os.path.basename(path) == final:
+            lied.append(path)
+            return False
+        return real_isdir(path)
+
+    monkeypatch.setattr(os.path, "isdir", lying_isdir)
+    loser = _rowset(bs.customer_borders(spark, TESTDATA))
+    assert lied, "the existence check was never exercised"
+    # the loser's rename collided, its tmp dir was cleaned, and it
+    # served the winner's rows
     leftovers = [d for d in os.listdir(store_root) if ".tmp." in d]
     assert leftovers == [] and final in os.listdir(store_root)
+    assert loser == winner
 
 
 def test_nodes_match_grid_region_idx(spark):

@@ -39,7 +39,15 @@ def stalest_names(n: int = 48) -> list[str]:
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
         rnd = int(m.group(1))
-        for name in json.load(open(path)):
+        for name, row in json.load(open(path)).items():
+            # ADVICE r9: only rows that actually PASSED count as gate
+            # evidence — a failed/errored row must not make a query
+            # look freshly gated and rotate it out of the window.
+            if row.get("err") is not None:
+                continue
+            if not (row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match")):
+                continue
             last[name] = max(last.get(name, 0), rnd)
     registered = list(ent.queries())
     # never-gated (shouldn't exist after round 9) sorts most-stale
