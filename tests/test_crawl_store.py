@@ -1,0 +1,99 @@
+"""Pins for the write-once extracted-corpus store (datapipe/crawl_store).
+
+Same contract as test_borders_store: "exactly the fresh extraction's
+rows, built at most once, atomically". A wrong or stale store would
+silently poison every crawl-family consumer (q133/q137/d93/d94/g41/
+m52), so each derived table is compared row-for-row against a
+same-session fresh extraction, the bypass env and atomic build are
+exercised, the lost-race branch is forced deterministically, and two
+consumers are pinned store == fresh end-to-end.
+"""
+
+import os
+
+import pytest
+
+from tests.conftest import TESTDATA
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def store_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "crawl_store")
+    monkeypatch.setenv("SPARK_GRAFT_CRAWL_STORE", root)
+    monkeypatch.delenv("SPARK_GRAFT_CRAWL_STORE_OFF", raising=False)
+    return root
+
+
+def test_store_equals_fresh_all_tables(spark, store_root):
+    from ecmm428_pycart_spark.datapipe import crawl_store as cs
+
+    for fresh_fn, served_fn in [(cs._fresh_html, cs.crawl_html),
+                                (cs._fresh_links, cs.crawl_links),
+                                (cs._fresh_media, cs.crawl_media)]:
+        fresh = fresh_fn(spark, TESTDATA)
+        built = served_fn(spark, TESTDATA)    # build + write
+        reread = served_fn(spark, TESTDATA)   # pure read
+        assert built.columns == fresh.columns
+        assert _rows(built) == _rows(fresh)
+        assert _rows(reread) == _rows(fresh)
+    dirs = [d for d in os.listdir(store_root) if not d.startswith(".")]
+    assert len(dirs) == 3 and not any(".tmp." in d for d in dirs)
+
+
+def test_store_off_env_bypasses_disk(spark, tmp_path, monkeypatch):
+    from ecmm428_pycart_spark.datapipe import crawl_store as cs
+
+    root = str(tmp_path / "never_created")
+    monkeypatch.setenv("SPARK_GRAFT_CRAWL_STORE", root)
+    monkeypatch.setenv("SPARK_GRAFT_CRAWL_STORE_OFF", "1")
+    assert cs.crawl_html(spark, TESTDATA).count() > 0
+    assert cs.crawl_links(spark, TESTDATA).count() > 0
+    assert cs.crawl_media(spark, TESTDATA).count() > 0
+    assert not os.path.exists(root)
+
+
+def test_lost_race_reads_winner(spark, store_root, monkeypatch):
+    """Force the rename-collision branch deterministically (same
+    protocol as test_borders_store): the winner's table exists, but
+    os.path.isdir lies once, so the loser really builds, really
+    collides on os.rename, cleans its tmp dir, and serves the
+    winner's rows."""
+    from ecmm428_pycart_spark.datapipe import crawl_store as cs
+
+    winner = _rows(cs.crawl_links(spark, TESTDATA))
+    final = [d for d in os.listdir(store_root) if d.endswith("_links")][0]
+
+    real_isdir = os.path.isdir
+    lied = []
+
+    def lying_isdir(path):
+        if not lied and os.path.basename(path) == final:
+            lied.append(path)
+            return False
+        return real_isdir(path)
+
+    monkeypatch.setattr(os.path, "isdir", lying_isdir)
+    loser = _rows(cs.crawl_links(spark, TESTDATA))
+    assert lied, "the existence check was never exercised"
+    leftovers = [d for d in os.listdir(store_root) if ".tmp." in d]
+    assert leftovers == [] and final in os.listdir(store_root)
+    assert loser == winner
+
+
+def test_consumers_store_equals_fresh(spark, store_root, monkeypatch):
+    """End-to-end pin on two consumers spanning both heavy tables:
+    q133 (html) and g41 (links) must return identical rows with the
+    store serving and with it bypassed."""
+    from ecmm428_pycart_spark.benchmarks import get_queries
+
+    qs = get_queries()
+    for name in ("q133_crawl_pipeline", "g41_host_pagerank"):
+        monkeypatch.delenv("SPARK_GRAFT_CRAWL_STORE_OFF", raising=False)
+        with_store = _rows(qs[name](spark, TESTDATA))
+        monkeypatch.setenv("SPARK_GRAFT_CRAWL_STORE_OFF", "1")
+        fresh = _rows(qs[name](spark, TESTDATA))
+        assert with_store == fresh, name
