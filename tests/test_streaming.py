@@ -537,3 +537,78 @@ def test_stream_rolling_anomaly_survives_checkpoint_restart(spark, tmp_path):
     got, want = _kill_resume_harness(
         spark, tmp_path, stream_rolling_anomaly, _last_emission_by_batch)
     assert got == want and len(got) > 0
+
+
+def test_stream_timeout_sessions_survive_checkpoint_restart(spark, tmp_path):
+    """st14's applyInPandasWithState sessionizer must RESUME across a
+    stop/restart (VERDICT r9 next-4 — the last non-trivial-state
+    streaming entry without this pin): open sessions live in the state
+    store with an event-time timeout, so a kill between slices puts
+    every mid-session key's state at risk. The interrupted run stops
+    after two time-ordered slices and resumes on the SAME checkpoint
+    for the rest (incl. the watermark-advancing sentinels that fire
+    the final timeouts); its closed-session SET must equal an
+    uninterrupted run's. Lost state would split every boundary-
+    spanning session in two — different (start, last, n, sum) rows."""
+    import datetime
+
+    from pyspark.sql import Window as W
+
+    from ecmm428_pycart_spark.benchmarks.relational import _await_stream
+    from ecmm428_pycart_spark.streaming.events import (
+        read_events_stream, timeout_sessionize,
+        write_time_ordered_stream_dir)
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def sent(i, hours):
+        return spark.createDataFrame(
+            [(10**9 + i, max_ts + datetime.timedelta(hours=hours), -1,
+              "click", 0.0, None)], ev.schema)
+
+    ranked = (ev.withColumn(
+        "_b", F.ntile(4).over(W.orderBy("ts", "event_id")))
+        .localCheckpoint(eager=True))
+    slices = ([ranked.filter(F.col("_b") == i).drop("_b")
+               for i in range(1, 5)] + [sent(0, 200), sent(1, 201)])
+
+    def run(src, ckpt, sink):
+        def emit(df, bid):
+            df.write.mode("append").parquet(sink)
+        stream = (read_events_stream(spark, src, max_files_per_trigger=1)
+                  .withWatermark("ts", "1 hour")
+                  .select("user_id", "ts", "value"))
+        w = (timeout_sessionize(stream, gap_minutes=30)
+             .writeStream.foreachBatch(emit)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True))
+        _await_stream(spark, w)
+
+    def closed_sessions(sink):
+        return sorted(
+            (int(r["user_id"]), int(r["session_start_us"]),
+             int(r["session_last_us"]), int(r["n_events"]),
+             round(float(r["sum_value"]), 2))
+            for r in spark.read.parquet(sink).collect()
+            if int(r["user_id"]) >= 0)
+
+    # interrupted: two slices, stop mid-stream, rest arrives, resume
+    src_a = str(tmp_path / "src_a")
+    os.makedirs(src_a)
+    write_time_ordered_stream_dir(slices[:2], src_a, start_seq=0)
+    ckpt_a, sink_a = str(tmp_path / "ck_a"), str(tmp_path / "out_a")
+    run(src_a, ckpt_a, sink_a)
+    write_time_ordered_stream_dir(slices[2:], src_a, start_seq=2)
+    run(src_a, ckpt_a, sink_a)      # SAME checkpoint: must resume
+
+    # uninterrupted oracle run
+    src_b = str(tmp_path / "src_b")
+    os.makedirs(src_b)
+    write_time_ordered_stream_dir(slices, src_b, start_seq=0)
+    ckpt_b, sink_b = str(tmp_path / "ck_b"), str(tmp_path / "out_b")
+    run(src_b, ckpt_b, sink_b)
+
+    got, want = closed_sessions(sink_a), closed_sessions(sink_b)
+    assert got == want and len(got) > 0
