@@ -5340,7 +5340,19 @@ def decode_warc_records(buf: bytes) -> list[dict]:
         fields = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(b":")
-            fields[k.strip().lower().decode()] = v.strip().decode()
+            key = k.strip().lower().decode()
+            val = v.strip().decode()
+            if key == "content-length" and fields.get(key, val) != val:
+                # two disagreeing Content-Length headers make the
+                # record's framing ambiguous — whichever value a
+                # reader picks, half the readers out there pick the
+                # other one and desync. Reject loudly (round-10
+                # structural-damage discipline); last-wins used to
+                # resolve this silently.
+                raise ValueError(
+                    "conflicting WARC Content-Length headers "
+                    f"({fields[key]} vs {val})")
+            fields[key] = val
         if "content-length" not in fields:
             raise ValueError("WARC record without Content-Length")
         clen = int(fields["content-length"])

@@ -293,3 +293,145 @@ def test_gzip_and_protobuf_truncation_contracts():
             continue                          # mid-field cut: diagnostic
         # field-boundary prefix: valid protobuf with fewer fields
         assert got["n_fields"] < full_fields["n_fields"]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 structural damage (VERDICT r9 next-6): multi-byte/structural
+# corruption beyond single-bit flips and truncation — swapped PNG
+# chunks, duplicated IFDs / IFD-chain cycles, overlapping MP4 boxes,
+# WARC records whose Content-Length headers disagree. Contract
+# unchanged: decode EXACTLY or raise/null with a diagnostic, in
+# bounded time — never a silently-partial or ambiguous parse.
+# ---------------------------------------------------------------------------
+
+def _png_chunks(b):
+    import struct
+    i, out = 8, []
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i:i + 4])
+        out.append((b[i + 4:i + 8], b[i:i + 12 + length]))
+        i += 12 + length
+    return out
+
+
+def test_png_swapped_chunks_decode_exactly_or_raise():
+    """Chunk order is a spec MUST (IHDR first) but carries no pixel
+    information: a reordered-chunk file must either decode to the
+    exact original pixels or raise — never to different pixels."""
+    arr = (np.arange(48).reshape(4, 4, 3) % 256).astype(np.uint8)
+    p = M.png_bytes_rgb(arr)
+    cs = _png_chunks(p)
+    ihdr = next(c for t, c in cs if t == b"IHDR")
+    idat = next(c for t, c in cs if t == b"IDAT")
+    rest = b"".join(c for t, c in cs if t not in (b"IHDR", b"IDAT"))
+    swapped = p[:8] + idat + ihdr + rest
+    out = M.decode_png_pixels(swapped)
+    assert np.array_equal(out, arr)
+
+
+def test_png_duplicate_conflicting_ihdr_raises():
+    """A second IHDR with different dimensions makes the geometry
+    ambiguous; the decoder must notice (the IDAT byte count can't
+    satisfy both) rather than pick one silently."""
+    import struct
+    arr = (np.arange(48).reshape(4, 4, 3) % 256).astype(np.uint8)
+    p = M.png_bytes_rgb(arr)
+    cs = _png_chunks(p)
+    ihdr = next(c for t, c in cs if t == b"IHDR")
+    idat = next(c for t, c in cs if t == b"IDAT")
+    rest = b"".join(c for t, c in cs if t not in (b"IHDR", b"IDAT"))
+    fake = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    ihdr2 = struct.pack(">I", len(fake)) + b"IHDR" + fake + b"\0\0\0\0"
+    with pytest.raises(ValueError):
+        M.decode_png_pixels(p[:8] + ihdr + ihdr2 + idat + rest)
+
+
+def test_tiff_ifd_chain_cycle_is_bounded():
+    """A next-IFD pointer looping back to the first IFD must not hang
+    or recurse: the baseline decoder reads exactly one IFD, so the
+    cycle is inert and the pixels still decode exactly. Pinned so a
+    future multi-IFD extension inherits the cycle guard expectation."""
+    import struct
+    import time
+
+    arr = (np.arange(16).reshape(4, 4) % 256).astype(np.uint8)
+    for big_endian in (False, True):
+        t = M.tiff_bytes_gray(arr, big_endian=big_endian)
+        e = ">" if big_endian else "<"
+        ifd_off = struct.unpack(e + "I", t[4:8])[0]
+        n_tags = struct.unpack(e + "H", t[ifd_off:ifd_off + 2])[0]
+        nxt = ifd_off + 2 + 12 * n_tags
+        cyc = bytearray(t)
+        cyc[nxt:nxt + 4] = struct.pack(e + "I", ifd_off)  # self-cycle
+        t0 = time.time()
+        px, n_strips = M.decode_tiff_gray(bytes(cyc))
+        assert time.time() - t0 < 5.0
+        assert np.array_equal(px, arr) and n_strips >= 1
+
+
+def _mp4_find_box(b, tag, start=0, end=None):
+    import struct
+    end = len(b) if end is None else end
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i:i + 4])
+        if b[i + 4:i + 8] == tag:
+            return i, size
+        i += size
+    raise AssertionError(f"box {tag} not found")
+
+
+def test_mp4_overlapping_boxes_null_or_exact():
+    """Overlapping/oversized box declarations: a leaf whose declared
+    size crosses its parent's span must null the row (the span check),
+    and a container whose size is shrunk mid-child must null too (the
+    walk would otherwise read child bytes as box headers). A sibling
+    overlap that happens to re-align on valid child boxes may parse —
+    but then it must parse to EXACTLY the undamaged metadata."""
+    import struct
+
+    m = M.mp4_bytes(600, 6000, 320, 240, [100, 200, 300], True)
+    full = M._mp4_meta_one(m)
+    assert full[0] == "isom" and full[5] == 2 and full[6] == 4
+
+    mi, msize = _mp4_find_box(m, b"moov")
+    ti, tsize = _mp4_find_box(m, b"trak", mi + 8, mi + msize)
+    ki, _ = _mp4_find_box(m, b"tkhd", ti + 8, ti + tsize)
+
+    # tkhd declared size inflated past its trak parent -> damaged row
+    bad = bytearray(m)
+    bad[ki:ki + 4] = struct.pack(">I", tsize)
+    assert M._mp4_meta_one(bytes(bad)) == (None,) * 8
+
+    # trak container shrunk so the moov walk lands mid-child -> damaged
+    bad2 = bytearray(m)
+    bad2[ti:ti + 4] = struct.pack(">I", 16)
+    assert M._mp4_meta_one(bytes(bad2)) == (None,) * 8
+
+    # mvhd sibling overlap that re-aligns on the tkhd boundary: the
+    # walk absorbs the 8-byte trak header and still reads every leaf —
+    # allowed ONLY because the result is byte-identical metadata
+    vi, vsize = _mp4_find_box(m, b"mvhd", mi + 8, mi + msize)
+    bad3 = bytearray(m)
+    bad3[vi:vi + 4] = struct.pack(">I", vsize + 8)
+    got = M._mp4_meta_one(bytes(bad3))
+    assert got == full or got == (None,) * 8
+
+
+def test_warc_conflicting_content_length_raises():
+    """Two disagreeing Content-Length headers in one record make the
+    framing ambiguous (different readers pick different values and
+    desync). Before round 10 the parser silently kept the LAST header
+    — the dangerous case, since last-wins framing still lands on a
+    valid separator and nothing downstream notices."""
+    w = M.warc_bytes([("response", "http://h0.example/a",
+                       b"hello world")])
+    # wrong value first, framing-correct value last: the silent shape
+    w2 = w.replace(b"WARC/1.0\r\n",
+                   b"WARC/1.0\r\nContent-Length: 3\r\n", 1)
+    with pytest.raises(ValueError, match="conflicting WARC Content-Length"):
+        M.decode_warc_records(w2)
+    # duplicated but AGREEING headers stay acceptable (no ambiguity)
+    w3 = w.replace(b"WARC/1.0\r\n",
+                   b"WARC/1.0\r\nContent-Length: 11\r\n", 1)
+    assert M.decode_warc_records(w3)[0]["payload"] == b"hello world"
