@@ -163,3 +163,50 @@ def test_full_registry_still_contains_everything():
                      "s08_int8_quantize", "q22_revenue_by_nation",
                      "g08_dorling_scalable_large", "st01_stream_hourly"):
         assert required in names
+
+
+def test_window_is_the_evidence_freshness_rotation():
+    """Round-10 invariant (VERDICT r9 next-1): with the registration
+    backlog at zero, the window must be the two sentinels plus the 48
+    queries with the OLDEST committed PASSING gate rows. Two valid
+    states, covering both phases of a round:
+
+    - the window equals the rotation computed from the committed
+      CORRECTNESS files (just rotated, gate not yet run), or
+    - every non-sentinel window name's most recent PASSING row is the
+      newest committed round (the window was executed and its evidence
+      is now the freshest — true immediately after the driver gate
+      lands, until the next rotation runs).
+
+    Anything else means the window drifted from the contract, or a
+    windowed query FAILED its gate (which must be loud, not rotated
+    past — the ADVICE r9 stalest_names fix)."""
+    from ecmm428_pycart_spark.benchmarks.registry import (
+        DEFERRED_TO_NEXT_ROUND)
+    if DEFERRED_TO_NEXT_ROUND:
+        return  # registration backlog mode: older contract applies
+
+    from tools.apply_round10 import SENTINELS as ROT_SENTINELS
+    from tools.apply_round10 import stalest_names
+
+    window = _window()
+    computed = ROT_SENTINELS + stalest_names(GATE_CAP - len(ROT_SENTINELS))
+    if window == computed:
+        return
+
+    last: dict[str, int] = {}
+    newest = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        newest = max(newest, rnd)
+        for name, row in json.load(open(path)).items():
+            if row.get("err") is None and row.get("rows_match") \
+                    and row.get("schema_match") and row.get("hash_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    laggards = [n for n in window
+                if n not in SENTINELS and last.get(n, 0) != newest]
+    assert not laggards, (
+        "DRIVER_WINDOW matches neither the computed evidence-freshness "
+        f"rotation nor an executed gate: {laggards} lack a passing row "
+        f"from round {newest} — re-run tools/apply_round*.py or "
+        "investigate failed gate rows")
