@@ -2137,8 +2137,27 @@ def g32_partition_quality(spark: SparkSession,
 # per supplier the merged-island count, covered days and longest
 # continuous stretch. funnel.interval_islands does the per-key
 # ordered-window merge (running max-end -> break flags -> prefix
-# sum); the oracle replays the identical window algebra in SQL.
-# Ties order-invariant, everything integer.
+# sum). Ties order-invariant, everything integer.
+#
+# ORACLE NOTE (round 10): the original oracle replayed the identical
+# window algebra in SQL, but DuckDB 1.0.0's PARALLEL window execution
+# returns a nondeterministic WRONG answer for the running-max frame
+# on this ~600k-row input (~50% of contended sf0.1 runs: suppkey 62
+# covered_days 2089 vs ground truth 2085 — pure-Python replay and the
+# Spark side agree on 2085; SET threads<=2 always agrees; threads>=4
+# flakes; a lag(running-max) restatement flaked harder). The oracle
+# below is window-FREE and provably equivalent:
+#   * an interval's span is <= 13 days by construction
+#     (l_quantity % 14), so "s_i > max(e_j) over all earlier
+#     intervals" <=> no interval with s_j in [s_i-13, s_i-1] has
+#     e_j >= s_i (same-s rows never break after their group's first
+#     row because e_j >= s_j = s_i) — a bounded NOT EXISTS band join;
+#   * islands are the runs between breaks in (s, e) order, so each
+#     interval's island is the greatest break s <= its s — a plain
+#     join + max, no frames.
+# Hash join + hash aggregate only — DuckDB's battle-tested operators;
+# 0 wrong answers in 40 contended sf0.1 trials (vs 21/40 for the
+# window form).
 # ---------------------------------------------------------------------------
 @q("q115_interval_islands", """
 WITH iv AS (
@@ -2148,25 +2167,25 @@ WITH iv AS (
            + CAST(l_quantity AS BIGINT) % 14 AS e
   FROM lineitem
 ),
-m AS (
-  SELECT k, s, e,
-         max(e) OVER (PARTITION BY k ORDER BY s, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND 1 PRECEDING) AS pme
-  FROM iv
+ivd AS (
+  SELECT k, s, e, count(*) AS cnt FROM iv GROUP BY 1, 2, 3
 ),
-isl AS (
-  SELECT k, s, e,
-         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
-           OVER (PARTITION BY k ORDER BY s, e
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM m
+brk AS (
+  SELECT DISTINCT k, s FROM ivd a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ivd b
+    WHERE b.k = a.k AND b.s < a.s AND b.s >= a.s - 13 AND b.e >= a.s
+  )
+),
+asg AS (
+  SELECT ivd.k, ivd.s, ivd.e, ivd.cnt, max(brk.s) AS island_s
+  FROM ivd JOIN brk ON brk.k = ivd.k AND brk.s <= ivd.s
+  GROUP BY ivd.k, ivd.s, ivd.e, ivd.cnt
 ),
 gi AS (
-  SELECT k, island, min(s) AS i_s, max(e) AS i_e,
-         count(*) AS n_iv
-  FROM isl GROUP BY k, island
+  SELECT k, island_s, min(s) AS i_s, max(e) AS i_e,
+         sum(cnt) AS n_iv
+  FROM asg GROUP BY k, island_s
 )
 SELECT CAST(k AS BIGINT) AS suppkey,
        CAST(sum(n_iv) AS BIGINT) AS n_intervals,
