@@ -232,6 +232,28 @@ def _shared_set_vs_prior(timings: dict, calib_spark: float) -> dict | None:
     return out
 
 
+def _mt_calibration(spark) -> float:
+    """FROZEN MULTI-CORE fingerprint: median-of-3 seconds for a fixed
+    32-partition CPU-bound aggregation over a generated range. The
+    round-10 bench caught the gap this fills: a host can show FLAT
+    single-thread calibs (calib 0.083 vs 0.09, calib_spark 0.137 vs
+    0.145) while 32-way throughput is degraded 2-5x (noisy neighbors /
+    host CPU oversubscription), which inflates every parallel query
+    uniformly and looks like a code regression. Compare calib_mt
+    across BENCH records before reading multi-core query ratios.
+    DO NOT EDIT — only comparable across rounds if frozen."""
+    import statistics
+
+    def run():
+        t0 = time.time()
+        (spark.range(0, 200_000_000, 1, 32)
+         .selectExpr("sum(id % 7 + id % 13) AS s").collect())
+        return time.time() - t0
+
+    run()  # untimed warmup
+    return round(statistics.median([run() for _ in range(3)]), 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -309,6 +331,7 @@ def main():
         "sf": sf,
         "calib": _cpu_calibration(),
         "calib_spark": _spark_calibration(spark),
+        "calib_mt": _mt_calibration(spark),
     }
     shared = _shared_set_vs_prior(
         {n: detail[n]["sec"] for n in detail}, result["calib_spark"])
