@@ -106,7 +106,10 @@ def main() -> None:
     print(f"# store builds: {builds}", file=sys.stderr)
 
     result = time_base_vs_scratch(
-        spark, args.names, args.base, args.scratch, args.samples)
+        spark, args.names, args.base, args.scratch, args.samples,
+        # documents-only warm: the crawl scratch dirs carry no TPC-H
+        # tables, and stacked runs use a prior scratch as the base
+        warm="d02_text_stats")
     result["store_build_sec"] = builds
     print(json.dumps(result))
 

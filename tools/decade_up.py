@@ -95,15 +95,18 @@ def _stats(runs: list[float]) -> dict:
 
 
 def time_base_vs_scratch(spark, names: list[str], base: str, scratch: str,
-                         samples: int, skip_base: bool = False) -> dict:
+                         samples: int, skip_base: bool = False,
+                         warm: str = "q01_pricing_summary") -> dict:
     """Shared decade-up measurement loop (also used by
-    neardup_corpus.py): each query `samples` times at both dirs in one
-    warmed session, cache cleared between runs, min/median/max + the
-    decade slope log10(median ratio) per entry."""
+    neardup_corpus.py and crawl_decade.py): each query `samples` times
+    at both dirs in one warmed session, cache cleared between runs,
+    min/median/max + the decade slope log10(median ratio) per entry.
+    ``warm`` must be a query whose tables exist at ``base`` —
+    documents-only scratch dirs pass a documents query."""
     from ecmm428_pycart_spark.benchmarks import get_queries
 
     qs = get_queries()
-    qs["q01_pricing_summary"](spark, base).count()  # warm
+    qs[warm](spark, base).count()  # warm
 
     def sample(name: str, sf_dir: str) -> list[float]:
         runs = []
