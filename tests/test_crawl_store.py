@@ -97,3 +97,39 @@ def test_consumers_store_equals_fresh(spark, store_root, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_CRAWL_STORE_OFF", "1")
         fresh = _rows(qs[name](spark, TESTDATA))
         assert with_store == fresh, name
+
+
+def test_two_process_build_race(tmp_path):
+    """The claimed atomicity, actually raced (the borders-store
+    protocol): two separate Spark processes build the same html store
+    key simultaneously into a fresh root. Exactly one table must
+    exist afterwards, no tmp dirs may linger, and both processes must
+    return the same correct row count."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "race_store")
+    prog = f"""
+import os
+os.environ["SPARK_GRAFT_CRAWL_STORE"] = {root!r}
+os.environ.pop("SPARK_GRAFT_CRAWL_STORE_OFF", None)
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+from ecmm428_pycart_spark.datapipe.crawl_store import crawl_html
+print("ROWS", crawl_html(spark, {TESTDATA!r}).count())
+"""
+    procs = [subprocess.Popen([_sys.executable, "-c", prog],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL, text=True)
+             for _ in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    counts = [int(o.split("ROWS")[1].split()[0]) for o in outs]
+    assert counts[0] == counts[1] > 0
+    entries = [d for d in os.listdir(root) if d.endswith("_html")]
+    assert len(entries) == 1 and ".tmp." not in entries[0], entries
+    leftovers = [d for d in os.listdir(root) if ".tmp." in d]
+    assert leftovers == []
