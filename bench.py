@@ -222,6 +222,10 @@ def _shared_set_vs_prior(timings: dict, calib_spark: float) -> dict | None:
         return None
     cur_total = round(sum(timings[n] for n in shared), 2)
     prev_total = round(sum(float(prev_q[n]) for n in shared), 2)
+    if not prev_total:
+        # All shared prior timings coarsened to 0.0 — a ratio is
+        # undefined; skip rather than divide by zero (ADVICE r10).
+        return None
     out = {"vs_round": prev_round, "n_shared": len(shared),
            "shared_total_sec": cur_total,
            f"prior_r{prev_round}_total_sec": prev_total,

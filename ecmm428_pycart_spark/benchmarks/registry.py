@@ -28,60 +28,60 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-10 ROTATION (evidence freshness): the 48 queries
-    # with the OLDEST committed driver-gate rows (rounds 1-3
-    # vintage), re-gated on the current tree + two sentinels.
-    # Computed by tools/apply_round10.py from CORRECTNESS_r*.
+    # ROUND-11 ROTATION (evidence freshness): the 48 queries
+    # with the OLDEST committed PASSING driver-gate rows,
+    # re-gated on the current tree + two sentinels.
+    # Computed by tools/apply_round11.py from CORRECTNESS_r*.
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d03_lang_id",
-    "d04_fingerprint",
-    "d05_minhash_signature",
-    "d07_simhash",
-    "d09_quality_score",
-    "q15_window_running_sum",
-    "q16_topk",
-    "q17_distinct_agg",
-    "q18_rollup",
-    "q19_events_hourly",
-    "q20_sessionize",
-    "q21_json_extract",
-    "q22_revenue_by_nation",
-    "q23_pivot",
-    "q24_cube",
-    "q25_stats",
-    "q26_orders_by_month",
-    "q27_string_ops",
-    "q28_having",
-    "q29_topk_per_group",
-    "q30_lead_lag",
-    "q31_asof_join",
-    "q32_range_bucket_join",
-    "q33_outer_join",
-    "q34_set_ops",
-    "q35_scalar_subquery",
-    "q36_null_ops",
-    "q37_rank_family",
-    "q39_funnel",
-    "q40_iqr_outliers",
-    "q48_replicated_skew_join",
-    "q49_constraint_report",
-    "q51_forecast_revenue",
-    "st02_stream_sessions",
-    "st03_stream_dedup",
-    "st04_stream_user_stats",
-    "d01_dedup_exact",
-    "d02_text_stats",
-    "d06_minhash_lsh_jaccard",
-    "d08_simhash_neardup",
-    "d15_dup_clusters",
-    "d19_corpus_clean",
-    "d22_fuzzy_pairs",
-    "d25_decontamination",
-    "g01_noncontiguous_scale",
-    "g03_dorling_radii",
-    "g05_dorling_scalable",
-    "g06_distance_pairs",
+    "g07_queen_borders_large",
+    "g08_dorling_scalable_large",
+    "g09_noncontiguous_large",
+    "g10_pagerank_borders",
+    "k01_kmeans_clusters",
+    "m03_image_meta",
+    "m04_wav_meta",
+    "m06_png_pixels",
+    "m09_jpeg_pixels",
+    "q02_filter_eq",
+    "q03_filter_isin",
+    "q04_cast_clean",
+    "q05_range_filter",
+    "q06_join_customer_nation_region",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_union",
+    "q10_argmax_per_group",
+    "q11_agg_minmax",
+    "q12_running_fill",
+    "q13_price_range_join",
+    "q14_mapping_join",
+    "q38_sketch_accuracy",
+    "q42_salted_agg",
+    "q43_gapfill",
+    "q45_grouping_sets",
+    "q47_kmv_sketch",
+    "q50_orc_roundtrip",
+    "q59_zorder_skipping",
+    "s01_cosine_topk",
+    "s02_ann_sign_lsh",
+    "s09_knn_join",
+    "st01_stream_hourly",
+    "st05_stream_interval_join",
+    "st06_stream_dedup_bounded",
+    "d11_vocab_topk",
+    "d12_bigram_stats",
+    "d13_bpeish_token_count",
+    "d14_tfidf_top_terms",
+    "d17_pii_scrub",
+    "d18_dedup_canonical",
+    "d23_token_entropy",
+    "d24_weighted_sample",
+    "d26_repetition_ratio",
+    "d27_source_mix",
+    "d28_ngram_jaccard",
+    "d29_segment_dup_rate",
+    "d30_gopher_rules",
 ]
 
 # Queries registered this round that did NOT fit the round-5 window;

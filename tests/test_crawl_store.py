@@ -104,7 +104,15 @@ def test_two_process_build_race(tmp_path):
     protocol): two separate Spark processes build the same html store
     key simultaneously into a fresh root. Exactly one table must
     exist afterwards, no tmp dirs may linger, and both processes must
-    return the same correct row count."""
+    return the same correct row count.
+
+    JVM-footprint guard (ADVICE r10): this test runs THREE concurrent
+    JVMs (the suite's session fixture + these two subprocesses), one
+    above the repo's usual two-JVM cap. Both subprocess drivers are
+    capped at 1g heap so the combined footprint stays a few GiB on a
+    128 GiB host; the race itself needs true concurrency, so the
+    subprocesses cannot be serialized without losing the property
+    under test."""
     import subprocess
     import sys as _sys
 
@@ -117,6 +125,7 @@ import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[2]")
          .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "1g")
          .config("spark.sql.shuffle.partitions", "4").getOrCreate())
 from ecmm428_pycart_spark.datapipe.crawl_store import crawl_html
 print("ROWS", crawl_html(spark, {TESTDATA!r}).count())

@@ -63,7 +63,16 @@ def main():
     reg_path = "ecmm428_pycart_spark/benchmarks/registry.py"
     reg = open(os.path.join(REPO, reg_path)).read()
     m = re.search(r"^DRIVER_WINDOW = \[.*?\n\]\n", reg, re.S | re.M)
-    current = re.findall(r'"([a-z0-9_]+)"', m.group(0))
+    if m is None:
+        sys.exit(f"ERROR: could not find the DRIVER_WINDOW block in "
+                 f"{reg_path} — its format has drifted; edit it by hand "
+                 f"or update this tool's pattern.")
+    # Extract names only from non-comment lines so a future quoted name
+    # inside a comment can't be mistaken for a window entry (ADVICE r10).
+    current = [name
+               for line in m.group(0).splitlines()
+               if not line.lstrip().startswith("#")
+               for name in re.findall(r'"([a-z0-9_]+)"', line)]
     if current == new_window:
         print("registry already rotated to round 11; nothing to do")
         return
