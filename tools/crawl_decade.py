@@ -66,7 +66,12 @@ def build_crawl_sf1(spark, base: str, out: str) -> None:
 
 def time_store_builds(spark, sf_dir: str) -> dict:
     """Force a fresh build of each derived table and time it — the
-    one-time cost the first consumer pays at this corpus size."""
+    one-time cost the first consumer pays at this corpus size. Since
+    round 11 the crawl family also reads the LSH band-index store
+    (q133's dedup stage), so its builds are timed here too — an
+    untimed first-sample build inside the query loop would otherwise
+    poison the slope."""
+    from ecmm428_pycart_spark.datapipe import band_store as bs
     from ecmm428_pycart_spark.datapipe import crawl_store as cs
 
     out = {}
@@ -75,6 +80,10 @@ def time_store_builds(spark, sf_dir: str) -> dict:
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[kind] = round(time.time() - t0, 3)
+    for variant in bs._VARIANTS:
+        t0 = time.time()
+        bs.band_index(spark, sf_dir, variant).count()
+        out[f"bands_{variant}"] = round(time.time() - t0, 3)
     return out
 
 
@@ -86,16 +95,19 @@ def main() -> None:
     ap.add_argument("--scratch", default="/tmp/pycart_crawl_sf1")
     args = ap.parse_args()
 
+    from ecmm428_pycart_spark.datapipe import band_store as bs
     from ecmm428_pycart_spark.datapipe import crawl_store as cs
     from ecmm428_pycart_spark.session import get_spark
 
     spark = get_spark("crawl-decade")
     build_crawl_sf1(spark, args.base, args.scratch)
 
-    # observed, not inherited: wipe the store so both scales' builds
+    # observed, not inherited: wipe the stores so both scales' builds
     # are timed in this session, then the query loop scans warm tables
     shutil.rmtree(cs._store_root(), ignore_errors=True)
+    shutil.rmtree(bs._store_root(), ignore_errors=True)
     os.environ.pop("SPARK_GRAFT_CRAWL_STORE_OFF", None)
+    os.environ.pop("SPARK_GRAFT_BAND_STORE_OFF", None)
     # warm the Arrow/python-worker path before timing any build: the
     # first pandas-UDF call in a session pays worker spawn + codegen,
     # which at toy corpus sizes dwarfs the per-byte work and inverted
