@@ -28,60 +28,60 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-11 ROTATION (evidence freshness): the 48 queries
+    # ROUND-12 ROTATION (evidence freshness): the 48 queries
     # with the OLDEST committed PASSING driver-gate rows,
     # re-gated on the current tree + two sentinels.
-    # Computed by tools/apply_round11.py from CORRECTNESS_r*.
+    # Computed by tools/apply_round12.py from CORRECTNESS_r*.
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "g07_queen_borders_large",
-    "g08_dorling_scalable_large",
-    "g09_noncontiguous_large",
-    "g10_pagerank_borders",
-    "k01_kmeans_clusters",
-    "m03_image_meta",
-    "m04_wav_meta",
-    "m06_png_pixels",
-    "m09_jpeg_pixels",
-    "q02_filter_eq",
-    "q03_filter_isin",
-    "q04_cast_clean",
-    "q05_range_filter",
-    "q06_join_customer_nation_region",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_union",
-    "q10_argmax_per_group",
-    "q11_agg_minmax",
-    "q12_running_fill",
-    "q13_price_range_join",
-    "q14_mapping_join",
-    "q38_sketch_accuracy",
-    "q42_salted_agg",
-    "q43_gapfill",
-    "q45_grouping_sets",
-    "q47_kmv_sketch",
-    "q50_orc_roundtrip",
-    "q59_zorder_skipping",
-    "s01_cosine_topk",
-    "s02_ann_sign_lsh",
-    "s09_knn_join",
-    "st01_stream_hourly",
-    "st05_stream_interval_join",
-    "st06_stream_dedup_bounded",
-    "d11_vocab_topk",
-    "d12_bigram_stats",
-    "d13_bpeish_token_count",
-    "d14_tfidf_top_terms",
-    "d17_pii_scrub",
-    "d18_dedup_canonical",
-    "d23_token_entropy",
-    "d24_weighted_sample",
-    "d26_repetition_ratio",
-    "d27_source_mix",
-    "d28_ngram_jaccard",
-    "d29_segment_dup_rate",
-    "d30_gopher_rules",
+    "d31_unigram_lm_score",
+    "d33_token_drift",
+    "g02_queen_borders",
+    "g11_triangle_count",
+    "g12_knn_spatial",
+    "g13_point_in_polygon",
+    "g14_dorling_grid2500",
+    "m01_multimodal_meta",
+    "m02_decode_features",
+    "m07_wav_samples",
+    "m08_video_meta",
+    "m10_color_jpeg",
+    "m11_palette_png",
+    "m12_resize_pixels",
+    "q41_e3_pipeline",
+    "q44_trailing_window",
+    "q46_equidepth_hist",
+    "q52_shipping_priority",
+    "q60_bucketed_colocated_join",
+    "q61_batch_merge_scd1",
+    "q62_compaction_roundtrip",
+    "q63_bilateral_shipping",
+    "q65_time_travel",
+    "q66_cohort_retention",
+    "s03_centroid_assign",
+    "s04_ivf_probe",
+    "s05_cosine_neardup",
+    "s07_ann_multiprobe",
+    "s10_neardup_banded",
+    "s11_pq_codes",
+    "s12_pq_adc_rerank",
+    "st07_stream_foreach_upsert",
+    "st08_stream_static_enrich",
+    "d10_hash_sample",
+    "d16_stratified_sample",
+    "d20_doc_chunks",
+    "d21_seq_packing",
+    "d34_window_dedup",
+    "d35_bloom_decontaminate",
+    "d36_window_dedup_removal",
+    "g15_convex_hull",
+    "g16_simplify_dp",
+    "m13_wav_bitdepths",
+    "m14_png16_pixels",
+    "m15_audio_frames",
+    "m16_image_dhash",
+    "m17_gif_pixels",
+    "m18_gif_frame_sample",
 ]
 
 # Queries registered this round that did NOT fit the round-5 window;
