@@ -89,17 +89,30 @@ def _algo_version() -> str:
     rows: the shingle/tokenize helpers, the MinHash and banding
     kernels, their constants, and this module's builder. Any edit to
     the hashing pipeline changes the key, so stale entries can never
-    serve silently (the ADVICE r9 staleness class)."""
+    serve silently (the ADVICE r9 staleness class). ``text.tokens`` is
+    included explicitly: ``shingle_set`` calls it, so a tokenizer edit
+    changes the stored band keys (ADVICE r11 — without this the
+    documents variant would serve stale; crawl_html was only
+    incidentally protected via the ``-c{crawl_algo}`` fold)."""
     if not _ALGO_MEMO:
-        src = "\n".join([
-            inspect.getsource(dedup.shingle_set),
-            inspect.getsource(dedup.minhash_signature),
-            inspect.getsource(dedup.lsh_band_keys),
-            f"NUM_HASHES={dedup.NUM_HASHES};NUM_BANDS={dedup.NUM_BANDS}",
-            inspect.getsource(_fresh_bands),
-        ])
+        src = "\n".join(_algo_sources())
         _ALGO_MEMO.append(hashlib.sha256(src.encode()).hexdigest()[:12])
     return _ALGO_MEMO[0]
+
+
+def _algo_sources() -> list[str]:
+    """The source list `_algo_version` hashes (split out so tests can
+    pin that every upstream dependency participates in the key)."""
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    return [
+        inspect.getsource(tokens),
+        inspect.getsource(dedup.shingle_set),
+        inspect.getsource(dedup.minhash_signature),
+        inspect.getsource(dedup.lsh_band_keys),
+        f"NUM_HASHES={dedup.NUM_HASHES};NUM_BANDS={dedup.NUM_BANDS}",
+        inspect.getsource(_fresh_bands),
+    ]
 
 
 def _base_corpus(spark: SparkSession, sf_dir: str,
@@ -163,6 +176,11 @@ def band_index(spark: SparkSession, sf_dir: str,
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(final):
                 raise
+        except Exception:
+            # a failed Spark write raises Py4JJavaError, not OSError —
+            # don't leak the uuid tmp dir (ADVICE r11)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return spark.read.parquet(final)
 
 
@@ -186,6 +204,14 @@ def candidate_pairs(spark: SparkSession, sf_dir: str,
     and self-join, which reproduces ``lsh_candidate_pairs(docs)``
     because band keys are per-document pure and the cap is applied to
     the same post-filter population.
+
+    PRECONDITION on ``docs``: it must be a ROW SUBSET of the variant's
+    base corpus — each doc_id's text byte-identical to the stored
+    corpus's text for that doc_id. Only the doc_id column is consulted;
+    a consumer passing TRANSFORMED text (scrubbed/normalized/truncated)
+    would silently get pairs computed from the ORIGINAL text. Such a
+    consumer must call ``dedup.lsh_candidate_pairs(transformed)``
+    directly instead (ADVICE r11).
     """
     if _off():
         base = docs if docs is not None else _base_corpus(

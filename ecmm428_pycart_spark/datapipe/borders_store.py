@@ -165,4 +165,9 @@ def customer_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(final):
                 raise
+        except Exception:
+            # a failed Spark write raises Py4JJavaError, not OSError —
+            # don't leak the uuid tmp dir (ADVICE r11)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return spark.read.parquet(final)

@@ -8,6 +8,20 @@ neighbourhood; converges in O(diameter) rounds. Per round: one join +
 one groupBy (both shuffle on node id), localCheckpoint to keep the plan
 flat — the same L3 loop shape as the scalable dorling and k-means.
 
+Two round-latency levers (r12, profiled in docs/ROUND11_NOTES.md §9 —
+on near-dup graphs the loop's driver-round latency, not the joins'
+data volume, is the cost):
+
+- The previous label rides along as ``old_label`` through the round's
+  plan, so the convergence probe is a scan-and-count over the already
+  materialized checkpoint instead of a separate prev⋈new shuffle join.
+  That makes probing every round affordable, which in turn enables:
+- The pointer-jump self-join (adopt label(label(node))) only engages
+  from round 2 onward. Near-dup graphs are overwhelmingly diameter ≤ 2
+  cliques/stars that converge under plain propagation in ≤ 3 rounds —
+  for them the jump join never runs; genuinely chainy graphs pay at
+  most two plain rounds before O(log n) doubling resumes.
+
 Deterministic: labels are min() reductions — no ordering sensitivity.
 """
 
@@ -34,35 +48,36 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
     for it in range(max_iter):
-        nb_min = (sym.join(labels, sym["b"] == labels["node"])
+        nb_min = (sym.join(labels.select("node", "label"),
+                           sym["b"] == F.col("node"))
                   .groupBy(F.col("a").alias("node2"))
                   .agg(F.min("label").alias("nb_label")))
-        stepped = (labels.join(nb_min, labels["node"] == nb_min["node2"], "left")
+        stepped = (labels.select("node", "label")
+                   .join(nb_min, F.col("node") == nb_min["node2"], "left")
                    .select("node",
+                           F.col("label").alias("old_label"),
                            F.least(F.col("label"),
                                    F.coalesce("nb_label", F.col("label")))
                            .alias("label")))
-        # pointer jumping: also adopt label(label(node)) — collapses
-        # chains in O(log n) rounds instead of O(diameter)
-        parent = stepped.select(F.col("node").alias("p_node"),
-                                F.col("label").alias("p_label"))
-        new = (stepped.join(parent,
-                            stepped["label"] == parent["p_node"], "left")
-               .select("node",
-                       F.least(F.col("label"),
-                               F.coalesce("p_label", F.col("label")))
-                       .alias("label"))
-               .localCheckpoint(eager=True))
-        prev = labels
-        labels = new
-        # convergence check costs a join + count action per probe; with
-        # pointer jumping rounds are O(log n), so probing every 2nd round
-        # (at worst one redundant cheap round) halves the driver actions
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (new.alias("n")
-                       .join(prev.alias("o"), "node")
-                       .filter(F.col("n.label") != F.col("o.label"))
-                       .count())
-            if changed == 0:
-                break
+        if it >= 2:
+            # pointer jumping: also adopt label(label(node)) — collapses
+            # chains in O(log n) rounds instead of O(diameter). Deferred
+            # past rounds 0-1: if the graph converges by then (the
+            # near-dup common case) this self-join never runs.
+            parent = stepped.select(F.col("node").alias("p_node"),
+                                    F.col("label").alias("p_label"))
+            stepped = (stepped.join(parent,
+                                    stepped["label"] == parent["p_node"],
+                                    "left")
+                       .select("node", "old_label",
+                               F.least(F.col("label"),
+                                       F.coalesce("p_label", F.col("label")))
+                               .alias("label")))
+        new = stepped.localCheckpoint(eager=True)
+        # old_label is already materialized alongside label, so this is
+        # a count over the checkpoint — no join, no extra shuffle
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -225,6 +225,11 @@ def _served(spark: SparkSession, sf_dir: str, kind: str,
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(final):
                 raise
+        except Exception:
+            # a failed Spark write raises Py4JJavaError, not OSError —
+            # don't leak the uuid tmp dir (ADVICE r11)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return spark.read.parquet(final)
 
 

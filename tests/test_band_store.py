@@ -221,3 +221,36 @@ def test_crawl_layout_files_scale_with_corpus(spark, monkeypatch):
             cs._FP_MEMO.pop(key, None)
         else:
             cs._FP_MEMO[key] = real
+
+
+def test_algo_key_includes_tokenizer_source(spark):
+    """ADVICE r11 (medium): shingle_set calls text.tokens, so a
+    tokenizer edit MUST change the store key or the documents variant
+    would silently serve stale band keys. Pin that the hashed source
+    list carries text.tokens (and every other upstream kernel)."""
+    import inspect
+
+    from ecmm428_pycart_spark.datapipe import band_store, dedup
+    from ecmm428_pycart_spark.datapipe.text import tokens
+
+    srcs = band_store._algo_sources()
+    for dep in (tokens, dedup.shingle_set, dedup.minhash_signature,
+                dedup.lsh_band_keys, band_store._fresh_bands):
+        assert inspect.getsource(dep) in srcs, dep.__qualname__
+    assert (f"NUM_HASHES={dedup.NUM_HASHES};NUM_BANDS={dedup.NUM_BANDS}"
+            in srcs)
+
+
+def test_failed_build_cleans_tmp_dir(spark, store_root, monkeypatch):
+    """ADVICE r11 (low): a failed Spark parquet write (Py4JJavaError,
+    not OSError) must not leak the uuid tmp dir."""
+    from ecmm428_pycart_spark.datapipe import band_store
+
+    def boom(spark_, sf_dir_, variant_):
+        raise RuntimeError("injected build failure")
+
+    monkeypatch.setattr(band_store, "_fresh_bands", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        band_store.band_index(spark, TESTDATA)
+    leftovers = os.listdir(store_root) if os.path.isdir(store_root) else []
+    assert leftovers == [], leftovers
