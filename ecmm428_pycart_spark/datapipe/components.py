@@ -27,6 +27,8 @@ Deterministic: labels are min() reductions — no ordering sensitivity.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -34,7 +36,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iter: int = 20) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
-    id reachable. Stops early when a round changes no label."""
+    id reachable. Stops early when a round changes no label.
+
+    Set ``SPARK_GRAFT_CC_LEGACY=1`` to run the pre-r12 loop (jump join
+    every round, join-based probe every 2nd round) — the A side of
+    tools/ab_components.py; results are identical either way."""
+    if os.environ.get("SPARK_GRAFT_CC_LEGACY") == "1":
+        return _legacy_connected_components(edges, src, dst, max_iter)
     # materialize the edge list once — it is re-joined every round, and
     # upstream it is typically an expensive pipeline (minhash LSH +
     # jaccard verify) that must not re-execute per iteration
@@ -80,4 +88,49 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         labels = new.select("node", "label")
         if changed == 0:
             break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _legacy_connected_components(edges: DataFrame, src: str, dst: str,
+                                 max_iter: int) -> DataFrame:
+    """The pre-r12 loop, kept verbatim as the A/B baseline arm: pointer
+    jump every round, convergence probe as a prev⋈new join every 2nd
+    round."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for it in range(max_iter):
+        nb_min = (sym.join(labels, sym["b"] == labels["node"])
+                  .groupBy(F.col("a").alias("node2"))
+                  .agg(F.min("label").alias("nb_label")))
+        stepped = (labels.join(nb_min, labels["node"] == nb_min["node2"],
+                               "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce("nb_label", F.col("label")))
+                           .alias("label")))
+        parent = stepped.select(F.col("node").alias("p_node"),
+                                F.col("label").alias("p_label"))
+        new = (stepped.join(parent,
+                            stepped["label"] == parent["p_node"], "left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce("p_label", F.col("label")))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        prev = labels
+        labels = new
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (new.alias("n")
+                       .join(prev.alias("o"), "node")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .count())
+            if changed == 0:
+                break
     return labels.select(F.col("node"), F.col("label").alias("component"))
