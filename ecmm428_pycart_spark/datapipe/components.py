@@ -2,27 +2,35 @@
 turns near-duplicate PAIRS into dedup GROUPS (keep one doc per
 component) at corpus scale.
 
-Algorithm: min-label propagation to fixpoint. Each node's label starts
-as itself; every iteration each node takes the min label in its closed
-neighbourhood; converges in O(diameter) rounds. Per round: one join +
-one groupBy (both shuffle on node id), localCheckpoint to keep the plan
-flat — the same L3 loop shape as the scalable dorling and k-means.
+Hybrid execution, size-gated like Spark's own broadcast-join
+threshold (r12, from the measured profile in docs/ROUND12_NOTES.md):
 
-Two round-latency levers (r12, profiled in docs/ROUND11_NOTES.md §9 —
-on near-dup graphs the loop's driver-round latency, not the joins'
-data volume, is the cost):
+- **Small graphs** (≤ ``SPARK_GRAFT_CC_LOCAL_MAX_EDGES`` edges,
+  default 500k ≈ tens of MB on the driver): collect the materialized
+  edge list and solve with path-compressing union-find, one job +
+  one collect instead of 2-4 distributed rounds. Near-dup graphs are
+  tiny relative to the corpus (LSH + verify leaves ~1% of docs in
+  pairs), and each distributed round costs a localCheckpoint
+  materialization (~1s of driver-round latency at any data size) —
+  measured 3.3s → 0.4s on d15's 7.5k-edge graph at sf0.1. The same
+  economics as broadcasting a small join side: below a bounded size,
+  shipping the data to one place beats coordinating a shuffle.
+- **Large graphs** (a 100 TB corpus with billions of duplicate pairs
+  blows the gate): min-label propagation to fixpoint, each round one
+  join + one groupBy (both shuffle on node id) + a pointer-jump
+  self-join (adopt label(label(node)) — O(log n) rounds instead of
+  O(diameter)), localCheckpoint per round to keep the plan flat — the
+  same L3 loop shape as the scalable dorling and k-means. The
+  previous label rides along as ``old_label``, so the convergence
+  probe is a count over the checkpoint (every round, nearly free)
+  rather than a prev⋈new shuffle join.
 
-- The previous label rides along as ``old_label`` through the round's
-  plan, so the convergence probe is a scan-and-count over the already
-  materialized checkpoint instead of a separate prev⋈new shuffle join.
-  That makes probing every round affordable, which in turn enables:
-- The pointer-jump self-join (adopt label(label(node))) only engages
-  from round 2 onward. Near-dup graphs are overwhelmingly diameter ≤ 2
-  cliques/stars that converge under plain propagation in ≤ 3 rounds —
-  for them the jump join never runs; genuinely chainy graphs pay at
-  most two plain rounds before O(log n) doubling resumes.
-
-Deterministic: labels are min() reductions — no ordering sensitivity.
+Both paths emit identical results: (node, component = min reachable
+node id) for exactly the nodes appearing in the edge list, labels
+being min() reductions — deterministic, no ordering sensitivity.
+Equivalence is pinned by tests/test_components.py, which runs the
+union-find oracle against both paths (the distributed one forced via
+the gate env).
 """
 
 from __future__ import annotations
@@ -31,6 +39,13 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+_DEFAULT_LOCAL_MAX_EDGES = 500_000
+
+
+def _local_max_edges() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES",
+                              _DEFAULT_LOCAL_MAX_EDGES))
+
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
@@ -38,17 +53,52 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     """(node, component) for every node in `edges`; component = min node
     id reachable. Stops early when a round changes no label.
 
-    Set ``SPARK_GRAFT_CC_LEGACY=1`` to run the pre-r12 loop (jump join
-    every round, join-based probe every 2nd round) — the A side of
-    tools/ab_components.py; results are identical either way."""
+    Set ``SPARK_GRAFT_CC_LOCAL_MAX_EDGES=0`` to force the distributed
+    loop at any size; ``SPARK_GRAFT_CC_LEGACY=1`` runs the pre-r12
+    always-distributed loop (the A side of tools/ab_components.py).
+    Results are identical on every path."""
     if os.environ.get("SPARK_GRAFT_CC_LEGACY") == "1":
         return _legacy_connected_components(edges, src, dst, max_iter)
-    # materialize the edge list once — it is re-joined every round, and
-    # upstream it is typically an expensive pipeline (minhash LSH +
-    # jaccard verify) that must not re-execute per iteration
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
+    # materialize the (projected) edge list once — BOTH paths need it:
+    # the gate needs its size, the local path collects it, and the
+    # distributed path re-joins it every round while upstream it is
+    # typically an expensive pipeline (minhash LSH + jaccard verify)
+    # that must not re-execute
+    pruned = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+              .localCheckpoint(eager=True))
+    if pruned.count() <= _local_max_edges():
+        return _local_union_find(pruned)
+    return _distributed_cc(pruned, max_iter)
+
+
+def _local_union_find(pruned: DataFrame) -> DataFrame:
+    """Driver-side path-compressing union-find over a bounded,
+    already-materialized edge list (the collect is gated — see module
+    docstring). Unions attach the larger root under the smaller, so
+    every root is its component's min id."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pruned.collect():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(x, find(x)) for x in parent]
+    node_type = pruned.schema["a"].dataType.simpleString()
+    return pruned.sparkSession.createDataFrame(
+        rows, f"node {node_type}, component {node_type}")
+
+
+def _distributed_cc(pruned: DataFrame, max_iter: int) -> DataFrame:
+    sym = (pruned
+           .unionByName(pruned.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
            .distinct()
            .localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("node"))
@@ -67,20 +117,18 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                            F.least(F.col("label"),
                                    F.coalesce("nb_label", F.col("label")))
                            .alias("label")))
-        if it >= 2:
-            # pointer jumping: also adopt label(label(node)) — collapses
-            # chains in O(log n) rounds instead of O(diameter). Deferred
-            # past rounds 0-1: if the graph converges by then (the
-            # near-dup common case) this self-join never runs.
-            parent = stepped.select(F.col("node").alias("p_node"),
-                                    F.col("label").alias("p_label"))
-            stepped = (stepped.join(parent,
-                                    stepped["label"] == parent["p_node"],
-                                    "left")
-                       .select("node", "old_label",
-                               F.least(F.col("label"),
-                                       F.coalesce("p_label", F.col("label")))
-                               .alias("label")))
+        # pointer jumping: also adopt label(label(node)) — collapses
+        # chains in O(log n) rounds instead of O(diameter), and round
+        # COUNT (a checkpoint each) dominates per-round join width
+        parent = stepped.select(F.col("node").alias("p_node"),
+                                F.col("label").alias("p_label"))
+        stepped = (stepped.join(parent,
+                                stepped["label"] == parent["p_node"],
+                                "left")
+                   .select("node", "old_label",
+                           F.least(F.col("label"),
+                                   F.coalesce("p_label", F.col("label")))
+                           .alias("label")))
         new = stepped.localCheckpoint(eager=True)
         # old_label is already materialized alongside label, so this is
         # a count over the checkpoint — no join, no extra shuffle
@@ -93,9 +141,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 
 def _legacy_connected_components(edges: DataFrame, src: str, dst: str,
                                  max_iter: int) -> DataFrame:
-    """The pre-r12 loop, kept verbatim as the A/B baseline arm: pointer
-    jump every round, convergence probe as a prev⋈new join every 2nd
-    round."""
+    """The pre-r12 loop, kept verbatim as the A/B baseline arm: always
+    distributed, pointer jump every round, convergence probe as a
+    prev⋈new join every 2nd round."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))

@@ -6,15 +6,32 @@ Oracle: a driver-side union-find over the same edge list. Covers the
 edge cases VERDICT r11 asked to pin before touching the kernel:
 self-loops, singleton components, pre-collapsed cliques, long paths
 (forces pointer-jump rounds), dumbbells, and randomized graphs.
+
+Every case runs on BOTH execution paths: the default size-gated
+driver union-find AND the distributed pointer-jump loop (forced via
+``SPARK_GRAFT_CC_LOCAL_MAX_EDGES=0``) — the hybrid's two arms must be
+indistinguishable.
 """
 
 from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import Row
 
 from ecmm428_pycart_spark.datapipe.components import connected_components
+
+
+@pytest.fixture(params=["local", "distributed"])
+def cc_path(request, monkeypatch):
+    if request.param == "distributed":
+        monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "0")
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES",
+                           raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CC_LEGACY", raising=False)
+    return request.param
 
 
 def _uf_labels(edges):
@@ -48,7 +65,7 @@ def _run(spark, edges):
     return got
 
 
-def test_cc_cliques_and_singleton_selfloop(spark):
+def test_cc_cliques_and_singleton_selfloop(spark, cc_path):
     # two pre-collapsed cliques (K4 and K3, all pairs present) plus a
     # node that only appears in a self-loop -> its own component
     k4 = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
@@ -61,13 +78,13 @@ def test_cc_cliques_and_singleton_selfloop(spark):
     assert {got[i] for i in range(20, 23)} == {20}
 
 
-def test_cc_self_loops_inside_component(spark):
+def test_cc_self_loops_inside_component(spark, cc_path):
     # self-loops mixed into a real component must not perturb labels
     edges = [(1, 2), (2, 2), (1, 1), (2, 3), (3, 3)]
     assert _run(spark, edges) == {1: 1, 2: 1, 3: 1}
 
 
-def test_cc_long_path_needs_jump_rounds(spark):
+def test_cc_long_path_needs_jump_rounds(spark, cc_path):
     # 30-node path: diameter 29 — converges only if pointer jumping
     # engages after the early plain rounds (plain propagation alone
     # would need 29 rounds > the loop's max_iter=20)
@@ -76,7 +93,7 @@ def test_cc_long_path_needs_jump_rounds(spark):
     assert got == {i: 0 for i in range(31)}
 
 
-def test_cc_dumbbell_and_star(spark):
+def test_cc_dumbbell_and_star(spark, cc_path):
     # two cliques joined by a bridge, plus a star whose center has the
     # HIGHEST id (min label must flow leaf->center->leaves)
     k_a = [(i, j) for i in range(0, 4) for j in range(0, 4) if i < j]
@@ -90,13 +107,13 @@ def test_cc_dumbbell_and_star(spark):
     assert got[500] == 200 and got[203] == 200
 
 
-def test_cc_duplicate_and_reversed_edges(spark):
+def test_cc_duplicate_and_reversed_edges(spark, cc_path):
     # the same pair listed twice and in both orientations
     edges = [(5, 6), (6, 5), (5, 6), (7, 8)]
     assert _run(spark, edges) == {5: 5, 6: 5, 7: 7, 8: 7}
 
 
-def test_cc_randomized_vs_union_find(spark):
+def test_cc_randomized_vs_union_find(spark, cc_path):
     rng = random.Random(1234)
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
     got = _run(spark, edges)
