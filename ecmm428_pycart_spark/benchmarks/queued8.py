@@ -2951,9 +2951,15 @@ def q136_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = (kept.join(cc, kept.doc_id == cc.node, "left")
              .filter(F.col("component").isNull()
                      | (F.col("component") == F.col("doc_id")))
-             .select("doc_id", "nt"))
-    clf = classifier_scores(docs).select("doc_id",
-                                         F.col("keep").alias("f_clf"))
+             .select("doc_id", "nt", "text"))
+    # score only the near-dup survivors: classifier_scores is per-doc
+    # pure and inner-joined to canon below, so pre-filtering is
+    # semantics-preserving and skips hashing-TF over the ~36% of the
+    # corpus the cascade already dropped (r12 profile,
+    # docs/ROUND12_NOTES.md)
+    clf = classifier_scores(canon.select("doc_id", "text")).select(
+        "doc_id", F.col("keep").alias("f_clf"))
+    canon = canon.select("doc_id", "nt")
     final = (canon.join(clf, "doc_id")
              .filter("f_clf").select("doc_id", "nt"))
 
