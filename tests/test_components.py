@@ -118,3 +118,56 @@ def test_cc_randomized_vs_union_find(spark, cc_path):
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
     got = _run(spark, edges)
     assert got == _uf_labels(edges)
+
+
+def test_cc_empty_edges(spark, cc_path):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(df)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_cc_string_node_ids(spark, cc_path):
+    # the kernel is id-type generic: min() on strings is lexicographic
+    # on BOTH paths (Python min vs Spark least/min)
+    edges = [("delta", "bravo"), ("bravo", "alpha"), ("zulu", "yankee"),
+             ("mike", "mike")]
+    df = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {"alpha": "alpha", "bravo": "alpha", "delta": "alpha",
+                   "zulu": "yankee", "yankee": "yankee", "mike": "mike"}
+
+
+def test_cc_gate_boundary_switches_paths(spark, monkeypatch):
+    # threshold == edge count -> local path; one below -> distributed.
+    # Same labels either side of the boundary (the hybrid contract).
+    from ecmm428_pycart_spark.datapipe import components as comp
+
+    edges = [(1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    calls = {"local": 0, "dist": 0}
+    real_local, real_dist = comp._local_union_find, comp._distributed_cc
+
+    def spy_local(pruned):
+        calls["local"] += 1
+        return real_local(pruned)
+
+    def spy_dist(pruned, max_iter):
+        calls["dist"] += 1
+        return real_dist(pruned, max_iter)
+
+    monkeypatch.setattr(comp, "_local_union_find", spy_local)
+    monkeypatch.setattr(comp, "_distributed_cc", spy_dist)
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "3")
+    got = {r.node: r.component
+           for r in comp.connected_components(df).collect()}
+    assert got == want and calls == {"local": 1, "dist": 0}
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "2")
+    got = {r.node: r.component
+           for r in comp.connected_components(df).collect()}
+    assert got == want and calls == {"local": 1, "dist": 1}
