@@ -28,60 +28,60 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-12 ROTATION (evidence freshness): the 48 queries
+    # ROUND-13 ROTATION (evidence freshness): the 48 queries
     # with the OLDEST committed PASSING driver-gate rows,
     # re-gated on the current tree + two sentinels.
-    # Computed by tools/apply_round12.py from CORRECTNESS_r*.
+    # Computed by tools/apply_round13.py from CORRECTNESS_r*.
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "d31_unigram_lm_score",
-    "d33_token_drift",
-    "g02_queen_borders",
-    "g11_triangle_count",
-    "g12_knn_spatial",
-    "g13_point_in_polygon",
-    "g14_dorling_grid2500",
-    "m01_multimodal_meta",
-    "m02_decode_features",
-    "m07_wav_samples",
-    "m08_video_meta",
-    "m10_color_jpeg",
-    "m11_palette_png",
-    "m12_resize_pixels",
-    "q41_e3_pipeline",
-    "q44_trailing_window",
-    "q46_equidepth_hist",
-    "q52_shipping_priority",
-    "q60_bucketed_colocated_join",
-    "q61_batch_merge_scd1",
-    "q62_compaction_roundtrip",
-    "q63_bilateral_shipping",
-    "q65_time_travel",
-    "q66_cohort_retention",
-    "s03_centroid_assign",
-    "s04_ivf_probe",
-    "s05_cosine_neardup",
-    "s07_ann_multiprobe",
-    "s10_neardup_banded",
-    "s11_pq_codes",
-    "s12_pq_adc_rerank",
-    "st07_stream_foreach_upsert",
-    "st08_stream_static_enrich",
-    "d10_hash_sample",
-    "d16_stratified_sample",
-    "d20_doc_chunks",
-    "d21_seq_packing",
-    "d34_window_dedup",
-    "d35_bloom_decontaminate",
-    "d36_window_dedup_removal",
-    "g15_convex_hull",
-    "g16_simplify_dp",
-    "m13_wav_bitdepths",
-    "m14_png16_pixels",
-    "m15_audio_frames",
-    "m16_image_dhash",
-    "m17_gif_pixels",
-    "m18_gif_frame_sample",
+    "m19_mjpeg_avi_frames",
+    "q53_local_supplier_volume",
+    "q54_returned_items",
+    "q55_late_shipment_priority",
+    "q56_large_volume_customers",
+    "q57_order_count_distribution",
+    "q58_dormant_high_balance",
+    "q64_priority_mix",
+    "q67_rollup_revenue",
+    "q68_pivot_year_flag",
+    "q69_dpp_prune",
+    "q70_top_supplier",
+    "q71_lone_late_supplier",
+    "q72_scd2_history",
+    "q73_set_ops",
+    "q74_decile_stats",
+    "q75_observed_metrics",
+    "q76_variant_json",
+    "q77_schema_evolution",
+    "q78_range_frame_window",
+    "q79_python_datasource",
+    "q80_small_qty_revenue",
+    "q81_market_share",
+    "q82_disjunctive_revenue",
+    "q83_exists_priority",
+    "s06_array_ops",
+    "s08_int8_quantize",
+    "s13_ivf_pq_topk",
+    "st09_stream_outer_join",
+    "st10_stream_chained_agg",
+    "st11_python_stream_source",
+    "st12_python_stream_sink",
+    "st13_stream_restart_resume",
+    "st14_stream_timeout_sessions",
+    "d37_bigram_lm",
+    "d38_bm25",
+    "d39_heavy_hitters",
+    "d40_bpe_merges",
+    "d41_hashing_tf",
+    "d42_bpe_encode",
+    "d43_perplexity_buckets",
+    "d44_zipf_fit",
+    "d45_temperature_mix",
+    "d46_leakage_safe_split",
+    "d47_source_contamination",
+    "d48_lm_reference_scoring",
+    "d49_incremental_dedup",
+    "g17_k_core",
 ]
 
 # Queries registered this round that did NOT fit the round-5 window;
