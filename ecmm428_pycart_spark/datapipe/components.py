@@ -66,7 +66,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # that must not re-execute
     pruned = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
               .localCheckpoint(eager=True))
-    if pruned.count() <= _local_max_edges():
+    # limit == 0 is the explicit force-distributed override: without the
+    # guard an EMPTY edge list (0 <= 0) would still take the local path
+    # (ADVICE r12), making the override a lie for the one graph size
+    # where both paths are trivially identical anyway.
+    limit = _local_max_edges()
+    if limit > 0 and pruned.count() <= limit:
         return _local_union_find(pruned)
     return _distributed_cc(pruned, max_iter)
 

@@ -242,15 +242,26 @@ def test_algo_key_includes_tokenizer_source(spark):
 
 
 def test_failed_build_cleans_tmp_dir(spark, store_root, monkeypatch):
-    """ADVICE r11 (low): a failed Spark parquet write (Py4JJavaError,
-    not OSError) must not leak the uuid tmp dir."""
+    """ADVICE r11 (low): a non-OSError failure mid-build must not leak
+    the uuid tmp dir. ADVICE r12 (low): the original injection point
+    (_fresh_bands) raised BEFORE the Spark write created the tmp dir,
+    so the test passed even without the cleanup clause — inject at
+    os.rename instead, so the write completes (tmp dir exists on disk)
+    and the failure is a RuntimeError (non-OSError, the clause under
+    test) raised after it."""
+    import os as os_mod
+
     from ecmm428_pycart_spark.datapipe import band_store
 
-    def boom(spark_, sf_dir_, variant_):
-        raise RuntimeError("injected build failure")
+    seen = {}
 
-    monkeypatch.setattr(band_store, "_fresh_bands", boom)
+    def boom(src, dst):
+        seen["tmp_existed"] = os_mod.path.isdir(src)
+        raise RuntimeError("injected post-write failure")
+
+    monkeypatch.setattr(band_store.os, "rename", boom)
     with pytest.raises(RuntimeError, match="injected"):
         band_store.band_index(spark, TESTDATA)
+    assert seen.get("tmp_existed"), "injection fired before the write"
     leftovers = os.listdir(store_root) if os.path.isdir(store_root) else []
     assert leftovers == [], leftovers

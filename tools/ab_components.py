@@ -8,9 +8,13 @@ store-pairs 1.1s + verify 0.9s + CC 3.7s). Round 12 changed the loop:
   plan, so the convergence probe is a count over the already
   materialized checkpoint (every round, nearly free) instead of a
   prev⋈new shuffle join every 2nd round;
-- the pointer-jump self-join only engages from round 2 — near-dup
-  graphs are diameter ≤ 2 cliques that converge under plain
-  propagation first, so for them it never runs.
+- the pointer-jump self-join runs EVERY round, same as the legacy arm
+  (an earlier defer-to-round-2 variant was A/B'd flat and reverted —
+  docs/ROUND12_NOTES.md; round count × localCheckpoint latency
+  dominates, and deferring the jump adds rounds on chain graphs);
+- above the loop sits the r12 size gate: ≤ 500k edges short-circuits
+  to a driver union-find, so on the bench-scale consumers measured
+  here arm B is the union-find, not the loop.
 
 This harness measures what that's worth on the six CC consumers in ONE
 warmed session: arm A (``SPARK_GRAFT_CC_LEGACY=1``) = the pre-r12
