@@ -2632,8 +2632,13 @@ SELECT t.doc_id, scored.lm_bigram
 FROM t LEFT JOIN scored USING (doc_id)
 """)
 def d37_bigram_lm(spark, sf_dir):
+    from ecmm428_pycart_spark.datapipe import lm_store
+
     docs = _t(spark, sf_dir, "documents")
-    return text.bigram_lm_score(docs)
+    # self-scoring against the full corpus: the count tables come from
+    # the write-once lm_store (values identical to counting fresh)
+    return text.bigram_lm_score(docs, counts=lm_store.count_tables(
+        spark, sf_dir, "documents", fresh_ref=docs))
 
 
 # BM25 retrieval via the inverted-index join (Lucene idf form,

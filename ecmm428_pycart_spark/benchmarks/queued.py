@@ -499,10 +499,14 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
 FROM lab GROUP BY bucket
 """)
 def d43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.datapipe import lm_store
     from ecmm428_pycart_spark.datapipe.text import perplexity_buckets
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return (perplexity_buckets(docs)
+    # count tables from the write-once lm_store (exact-long counts —
+    # scores bit-identical to counting fresh)
+    return (perplexity_buckets(docs, counts=lm_store.count_tables(
+                spark, sf_dir, "documents", fresh_ref=docs))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("lm_bigram"), 6).alias("avg_lm")))
@@ -1227,7 +1231,13 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once so the dedup aggregation doesn't re-run per branch
     corpus = (docs.join(canon, "doc_id", "left_semi")
               .localCheckpoint(eager=True))
-    keep = (perplexity_buckets(corpus)
+    # the LM count tables over the deduped corpus come from the
+    # write-once lm_store (variant documents_dedup — the store derives
+    # the same exact-dedup survivors; fresh_ref reuses this checkpoint
+    # on the bypass path so the A/B's fresh arm is the pre-store plan)
+    from ecmm428_pycart_spark.datapipe import lm_store
+    keep = (perplexity_buckets(corpus, counts=lm_store.count_tables(
+                spark, sf_dir, "documents_dedup", fresh_ref=corpus))
             .filter(F.col("bucket").isin("middle", "head"))
             .select("doc_id"))
     kept1 = corpus.join(keep, "doc_id", "left_semi")

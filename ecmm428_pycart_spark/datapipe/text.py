@@ -180,11 +180,46 @@ def adjacent_pairs(arr) -> Column:
         F.array().cast("array<struct<a:string,b:string>>"))
 
 
+def lm_count_tables(ref: DataFrame, text_col: str = "text"
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three Stupid-Backoff count tables of ``bigram_lm_score``,
+    built from the reference corpus in one exploded pass each:
+
+    - ``uni``: (w, cu) unigram counts,
+    - ``bg_enriched``: (w1, w2, cb, cc) bigram counts with the
+      count-as-context denominator already FOLDED IN (a vocab² × vocab
+      join — see bigram_lm_score's scale note),
+    - ``total``: 1 row (total,) = sum of unigram counts.
+
+    Split out (r13) so the tables can be materialized once per corpus
+    by ``datapipe.lm_store`` — they are a pure function of the
+    reference corpus text, and their build is the measured wall of
+    q95/d43 (docs/PROFILE_q95_d19_r12.json: 6.1–6.4s of q95's 8.1s).
+    All counts are exact longs, so a parquet round-trip reproduces
+    scores bit-for-bit."""
+    uni = (ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    total = uni.agg(F.sum("cu").alias("total"))
+    bg_counts = (ref.select(
+        F.explode(adjacent_pairs(tokens(F.col(text_col)))).alias("bg"))
+        .select(F.col("bg.a").alias("w1"), F.col("bg.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb")))
+    ctx = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    # fold the context denominator into the count table BEFORE the
+    # corpus join: this join is vocab² x vocab, not corpus-sized, and
+    # it removes one full shuffle of the per-document bigram stream
+    bg_enriched = bg_counts.join(ctx, "w1")
+    return uni, bg_enriched, total
+
+
 def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     alpha: float = 0.4,
                     ref: DataFrame | None = None,
-                    with_backoff_count: bool = False) -> DataFrame:
+                    with_backoff_count: bool = False,
+                    counts: tuple[DataFrame, DataFrame, DataFrame]
+                    | None = None) -> DataFrame:
     """Per-document Stupid Backoff bigram LM score (Brants et al. 2007,
     "Large Language Models in Machine Translation") — the LM-quality
     signal designed FOR distributed counting at web scale, and the
@@ -221,31 +256,19 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
     before the corpus join (a vocabulary²-vs-vocabulary join), so the
     corpus-sized bigram stream shuffles twice — once on (w1, w2) for
     (cb, cc), once on w2 for the backoff unigram — not three times.
+    ``counts`` short-circuits the table build with precomputed
+    ``lm_count_tables`` output (the lm_store path); the caller is
+    responsible for the tables matching the intended reference corpus.
     """
-    if ref is None:
-        ref = df
-
-    def bigram_stream(frame, with_id):
-        cols = [F.col(id_col)] if with_id else []
-        return (frame.select(
-            *cols,
-            F.explode(adjacent_pairs(tokens(F.col(text_col))))
-            .alias("bg"))
-            .select(*cols, F.col("bg.a").alias("w1"),
-                    F.col("bg.b").alias("w2")))
-
-    bigrams = bigram_stream(df, with_id=True)
-    uni = (ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
-    total = uni.agg(F.sum("cu").alias("total"))
-    bg_counts = (bigram_stream(ref, with_id=False)
-                 .groupBy("w1", "w2")
-                 .agg(F.count(F.lit(1)).alias("cb")))
-    ctx = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
-    # fold the context denominator into the count table BEFORE the
-    # corpus join: this join is vocab² x vocab, not corpus-sized, and
-    # it removes one full shuffle of the per-document bigram stream
-    bg_enriched = bg_counts.join(ctx, "w1")
+    bigrams = (df.select(
+        F.col(id_col),
+        F.explode(adjacent_pairs(tokens(F.col(text_col)))).alias("bg"))
+        .select(F.col(id_col), F.col("bg.a").alias("w1"),
+                F.col("bg.b").alias("w2")))
+    if counts is None:
+        counts = lm_count_tables(ref if ref is not None else df,
+                                 text_col=text_col)
+    uni, bg_enriched, total = counts
     score = F.when(
         F.col("cb").isNotNull(),
         F.col("cb").cast("double") / F.col("cc"),
@@ -595,7 +618,9 @@ def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
                        alpha: float = 0.4,
                        ref: DataFrame | None = None,
                        exact: bool = True,
-                       approx_accuracy: int = 10000) -> DataFrame:
+                       approx_accuracy: int = 10000,
+                       counts: tuple[DataFrame, DataFrame, DataFrame]
+                       | None = None) -> DataFrame:
     """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score
     every document with the Stupid Backoff bigram LM, then split the
     corpus into head / middle / tail by exact score quantiles —
@@ -625,7 +650,7 @@ def perplexity_buckets(df: DataFrame, fractions=(1.0 / 3, 2.0 / 3),
     if not (0.0 < lo < hi < 1.0):
         raise ValueError("fractions must be ascending in (0, 1)")
     scored = bigram_lm_score(df, id_col=id_col, text_col=text_col,
-                             alpha=alpha, ref=ref)
+                             alpha=alpha, ref=ref, counts=counts)
     if exact:
         pct = [F.percentile("lm_bigram", F.lit(lo)).alias("t_lo"),
                F.percentile("lm_bigram", F.lit(hi)).alias("t_hi")]
