@@ -31,6 +31,16 @@ being min() reductions — deterministic, no ordering sensitivity.
 Equivalence is pinned by tests/test_components.py, which runs the
 union-find oracle against both paths (the distributed one forced via
 the gate env).
+
+Both paths are measured either side of the gate
+(docs/BENCH_CC_DIST_r13.md, synthetic clique+chain graphs at
+100k/600k/2.4M edges): the distributed loop costs 2.41× at 600k and
+1.39× at 2.4M vs the union-find on local[32], the premium shrinking
+as per-round work amortizes the ~1s/round checkpoint latency. The
+500k default is therefore a DRIVER-STATE bound (like Spark's
+broadcast threshold), not a latency crossover — raising it buys
+single-node latency only by growing an unbounded driver collect in
+exactly the regime where a cluster must not fall over.
 """
 
 from __future__ import annotations
