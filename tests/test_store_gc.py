@@ -21,10 +21,12 @@ def test_gc_keeps_live_prefixes_and_removes_orphans(tmp_path):
     from ecmm428_pycart_spark.datapipe import band_store as bs
     from ecmm428_pycart_spark.datapipe import borders_store as obs
     from ecmm428_pycart_spark.datapipe import crawl_store as cs
+    from ecmm428_pycart_spark.datapipe import lm_store as ls
 
     roots = {"SPARK_GRAFT_BORDERS_STORE": tmp_path / "borders",
              "SPARK_GRAFT_CRAWL_STORE": tmp_path / "crawl",
-             "SPARK_GRAFT_BAND_STORE": tmp_path / "band"}
+             "SPARK_GRAFT_BAND_STORE": tmp_path / "band",
+             "SPARK_GRAFT_LM_STORE": tmp_path / "lm"}
     for r in roots.values():
         r.mkdir()
 
@@ -39,11 +41,18 @@ def test_gc_keeps_live_prefixes_and_removes_orphans(tmp_path):
         roots["SPARK_GRAFT_BAND_STORE"]
         / f"{bs._LAYOUT_VERSION}_{bs._algo_version()}"
           f"-c{cs._algo_version()}_d9_0_8_dddd_bands_crawl_html",
+        roots["SPARK_GRAFT_LM_STORE"]
+        / f"{ls._LAYOUT_VERSION}_{ls._algo_version('documents')}"
+          f"_d9_0_8_cccc_lm_documents",
+        roots["SPARK_GRAFT_LM_STORE"]
+        / f"{ls._LAYOUT_VERSION}_{ls._algo_version('documents_dedup')}"
+          f"_d9_0_8_cccc_lm_documents_dedup",
     ]
     dead = [
         roots["SPARK_GRAFT_BORDERS_STORE"] / "v1_c9_0_8",  # pre-r10 format
         roots["SPARK_GRAFT_CRAWL_STORE"] / "v1_000000000000_d9_0_8_x_html",
         roots["SPARK_GRAFT_BAND_STORE"] / "v0_stale_d9_0_8_x_bands_documents",
+        roots["SPARK_GRAFT_LM_STORE"] / "v1_000000000000_d9_0_8_x_lm_documents",
     ]
     tmpd = roots["SPARK_GRAFT_CRAWL_STORE"] / (
         f"{cs._LAYOUT_VERSION}_{cs._algo_version()}_d9_0_8_eeee_html"
@@ -57,7 +66,7 @@ def test_gc_keeps_live_prefixes_and_removes_orphans(tmp_path):
 
     out = _run(env=env).stdout              # dry-run: nothing deleted
     assert all(d.exists() for d in [*live, *dead, tmpd])
-    assert out.count("DEAD") == len(dead) and "4 live" in out
+    assert out.count("DEAD") == len(dead) and "6 live" in out
 
     _run("--apply", env=env)                # orphans go, tmp stays
     assert all(d.exists() for d in live) and tmpd.exists()

@@ -1,6 +1,6 @@
 """Garbage-collect orphaned derived-dataset store entries.
 
-The three write-once stores (borders / crawl / band) key every entry
+The four write-once stores (borders / crawl / band / lm) key every entry
 by layout version + producing-code source hash (+ corpus content
 fingerprint), so editing a producer or hardening a fingerprint
 orphans the old entries: they can never be SERVED again (the key no
@@ -37,6 +37,7 @@ def live_prefixes() -> dict[str, list[str]]:
     from ecmm428_pycart_spark.datapipe import band_store as bs
     from ecmm428_pycart_spark.datapipe import borders_store as os_
     from ecmm428_pycart_spark.datapipe import crawl_store as cs
+    from ecmm428_pycart_spark.datapipe import lm_store as ls
 
     band_doc = f"{bs._LAYOUT_VERSION}_{bs._algo_version()}_"
     band_html = (f"{bs._LAYOUT_VERSION}_{bs._algo_version()}"
@@ -47,6 +48,11 @@ def live_prefixes() -> dict[str, list[str]]:
         cs._store_root(): [
             f"{cs._LAYOUT_VERSION}_{cs._algo_version()}_"],
         bs._store_root(): [band_doc, band_html],
+        # the lm store's algo hash is per-variant (the dedup variant
+        # folds exact_dup_groups), so each variant has its own prefix
+        ls._store_root(): [
+            f"{ls._LAYOUT_VERSION}_{ls._algo_version(v)}_"
+            for v in ls._VARIANTS],
     }
 
 
