@@ -393,10 +393,21 @@ def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     counts use capped fingerprints only while denominators n_a/n_b
     stay FULL-set distinct-fingerprint counts, so derived similarity
     shared/min(n_a, n_b) is a provable lower bound. All-integer
-    output (a, b, shared, n_a, n_b)."""
-    fp = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
-                             k=k, w=w).select(
-        F.col(id_col).alias("_id"), F.col("fp").alias("_fp"))
+    output (a, b, shared, n_a, n_b).
+
+    The fingerprint stream is eagerly checkpointed before fan-out:
+    three downstream consumers read it (per-doc sizes, the df count,
+    and the capped join's probe side), and the char-8-gram hash +
+    window-argmin pass is the measured wall (2.9s of d60's ~5s at
+    sf0.1, paid once per consumer without materialization —
+    tools/profile_d60_d28.py). The stream is O(chars/w) rows per
+    document — corpus-linear, executor-local — the same bounded
+    materialization economics as q95's corpus checkpoint and the CC
+    kernel's edge projection."""
+    fp = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                              k=k, w=w)
+          .select(F.col(id_col).alias("_id"), F.col("fp").alias("_fp"))
+          .localCheckpoint(eager=True))
     sizes = fp.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     kept = fp.join(fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
                    .filter(F.col("_df") <= max_df).select("_fp"), "_fp")
