@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ecmm428_pycart_spark.datapipe import (band_store, dedup, multimodal,
                                            similarity, text)
 from ecmm428_pycart_spark.session import load_table as _t
+from ecmm428_pycart_spark.session import spread_small as _spread
 
 QUERIES = {}
 ORACLES = {}
@@ -744,6 +745,10 @@ SELECT doc_id,
 FROM g
 """)
 def m12_resize_pixels(spark, sf_dir):
+    # NOT spread (r13b A/B: 1.01x flat — the per-row Python work here
+    # is too light to amortize 32 Arrow worker round-trips; see
+    # docs/AB_SPREAD_r13.md). m19, with ~5x the per-row decode cost,
+    # is where the same lever measured 1.57x.
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     payload = docs.withColumn(
         "payload",
@@ -2496,7 +2501,9 @@ SELECT doc_id,
 FROM f
 """)
 def m19_mjpeg_avi_frames(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread before the AVI synth+decode Arrow stages — the heaviest
+    # per-row Python work in the registry, single-task without it (r13)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     payload = docs.withColumn(
         "payload", multimodal.synth_avi_payload(F.col("doc_id")))
     st = payload.withColumn("s",

@@ -404,7 +404,9 @@ def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     document — corpus-linear, executor-local — the same bounded
     materialization economics as q95's corpus checkpoint and the CC
     kernel's edge projection."""
-    fp = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+    from ecmm428_pycart_spark.session import spread_small
+    fp = (winnow_fingerprints(spread_small(df.select(id_col, text_col)),
+                              id_col=id_col, text_col=text_col,
                               k=k, w=w)
           .select(F.col(id_col).alias("_id"), F.col("fp").alias("_fp"))
           .localCheckpoint(eager=True))

@@ -197,6 +197,14 @@ def lm_count_tables(ref: DataFrame, text_col: str = "text"
     q95/d43 (docs/PROFILE_q95_d19_r12.json: 6.1–6.4s of q95's 8.1s).
     All counts are exact longs, so a parquet round-trip reproduces
     scores bit-for-bit."""
+    from ecmm428_pycart_spark.session import spread_small
+
+    # spread the reference text before the exploded passes: with the
+    # count-table joins downstream broadcast, tokenize+explode+partial
+    # aggregation all run map-side — single-task on a small one-file
+    # scan (or an AQE-coalesced computed corpus) without this (r13b).
+    # Counts are exact longs, so the result is partitioning-invariant.
+    ref = spread_small(ref.select(text_col))
     uni = (ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
     total = uni.agg(F.sum("cu").alias("total"))
@@ -260,7 +268,13 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
     ``lm_count_tables`` output (the lm_store path); the caller is
     responsible for the tables matching the intended reference corpus.
     """
-    bigrams = (df.select(
+    from ecmm428_pycart_spark.session import spread_small
+
+    # spread the scored corpus before its exploded pass — the count
+    # tables broadcast at bench scale, so the whole score chain
+    # (tokenize, explode, both joins, partial agg) is map-side and
+    # otherwise runs as one task on a small scan (r13b)
+    bigrams = (spread_small(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(adjacent_pairs(tokens(F.col(text_col)))).alias("bg"))
         .select(F.col(id_col), F.col("bg.a").alias("w1"),

@@ -115,6 +115,31 @@ def pinned_confs(spark, confs: dict):
                 spark.conf.set(k, v)
 
 
+def spread_small(df):
+    """Raise a DataFrame's partition count to the session's default
+    parallelism when it is below it — the map-side parallelism fix for
+    heavy per-row work (Arrow decode stages, fingerprint hashing)
+    downstream of a SMALL single-file scan. Parquet splits at row-group
+    boundaries and the testdata files are written as ONE row group, so
+    ``spark.sql.files.maxPartitionBytes`` cannot spread the scan: every
+    pre-shuffle map stage otherwise runs as a single task regardless of
+    core count (r13 measurement: m19's whole 6.7s decode ran on 1 of 32
+    cores). Scale-adaptive by construction: at production scale a scan
+    already carries >= defaultParallelism partitions and this returns
+    the input unchanged (no shuffle added); the shuffle it does add
+    locally moves only the projected input columns. The target follows
+    the session's core count (SPARK_GRAFT_CPUS), not a constant.
+    ``SPARK_GRAFT_SPREAD_OFF=1`` restores the pre-r13 single-task plans
+    (the A/B fresh arm)."""
+    if os.environ.get("SPARK_GRAFT_SPREAD_OFF") == "1":
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def scratch_dir(prefix: str) -> str:
     """``mkdtemp`` that cannot leak: the directory is registered for
     removal at interpreter exit. Roundtrip gate/bench queries write
