@@ -1820,7 +1820,10 @@ GROUP BY doc_id
 """)
 def d25_decontamination(spark, sf_dir):
     from ecmm428_pycart_spark.datapipe.dedup import shingle_set
-    docs = _t(spark, sf_dir, "documents")
+    # spread before the 3-gram shingle explode (same shape and lever
+    # as d35 — r13b)
+    docs = _spread(_t(spark, sf_dir, "documents")
+                   .select("doc_id", "text"))
     sh = docs.select("doc_id",
                      F.explode(shingle_set(F.col("text"), 3)).alias("g"))
     eval_g = (sh.filter(F.col("doc_id") % 50 == 0)
@@ -2300,7 +2303,10 @@ FROM train JOIN eval USING (g)
 GROUP BY doc_id
 """)
 def d35_bloom_decontaminate(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # spread before the 4-gram shingle explode + bloom probe — all
+    # map-side from a one-partition scan otherwise (r13b A/B: 1.8x)
+    docs = _spread(_t(spark, sf_dir, "documents")
+                   .select("doc_id", "text"))
     sh = docs.select("doc_id",
                      F.explode(dedup.shingle_set(F.col("text"), 4))
                      .alias("g"))

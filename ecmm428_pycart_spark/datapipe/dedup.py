@@ -184,6 +184,8 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Jaccard; Broder's original uses hashed shingles throughout). The
     hash is engine-reproducible (DuckDB: ('0x' || substr(md5(s), 1,
     15))::BIGINT), so oracles stay hash-checkable."""
+    from ecmm428_pycart_spark.session import spread_cpu
+
     sset = shingle_set(F.col(text_col), shingle_n)
     if hash_shingles:
         sset = F.transform(
@@ -191,7 +193,13 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
             .cast("long"))
     sets = df.select(F.col(id_col).alias("_sid"), sset.alias("_sset"))
-    j = (pairs
+    # spread the pair stream before the verify: the shingle sets attach
+    # via broadcast joins, so the intersect/union CPU runs at the pair
+    # stream's partitioning — which AQE coalesces by BYTES (two ids per
+    # row) to a handful of tasks. The explicit exchange is two longs
+    # per row; the verify it feeds is O(|set_a| + |set_b|) array ops
+    # per row (r13b A/B: d28 2.04x — docs/AB_SPREAD_r13.md).
+    j = (spread_cpu(pairs)
          .join(sets.withColumnRenamed("_sid", "doc_a")
                    .withColumnRenamed("_sset", "set_a"), "doc_a")
          .join(sets.withColumnRenamed("_sid", "doc_b")

@@ -140,6 +140,26 @@ def spread_small(df):
     return df.repartition(target)
 
 
+def spread_cpu(df):
+    """Unconditionally repartition to the session's default parallelism
+    — for CPU-dense stages DOWNSTREAM OF A SHUFFLE, where
+    ``spread_small``'s static check is blind: the physical plan reports
+    the static shuffle-partition count (>= parallelism), but AQE
+    re-coalesces small shuffle outputs by BYTES at runtime, and a stage
+    whose cost is array/decode CPU per row rather than bytes lands on a
+    handful of tasks (r13b measurement: d28's exact-jaccard verify over
+    234k candidate pairs ran 4.5s on AQE-coalesced partitions vs 2.2s
+    spread). The explicit exchange moves only the frame's (narrow)
+    columns — for a candidate-pair stream, two ids per row — while the
+    stage it feeds does hundreds of array ops per row, so the shuffle
+    stays amortized at any scale. Use ``spread_small`` for scan-level
+    inputs instead; same ``SPARK_GRAFT_SPREAD_OFF=1`` escape (A/B
+    arm)."""
+    if os.environ.get("SPARK_GRAFT_SPREAD_OFF") == "1":
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def scratch_dir(prefix: str) -> str:
     """``mkdtemp`` that cannot leak: the directory is registered for
     removal at interpreter exit. Roundtrip gate/bench queries write

@@ -70,6 +70,33 @@ def test_winnow_pairs_identical_with_and_without_spread(spark,
     assert off  # non-vacuous: the fixture must produce pairs
 
 
+def test_jaccard_pairs_identical_with_and_without_spread(spark,
+                                                         monkeypatch):
+    """The verify-stage spread (session.spread_cpu inside
+    dedup.jaccard_pairs) is a pure materialization change: verified
+    pair output must be identical with spreading disabled (the
+    pre-r13b plan)."""
+    from ecmm428_pycart_spark.datapipe.dedup import jaccard_pairs
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=f"alpha beta gamma delta epsilon zeta tail{i % 3}")
+         for i in range(12)])
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a in range(12) for b in range(12)
+         if a < b])
+
+    def grab():
+        return sorted(map(tuple, jaccard_pairs(docs, pairs,
+                                               threshold=0.5).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_OFF", "1")
+    off = grab()
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD_OFF")
+    on = grab()
+    assert off == on
+    assert off  # non-vacuous: same-tail docs share 7 of 8 shingles
+
+
 def test_q71_two_level_agg_matches_double_count_distinct(spark):
     """The r13b rewrite replaced two countDistincts (Expand x3) with a
     (order, supp) pre-aggregation. Pin equivalence on a synthetic frame
