@@ -745,17 +745,16 @@ SELECT doc_id,
 FROM g
 """)
 def m12_resize_pixels(spark, sf_dir):
-    # NOT spread (r13b A/B: 1.01x flat — the per-row Python work here
-    # is too light to amortize 32 Arrow worker round-trips; see
-    # docs/AB_SPREAD_r13.md). m19, with ~5x the per-row decode cost,
-    # is where the same lever measured 1.57x.
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    payload = docs.withColumn(
-        "payload",
-        multimodal.synth_png_gradient_min4_payload(F.col("doc_id")))
-    resized = multimodal.resize_image(payload, width=4, height=4)
-    px = resized.select(
-        "doc_id", multimodal.binary_to_ints(F.col("pixels")).alias("vals"))
+    # Fused + spread (r13c): the r13b spread-only A/B read flat
+    # because the chain's three Python stages each pay a per-task
+    # Arrow worker fan-out that spreading multiplies; fusing
+    # synth→decode→resize→ints into one mapInPandas crossing
+    # (multimodal.synth_gradient_resize_vals — same kernels) makes
+    # the spread pay off: single-task chain ~2.9s → spread chain
+    # 1.44s → fused 0.57s (interleaved medians; output pinned
+    # identical to the chain in tests/test_spread.py).
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
+    px = multimodal.synth_gradient_resize_vals(docs, width=4, height=4)
     ex = px.select("doc_id", F.posexplode("vals").alias("pos", "value"))
     return ex.select(
         "doc_id",

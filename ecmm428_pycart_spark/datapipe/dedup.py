@@ -184,7 +184,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Jaccard; Broder's original uses hashed shingles throughout). The
     hash is engine-reproducible (DuckDB: ('0x' || substr(md5(s), 1,
     15))::BIGINT), so oracles stay hash-checkable."""
-    from ecmm428_pycart_spark.session import spread_cpu
+    from ecmm428_pycart_spark.session import spread_cpu, spread_small
 
     sset = shingle_set(F.col(text_col), shingle_n)
     if hash_shingles:
@@ -192,7 +192,13 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             sset,
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
             .cast("long"))
-    sets = df.select(F.col(id_col).alias("_sid"), sset.alias("_sset"))
+    # spread the shingle-set build too: it feeds BROADCAST exchanges
+    # (built once, ReusedExchange for the second side), and on a
+    # single-file scan the whole per-doc shingle+md5 hashing otherwise
+    # runs as ONE task (r13c profile: 1.8s of d28's 2.05s quiet-host).
+    # spread_small = no-op at scale; the exchange moves (id, text).
+    sets = spread_small(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col).alias("_sid"), sset.alias("_sset"))
     # spread the pair stream before the verify: the shingle sets attach
     # via broadcast joins, so the intersect/union CPU runs at the pair
     # stream's partitioning — which AQE coalesces by BYTES (two ids per

@@ -142,3 +142,29 @@ def test_q71_two_level_agg_matches_double_count_distinct(spark):
     assert [f.name for f in old.schema] == [f.name for f in new.schema]
     assert [f.dataType for f in old.schema] == \
         [f.dataType for f in new.schema]
+
+
+def test_m12_fused_kernel_matches_three_stage_chain(spark):
+    """The r13c m12 fusion (synth→decode→resize→ints in one
+    mapInPandas crossing) must reproduce the three-stage chain's
+    output row-for-row — same fixtures, same decode, same box means."""
+    from ecmm428_pycart_spark.datapipe import multimodal
+
+    docs = spark.range(0, 200).toDF("doc_id")
+    payload = docs.withColumn(
+        "payload",
+        multimodal.synth_png_gradient_min4_payload(F.col("doc_id")))
+    resized = multimodal.resize_image(payload, width=4, height=4)
+    chain = resized.select(
+        "doc_id",
+        multimodal.binary_to_ints(F.col("pixels")).alias("vals"))
+    fused = multimodal.synth_gradient_resize_vals(docs, width=4,
+                                                  height=4)
+    key = lambda df: sorted((r.doc_id, tuple(r.vals))
+                            for r in df.collect())
+    a, b = key(chain), key(fused)
+    assert a == b
+    assert len(a) == 200 and all(len(v) == 16 for _, v in a)
+    # schema parity (the driver hashes column names and types)
+    assert [ (f.name, f.dataType) for f in chain.schema ] == \
+        [ (f.name, f.dataType) for f in fused.schema ]
