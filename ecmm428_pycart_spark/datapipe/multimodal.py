@@ -2393,6 +2393,17 @@ def avi_frame_stats(payload: pd.Series) -> pd.DataFrame:
                         columns=["width", "height", "n_frames", "frames"])
 
 
+# Marked non-deterministic so the optimizer cannot DUPLICATE the decode
+# (optimization guide §4.4): an explode over the returned `frames`
+# array makes InferFiltersFromGenerate synthesize a size(frames)>0
+# filter, push it below the upstream (spread) Exchange, and re-evaluate
+# the entire synth+decode chain a second time — single-task (r13c
+# measurement on m19: count() 4.7–6.0s with 2 ArrowEvalPython nodes →
+# 1.1–1.45s warm with 1 after this; results unchanged, the kernel is a
+# pure function).
+avi_frame_stats = avi_frame_stats.asNondeterministic()
+
+
 @F.pandas_udf(T.BinaryType())
 def synth_avi_payload(doc_id: pd.Series) -> pd.Series:
     """Deterministic MJPEG AVI per doc: nf = id%4+2 frames of a solid
@@ -2585,6 +2596,13 @@ def wav_mel_energies(payload: pd.Series) -> pd.Series:
         out.append([float(x) for x in
                     np.log10(1.0 + bank @ power)])
     return pd.Series(out)
+
+
+# Same §4.4 anti-duplication marking as avi_frame_stats: m21's
+# posexplode over the returned array otherwise re-evaluates the
+# synth+FFT chain below the inferred size()>0 filter (2 ArrowEvalPython
+# nodes in the count plan; pure function, results unchanged).
+wav_mel_energies = wav_mel_energies.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------

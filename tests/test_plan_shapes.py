@@ -528,3 +528,20 @@ def test_q80_window_decorrelation_no_self_join(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert df.count() == 1
+
+
+def test_expensive_decode_udfs_not_duplicated_by_generate_inference(spark):
+    """m19/m21 explode the array a pure-but-expensive Arrow UDF returns;
+    InferFiltersFromGenerate synthesizes a size()>0 filter that Catalyst
+    would push below the spread Exchange and so evaluate the whole
+    synth+decode chain TWICE (one copy single-task — guide §4.4). The
+    decode UDFs are marked asNondeterministic() to pin a single
+    evaluation; the aggregated (bench-style count) plan must reference
+    each exactly once."""
+    for name, udf in (("m19_mjpeg_avi_frames", "avi_frame_stats"),
+                      ("m21_mel_energies", "wav_mel_energies")):
+        df = get_queries()[name](spark, SF).groupBy().count()
+        m = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(m)
+        assert plan.count(udf) == 1, f"{name}: {udf} evaluated twice\n{plan}"
