@@ -676,6 +676,15 @@ def _cdc_cut_positions(texts):
     return texts.map(cuts)
 
 
+# Marked non-deterministic so the optimizer cannot DUPLICATE the kernel
+# (optimization guide §4.4, the m19/m21 lesson): the caller's posexplode
+# over `_chunks` makes InferFiltersFromGenerate synthesize a size()>0
+# filter whose condition re-evaluates the whole convolve kernel in a
+# SECOND ArrowEvalPython below the Generate (d62's plan carried both;
+# pure function of the text, results unchanged).
+_cdc_cut_positions = _cdc_cut_positions.asNondeterministic()
+
+
 def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Content-defined chunking (Rabin-Karp rolling hash, the

@@ -539,7 +539,8 @@ def test_expensive_decode_udfs_not_duplicated_by_generate_inference(spark):
     evaluation; the aggregated (bench-style count) plan must reference
     each exactly once."""
     for name, udf in (("m19_mjpeg_avi_frames", "avi_frame_stats"),
-                      ("m21_mel_energies", "wav_mel_energies")):
+                      ("m21_mel_energies", "wav_mel_energies"),
+                      ("d62_cdc_chunks", "_cdc_cut_positions")):
         df = get_queries()[name](spark, SF).groupBy().count()
         m = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
             .fromString("formatted")
