@@ -464,7 +464,7 @@ def _bpe_merge_pair(syms, a: str, b: str) -> Column:
 
 def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
                      text_col: str = "text", end_token: str = "</w>",
-                     min_freq: int = 2):
+                     min_freq: int = 2, checkpoint_every: int = 4):
     """REAL byte-pair-encoding merge learning (Sennrich et al. 2016) —
     the step the d13 "BPE-ish" regex approximates — run distributed:
 
@@ -476,7 +476,13 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
     - each merge step is one exploded pair-count aggregate + a 1-row
       argmax collect (count desc, then (a, b) lexicographic — fully
       deterministic), then a native-expression merge fold over the
-      symbol arrays, localCheckpoint-ed so the plan stays O(1);
+      symbol arrays, localCheckpoint-ed every ``checkpoint_every``
+      merges (the same cadence knob as ``bpe_encode``) so the plan
+      stays bounded: between checkpoints the pair-count aggregate
+      replays at most ``checkpoint_every - 1`` map-side fold layers
+      over the vocabulary-sized table — far cheaper than an eager
+      materialization job per round (the merges themselves are exact
+      integer argmaxes, so the cadence cannot change the result);
     - stops early when the best pair's frequency < min_freq (merging
       hapax pairs memorizes noise).
 
@@ -493,6 +499,7 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
         "syms", F.concat(chars, F.array(F.lit(end_token))))
         .localCheckpoint(eager=True))
     merges: list[tuple[str, str]] = []
+    pending = 0
     for _ in range(n_merges):
         pairs = vocab.select(
             "freq", F.explode(_bpe_adjacent_pairs(F.col("syms"))).alias("p"))
@@ -506,9 +513,12 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        vocab = (vocab.withColumn(
+        vocab = vocab.withColumn(
             "syms", _bpe_merge_pair(F.col("syms"), a, b))
-            .localCheckpoint(eager=True))
+        pending += 1
+        if pending >= max(1, checkpoint_every):
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
     return merges, vocab
 
 

@@ -1529,6 +1529,29 @@ def test_bpe_overlap_and_min_freq(spark):
     assert syms["xyz"] == ["x", "y", "z", "</w>"]  # hapax: untouched
 
 
+def test_bpe_checkpoint_cadence_is_result_invariant(spark):
+    """The r13 cadence lever: learn_bpe_merges' localCheckpoint every
+    ``checkpoint_every`` merges (default 4, matching bpe_encode) is a
+    pure materialization schedule — merge list AND final segmentations
+    must be identical at cadence 1 (the old per-round behavior), the
+    default, and a cadence larger than n_merges (never checkpoints
+    mid-loop)."""
+    from ecmm428_pycart_spark.datapipe.text import learn_bpe_merges
+    from ecmm428_pycart_spark.session import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(80).select("text"))
+    outs = {}
+    for every in (1, 4, 99):
+        merges, vocab = learn_bpe_merges(docs, n_merges=7,
+                                         checkpoint_every=every)
+        outs[every] = (merges,
+                       sorted((r["word"], r["freq"], tuple(r["syms"]))
+                              for r in vocab.collect()))
+    assert outs[1] == outs[4] == outs[99]
+    assert len(outs[1][0]) == 7
+
+
 def test_k_core_converges_on_exact_round_budget(spark):
     """A peel that empties the graph on exactly the last budgeted round
     is convergence, not a RuntimeError (review finding)."""
