@@ -28,60 +28,60 @@ from ecmm428_pycart_spark.benchmarks import relational
 # invariant (every registered query gate-checked within 2 consecutive
 # rounds).
 DRIVER_WINDOW = [
-    # ROUND-13 ROTATION (evidence freshness): the 48 queries
+    # ROUND-14 ROTATION (evidence freshness): the 48 queries
     # with the OLDEST committed PASSING driver-gate rows,
     # re-gated on the current tree + two sentinels.
-    # Computed by tools/apply_round13.py from CORRECTNESS_r*.
+    # Computed by tools/apply_round14.py from CORRECTNESS_r*.
     "q01_pricing_summary",
     "g04_dorling_positions",
-    "m19_mjpeg_avi_frames",
-    "q53_local_supplier_volume",
-    "q54_returned_items",
-    "q55_late_shipment_priority",
-    "q56_large_volume_customers",
-    "q57_order_count_distribution",
-    "q58_dormant_high_balance",
-    "q64_priority_mix",
-    "q67_rollup_revenue",
-    "q68_pivot_year_flag",
-    "q69_dpp_prune",
-    "q70_top_supplier",
-    "q71_lone_late_supplier",
-    "q72_scd2_history",
-    "q73_set_ops",
-    "q74_decile_stats",
-    "q75_observed_metrics",
-    "q76_variant_json",
-    "q77_schema_evolution",
-    "q78_range_frame_window",
-    "q79_python_datasource",
-    "q80_small_qty_revenue",
-    "q81_market_share",
-    "q82_disjunctive_revenue",
-    "q83_exists_priority",
-    "s06_array_ops",
-    "s08_int8_quantize",
-    "s13_ivf_pq_topk",
-    "st09_stream_outer_join",
-    "st10_stream_chained_agg",
-    "st11_python_stream_source",
-    "st12_python_stream_sink",
-    "st13_stream_restart_resume",
-    "st14_stream_timeout_sessions",
-    "d37_bigram_lm",
-    "d38_bm25",
-    "d39_heavy_hitters",
-    "d40_bpe_merges",
-    "d41_hashing_tf",
-    "d42_bpe_encode",
-    "d43_perplexity_buckets",
-    "d44_zipf_fit",
-    "d45_temperature_mix",
-    "d46_leakage_safe_split",
-    "d47_source_contamination",
-    "d48_lm_reference_scoring",
-    "d49_incremental_dedup",
-    "g17_k_core",
+    "g18_clustering_coeff",
+    "m05_frame_sample",
+    "m20_audio_spectrum",
+    "m21_mel_energies",
+    "m22_augmentations",
+    "m23_tar_shard_roundtrip",
+    "m24_wav_resample",
+    "q100_sessionization",
+    "q84_min_cost_supplier",
+    "q85_product_profit",
+    "q86_important_stock",
+    "q87_promo_revenue",
+    "q88_supplier_relationship",
+    "q89_part_promotion",
+    "q90_funnel_steps",
+    "q91_rfm_segments",
+    "q92_xml_roundtrip",
+    "q93_rolling_actives",
+    "q94_funnel_latency",
+    "q95_curation_pipeline",
+    "q96_unpivot_measures",
+    "q97_runtime_bloom_join",
+    "q98_event_transitions",
+    "q99_snapshot_diff",
+    "s14_semdedup",
+    "s15_truncated_rerank",
+    "s16_rrf_hybrid",
+    "s17_index_persistence",
+    "s18_pca_project",
+    "s19_mmr_topk",
+    "s20_hard_negatives",
+    "s21_ann_knn_join",
+    "s22_embedding_normalize",
+    "st15_stream_funnel",
+    "d50_normalized_dedup",
+    "d51_dp_release",
+    "d52_classifier_filter",
+    "d53_edit_neardup",
+    "d54_sentence_dedup",
+    "d55_code_filter",
+    "d56_url_host_filter",
+    "d57_script_mix",
+    "d58_countmin_sketch",
+    "d59_containment_dup",
+    "d60_winnow_dup",
+    "d61_kmv_distinct",
+    "d62_cdc_chunks",
+    "d64_pii_scrub",
 ]
 
 # Queries registered this round that did NOT fit the round-5 window;
