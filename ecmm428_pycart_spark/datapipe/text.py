@@ -519,6 +519,12 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
         if pending >= max(1, checkpoint_every):
             vocab = vocab.localCheckpoint(eager=True)
             pending = 0
+    if pending:
+        # ADVICE r13: without this, a non-multiple n_merges (or an early
+        # min_freq break) returned a vocab carrying up to
+        # checkpoint_every-1 unmaterialized merge-fold layers, which any
+        # multi-action caller would replay per action.
+        vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
 
 

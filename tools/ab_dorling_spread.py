@@ -76,6 +76,25 @@ def main():
     for which in ("g08", "g14", "g04"):
         runs = {a: [] for a in ARMS}
         rows = {}
+        # ADVICE r13: SPARK_GRAFT_SPREAD_OFF is a PROCESS-GLOBAL kill
+        # switch on every spread site, not a dorling-specific lever —
+        # if the arms' plans don't differ, this A/B would silently
+        # measure the global toggle (or nothing). Refuse to time arms
+        # whose built plans are identical; after re-applying the
+        # AB_DORLING_r13.md snippets, gate them behind their own env
+        # var so the off arm toggles only the dorling sites.
+        plans = {}
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        for arm, env in ARMS.items():
+            os.environ.update(env)
+            plans[arm] = build(spark, sf_dir, which) \
+                ._jdf.queryExecution().explainString(mode)
+        if plans["off"] == plans["spread"] == plans["both"]:
+            sys.exit(f"{which}: all three arms build IDENTICAL plans — "
+                     "the dorling levers are not applied in this tree "
+                     "(they were reverted; see docs/AB_DORLING_r13.md). "
+                     "Re-apply the snippets before running this A/B.")
         for arm, env in ARMS.items():          # warmup each arm once
             os.environ.update(env)
             build(spark, sf_dir, which).count()

@@ -85,17 +85,30 @@ def profile_d53(spark, sf_dir):
     clock = clockers(t)
     docs = load_table(spark, sf_dir, "documents")
 
-    # stage 1: normalize + (len-bucket, prefix) blocking + 50-cap
+    # The blocking constants are read off the SHIPPED operator's
+    # signature (dedup.edit_neardup_pairs — d53 calls it with only
+    # max_dist=8 overridden), so this profile cannot silently measure
+    # a stale shape if the defaults change (ADVICE r13).
+    import inspect
+
+    from ecmm428_pycart_spark.datapipe.dedup import edit_neardup_pairs
+    sig = {k: p.default for k, p in
+           inspect.signature(edit_neardup_pairs).parameters.items()}
+    length_bucket, prefix_len, block_cap = (
+        sig["length_bucket"], sig["prefix_len"], sig["block_cap"])
+    max_dist = 8  # d53's explicit override (benchmarks/queued6.py)
+
+    # stage 1: normalize + (len-bucket, prefix) blocking + block cap
     from pyspark.sql.window import Window
     n = docs.select("doc_id", normalize_text(F.col("text")).alias("_norm"))
     b = n.select(
         "doc_id", "_norm",
-        F.floor(F.length("_norm") / 20).cast("long").alias("_lb"),
-        F.substring("_norm", 1, 12).alias("_pfx"))
+        F.floor(F.length("_norm") / length_bucket).cast("long").alias("_lb"),
+        F.substring("_norm", 1, prefix_len).alias("_pfx"))
     w = Window.partitionBy("_lb", "_pfx").orderBy(F.col("doc_id").asc())
     capped = clock("1_block_cap_ckpt", lambda: (
         b.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 50).drop("_rn")
+        .filter(F.col("_rn") <= block_cap).drop("_rn")
         .localCheckpoint(eager=True)))
 
     def verify(spread):
@@ -109,7 +122,8 @@ def profile_d53(spark, sf_dir):
             pairs = pairs.repartition(
                 spark.sparkContext.defaultParallelism)
         return (pairs.withColumn(
-                    "dist", F.levenshtein("_na", "_nb", 8).cast("long"))
+                    "dist", F.levenshtein("_na", "_nb", max_dist)
+                    .cast("long"))
                 .filter(F.col("dist") >= 0)
                 .select("doc_a", "doc_b", "dist").count())
 
