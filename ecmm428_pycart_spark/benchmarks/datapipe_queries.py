@@ -753,7 +753,17 @@ def m12_resize_pixels(spark, sf_dir):
     # the spread pay off: single-task chain ~2.9s → spread chain
     # 1.44s → fused 0.57s (interleaved medians; output pinned
     # identical to the chain in tests/test_spread.py).
-    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
+    #
+    # r14 (VERDICT r13 next-1): spread capped at 8 tasks. The driver's
+    # r13 record showed 30.2s@32c — 32 concurrent Arrow workers over
+    # 156 rows each amplify the host's bad many-thread regime — while
+    # the interleaved 4-arm A/B (tools/ab_m12_r14.py, both core
+    # counts) measured cap-8 == full spread (1.3s vs 1.2s @32c,
+    # 1.27s vs 1.30s @8c, outputs checksum-identical) at 4x less
+    # regime exposure. 8 tasks = 625 docs/task, >100 ms kernel work
+    # each; identity at production scale as before.
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"),
+                   max_tasks=8)
     px = multimodal.synth_gradient_resize_vals(docs, width=4, height=4)
     ex = px.select("doc_id", F.posexplode("vals").alias("pos", "value"))
     return ex.select(

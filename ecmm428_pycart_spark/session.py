@@ -115,7 +115,7 @@ def pinned_confs(spark, confs: dict):
                 spark.conf.set(k, v)
 
 
-def spread_small(df):
+def spread_small(df, max_tasks=None):
     """Raise a DataFrame's partition count to the session's default
     parallelism when it is below it — the map-side parallelism fix for
     heavy per-row work (Arrow decode stages, fingerprint hashing)
@@ -130,13 +130,26 @@ def spread_small(df):
     locally moves only the projected input columns. The target follows
     the session's core count (SPARK_GRAFT_CPUS), not a constant.
     ``SPARK_GRAFT_SPREAD_OFF=1`` restores the pre-r13 single-task plans
-    (the A/B fresh arm)."""
+    (the A/B fresh arm).
+
+    ``max_tasks`` caps the spread degree BELOW the session parallelism
+    (VERDICT r13 next-1): for a tiny input whose per-task work is an
+    Arrow python-worker round trip, full fan-out multiplies exposure to
+    the host's pathological many-thread scheduling regime (the driver
+    recorded m12 at 30.2s@32c on 5000 rows / 32 workers) while buying
+    nothing once every task already holds >~100 ms of kernel work
+    (tools/ab_m12_r14.py: cap-8 == full spread at 8 AND 32 cores). The
+    cap only ever LOWERS the added local shuffle's width; the
+    production no-op property is unchanged (a scan with >= parallelism
+    partitions returns unmodified before the cap is even consulted)."""
     if os.environ.get("SPARK_GRAFT_SPREAD_OFF") == "1":
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if max_tasks is not None:
+        target = min(target, max_tasks)
     return df.repartition(target)
 
 

@@ -168,3 +168,45 @@ def test_m12_fused_kernel_matches_three_stage_chain(spark):
     # schema parity (the driver hashes column names and types)
     assert [ (f.name, f.dataType) for f in chain.schema ] == \
         [ (f.name, f.dataType) for f in fused.schema ]
+
+
+def test_jaccard_verify_exchange_is_narrow_at_multi_partition_input(spark):
+    """VERDICT r13 next-6: spread_small is identity when the input
+    already carries >= parallelism partitions, but spread_cpu
+    unconditionally exchanges the pair stream. Pin the 100 TB no-op
+    claim as a plan shape: at a multi-partition input the jaccard
+    verify path adds EXACTLY ONE round-robin Exchange, and it moves
+    only the two pair-id columns (the projection happens before the
+    repartition) — a future edit must not sneak the full text (or the
+    shingle sets) into that shuffle."""
+    import re
+
+    from ecmm428_pycart_spark.datapipe.dedup import jaccard_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta tail{i % 5}")
+         for i in range(20 * par)])
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=a + 1) for a in range(0, 20 * par - 1, 2)])
+    # both inputs are already at session parallelism -> spread_small
+    # must not add an exchange of (id, text)
+    assert docs.rdd.getNumPartitions() >= par
+    assert pairs.rdd.getNumPartitions() >= par
+
+    out = jaccard_pairs(docs, pairs)
+    m = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(m)
+
+    # exactly one round-robin exchange in the whole plan (Spark 4.1
+    # prints "RoundRobinPartitioning" in the Arguments detail line)
+    details = re.findall(
+        r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\n"
+        r"Arguments: roundrobinpartitioning", plan, re.IGNORECASE)
+    assert len(details) == 1, (
+        f"expected exactly 1 round-robin Exchange, plan:\n{plan}")
+    n_cols, cols = details[0]
+    names = [c.strip().split("#")[0] for c in cols.split(",")]
+    assert int(n_cols) == 2 and sorted(names) == ["doc_a", "doc_b"], (
+        f"verify exchange must move only the pair ids, got {names}")
