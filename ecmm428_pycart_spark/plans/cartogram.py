@@ -23,6 +23,7 @@ constructor (pycart/cartogram.py:142-170) and exposes:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -39,6 +40,27 @@ from ecmm428_pycart_spark.geometry.udfs import (
 from ecmm428_pycart_spark.operators.borders import get_borders, with_region_idx
 from ecmm428_pycart_spark.operators.spatial_join import distance_range_self_join
 from ecmm428_pycart_spark.plans import dorling_core
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Plan-truncating localCheckpoint, LAZY by default (r14 "fewer
+    jobs" lever): eager=False compiles the physical plan and wraps its
+    (persisted) RDD exactly like eager=True — same LogicalRDD, same
+    lineage truncation, so the per-iteration 3^k plan blowup the r12
+    cadence probe measured cannot return — but defers materialization
+    to the query's terminal action. The N checkpoint jobs a dorling
+    call used to run (one per setup stage + one per Jacobi iteration)
+    collapse into that one job, whose stages read each intermediate
+    from the persist-on-first-compute cache; per-round driver job
+    latency (the measured dorling wall: the r13 profile put g08's 3
+    iterations at ~0.8-2.3s against ~0.2-1s/round scheduling latency
+    under contention) is paid once, not N times. Results are
+    byte-identical: the compiled plans, partitioning and float
+    accumulation orders are unchanged — only WHEN the same RDDs run.
+    ``SPARK_GRAFT_DORLING_LAZYCKPT_OFF=1`` restores the eager
+    per-stage jobs (the A/B arm)."""
+    eager = os.environ.get("SPARK_GRAFT_DORLING_LAZYCKPT_OFF") == "1"
+    return df.localCheckpoint(eager=eager)
 
 
 class Cartogram:
@@ -121,11 +143,10 @@ class Cartogram:
         # re-execute the upstream plan (often ingest UDFs) — materialize
         # once so every branch reads the checkpointed partitions.
         # dict.fromkeys dedupes when id_field == idx_field == "region_idx".
-        base = (base.select(*dict.fromkeys([v, i, g, "region_idx"]))
-                .localCheckpoint(eager=True))
+        base = _ckpt(base.select(*dict.fromkeys([v, i, g, "region_idx"])))
         borders, _islands = get_borders(base, i, g, idx_field="region_idx")
         if materialize_borders:
-            borders = borders.localCheckpoint(eager=True)
+            borders = _ckpt(borders)
 
         regions = centroid_cols(base, geom_col=g, prefix="c")
         regions = regions.withColumn("perimeter", st_perimeter(F.col(g)))
@@ -258,7 +279,10 @@ class Cartogram:
         every-3rd-iteration checkpointing is ~30-50% slower here because
         the un-truncated plan replays the grid join chain 3× deep —
         materializing the (small) state each step is the cheaper side of
-        the trade at every scale tested (144-1600 regions).
+        the trade at every scale tested (144-1600 regions). Since r14
+        the checkpoints are LAZY (see ``_ckpt``): the cadence and the
+        compiled plans are identical, but the per-iteration
+        materialization jobs collapse into the query's terminal action.
 
         The borders join and the force→position join are per-region-sized
         sides; below _BROADCAST_REGIONS they are broadcast (measured 4×
@@ -272,7 +296,7 @@ class Cartogram:
         small = getattr(self, "_n_regions", None) is not None \
             and self._n_regions <= self._BROADCAST_REGIONS
         hint = F.broadcast if small else (lambda df: df)
-        cur = state.localCheckpoint(eager=True)
+        cur = _ckpt(state)
         n_iter = iterations if stop is None else min(iterations, stop)
         for _ in range(n_iter):
             cand = distance_range_self_join(
@@ -323,9 +347,9 @@ class Cartogram:
             ytotal = F.when(rd2 > 0,
                             (1.0 - ratio) * yr2 + ratio * (rd2 * ya / (ad + 1.0))
                             ).otherwise(ya_c)
-            cur = j.select(
+            cur = _ckpt(j.select(
                 "region_idx", "_id", "_value", "perimeter", "radius",
                 (F.col("cx") + friction * xtotal).alias("cx"),
                 (F.col("cy") + friction * ytotal).alias("cy"),
-            ).localCheckpoint(eager=True)
+            ))
         return cur

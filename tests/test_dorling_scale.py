@@ -110,3 +110,50 @@ def test_scalable_dorling_shuffle_join_fallback_matches_broadcast(
         assert fx == pytest.approx(bx, rel=1e-12, abs=1e-12)
         assert fy == pytest.approx(by, rel=1e-12, abs=1e-12)
         assert fr == br  # radii are never re-accumulated, stay exact
+
+
+def test_dorling_lazy_checkpoints_match_eager_and_run_fewer_jobs(
+        spark, grid_df, monkeypatch):
+    """r14 "fewer jobs" lever (plans/cartogram._ckpt): lazy
+    localCheckpoints compile the identical physical plans (same
+    truncation, same partitioning) but defer materialization to the
+    terminal action, collapsing the per-stage checkpoint jobs into
+    one. Output must match the eager path to the last ULP (same
+    caveat as the broadcast-fallback test: groupBy float sums are
+    fetch-order sensitive, so approx at 1e-12, radii exact), and the
+    lazy path must demonstrably run FEWER Spark jobs."""
+    from ecmm428_pycart_spark.plans.cartogram import Cartogram
+
+    def run(tag, eager_off):
+        if eager_off:
+            monkeypatch.setenv("SPARK_GRAFT_DORLING_LAZYCKPT_OFF", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_DORLING_LAZYCKPT_OFF",
+                               raising=False)
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            cart = Cartogram(grid_df, "value", "name",
+                             idx_field="region_idx")
+            rows = (cart.dorling(iterations=3, mode="scalable")
+                    .select("name", "cx", "cy", "radius").collect())
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(tag)
+        return (sorted((r["name"], r["cx"], r["cy"], r["radius"])
+                       for r in rows), len(jobs))
+
+    lazy_rows, lazy_jobs = run("dorling-arm-lazy", eager_off=False)
+    eager_rows, eager_jobs = run("dorling-arm-eager", eager_off=True)
+    assert [r[0] for r in lazy_rows] == [r[0] for r in eager_rows]
+    for (_, lx, ly, lr), (_, ex, ey, er) in zip(lazy_rows, eager_rows):
+        assert lx == pytest.approx(ex, rel=1e-12, abs=1e-12)
+        assert ly == pytest.approx(ey, rel=1e-12, abs=1e-12)
+        assert lr == er
+    # eager runs one blocking job per checkpoint (base, borders, state,
+    # one per iteration) ON TOP of the jobs both arms share (the setup
+    # collect, one broadcast-collect per broadcast join per iteration,
+    # doCheckpoint backfill, the terminal action) — so the pin is
+    # strictly-fewer, not an absolute count.
+    assert lazy_jobs < eager_jobs, (
+        f"lazy dorling must run fewer jobs ({lazy_jobs} vs {eager_jobs})")
