@@ -38,6 +38,7 @@ def store_root(tmp_path, monkeypatch):
     return root
 
 
+@pytest.mark.slow
 def test_store_equals_fresh_both_variants(spark, store_root):
     from ecmm428_pycart_spark.datapipe import band_store as bs
 
@@ -183,6 +184,7 @@ def test_crawl_variant_key_folds_crawl_algo(spark, store_root,
     assert crawl_store._algo_version() not in k_doc
 
 
+@pytest.mark.slow
 def test_consumers_store_equals_fresh(spark, store_root, tmp_path,
                                       monkeypatch):
     """End-to-end pin on two consumers spanning both variants: d15

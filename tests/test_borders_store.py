@@ -30,6 +30,7 @@ def store_root(tmp_path, monkeypatch):
     return root
 
 
+@pytest.mark.slow
 def test_store_equals_fresh_build(spark, store_root):
     from ecmm428_pycart_spark.datapipe import borders_store as bs
 
@@ -99,6 +100,7 @@ def test_nodes_match_grid_region_idx(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_two_process_build_race(tmp_path):
     """The claimed atomicity, actually raced: two separate Spark
     processes build the same store key simultaneously into a fresh

@@ -99,6 +99,7 @@ def test_consumers_store_equals_fresh(spark, store_root, monkeypatch):
         assert with_store == fresh, name
 
 
+@pytest.mark.slow
 def test_two_process_build_race(tmp_path):
     """The claimed atomicity, actually raced (the borders-store
     protocol): two separate Spark processes build the same html store

@@ -1809,6 +1809,7 @@ def test_bpe_encode_edge_cases(spark):
     assert got2[1] == ["ab</w>", "b", "a", "</w>"]
 
 
+@pytest.mark.slow
 def test_clustering_coefficient_hand_graph(spark):
     """Known graph: K4 plus a pendant. K4 nodes touching the pendant
     keep coeff < 1; pure K4 nodes are fully connected (coeff 1.0);
@@ -1828,6 +1829,7 @@ def test_clustering_coefficient_hand_graph(spark):
     assert got[4] == (1, 0, 0.0)
 
 
+@pytest.mark.slow
 def test_clustering_coefficient_matches_bruteforce_on_borders(spark):
     """On the real sf0.001 customer-grid contiguity graph, the oriented
     triangle pass must equal a pure-Python brute force over the same

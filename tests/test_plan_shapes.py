@@ -3,6 +3,7 @@ story depends on must not silently regress (PLANS.md records them;
 these tests enforce them)."""
 
 from ecmm428_pycart_spark.benchmarks import get_queries
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -185,6 +186,7 @@ _BNLJ_OK = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_guards(spark):
     """Every registered batch query's physical plan is free of the two
     unconditional scale-killers — CartesianProduct (unbounded pair
@@ -227,6 +229,7 @@ def _broadcast_subtrees(plan: str):
     return subs
 
 
+@pytest.mark.slow
 def test_bnlj_allowlist_build_sides_are_tiny(spark):
     """Round-4 hardening of _BNLJ_OK (VERDICT r3 next-8): the allowlist
     must not silently admit a fat nested-loop. For every allowlisted

@@ -75,6 +75,7 @@ def test_queued6_outputs_are_scalar_typed(duck):
     assert not offenders, offenders
 
 
+@pytest.mark.slow
 def test_queued6_plan_guards(spark):
     """Same physical-plan bar as registered queries: no
     CartesianProduct, no row-at-a-time Python, BNLJ only for the

@@ -85,6 +85,7 @@ def test_queued7_outputs_are_scalar_typed(duck):
     assert not bad, bad
 
 
+@pytest.mark.slow
 def test_queued7_plan_guards(spark):
     """Same physical-plan bar as registered queries: no
     CartesianProduct, no row-at-a-time Python, BNLJ only for

@@ -114,6 +114,7 @@ _QUEUED_BNLJ_OK = {
 }
 
 
+@pytest.mark.slow
 def test_queued_plan_guards(spark):
     """Queued queries meet the same physical-plan bar as registered
     ones BEFORE they reach the gate: no CartesianProduct, no

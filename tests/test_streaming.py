@@ -539,6 +539,7 @@ def test_stream_rolling_anomaly_survives_checkpoint_restart(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_timeout_sessions_survive_checkpoint_restart(spark, tmp_path):
     """st14's applyInPandasWithState sessionizer must RESUME across a
     stop/restart (VERDICT r9 next-4 — the last non-trivial-state
