@@ -110,3 +110,45 @@ def test_kmeans_grouped_matches_per_group_loop(spark):
         got_cents = {r["cluster"]: r["centroid"] for r in
                      gc.filter(F.col("grp") == g).collect()}
         assert got_cents == want_cents, f"group {g} centroids differ"
+
+
+def test_kmeans_lazy_checkpoints_match_eager_and_run_fewer_jobs(
+        spark, monkeypatch):
+    """r14 "fewer jobs" lever (datapipe/kmeans._ckpt): lazy
+    localCheckpoints compile the identical plans but defer
+    materialization to the terminal action, folding the per-iteration
+    blocking jobs into it. Assignments AND centroids must be
+    bit-identical to the eager path (every k-means op is deterministic:
+    fixed init, round(d2,9)+id tie-break, exact means), and the lazy
+    path must run strictly fewer Spark jobs."""
+    from pyspark.sql import functions as F
+
+    from ecmm428_pycart_spark.datapipe.kmeans import kmeans
+    from ecmm428_pycart_spark.session import load_table
+
+    emb = (load_table(spark, "/root/testdata/sf0.001", "embeddings")
+           .select("vec_id", F.slice("embedding", 1, 8).alias("embedding")))
+
+    def run(tag, eager_off):
+        if eager_off:
+            monkeypatch.setenv("SPARK_GRAFT_KMEANS_LAZYCKPT_OFF", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_KMEANS_LAZYCKPT_OFF",
+                               raising=False)
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            assigned, cents = kmeans(emb, k=4, iterations=3)
+            rows = sorted(tuple(r) for r in assigned.collect())
+            crows = sorted((r["cluster"], tuple(r["centroid"]))
+                           for r in cents.collect())
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return rows, crows, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    lrows, lcents, ljobs = run("kmeans-arm-lazy", eager_off=False)
+    erows, ecents, ejobs = run("kmeans-arm-eager", eager_off=True)
+    assert lrows == erows          # exact: integer ids + deterministic argmin
+    assert lcents == ecents        # exact: same float accumulation order
+    assert ljobs < ejobs, (
+        f"lazy kmeans must run fewer jobs ({ljobs} vs {ejobs})")
