@@ -49,6 +49,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from ecmm428_pycart_spark.datapipe.graph import _ckpt  # r14 lazy-ckpt lever (SPARK_GRAFT_GRAPH_LAZYCKPT_OFF)
+
 _DEFAULT_LOCAL_MAX_EDGES = 500_000
 
 
@@ -75,7 +77,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # typically an expensive pipeline (minhash LSH + jaccard verify)
     # that must not re-execute
     pruned = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-              .localCheckpoint(eager=True))
+              .transform(_ckpt))
     # limit == 0 is the explicit force-distributed override: without the
     # guard an EMPTY edge list (0 <= 0) would still take the local path
     # (ADVICE r12), making the override a lie for the one graph size
@@ -115,11 +117,11 @@ def _distributed_cc(pruned: DataFrame, max_iter: int) -> DataFrame:
            .unionByName(pruned.select(F.col("b").alias("a"),
                                       F.col("a").alias("b")))
            .distinct()
-           .localCheckpoint(eager=True))
+           .transform(_ckpt))
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .transform(_ckpt))
     for it in range(max_iter):
         nb_min = (sym.join(labels.select("node", "label"),
                            sym["b"] == F.col("node"))
@@ -144,7 +146,7 @@ def _distributed_cc(pruned: DataFrame, max_iter: int) -> DataFrame:
                            F.least(F.col("label"),
                                    F.coalesce("p_label", F.col("label")))
                            .alias("label")))
-        new = stepped.localCheckpoint(eager=True)
+        new = _ckpt(stepped)
         # old_label is already materialized alongside label, so this is
         # a count over the checkpoint — no join, no extra shuffle
         changed = new.filter(F.col("label") != F.col("old_label")).count()

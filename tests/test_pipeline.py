@@ -2562,3 +2562,49 @@ def test_ivf_index_roundtrip_serves_identically(spark, tmp_path):
     loaded = [tuple(r) for r in ivf_topk_from_index(
         emb, a2, c2, query_vector(emb, 0), k=5).collect()]
     assert fresh == loaded and len(fresh) == 5
+
+
+def test_graph_lazy_checkpoints_match_eager_and_run_fewer_jobs(
+        spark, monkeypatch):
+    """r14 "fewer jobs" lever (datapipe/graph._ckpt, shared by
+    components.py and the g10/g41 pagerank loops): lazy
+    localCheckpoints must leave every graph loop's output bit-identical
+    (all ops are integer/deterministic) while running strictly fewer
+    Spark jobs — the count-per-round loops (k-core peel) fold their
+    checkpoint job into the convergence count."""
+    from pyspark.sql import Row
+
+    from ecmm428_pycart_spark.datapipe.graph import k_core, label_propagation
+
+    und = [(a, b) for a, b in
+           [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+            (2, 4), (7, 8)]]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und]
+        + [Row(src=b, dst=a) for a, b in und])
+    labels = spark.createDataFrame(
+        [Row(node=n, label=n % 3) for n in range(1, 9)])
+
+    def run(tag, eager_off):
+        if eager_off:
+            monkeypatch.setenv("SPARK_GRAFT_GRAPH_LAZYCKPT_OFF", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_GRAPH_LAZYCKPT_OFF",
+                               raising=False)
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            core = sorted(r["node"] for r in k_core(edges, 2).collect())
+            lab = sorted(tuple(r) for r in
+                         label_propagation(edges, labels, rounds=3)
+                         .collect())
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return core, lab, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    lcore, llab, ljobs = run("graph-arm-lazy", eager_off=False)
+    ecore, elab, ejobs = run("graph-arm-eager", eager_off=True)
+    assert lcore == ecore
+    assert llab == elab
+    assert ljobs < ejobs, (
+        f"lazy graph loops must run fewer jobs ({ljobs} vs {ejobs})")
