@@ -14,6 +14,9 @@ Per-arm Spark job counts recorded via job groups; arm outputs asserted
 identical (full sorted-row comparison).
 
 Usage: SPARK_GRAFT_CPUS=N python tools/ab_graph_lazy.py [rounds] [sf_dir] [query ...]
+Pass AB_LAZY_ENV=<off-env-var> to A/B a different lazy-ckpt switch
+(e.g. SPARK_GRAFT_TEXT_LAZYCKPT_OFF for the BPE chains) over an
+explicit query list.
 Run on an idle host.
 """
 
@@ -28,6 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = {"eager": "1", "lazy": "0"}
+OFF_ENV = os.environ.get("AB_LAZY_ENV", "SPARK_GRAFT_GRAPH_LAZYCKPT_OFF")
 DEFAULT_QUERIES = ("g17_k_core", "g19_label_propagation",
                    "g22_personalized_pagerank", "g10_pagerank_borders",
                    "g41_host_pagerank")
@@ -52,13 +56,13 @@ def main():
         rows = {}
         jobs = {}
         for arm, off in ARMS.items():          # warmup + output capture
-            os.environ["SPARK_GRAFT_GRAPH_LAZYCKPT_OFF"] = off
+            os.environ[OFF_ENV] = off
             rows[arm] = sorted(tuple(r) for r in
                                build(spark, sf_dir, which).collect())
             spark.catalog.clearCache()
         for rep in range(rounds):
             for arm, off in ARMS.items():
-                os.environ["SPARK_GRAFT_GRAPH_LAZYCKPT_OFF"] = off
+                os.environ[OFF_ENV] = off
                 tag = f"{which}-{arm}-{rep}"
                 sc.setJobGroup(tag, tag)
                 t0 = time.time()
@@ -67,7 +71,7 @@ def main():
                 sc.setLocalProperty("spark.jobGroup.id", None)
                 jobs[arm] = len(sc.statusTracker().getJobIdsForGroup(tag))
                 spark.catalog.clearCache()
-        os.environ.pop("SPARK_GRAFT_GRAPH_LAZYCKPT_OFF", None)
+        os.environ.pop(OFF_ENV, None)
         med = lambda v: round(statistics.median(v), 2)
         out[which] = {
             a: {"runs": runs[a], "median": med(runs[a]),
