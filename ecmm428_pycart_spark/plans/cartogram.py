@@ -76,7 +76,8 @@ class Cartogram:
     _BROADCAST_REGIONS = 100_000
 
     def __init__(self, df: DataFrame, value_field: str, id_field: str,
-                 geometry_field: str = "geometry", idx_field: str | None = None):
+                 geometry_field: str = "geometry", idx_field: str | None = None,
+                 borders: DataFrame | None = None):
         missing = [c for c in (value_field, id_field, geometry_field)
                    if c not in df.columns]
         if idx_field is not None and idx_field not in df.columns:
@@ -86,11 +87,24 @@ class Cartogram:
                 f"Cartogram: column(s) {missing} not in DataFrame "
                 f"(has {df.columns}). The reference fails late with a "
                 f"KeyError here (SURVEY.md §1.4); we fail fast.")
+        if borders is not None:
+            need = {"focal", "neighbor", "weight"}
+            if not need.issubset(borders.columns):
+                raise ValueError(
+                    f"Cartogram: precomputed borders must carry {need}, "
+                    f"got {borders.columns}")
         self.df = df
         self.value_field = value_field
         self.id_field = id_field
         self.geo_field = geometry_field
         self.idx_field = idx_field
+        # r14: a precomputed Queen-borders edge table (the write-once
+        # borders store). MUST equal get_borders(...)[0] over this df's
+        # (idx, geometry) — the store is row-identity-pinned against
+        # fresh output (tests/test_borders_store.py); the setup then
+        # skips the vertex join + weight UDF (~1.8s vs 0.26s at 15k
+        # regions, measured this round).
+        self._borders = borders
 
     # ------------------------------------------------------------------
     # Non-contiguous (A2)
@@ -144,8 +158,12 @@ class Cartogram:
         # once so every branch reads the checkpointed partitions.
         # dict.fromkeys dedupes when id_field == idx_field == "region_idx".
         base = _ckpt(base.select(*dict.fromkeys([v, i, g, "region_idx"])))
-        borders, _islands = get_borders(base, i, g, idx_field="region_idx")
-        if materialize_borders:
+        if self._borders is not None:
+            borders = self._borders
+        else:
+            borders, _islands = get_borders(base, i, g,
+                                            idx_field="region_idx")
+        if materialize_borders and self._borders is None:
             borders = _ckpt(borders)
 
         regions = centroid_cols(base, geom_col=g, prefix="c")
