@@ -171,3 +171,91 @@ def customer_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
     return spark.read.parquet(final)
+
+
+# ---------------------------------------------------------------------
+# r14: second grid in the same store — the 50x50 orders grid g14 runs
+# its scalable dorling over. Same contract, key scheme, atomicity and
+# off-switch as the customer table; its algo version additionally
+# folds _orders_grid's source so editing the grid invalidates entries.
+# ---------------------------------------------------------------------
+_FP_MEMO_O: dict[str, tuple[int, int, int, str]] = {}
+_ALGO_MEMO_O: list[str] = []
+
+
+def _algo_version_orders() -> str:
+    if not _ALGO_MEMO_O:
+        from ecmm428_pycart_spark.benchmarks import geo_queries
+        from ecmm428_pycart_spark.geometry import core as geo_core
+        from ecmm428_pycart_spark.geometry import udfs as geo_udfs
+        from ecmm428_pycart_spark.operators import borders as borders_op
+
+        src = "\n".join([
+            inspect.getsource(geo_queries._orders_grid),
+            inspect.getsource(borders_op),
+            inspect.getsource(geo_udfs),
+            inspect.getsource(geo_core),
+            inspect.getsource(_fresh_orders2500_borders),
+        ])
+        _ALGO_MEMO_O.append(hashlib.sha256(src.encode()).hexdigest()[:12])
+    return _ALGO_MEMO_O[0]
+
+
+def _fingerprint_orders(spark: SparkSession, sf_dir: str
+                        ) -> tuple[int, int, int, str]:
+    """Fingerprint of the DISTINCT o_orderkey % 2500 key set — the
+    grid's actual region ids (1,500 sparse cells at sf0.001, all 2,500
+    from sf0.01 up)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _FP_MEMO_O:
+        row = (load_table(spark, sf_dir, "orders")
+               .select((F.col("o_orderkey") % 2500).cast("long").alias("k"))
+               .distinct()
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("k").alias("lo"),
+                    F.max("k").alias("hi"),
+                    F.sum("k").alias("s"),
+                    F.expr("bit_xor(k)").alias("x")).collect()[0])
+        digest = hashlib.sha256(
+            f"{row['s']}_{row['x']}".encode()).hexdigest()[:10]
+        _FP_MEMO_O[key] = (int(row["n"]), int(row["lo"]), int(row["hi"]),
+                           digest)
+    return _FP_MEMO_O[key]
+
+
+def _fresh_orders2500_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecmm428_pycart_spark.benchmarks.geo_queries import _orders_grid
+    from ecmm428_pycart_spark.operators.borders import get_borders
+
+    grid = _orders_grid(spark, sf_dir).drop("value")
+    borders, _ = get_borders(grid, "region_idx", "geometry",
+                             idx_field="region_idx")
+    return borders
+
+
+def orders2500_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders-grid (50x50) borders edge table, from the write-once
+    store. Schema and values identical to
+    ``get_borders(_orders_grid(...), "region_idx", "geometry",
+    idx_field="region_idx")[0]``."""
+    if os.environ.get("SPARK_GRAFT_BORDERS_STORE_OFF") == "1":
+        return _fresh_orders2500_borders(spark, sf_dir)
+    n, lo, hi, digest = _fingerprint_orders(spark, sf_dir)
+    final = os.path.join(
+        _store_root(),
+        f"{_LAYOUT_VERSION}_{_algo_version_orders()}_o{n}_{lo}_{hi}_{digest}")
+    if not os.path.isdir(final):
+        tmp = f"{final}.tmp.{uuid.uuid4().hex[:12]}"
+        try:
+            (_fresh_orders2500_borders(spark, sf_dir)
+             .repartition(8, "focal").sortWithinPartitions("focal")
+             .write.mode("overwrite").parquet(tmp))
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(final):
+                raise
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return spark.read.parquet(final)

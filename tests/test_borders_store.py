@@ -132,3 +132,28 @@ print("ROWS", customer_borders(spark, {TESTDATA!r}).count())
     assert counts[0] == counts[1] > 0
     entries = os.listdir(root)
     assert len(entries) == 1 and ".tmp." not in entries[0], entries
+
+
+def test_orders_store_equals_fresh_build(spark, store_root):
+    """r14: the second grid in the store (the 50x50 orders grid g14's
+    dorling reads) must hold exactly the fresh get_borders rows — same
+    contract as the customer table."""
+    from ecmm428_pycart_spark.datapipe import borders_store as bs
+
+    fresh = _rowset(bs._fresh_orders2500_borders(spark, TESTDATA))
+    built = _rowset(bs.orders2500_borders(spark, TESTDATA))   # build+write
+    reread = _rowset(bs.orders2500_borders(spark, TESTDATA))  # pure read
+    assert built == fresh and reread == fresh
+    dirs = [d for d in os.listdir(store_root) if not d.startswith(".")]
+    assert len(dirs) == 1 and dirs[0].split("_")[2].startswith("o")
+
+
+def test_orders_store_off_env_bypasses_disk(spark, tmp_path, monkeypatch):
+    from ecmm428_pycart_spark.datapipe import borders_store as bs
+
+    root = str(tmp_path / "never_created")
+    monkeypatch.setenv("SPARK_GRAFT_BORDERS_STORE", root)
+    monkeypatch.setenv("SPARK_GRAFT_BORDERS_STORE_OFF", "1")
+    df = bs.orders2500_borders(spark, TESTDATA)
+    assert df.count() > 0
+    assert not os.path.exists(root)
