@@ -15,6 +15,7 @@ from ecmm428_pycart_spark.datapipe import (band_store, dedup, multimodal,
                                            similarity, text)
 from ecmm428_pycart_spark.session import load_table as _t
 from ecmm428_pycart_spark.session import spread_small as _spread
+from ecmm428_pycart_spark.session import lazy_ckpt as _lazy_ckpt
 
 QUERIES = {}
 ORACLES = {}
@@ -1521,8 +1522,10 @@ def d19_corpus_clean(spark, sf_dir):
              .filter(F.col("_rn") == 1).drop("_rn"))
     # `exact` feeds 4+ plan branches (LSH bands, jaccard doc sides, the
     # two survivor joins) — materialize once so the lang-id explode-join
-    # and the dedup window don't re-execute per consumer
-    exact = exact.localCheckpoint(eager=True)
+    # and the dedup window don't re-execute per consumer. Lazy since
+    # r14: connected_components' gate count is an interleaved action
+    # that materializes it before the fan-out consumers run.
+    exact = _lazy_ckpt(exact)
     # stage 4: near-dup removal over the survivors only — the band
     # index comes from the store, semi-joined down to the survivors
     # (band keys are per-doc pure; the bucket cap re-applies to the

@@ -173,6 +173,19 @@ def spread_cpu(df):
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def lazy_ckpt(df):
+    """Query-level plan-truncating localCheckpoint, LAZY by default
+    (r14 "fewer jobs" lever; the query-builder sibling of the
+    kmeans/graph/text/cartogram module helpers). Use ONLY where some
+    interleaved driver action (a gate count, a calibration collect)
+    materializes the frame before its fan-out consumers execute —
+    laziness then saves the blocking checkpoint job without any
+    double-compute window. ``SPARK_GRAFT_QUERY_LAZYCKPT_OFF=1``
+    restores the eager job (the A/B arm)."""
+    eager = os.environ.get("SPARK_GRAFT_QUERY_LAZYCKPT_OFF") == "1"
+    return df.localCheckpoint(eager=eager)
+
+
 def scratch_dir(prefix: str) -> str:
     """``mkdtemp`` that cannot leak: the directory is registered for
     removal at interpreter exit. Roundtrip gate/bench queries write
