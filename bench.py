@@ -380,20 +380,22 @@ def main():
     # progressively coarsen the per-query decimals — the totals and the
     # full 3-decimal detail stay in BENCH_LOCAL.json either way
     line = json.dumps(result, separators=(",", ":"))
-    # 1950, not 1900: every committed BENCH_rN tail ends exactly with
-    # this line + newline (nothing ever prints after it), so the real
-    # constraint is len(line) + 1 <= 2000; 50 bytes of margin is
-    # plenty and the old 100-byte margin cost the per-query decimal
-    # once calib_spark landed (r7: 1-decimal line = 1913 bytes)
+    # 1980, not 1950 (r14): every committed BENCH_rN tail ends exactly
+    # with this line + newline (nothing ever prints after it), so the
+    # real constraint is len(line) + 1 <= 2000. The r13 50-byte margin
+    # silently cost EVERY per-query decimal once calib_mt0 landed (the
+    # 1-decimal line is 1958 bytes at 72 queries + 5 calib fields; the
+    # first r14 warm run emitted the integer tier). 19 bytes of margin
+    # still covers the newline with room to spare.
     for coarsen in (lambda v: round(v, 1), lambda v: int(round(v))):
-        if len(line) <= 1950:
+        if len(line) <= 1980:
             break
         # round(v, 0) would serialize as "1.0" — same width as the
         # 1-decimal tier — so the last tier must emit true ints
         result["queries"] = {k: coarsen(v) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
     print(line)
-    if len(line) > 1950:
+    if len(line) > 1980:
         print(f"# WARNING: bench JSON line is {len(line)} bytes even at "
               "integer precision; driver tail capture may truncate it",
               file=sys.stderr)
